@@ -1,0 +1,321 @@
+"""Deduplication operators over `documents` / `embeddings`.
+
+Training-pipeline surface (BASELINE.json north star): exact dedup,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design (100 TB):
+- No driver-side collects anywhere; candidate generation is always a
+  *blocked* equi-join (LSH band buckets, SimHash chunks, label blocks)
+  so the pair space never goes quadratic in the corpus.
+- Exact verification runs only on candidate pairs.
+- All hashing is Spark's JVM-side xxhash64/md5 — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+from .text import distinct_tokens, fingerprint
+
+# --------------------------------------------------------------------------
+# d01 — exact dedup via content fingerprint (hash-groupBy)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d01_dedup_exact",
+    oracle="""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on normalized-content fingerprint; "
+    "keeper = min doc_id. Map-side partial agg keeps the shuffle tiny.",
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# d02 — exact n-gram (word-set) Jaccard on blocked candidate pairs
+# --------------------------------------------------------------------------
+
+
+def _token_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, w) — one row per distinct token per doc."""
+    return docs.select(
+        "doc_id", "source", F.explode(distinct_tokens(F.col("text"))).alias("w")
+    )
+
+
+@register(
+    "d02_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+      FROM tok a JOIN tok b ON a.w = b.w AND a.source = b.source
+                           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           common * 1.0 / (sa.n + sb.n - common) AS jaccard
+    FROM pairs
+      JOIN sizes sa ON a_id = sa.doc_id
+      JOIN sizes sb ON b_id = sb.doc_id
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+    """,
+    doc="Exact token-set Jaccard >= 0.8 on same-source blocked pairs: "
+    "explode distinct tokens -> equi-join on (source, token) -> count "
+    "common -> |A∩B|/(|A|+|B|-|A∩B|). Blocking keys bound the pair "
+    "space; at scale swap `source` for LSH bands (d03).",
+)
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _token_table(docs)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = F.col("common") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+    return (
+        pairs.join(sa, F.col("a_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
+        .filter(j >= 0.8)
+        .select("a_id", "b_id", j.alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# d03 — MinHash + LSH banding (shingle → minhash → band → bucket-join)
+# --------------------------------------------------------------------------
+
+_MINHASH_K = 16
+_BANDS = 4
+_ROWS_PER_BAND = _MINHASH_K // _BANDS
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sig_0..sig_15): minimum of k seeded xxhash64 over the
+    doc's distinct tokens. Pure agg — one shuffle on doc_id."""
+    tok = docs.select("doc_id", F.explode(distinct_tokens(F.col(text_col))).alias("w"))
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.col("w"), F.lit(f"#seed{i}")))).alias(f"sig_{i}")
+        for i in range(_MINHASH_K)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash): hash each band of the signature."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.xxhash64(
+                    *[F.col(f"sig_{bi * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+                ).alias("band_hash"),
+            )
+            for bi in range(_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
+    )
+
+
+@register(
+    "d03_minhash_lsh",
+    oracle=None,  # xxhash64 has no DuckDB analog — driver rows-only check
+    doc="MinHash(k=16) + LSH(4 bands x 4): shingle→minhash→band→bucket "
+    "equi-join for candidates, then exact Jaccard >= 0.8 verification. "
+    "Candidate generation is an equi-join on (band_idx, band_hash), "
+    "never quadratic; AQE handles hot buckets (skew join).",
+)
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bands = lsh_bands(minhash_signatures(docs))
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    tok = docs.select("doc_id", F.explode(distinct_tokens(F.col("text"))).alias("w"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(tok.alias("ta"), F.col("a_id") == F.col("ta.doc_id"))
+        .join(
+            tok.alias("tb"),
+            (F.col("b_id") == F.col("tb.doc_id")) & (F.col("ta.w") == F.col("tb.w")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = F.col("common") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+    return (
+        common.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .filter(j >= 0.8)
+        .select("a_id", "b_id", F.round(j, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# d04 — SimHash near-dup (64-bit sign-aggregated token hashes)
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+_SIMHASH_CHUNKS = 4  # 16-bit chunks; hamming<=3 guarantees a chunk match
+_HAMMING_MAX = 3
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): classic sign-of-bit-sums over token hashes.
+
+    One explode + one groupBy; the 64 per-bit sums are plain agg
+    expressions evaluated JVM-side in a single pass.
+    """
+    tok = docs.select("doc_id", F.explode(distinct_tokens(F.col(text_col))).alias("w"))
+    h = F.xxhash64(F.col("w"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(_SIMHASH_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+@register(
+    "d04_simhash",
+    oracle=None,  # xxhash64-based — rows-only check
+    doc="SimHash(64-bit) near-dup: chunked candidate join (4x16-bit "
+    "chunks; pigeonhole: hamming<=3 implies an equal chunk) then exact "
+    "hamming-distance filter via bit_count(xor).",
+)
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash(docs)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), ci * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+            )
+            for ci in range(_SIMHASH_CHUNKS)
+        ]
+    )
+    ct = sigs.select("doc_id", "simhash", F.explode(chunks).alias("c")).select(
+        "doc_id", "simhash", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_val").alias("chunk_val")
+    )
+    pairs = (
+        ct.alias("x")
+        .join(
+            ct.alias("y"),
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# d05 — embedding-cosine near-dup (label-blocked)
+# --------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns, computed in
+    double precision as a sequential left-fold (matches DuckDB's
+    list_dot_product evaluation order for oracle parity)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+@register(
+    "d05_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4)
+               AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.3
+    """,
+    doc="Embedding-cosine near-dup pairs, blocked by label (IVF-style "
+    "coarse partition): candidates only within a block, never global "
+    "quadratic. JVM-side zip_with/aggregate dot product.",
+)
+def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            sim.alias("cos_sim_raw"),
+        )
+        .filter(F.col("cos_sim_raw") >= 0.3)
+        .select("a_id", "b_id", F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,121 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked stub (deterministic fake features) behind
+``mapInPandas`` — the Spark-side plumbing (schema, batching, Arrow
+transfer, partitioning) is real and tested. On a real cluster the
+stub body is replaced by the actual codec call; nothing else changes.
+
+The testdata has no binary table, so payloads are derived
+deterministically from `documents.text` (UTF-8 bytes) — the plumbing
+is identical for real image/audio bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload column (stand-in for image/audio
+    bytes) plus typed metadata, the schema a multimodal table uses."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+@register(
+    "m01_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS payload_bytes,
+           upper(hex(encode(substr(text, 1, 4)))) AS header_hex,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    doc="Binary-column metadata extraction (size, magic-bytes header, "
+    "content hash) — all JVM-side; the pattern used to partition and "
+    "dedup raw media shards before decode.",
+)
+def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = with_payload(docs)
+    return payload.select(
+        "doc_id",
+        F.octet_length("payload").alias("payload_bytes"),
+        F.upper(F.hex(F.substring("payload", 1, 4))).alias("header_hex"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """STUB for the real codec (image decode / audio resample).
+
+    Deterministic fake: 4 coarse byte-histogram features. Replace with
+    e.g. PIL/torchaudio in a real deployment; keep the signature.
+    """
+    if payload is None:
+        return []
+    counts = [0, 0, 0, 0]
+    for by in payload:
+        counts[by >> 6] += 1
+    total = max(len(payload), 1)
+    return [c / total for c in counts]
+
+
+def decode_features(payloads: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow-batched, per-partition, no shuffle.
+
+    Each batch arrives as a pandas DataFrame; the UDF emits the typed
+    feature schema. This is the (b)-tier custom-operator pattern from
+    the build rules: built-ins can't decode media, so the Python hop
+    is vectorized over Arrow batches.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                    "feature": pdf["payload"].map(_fake_decode),
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=_DECODE_SCHEMA)
+
+
+@register(
+    "m02_multimodal_decode",
+    oracle=None,  # python decode stub — rows-only check
+    doc="mapInPandas decode pipeline over binary payloads (stubbed "
+    "codec, real Arrow/batch/schema plumbing) + downstream agg.",
+)
+def m02_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_features(with_payload(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.size("feature").alias("feature_dim"),
+    )

@@ -1,0 +1,455 @@
+"""Relational operator suite — the SURVEY §2 inventory, Spark-first.
+
+Each query maps one or more reference executors
+(`/root/reference/executor/*.go`) onto declarative DataFrame plans and
+carries a DuckDB oracle for the driver's hash-compare. Conventions to
+keep the two engines hash-identical:
+
+- every computed column is aliased the same on both sides;
+- double aggregates are rounded (sum→2, avg/ratio→4) because the two
+  engines may add floats in different orders;
+- ORDER BY ... LIMIT always includes a unique tiebreak key and sorts
+  by the *rounded* measure so the cut line is deterministic;
+- timestamps are returned as formatted strings.
+
+Scale notes: all plans are pure DataFrame algebra — Catalyst pushes
+filters/projections into the parquet scan, splits aggregates into
+partial/final (the reference hand-builds this in
+executor/aggregate.go:97-133), and picks broadcast joins for the small
+dimensions the same way the reference picks index paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import mysql as M
+from ..sources.tables import load_table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Scans / selection / projection / aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                      AS sum_qty,
+           round(sum(l_extendedprice), 2)                                 AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)              AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                      AS avg_qty,
+           round(avg(l_extendedprice), 4)                                 AS avg_price,
+           round(avg(l_discount), 4)                                      AS avg_disc,
+           count(*)                                                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan+filter+hash-agg (executor/aggregate.go:134, "
+    "executor/executor.go:346 SelectionExec).",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 10 AND l_quantity <= 20
+      AND l_returnflag IN ('A', 'N')
+    """,
+    doc="SelectionExec + ProjectionExec (executor/executor.go:346, "
+    "executor/projection.go:54); BETWEEN desugar + IN "
+    "(expression_rewriter.go:317-321, builtin_other.go:77).",
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        M.between(F.col("l_quantity"), 10, 20) & M.in_list(F.col("l_returnflag"), ["A", "N"])
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (inner / left / right / cartesian) — executor/join.go, joiner.go
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way inner hash join + agg + TopN "
+    "(executor/join.go:31, executor/sort.go:148 TopNExec).",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q04_left_join_counts",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    doc="Left outer join with unmatched-outer defaults "
+    "(executor/joiner.go:220 leftOuterJoiner); COUNT skips NULLs.",
+)
+def q04_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q05_right_join",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, count(l_orderkey) AS n_lines
+    FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_orderstatus
+    """,
+    doc="Right outer join (executor/joiner.go:283 rightOuterJoiner).",
+)
+def q05_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "right")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+
+
+@register(
+    "q06_cartesian",
+    oracle="""
+    SELECT r_name, count(*) AS n_pairs
+    FROM region, nation
+    GROUP BY r_name
+    """,
+    doc="Comma/cartesian join (planner/core/logical_plans.go:88 cartesianJoin).",
+)
+def q06_cartesian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).groupBy("r_name").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "q07_five_way_join",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+      JOIN nation   ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders   ON o_custkey   = c_custkey
+      JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE r_name IN ('ASIA', 'AMERICA', 'EUROPE', 'AFRICA', 'MIDDLE EAST')
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 5-way join exercising join reorder "
+    "(planner/core/rule_join_reorder.go:49) — dims broadcast in Spark.",
+)
+def q07_five_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(
+                region.filter(
+                    M.in_list(F.col("r_name"), ["ASIA", "AMERICA", "EUROPE", "AFRICA", "MIDDLE EAST"])
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / TopN / Limit-offset — executor/sort.go, executor/executor.go:214
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q08_topn_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS totalprice
+    FROM orders
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 5
+    """,
+    doc="TopN with offset (executor/sort.go:148-204 TopNExec, "
+    "executor/executor.go:214 LimitExec).",
+)
+def q08_topn_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", F.col("o_totalprice").alias("totalprice"))
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .offset(5)
+        .limit(10)
+    )
+
+
+@register(
+    "q09_group_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 12
+    """,
+    doc="GROUP BY + HAVING lowered to Selection above agg "
+    "(parser/parser.y:2461-2467, logical_plan_builder.go).",
+)
+def q09_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@register(
+    "q10_agg_functions",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                        AS cnt_all,
+           count(l_quantity)               AS cnt_qty,
+           CAST(sum(l_linenumber) AS BIGINT) AS sum_linenum,
+           round(avg(l_extendedprice), 4)  AS avg_price,
+           max(l_quantity)                 AS max_qty,
+           min(l_quantity)                 AS min_qty,
+           min(l_linestatus)               AS first_status
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="All aggregate builtins: COUNT/SUM/AVG/MAX/MIN "
+    "(executor/aggfuncs/builder.go:28-38); FIRST_ROW carries group "
+    "columns — modeled with a deterministic min() stand-in since "
+    "Spark first() is order-dependent.",
+)
+def q10_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt_all"),
+        F.count("l_quantity").alias("cnt_qty"),
+        F.sum("l_linenumber").cast("long").alias("sum_linenum"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.min("l_linestatus").alias("first_status"),
+    )
+
+
+@register(
+    "q11_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="Distinct projection (dedup via hash agg; aggregate.go:134).",
+)
+def q11_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# --------------------------------------------------------------------------
+# MySQL scalar-function semantics — expression/builtin*.go (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q12_mysql_scalars",
+    oracle="""
+    SELECT c_custkey,
+           strlen(c_name) AS name_len,
+           CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END AS seg_isnull,
+           CASE WHEN c_name IS NULL OR c_mktsegment IS NULL THEN NULL
+                WHEN c_name < c_mktsegment THEN -1
+                WHEN c_name > c_mktsegment THEN 1
+                ELSE 0 END AS name_vs_seg,
+           CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS bal_sign,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_or_default,
+           c_acctbal / nullif(c_nationkey, 0) AS bal_per_nation
+    FROM customer
+    """,
+    doc="LENGTH/ISNULL/STRCMP/IF/IFNULL + div-by-zero→NULL "
+    "(expression/builtin_string.go:63,:99; builtin_control.go:142; "
+    "builtin_arithmetic.go).",
+)
+def q12_mysql_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        M.length(F.col("c_name")).alias("name_len"),
+        M.isnull(F.col("c_mktsegment")).alias("seg_isnull"),
+        M.strcmp(F.col("c_name"), F.col("c_mktsegment")).alias("name_vs_seg"),
+        M.if_(F.col("c_acctbal") < 0, F.lit("neg"), F.lit("nonneg")).alias("bal_sign"),
+        M.ifnull(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")).alias(
+            "seg_or_default"
+        ),
+        M.safe_div(F.col("c_acctbal"), F.col("c_nationkey")).alias("bal_per_nation"),
+    )
+
+
+@register(
+    "q13_arith_null",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_discount - l_tax AS disc_minus_tax,
+           l_quantity / nullif(l_quantity - l_quantity, 0) AS div_zero_is_null,
+           -l_quantity AS neg_qty
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    """,
+    doc="Arithmetic +,-,*,/ with NULL propagation and div-by-zero→NULL; "
+    "unary minus (expression/builtin_arithmetic.go).",
+)
+def q13_arith_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") <= 100).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias(
+            "charge"
+        ),
+        (F.col("l_discount") - F.col("l_tax")).alias("disc_minus_tax"),
+        M.safe_div(F.col("l_quantity"), F.col("l_quantity") - F.col("l_quantity")).alias(
+            "div_zero_is_null"
+        ),
+        (-F.col("l_quantity")).alias("neg_qty"),
+    )
+
+
+@register(
+    "q14_dual",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS two, 'yes' AS cond_val, CAST(NULL AS BIGINT) AS null_val
+    """,
+    doc="TableDualExec: SELECT without FROM (executor/executor.go:314).",
+)
+def q14_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.range(1).select(
+        (F.lit(1) + F.lit(1)).cast("long").alias("two"),
+        M.if_(F.lit(1) < F.lit(2), F.lit("yes"), F.lit("no")).alias("cond_val"),
+        F.lit(None).cast("long").alias("null_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Events (timestamps): windowed batch aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q15_events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling-window aggregation over event time (batch analog of "
+    "the streaming path; maps to Spark window()/date_trunc).",
+)
+def q15_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias(
+                "hour_bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

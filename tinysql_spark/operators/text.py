@@ -1,0 +1,167 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+Beyond-reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting. All pure
+Column algebra (JVM-side, whole-stage codegen) — no Python UDFs — so
+each op scales linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+_WS = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    return F.split(F.trim(col), _WS)
+
+
+def distinct_tokens(col: Column) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+@register(
+    "t01_text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_live,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_tokens,
+           len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                 * 1.0 / len(string_split_regex(trim(text), '\\s+')) AS ttr
+    FROM documents
+    """,
+    doc="Token counting + type-token ratio; whitespace tokenizer.",
+)
+def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    dtoks = distinct_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_live"),
+        F.size(toks).alias("n_tokens"),
+        F.size(dtoks).alias("n_distinct_tokens"),
+        (F.size(dtoks) / F.size(toks)).alias("ttr"),
+    )
+
+
+# Stopword markers per language for the n-gram/stopword heuristic.
+# Priority CASE chain keeps the classifier deterministic.
+_LANG_MARKERS = [
+    ("en", [" the ", " and ", " of "]),
+    ("de", [" der ", " und ", " die "]),
+    ("fr", [" le ", " et ", " la "]),
+    ("es", [" el ", " y ", " los "]),
+    ("zh", ["的", "是"]),
+]
+
+
+@register(
+    "t02_lang_id",
+    oracle="""
+    SELECT doc_id,
+           CASE
+             WHEN contains(' ' || text || ' ', ' the ') OR contains(' ' || text || ' ', ' and ')
+                  OR contains(' ' || text || ' ', ' of ') THEN 'en'
+             WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' und ')
+                  OR contains(' ' || text || ' ', ' die ') THEN 'de'
+             WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' et ')
+                  OR contains(' ' || text || ' ', ' la ') THEN 'fr'
+             WHEN contains(' ' || text || ' ', ' el ') OR contains(' ' || text || ' ', ' y ')
+                  OR contains(' ' || text || ' ', ' los ') THEN 'es'
+             WHEN contains(' ' || text || ' ', '的') OR contains(' ' || text || ' ', '是') THEN 'zh'
+             ELSE 'unknown'
+           END AS pred_lang,
+           lang AS labeled_lang
+    FROM documents
+    """,
+    doc="Stopword-marker language ID (deterministic heuristic CASE chain).",
+)
+def t02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pred = None
+    for lang, markers in _LANG_MARKERS:
+        cond = None
+        for m in markers:
+            c = padded.contains(m)
+            cond = c if cond is None else (cond | c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("unknown"))
+    return docs.select("doc_id", pred.alias("pred_lang"), F.col("lang").alias("labeled_lang"))
+
+
+@register(
+    "t03_quality_score",
+    oracle="""
+    SELECT doc_id,
+           length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           w -> w IN ('the','a','and','of','is')))
+                 * 1.0 / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+           CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1 ELSE 0 END AS len_ok
+    FROM documents
+    """,
+    doc="Quality scoring: alpha ratio, stopword ratio, length gate.",
+)
+def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop = F.array([F.lit(w) for w in ["the", "a", "and", "of", "is"]])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
+    return docs.select(
+        "doc_id",
+        (F.length(F.regexp_replace("text", "[^a-z]", "")) / F.length("text")).alias("alpha_ratio"),
+        (n_stop / F.size(toks)).alias("stopword_ratio"),
+        F.when((F.length("text") >= 100) & (F.length("text") <= 2000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("len_ok"),
+    )
+
+
+@register(
+    "t04_token_classes",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens,
+           len(regexp_extract_all(text, '[a-z]{5,}')) AS n_long_tokens
+    FROM documents
+    """,
+    doc="BPE-ish regex token classes (word / numeric / long tokens).",
+)
+def t04_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0))).alias("n_word_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).alias("n_num_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{5,}"), F.lit(0))).alias("n_long_tokens"),
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text."""
+    normalized = F.lower(F.regexp_replace(F.trim(col), _WS, " "))
+    return F.md5(F.encode(normalized, "UTF-8"))
+
+
+@register(
+    "t05_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="Document fingerprinting (md5 of whitespace-normalized text).",
+)
+def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
