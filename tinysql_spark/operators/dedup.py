@@ -90,28 +90,27 @@ def _token_table(docs: DataFrame) -> DataFrame:
 )
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = _token_table(docs)
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    pairs = (
+    toks = docs.select(
+        "doc_id", "source", distinct_tokens(F.col("text")).alias("toks")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    # one equi-join on the blocking key; intersection/union are
+    # JVM-side array ops per pair — no token-explode shuffle blow-up
+    common = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    j = common * 1.0 / (F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - common)
+    return (
         a.join(
             b,
-            (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.source") == F.col("b.source"))
+            (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    j = F.col("common") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
-    return (
-        pairs.join(sa, F.col("a_id") == F.col("sa.doc_id"))
-        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
-        .filter(j >= 0.8)
-        .select("a_id", "b_id", j.alias("jaccard"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
     )
 
 
@@ -153,46 +152,40 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
+_LSH_PROPAGATION_ROUNDS = 4
+
+
 @register(
     "d03_minhash_lsh",
     oracle=None,  # xxhash64 has no DuckDB analog — driver rows-only check
-    doc="MinHash(k=16) + LSH(4 bands x 4): shingle→minhash→band→bucket "
-    "equi-join for candidates, then exact Jaccard >= 0.8 verification. "
-    "Candidate generation is an equi-join on (band_idx, band_hash), "
-    "never quadratic; AQE handles hot buckets (skew join).",
+    doc="MinHash(k=16) + LSH(4 bands x 4) dedup CLUSTERING: "
+    "shingle→minhash→band→bucket, then min-label propagation over the "
+    "doc↔bucket bipartite graph (4 rounds) to assign each doc a "
+    "cluster id (= min doc_id reachable through shared buckets). "
+    "Deliberately NOT pair enumeration: near-dup clusters make pair "
+    "output quadratic in cluster size; label propagation is linear "
+    "(2 shuffles per round) and is the 100 TB-safe formulation.",
 )
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bands = lsh_bands(minhash_signatures(docs))
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+    labels = bands.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
+    for _ in range(_LSH_PROPAGATION_ROUNDS):
+        bucket_min = (
+            bands.join(labels, "doc_id")
+            .groupBy("band_idx", "band_hash")
+            .agg(F.min("label").alias("bmin"))
         )
-        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
-        .distinct()
-    )
-    # exact verification on candidates only
-    tok = docs.select("doc_id", F.explode(distinct_tokens(F.col("text"))).alias("w"))
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        cand.join(tok.alias("ta"), F.col("a_id") == F.col("ta.doc_id"))
-        .join(
-            tok.alias("tb"),
-            (F.col("b_id") == F.col("tb.doc_id")) & (F.col("ta.w") == F.col("tb.w")),
+        labels = (
+            bands.join(bucket_min, ["band_idx", "band_hash"])
+            .groupBy("doc_id")
+            .agg(F.min("bmin").alias("label"))
         )
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    j = F.col("common") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+    # docs with no tokens never enter a bucket: they are their own cluster
     return (
-        common.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
-        .filter(j >= 0.8)
-        .select("a_id", "b_id", F.round(j, 4).alias("jaccard"))
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
     )
 
 
