@@ -1,0 +1,221 @@
+"""Engine catalog: databases → tables → columns/indexes, JSON-persisted.
+
+Mirrors the reference's `model.DBInfo` / `model.TableInfo` /
+`model.ColumnInfo` / `model.IndexInfo`
+(`/root/reference/parser/model/model.go:564,:180,:82,:507`) with a
+Spark-native storage mapping: one parquet directory per table plus an
+internal `_rowid` handle column (the reference's int64 row handle,
+`table/tables/tables.go:378`) used by DELETE/REPLACE.
+
+DDL here is synchronous catalog mutation — the reference's async DDL
+job queue / F1 online schema change (`ddl/ddl_worker.go:300`) is a
+distributed-systems concern Spark doesn't need (SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import types as T
+
+ROWID = "_rowid"
+
+_TYPE_MAP = {
+    "TINYINT": T.IntegerType(),
+    "SMALLINT": T.IntegerType(),
+    "INT": T.IntegerType(),
+    "INTEGER": T.IntegerType(),
+    "BIGINT": T.LongType(),
+    "FLOAT": T.FloatType(),
+    "DOUBLE": T.DoubleType(),
+    "REAL": T.DoubleType(),
+    "VARCHAR": T.StringType(),
+    "CHAR": T.StringType(),
+    "TEXT": T.StringType(),
+    "STRING": T.StringType(),
+}
+
+
+def sql_type_to_spark(type_str: str) -> T.DataType:
+    base = type_str.split("(")[0].strip().upper()
+    if base not in _TYPE_MAP:
+        raise ValueError(f"unsupported column type: {type_str}")
+    return _TYPE_MAP[base]
+
+
+@dataclass
+class ColumnInfo:
+    name: str
+    type: str  # declared SQL type, e.g. "INT", "VARCHAR(255)"
+    nullable: bool = True
+    default: str | None = None  # SQL literal text, or None
+
+    def spark_type(self) -> T.DataType:
+        return sql_type_to_spark(self.type)
+
+
+@dataclass
+class IndexInfo:
+    name: str
+    columns: list[str]
+    unique: bool = False
+
+
+@dataclass
+class TableInfo:
+    name: str
+    columns: list[ColumnInfo]
+    primary_key: list[str] = field(default_factory=list)
+    indexes: list[IndexInfo] = field(default_factory=list)
+    next_rowid: int = 1
+
+    def column(self, name: str) -> ColumnInfo | None:
+        for c in self.columns:
+            if c.name.lower() == name.lower():
+                return c
+        return None
+
+    def user_schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(c.name, c.spark_type(), c.nullable) for c in self.columns]
+        )
+
+    def full_schema(self) -> T.StructType:
+        """User columns + the hidden rowid handle."""
+        return T.StructType(
+            [T.StructField(ROWID, T.LongType(), False)] + list(self.user_schema().fields)
+        )
+
+    def unique_keys(self) -> list[list[str]]:
+        """PK + unique indexes — the conflict targets for REPLACE
+        (reference: executor/replace.go:29 removeRow on dup key)."""
+        keys = []
+        if self.primary_key:
+            keys.append(self.primary_key)
+        for idx in self.indexes:
+            if idx.unique:
+                keys.append(idx.columns)
+        return keys
+
+
+class Catalog:
+    """JSON-file-backed catalog over a warehouse directory.
+
+    Layout: <warehouse>/catalog.json, <warehouse>/<db>/<table>/data/
+    (parquet files). Writes go through write-tmp-then-swap so a
+    statement is atomic at the directory level (SURVEY §7.3.1).
+    """
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+        self.path = os.path.join(warehouse, "catalog.json")
+        self.dbs: dict[str, dict[str, TableInfo]] = {"default": {}}
+        if os.path.exists(self.path):
+            self._load()
+        else:
+            self._save()
+
+    # -- persistence -------------------------------------------------------
+
+    def _load(self) -> None:
+        with open(self.path) as f:
+            raw = json.load(f)
+        self.dbs = {}
+        for db, tables in raw.items():
+            self.dbs[db] = {}
+            for tname, t in tables.items():
+                self.dbs[db][tname] = TableInfo(
+                    name=t["name"],
+                    columns=[ColumnInfo(**c) for c in t["columns"]],
+                    primary_key=t.get("primary_key", []),
+                    indexes=[IndexInfo(**i) for i in t.get("indexes", [])],
+                    next_rowid=t.get("next_rowid", 1),
+                )
+
+    def _save(self) -> None:
+        raw = {
+            db: {tname: asdict(t) for tname, t in tables.items()}
+            for db, tables in self.dbs.items()
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.warehouse, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(raw, f, indent=1)
+        os.replace(tmp, self.path)
+
+    # -- databases ---------------------------------------------------------
+
+    def create_database(self, db: str, if_not_exists: bool = False) -> None:
+        if db in self.dbs:
+            if if_not_exists:
+                return
+            raise ValueError(f"database {db!r} already exists")
+        self.dbs[db] = {}
+        self._save()
+
+    def drop_database(self, db: str, if_exists: bool = False) -> None:
+        if db not in self.dbs:
+            if if_exists:
+                return
+            raise ValueError(f"database {db!r} does not exist")
+        del self.dbs[db]
+        shutil.rmtree(os.path.join(self.warehouse, db), ignore_errors=True)
+        self._save()
+
+    def has_database(self, db: str) -> bool:
+        return db in self.dbs
+
+    # -- tables ------------------------------------------------------------
+
+    def table_dir(self, db: str, table: str) -> str:
+        return os.path.join(self.warehouse, db, table)
+
+    def data_dir(self, db: str, table: str) -> str:
+        return os.path.join(self.table_dir(db, table), "data")
+
+    def get_table(self, db: str, table: str) -> TableInfo:
+        try:
+            return self.dbs[db][table.lower()]
+        except KeyError:
+            raise ValueError(f"table {db}.{table} does not exist") from None
+
+    def has_table(self, db: str, table: str) -> bool:
+        return db in self.dbs and table.lower() in self.dbs[db]
+
+    def add_table(self, db: str, info: TableInfo) -> None:
+        if db not in self.dbs:
+            raise ValueError(f"database {db!r} does not exist")
+        self.dbs[db][info.name.lower()] = info
+        self._save()
+
+    def drop_table(self, db: str, table: str) -> None:
+        del self.dbs[db][table.lower()]
+        shutil.rmtree(self.table_dir(db, table), ignore_errors=True)
+        self._save()
+
+    def tables(self, db: str) -> list[str]:
+        return sorted(self.dbs.get(db, {}))
+
+    def update(self) -> None:
+        """Persist in-place mutations of TableInfo (next_rowid, ALTER)."""
+        self._save()
+
+    # -- atomic data swap --------------------------------------------------
+
+    def swap_data_dir(self, db: str, table: str, new_dir: str) -> None:
+        """Atomically replace the table's data directory with new_dir.
+
+        write-new-dir-then-rename (SURVEY §7.3.1): the data dir is
+        replaced in two renames; the trash dir is cleaned best-effort.
+        """
+        data = self.data_dir(db, table)
+        trash = data + f".trash-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(data):
+            os.rename(data, trash)
+        os.rename(new_dir, data)
+        shutil.rmtree(trash, ignore_errors=True)

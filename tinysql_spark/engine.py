@@ -1,0 +1,548 @@
+"""The engine front door: `Engine.execute(sql)` — the Spark-native
+equivalent of the reference's session lifecycle
+(`/root/reference/session/session.go:562` Execute → parse → plan →
+executor).
+
+Division of labor (SURVEY §7.0):
+- SELECT / expressions: handed to Spark SQL (Catalyst = the one
+  optimizer; no second planner is built) after MySQL-ism rewrites.
+- Statement heads Spark lacks (TinySQL grammar, parser.y:4521-4543):
+  CREATE/DROP DATABASE|TABLE|INDEX, ALTER TABLE ADD COLUMN, TRUNCATE,
+  INSERT/REPLACE/DELETE, SET, SHOW, ANALYZE, USE, BEGIN/COMMIT/
+  ROLLBACK — implemented here over a parquet warehouse + JSON catalog.
+- Writes are per-statement atomic via write-tmp-dir-then-rename
+  (the reference's 2PC/Percolator machinery, store/tikv/2pc.go:67,
+  maps to this single-writer commit protocol; multi-statement
+  transactions are declared out of scope — SURVEY §7.2).
+
+Every table carries a hidden `_rowid` int64 handle (reference:
+implicit row handle, table/tables/tables.go:378) enabling DELETE and
+REPLACE as anti-join + atomic swap.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import sqlparse as P
+from .catalog import ROWID, Catalog, ColumnInfo, IndexInfo, TableInfo
+
+
+@dataclass
+class Result:
+    df: DataFrame | None = None
+    rows_affected: int = 0
+    message: str = ""
+
+    def rows(self) -> list:
+        return self.df.collect() if self.df is not None else []
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        # MySQL evaluation semantics: div-by-zero -> NULL, silent
+        # overflow-free casts (reference: expression/builtin_arithmetic.go)
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        self.catalog = Catalog(warehouse)
+        self.current_db = "default"
+        self.user_vars: dict[str, object] = {}
+        self.sys_vars: dict[str, str] = {}
+        self._register_all()
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def execute(self, sql: str) -> list[Result]:
+        return [self._execute_one(s) for s in P.split_statements(sql)]
+
+    def sql(self, sql: str) -> Result:
+        """Execute a single statement (last result if multiple)."""
+        results = self.execute(sql)
+        return results[-1]
+
+    def query(self, sql: str) -> DataFrame:
+        df = self.sql(sql).df
+        if df is None:
+            raise ValueError("statement did not produce a result set")
+        return df
+
+    # ------------------------------------------------------------------
+    # dispatch
+    # ------------------------------------------------------------------
+
+    def _execute_one(self, stmt: str) -> Result:
+        kind = P.statement_kind(stmt)
+        handler = getattr(self, f"_exec_{kind}", None)
+        if handler is None:
+            raise ValueError(f"unsupported statement kind: {kind}")
+        return handler(stmt)
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _qualify(self, name: str) -> tuple[str, str]:
+        name = P.unquote_ident(name)
+        if "." in name:
+            db, t = name.split(".", 1)
+            return P.unquote_ident(db), P.unquote_ident(t).lower()
+        return self.current_db, name.lower()
+
+    def _spark_name(self, db: str, table: str) -> str:
+        return f"`{db}`.`{table}`"
+
+    def _register_all(self) -> None:
+        for db in self.catalog.dbs:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+            for t in self.catalog.tables(db):
+                self._register_table(db, t)
+        self.spark.catalog.setCurrentDatabase(self.current_db)
+
+    def _register_table(self, db: str, table: str) -> None:
+        """(Re)expose a warehouse table in the Spark catalog as an
+        external parquet table with the *user* schema (hides _rowid)."""
+        info = self.catalog.get_table(db, table)
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._spark_name(db, table)}")
+        ddl_cols = ", ".join(
+            f"`{c.name}` {c.spark_type().simpleString()}" for c in info.columns
+        )
+        self.spark.sql(
+            f"CREATE TABLE {self._spark_name(db, table)} ({ddl_cols}) "
+            f"USING parquet LOCATION '{self.catalog.data_dir(db, table)}'"
+        )
+
+    def _raw(self, db: str, table: str) -> DataFrame:
+        """Full-schema read (rowid included) straight from parquet."""
+        info = self.catalog.get_table(db, table)
+        return self.spark.read.schema(info.full_schema()).parquet(
+            self.catalog.data_dir(db, table)
+        )
+
+    def _write_swap(self, db: str, table: str, df: DataFrame) -> None:
+        """Write df (full schema) to a tmp dir, atomically swap it in,
+        refresh Spark's file-listing cache."""
+        info = self.catalog.get_table(db, table)
+        tmp = self.catalog.data_dir(db, table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        cols = [F.col(ROWID).cast("long")] + [
+            F.col(c.name).cast(c.spark_type()) for c in info.columns
+        ]
+        df.select(*cols).write.mode("overwrite").parquet(tmp)
+        self.catalog.swap_data_dir(db, table, tmp)
+        self.spark.catalog.refreshTable(self._spark_name(db, table))
+
+    def _append(self, db: str, table: str, df: DataFrame) -> None:
+        info = self.catalog.get_table(db, table)
+        cols = [F.col(ROWID).cast("long")] + [
+            F.col(c.name).cast(c.spark_type()) for c in info.columns
+        ]
+        df.select(*cols).write.mode("append").parquet(self.catalog.data_dir(db, table))
+        self.spark.catalog.refreshTable(self._spark_name(db, table))
+
+    def _rewrite(self, sql: str) -> str:
+        return P.rewrite_select(sql, self.user_vars)
+
+    # ------------------------------------------------------------------
+    # SELECT / EXPLAIN
+    # ------------------------------------------------------------------
+
+    def _exec_select(self, stmt: str) -> Result:
+        return Result(df=self.spark.sql(self._rewrite(stmt)))
+
+    def _exec_explain(self, stmt: str) -> Result:
+        body = stmt.strip()[len("EXPLAIN") :].strip()
+        if re.match(r"^(FORMATTED|EXTENDED|CODEGEN|COST)\b", body, re.I):
+            mode, body = body.split(None, 1)
+        else:
+            mode = "FORMATTED"
+        return Result(df=self.spark.sql(f"EXPLAIN {mode} {self._rewrite(body)}"))
+
+    # ------------------------------------------------------------------
+    # DDL — reference: executor/ddl.go:35, ddl/ddl_api.go
+    # ------------------------------------------------------------------
+
+    def _exec_create_database(self, stmt: str) -> Result:
+        m = P._CREATE_DB_RE.match(stmt)
+        if not m:
+            raise ValueError(f"cannot parse CREATE DATABASE: {stmt[:60]}")
+        db = P.unquote_ident(m.group(2))
+        self.catalog.create_database(db, if_not_exists=bool(m.group(1)))
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        return Result(message=f"database {db} created")
+
+    def _exec_drop_database(self, stmt: str) -> Result:
+        m = P._DROP_DB_RE.match(stmt)
+        if not m:
+            raise ValueError(f"cannot parse DROP DATABASE: {stmt[:60]}")
+        db = P.unquote_ident(m.group(2))
+        self.catalog.drop_database(db, if_exists=bool(m.group(1)))
+        self.spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
+        return Result(message=f"database {db} dropped")
+
+    def _exec_use(self, stmt: str) -> Result:
+        m = P._USE_RE.match(stmt)
+        db = P.unquote_ident(m.group(1))
+        if not self.catalog.has_database(db):
+            raise ValueError(f"database {db!r} does not exist")
+        self.current_db = db
+        self.spark.catalog.setCurrentDatabase(db)
+        return Result(message=f"database changed to {db}")
+
+    def _exec_create_table(self, stmt: str) -> Result:
+        ct = P.parse_create_table(stmt)
+        db, t = self._qualify(ct.table)
+        if self.catalog.has_table(db, t):
+            if ct.if_not_exists:
+                return Result(message=f"table {t} already exists")
+            raise ValueError(f"table {db}.{t} already exists")
+        info = ct.info
+        info.name = t
+        self.catalog.add_table(db, info)
+        # seed an empty parquet dir so the external table is readable
+        empty = self.spark.createDataFrame([], info.full_schema())
+        empty.write.mode("overwrite").parquet(self.catalog.data_dir(db, t))
+        self._register_table(db, t)
+        return Result(message=f"table {t} created")
+
+    def _exec_drop_table(self, stmt: str) -> Result:
+        m = P._DROP_TABLE_RE.match(stmt)
+        if_exists = bool(m.group(1))
+        dropped = []
+        for name in P.split_top_level(m.group(2)):
+            db, t = self._qualify(name)
+            if not self.catalog.has_table(db, t):
+                if if_exists:
+                    continue
+                raise ValueError(f"table {db}.{t} does not exist")
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._spark_name(db, t)}")
+            self.catalog.drop_table(db, t)
+            dropped.append(t)
+        return Result(message=f"dropped {', '.join(dropped) or 'nothing'}")
+
+    def _exec_truncate(self, stmt: str) -> Result:
+        m = P._TRUNCATE_RE.match(stmt)
+        db, t = self._qualify(m.group(1))
+        info = self.catalog.get_table(db, t)
+        empty = self.spark.createDataFrame([], info.full_schema())
+        tmp = self.catalog.data_dir(db, t) + f".tmp-{uuid.uuid4().hex[:8]}"
+        empty.write.mode("overwrite").parquet(tmp)
+        self.catalog.swap_data_dir(db, t, tmp)
+        info.next_rowid = 1
+        self.catalog.update()
+        self.spark.catalog.refreshTable(self._spark_name(db, t))
+        return Result(message=f"table {t} truncated")
+
+    def _exec_create_index(self, stmt: str) -> Result:
+        """CREATE INDEX: metadata only (reference: ddl/index.go). Spark
+        has no secondary indexes; the declared index is recorded and
+        exploitable as a layout/stats hint (SURVEY §4.4)."""
+        m = P._CREATE_INDEX_RE.match(stmt)
+        unique, idx_name, table, cols = m.groups()
+        db, t = self._qualify(table)
+        info = self.catalog.get_table(db, t)
+        idx_name = P.unquote_ident(idx_name)
+        if any(i.name == idx_name for i in info.indexes):
+            raise ValueError(f"index {idx_name} already exists on {t}")
+        col_list = [P.unquote_ident(c) for c in P.split_top_level(cols)]
+        for c in col_list:
+            if info.column(c) is None:
+                raise ValueError(f"no column {c!r} in table {t}")
+        info.indexes.append(IndexInfo(name=idx_name, columns=col_list, unique=bool(unique)))
+        if unique:
+            # enforce uniqueness over existing data (backfill check —
+            # reference: ddl/index.go:428 addTableIndex)
+            nn = self._raw(db, t)
+            for c in col_list:
+                nn = nn.filter(F.col(c).isNotNull())
+            dup = nn.groupBy(*col_list).count().filter(F.col("count") > 1).count()
+            if dup:
+                info.indexes.pop()
+                raise ValueError(f"duplicate entries violate unique index {idx_name}")
+        self.catalog.update()
+        return Result(message=f"index {idx_name} created on {t}")
+
+    def _exec_drop_index(self, stmt: str) -> Result:
+        m = P._DROP_INDEX_RE.match(stmt)
+        idx_name, table = P.unquote_ident(m.group(1)), m.group(2)
+        db, t = self._qualify(table)
+        info = self.catalog.get_table(db, t)
+        before = len(info.indexes)
+        info.indexes = [i for i in info.indexes if i.name != idx_name]
+        if len(info.indexes) == before:
+            raise ValueError(f"index {idx_name} does not exist on {t}")
+        self.catalog.update()
+        return Result(message=f"index {idx_name} dropped")
+
+    def _exec_alter_table(self, stmt: str) -> Result:
+        """ALTER TABLE ADD COLUMN — metadata-only; existing rows read
+        the new column as NULL/default (reference: ddl/column.go)."""
+        m = P._ALTER_ADD_COL_RE.match(stmt)
+        if not m:
+            raise ValueError(f"only ALTER TABLE ... ADD COLUMN is supported: {stmt[:60]}")
+        db, t = self._qualify(m.group(1))
+        info = self.catalog.get_table(db, t)
+        cm = P._COL_TYPE_RE.match(m.group(2).strip())
+        if not cm:
+            raise ValueError(f"cannot parse column definition: {m.group(2)[:60]}")
+        col_name = P.unquote_ident(cm.group(1))
+        if info.column(col_name) is not None:
+            raise ValueError(f"column {col_name!r} already exists in {t}")
+        col_type = cm.group(2).upper() + (cm.group(3) or "").replace(" ", "")
+        rest = m.group(2)[cm.end() :]
+        dm = P.re.search(r"DEFAULT\s+('(?:[^'\\]|\\.)*'|[\w.+-]+)", rest, P.re.I)
+        info.columns.append(
+            ColumnInfo(
+                name=col_name,
+                type=col_type,
+                nullable="NOT NULL" not in rest.upper(),
+                default=dm.group(1) if dm else None,
+            )
+        )
+        self.catalog.update()
+        self._register_table(db, t)
+        return Result(message=f"column {col_name} added to {t}")
+
+    # ------------------------------------------------------------------
+    # DML — reference: executor/insert.go, replace.go, delete.go
+    # ------------------------------------------------------------------
+
+    def _values_df(self, ins: P.InsertStmt, info: TableInfo) -> DataFrame:
+        """Evaluate the VALUES tuples (or trailing SELECT) into a
+        DataFrame with the table's user columns, applying declared
+        defaults for omitted columns (insert_common.go:77-198)."""
+        target_cols = ins.columns or [c.name for c in info.columns]
+        for c in target_cols:
+            if info.column(c) is None:
+                raise ValueError(f"no column {c!r} in table {info.name}")
+        if ins.values_sql is not None:
+            src = self.spark.sql(f"SELECT * FROM VALUES {self._rewrite(ins.values_sql)}")
+            if len(src.columns) != len(target_cols):
+                raise ValueError(
+                    f"column count mismatch: {len(target_cols)} target vs {len(src.columns)} values"
+                )
+            src = src.toDF(*target_cols)
+        else:
+            src = self.spark.sql(self._rewrite(ins.select_sql))
+            if len(src.columns) != len(target_cols):
+                raise ValueError("INSERT ... SELECT column count mismatch")
+            src = src.toDF(*target_cols)
+        # defaults / NULL for omitted columns, then cast to declared types
+        exprs = []
+        for c in info.columns:
+            if c.name in target_cols:
+                e = F.col(c.name)
+            elif c.default is not None:
+                e = F.expr(c.default)
+            else:
+                e = F.lit(None)
+            exprs.append(e.cast(c.spark_type()).alias(c.name))
+        out = src.select(*exprs)
+        # NOT NULL enforcement (reference: table/tables.go CheckNotNull)
+        for c in info.columns:
+            if not c.nullable:
+                if out.filter(F.col(c.name).isNull()).limit(1).count() > 0:
+                    raise ValueError(f"column {c.name!r} cannot be null")
+        return out
+
+    def _assign_rowids(self, df: DataFrame, info: TableInfo) -> tuple[DataFrame, int]:
+        """Dense rowid assignment from the table's allocator
+        (reference: meta/autoid). Small batches (VALUES) sort into one
+        partition; callers with huge INSERT..SELECT batches accept the
+        single-partition window or pre-repartition — documented
+        trade-off vs sparse monotonically_increasing_id."""
+        w = Window.orderBy(F.monotonically_increasing_id())
+        start = info.next_rowid
+        out = df.withColumn(ROWID, (F.row_number().over(w) + F.lit(start - 1)).cast("long"))
+        n = out.count()
+        return out, n
+
+    def _exec_insert(self, stmt: str) -> Result:
+        ins = P.parse_insert(stmt)
+        db, t = self._qualify(ins.table)
+        info = self.catalog.get_table(db, t)
+        new_df = self._values_df(ins, info)
+        if ins.is_replace:
+            return self._do_replace(db, t, info, new_df)
+        with_ids, n = self._assign_rowids(new_df, info)
+        # unique-key conflict check against existing data (dup-key error
+        # on plain INSERT — reference: executor/insert.go)
+        raw = self._raw(db, t)
+        for key in info.unique_keys():
+            cond = [with_ids[k].eqNullSafe(raw[k]) & raw[k].isNotNull() for k in key]
+            conflict = with_ids.join(raw, on=cond, how="inner").limit(1).count()
+            if conflict:
+                raise ValueError(f"duplicate key on {key} in table {t}")
+        self._append(db, t, with_ids)
+        info.next_rowid += n
+        self.catalog.update()
+        return Result(rows_affected=n, message=f"{n} rows inserted")
+
+    def _exec_replace(self, stmt: str) -> Result:
+        return self._exec_insert(stmt)
+
+    def _do_replace(self, db: str, t: str, info: TableInfo, new_df: DataFrame) -> Result:
+        """REPLACE: delete rows conflicting on any PK/unique key, then
+        insert (reference: executor/replace.go:29)."""
+        with_ids, n = self._assign_rowids(new_df, info)
+        raw = self._raw(db, t)
+        keys = info.unique_keys()
+        if not keys:
+            self._append(db, t, with_ids)
+            info.next_rowid += n
+            self.catalog.update()
+            return Result(rows_affected=n, message=f"{n} rows inserted")
+        keep = raw
+        n_deleted = 0
+        for key in keys:
+            conflicts = with_ids.select(*key).distinct()
+            cond = [keep[k].eqNullSafe(conflicts[k]) & keep[k].isNotNull() for k in key]
+            matched = keep.join(conflicts, on=cond, how="left_semi")
+            n_deleted += matched.count()
+            keep = keep.join(conflicts, on=cond, how="left_anti")
+        final = keep.unionByName(with_ids.select(*keep.columns))
+        self._write_swap(db, t, final)
+        info.next_rowid += n
+        self.catalog.update()
+        return Result(rows_affected=n + n_deleted, message=f"{n_deleted} replaced, {n} inserted")
+
+    def _exec_delete(self, stmt: str) -> Result:
+        m = P._DELETE_RE.match(stmt)
+        if not m:
+            raise ValueError(f"cannot parse DELETE: {stmt[:60]}")
+        db, t = self._qualify(m.group(1))
+        info = self.catalog.get_table(db, t)
+        cond = m.group(2)
+        raw = self._raw(db, t)
+        if cond is None:
+            n = raw.count()
+            empty = self.spark.createDataFrame([], info.full_schema())
+            tmp = self.catalog.data_dir(db, t) + f".tmp-{uuid.uuid4().hex[:8]}"
+            empty.write.mode("overwrite").parquet(tmp)
+            self.catalog.swap_data_dir(db, t, tmp)
+            self.spark.catalog.refreshTable(self._spark_name(db, t))
+            return Result(rows_affected=n, message=f"{n} rows deleted")
+        view = f"__del_{t}_{uuid.uuid4().hex[:6]}"
+        raw.createOrReplaceTempView(view)
+        cond_sql = self._rewrite(cond)
+        # delete WHERE cond is TRUE; keep FALSE and NULL (3VL)
+        keep = self.spark.sql(
+            f"SELECT * FROM {view} WHERE NOT coalesce(({cond_sql}), false)"
+        )
+        n_del = self.spark.sql(
+            f"SELECT count(*) FROM {view} WHERE coalesce(({cond_sql}), false)"
+        ).collect()[0][0]
+        self._write_swap(db, t, keep)
+        self.spark.catalog.dropTempView(view)
+        return Result(rows_affected=n_del, message=f"{n_del} rows deleted")
+
+    def _exec_update(self, stmt: str) -> Result:
+        raise ValueError("UPDATE is not in the reference surface (use REPLACE/DELETE+INSERT)")
+
+    # ------------------------------------------------------------------
+    # SET / SHOW / ANALYZE / DESCRIBE / txn — executor/set.go, show.go
+    # ------------------------------------------------------------------
+
+    def _exec_set(self, stmt: str) -> Result:
+        m = P._SET_USER_VAR_RE.match(stmt)
+        if m:
+            name, expr = m.group(1).lower(), m.group(2)
+            val = self.spark.sql(f"SELECT ({self._rewrite(expr)}) AS v").collect()[0][0]
+            self.user_vars[name] = val
+            return Result(message=f"@{name} set")
+        m = P._SET_SYS_VAR_RE.match(stmt)
+        if m:
+            name, val = m.group(1).lower(), m.group(2).strip().strip("'\"")
+            self.sys_vars[name] = val
+            if name.startswith("spark."):
+                self.spark.conf.set(name, val)
+            return Result(message=f"{name} set")
+        raise ValueError(f"cannot parse SET: {stmt[:60]}")
+
+    def _exec_show(self, stmt: str) -> Result:
+        up = stmt.strip().upper()
+        if up.startswith("SHOW DATABASES"):
+            df = self.spark.createDataFrame(
+                [(d,) for d in sorted(self.catalog.dbs)], "Database: string"
+            )
+            return Result(df=df)
+        if up.startswith("SHOW TABLES"):
+            df = self.spark.createDataFrame(
+                [(t,) for t in self.catalog.tables(self.current_db)],
+                f"Tables_in_{self.current_db}: string",
+            )
+            return Result(df=df)
+        m = P.re.match(r"^\s*SHOW\s+CREATE\s+TABLE\s+([`\w.]+)\s*$", stmt, P.re.I)
+        if m:
+            db, t = self._qualify(m.group(1))
+            info = self.catalog.get_table(db, t)
+            lines = [f"CREATE TABLE `{info.name}` ("]
+            parts = []
+            for c in info.columns:
+                null_sql = "" if c.nullable else " NOT NULL"
+                default_sql = f" DEFAULT {c.default}" if c.default is not None else ""
+                parts.append(f"  `{c.name}` {c.type}{null_sql}{default_sql}")
+            if info.primary_key:
+                parts.append("  PRIMARY KEY (" + ", ".join(f"`{k}`" for k in info.primary_key) + ")")
+            for i in info.indexes:
+                kw = "UNIQUE KEY" if i.unique else "KEY"
+                parts.append(
+                    f"  {kw} `{i.name}` (" + ", ".join(f"`{c}`" for c in i.columns) + ")"
+                )
+            ddl = lines[0] + "\n" + ",\n".join(parts) + "\n)"
+            df = self.spark.createDataFrame([(info.name, ddl)], "Table: string, `Create Table`: string")
+            return Result(df=df)
+        if up.startswith("SHOW VARIABLES"):
+            df = self.spark.createDataFrame(
+                sorted(self.sys_vars.items()) or [("", "")],
+                "Variable_name: string, Value: string",
+            )
+            return Result(df=df)
+        if up.startswith("SHOW WARNINGS"):
+            return Result(
+                df=self.spark.createDataFrame([], "Level: string, Code: int, Message: string")
+            )
+        raise ValueError(f"unsupported SHOW: {stmt[:60]}")
+
+    def _exec_analyze(self, stmt: str) -> Result:
+        """ANALYZE TABLE → Spark column stats + histograms (reference:
+        executor/analyze.go:44; histograms/CMSketch → Spark equi-height
+        histograms + NDV, SURVEY §4.3)."""
+        m = P._ANALYZE_RE.match(stmt)
+        for name in P.split_top_level(m.group(1)):
+            db, t = self._qualify(name)
+            self.catalog.get_table(db, t)  # existence check
+            self.spark.sql(
+                f"ANALYZE TABLE {self._spark_name(db, t)} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+        return Result(message="analyzed")
+
+    def _exec_describe(self, stmt: str) -> Result:
+        m = P.re.match(r"^\s*DESC(?:RIBE)?\s+([`\w.]+)\s*$", stmt, P.re.I)
+        db, t = self._qualify(m.group(1))
+        info = self.catalog.get_table(db, t)
+        rows = [
+            (
+                c.name,
+                c.type.lower(),
+                "YES" if c.nullable else "NO",
+                "PRI" if c.name in info.primary_key else "",
+                c.default,
+            )
+            for c in info.columns
+        ]
+        df = self.spark.createDataFrame(
+            rows, "Field: string, Type: string, `Null`: string, Key: string, Default: string"
+        )
+        return Result(df=df)
+
+    def _exec_txn(self, stmt: str) -> Result:
+        """BEGIN/COMMIT/ROLLBACK accepted as no-ops: every statement is
+        atomic on its own; multi-statement transactions are out of
+        scope (SURVEY §7.2, reference executor/simple.go:33)."""
+        return Result(message=f"{stmt.split()[0].lower()}: no-op (autocommit engine)")

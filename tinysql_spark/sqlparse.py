@@ -1,0 +1,395 @@
+"""Statement classifier + lightweight parser for the TinySQL dialect.
+
+The reference carries a full goyacc LALR grammar (~8k lines,
+`/root/reference/parser/parser.y`); this engine deliberately does NOT
+rebuild a parser-generator (SURVEY §7.0). SELECT/expression parsing is
+delegated to Spark SQL; only the statement *heads* Spark can't serve
+(CREATE/DROP/ALTER/INSERT/REPLACE/DELETE/SET/SHOW/ANALYZE/USE/txn
+stmts — statement list `parser/parser.y:4521-4543`) get a small
+hand-rolled parser here, plus MySQL-ism rewrites (STRCMP, @user vars,
+backticks) applied before handing SELECT text to Spark.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .catalog import ColumnInfo, IndexInfo, TableInfo
+
+# --------------------------------------------------------------------------
+# statement splitting / classification
+# --------------------------------------------------------------------------
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split on top-level ';' (quote-aware)."""
+    out, buf, i, n = [], [], 0, len(sql)
+    quote = None
+    while i < n:
+        ch = sql[i]
+        if quote:
+            buf.append(ch)
+            if ch == "\\" and quote in "'\"" and i + 1 < n:
+                buf.append(sql[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+            buf.append(ch)
+        elif ch == ";":
+            s = "".join(buf).strip()
+            if s:
+                out.append(s)
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    s = "".join(buf).strip()
+    if s:
+        out.append(s)
+    return out
+
+
+_HEAD_RE = re.compile(r"^\s*([A-Za-z]+)")
+
+
+def statement_kind(stmt: str) -> str:
+    head = _HEAD_RE.match(stmt)
+    word = head.group(1).upper() if head else ""
+    if word in ("SELECT", "WITH", "TABLE", "VALUES"):
+        return "select"
+    if word == "EXPLAIN":
+        return "explain"
+    if word == "INSERT":
+        return "insert"
+    if word == "REPLACE":
+        return "replace"
+    if word == "DELETE":
+        return "delete"
+    if word == "UPDATE":
+        return "update"
+    if word == "TRUNCATE":
+        return "truncate"
+    if word == "USE":
+        return "use"
+    if word == "SET":
+        return "set"
+    if word == "SHOW":
+        return "show"
+    if word == "ANALYZE":
+        return "analyze"
+    if word in ("BEGIN", "COMMIT", "ROLLBACK", "START"):
+        return "txn"
+    if word == "CREATE":
+        m = re.match(r"^\s*CREATE\s+(DATABASE|SCHEMA|TABLE|UNIQUE\s+INDEX|INDEX)", stmt, re.I)
+        if not m:
+            raise ValueError(f"unsupported CREATE statement: {stmt[:60]}")
+        obj = re.sub(r"\s+", " ", m.group(1).upper())
+        return {
+            "DATABASE": "create_database",
+            "SCHEMA": "create_database",
+            "TABLE": "create_table",
+            "INDEX": "create_index",
+            "UNIQUE INDEX": "create_index",
+        }[obj]
+    if word == "DROP":
+        m = re.match(r"^\s*DROP\s+(DATABASE|SCHEMA|TABLE|INDEX)", stmt, re.I)
+        if not m:
+            raise ValueError(f"unsupported DROP statement: {stmt[:60]}")
+        return {
+            "DATABASE": "drop_database",
+            "SCHEMA": "drop_database",
+            "TABLE": "drop_table",
+            "INDEX": "drop_index",
+        }[m.group(1).upper()]
+    if word == "ALTER":
+        return "alter_table"
+    if word == "DESC" or word == "DESCRIBE":
+        return "describe"
+    raise ValueError(f"unsupported statement: {stmt[:60]}")
+
+
+# --------------------------------------------------------------------------
+# identifier / literal helpers
+# --------------------------------------------------------------------------
+
+
+def unquote_ident(s: str) -> str:
+    s = s.strip()
+    if s.startswith("`") and s.endswith("`"):
+        return s[1:-1]
+    return s
+
+
+def split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on sep at paren depth 0, quote-aware."""
+    out, buf, depth, quote = [], [], 0, None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            buf.append(ch)
+            if ch == "\\" and quote in "'\"" and i + 1 < n:
+                buf.append(sql_next(s, i))
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    last = "".join(buf).strip()
+    if last:
+        out.append(last)
+    return out
+
+
+def sql_next(s: str, i: int) -> str:
+    return s[i + 1] if i + 1 < len(s) else ""
+
+
+# --------------------------------------------------------------------------
+# CREATE TABLE
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class CreateTable:
+    table: str
+    info: TableInfo
+    if_not_exists: bool = False
+
+
+_CREATE_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s*\((.*)\)\s*[^)]*$",
+    re.I | re.S,
+)
+
+_COL_TYPE_RE = re.compile(
+    r"^([`\w]+)\s+"
+    r"(TINYINT|SMALLINT|INTEGER|INT|BIGINT|FLOAT|DOUBLE|REAL|VARCHAR|CHAR|TEXT|STRING)"
+    r"(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?",
+    re.I,
+)
+
+
+def parse_create_table(stmt: str) -> CreateTable:
+    m = _CREATE_TABLE_RE.match(stmt)
+    if not m:
+        raise ValueError(f"cannot parse CREATE TABLE: {stmt[:80]}")
+    if_not_exists = bool(m.group(1))
+    name = unquote_ident(m.group(2))
+    body = m.group(3)
+    columns: list[ColumnInfo] = []
+    pk: list[str] = []
+    indexes: list[IndexInfo] = []
+    auto_idx = 0
+    for item in split_top_level(body):
+        up = item.upper()
+        if up.startswith("PRIMARY KEY"):
+            cols = re.search(r"\((.*?)\)", item, re.S).group(1)
+            pk = [unquote_ident(c) for c in split_top_level(cols)]
+        elif up.startswith(("UNIQUE KEY", "UNIQUE INDEX", "UNIQUE")):
+            mm = re.match(r"UNIQUE(?:\s+(?:KEY|INDEX))?\s*([`\w]*)\s*\((.*?)\)", item, re.I | re.S)
+            idx_name = unquote_ident(mm.group(1)) or f"uniq_{auto_idx}"
+            auto_idx += 1
+            cols = [unquote_ident(c) for c in split_top_level(mm.group(2))]
+            indexes.append(IndexInfo(name=idx_name, columns=cols, unique=True))
+        elif up.startswith(("KEY", "INDEX")):
+            mm = re.match(r"(?:KEY|INDEX)\s*([`\w]*)\s*\((.*?)\)", item, re.I | re.S)
+            idx_name = unquote_ident(mm.group(1)) or f"idx_{auto_idx}"
+            auto_idx += 1
+            cols = [unquote_ident(c) for c in split_top_level(mm.group(2))]
+            indexes.append(IndexInfo(name=idx_name, columns=cols, unique=False))
+        else:
+            cm = _COL_TYPE_RE.match(item)
+            if not cm:
+                raise ValueError(f"cannot parse column definition: {item!r}")
+            col_name = unquote_ident(cm.group(1))
+            col_type = cm.group(2).upper() + (cm.group(3) or "").replace(" ", "")
+            rest = item[cm.end() :].strip()
+            rest_up = rest.upper()
+            nullable = "NOT NULL" not in rest_up
+            default = None
+            dm = re.search(r"DEFAULT\s+('(?:[^'\\]|\\.)*'|[\w.+-]+)", rest, re.I)
+            if dm:
+                default = dm.group(1)
+            if "PRIMARY KEY" in rest_up:
+                pk = [col_name]
+                nullable = False
+            if re.search(r"(?<!PRIMARY KEY)\bUNIQUE\b", rest_up) and "PRIMARY" not in rest_up:
+                indexes.append(IndexInfo(name=f"uniq_{col_name}", columns=[col_name], unique=True))
+            columns.append(
+                ColumnInfo(name=col_name, type=col_type, nullable=nullable, default=default)
+            )
+    for c in columns:
+        if c.name in pk:
+            c.nullable = False
+    info = TableInfo(name=name.split(".")[-1], columns=columns, primary_key=pk, indexes=indexes)
+    return CreateTable(table=name, info=info, if_not_exists=if_not_exists)
+
+
+# --------------------------------------------------------------------------
+# INSERT / REPLACE
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class InsertStmt:
+    table: str
+    columns: list[str] | None
+    values_sql: str | None  # "(...),(...)" tuple list text
+    select_sql: str | None  # trailing SELECT text
+    is_replace: bool = False
+
+
+_INSERT_RE = re.compile(
+    r"^\s*(INSERT|REPLACE)\s+INTO\s+([`\w.]+)\s*(\(([^)]*)\))?\s*(VALUES?|SELECT|WITH)(.*)$",
+    re.I | re.S,
+)
+
+
+def parse_insert(stmt: str) -> InsertStmt:
+    m = _INSERT_RE.match(stmt)
+    if not m:
+        raise ValueError(f"cannot parse INSERT/REPLACE: {stmt[:80]}")
+    verb, table, _, cols, tail_kind, tail = m.groups()
+    columns = [unquote_ident(c) for c in split_top_level(cols)] if cols else None
+    tail_kind = tail_kind.upper()
+    if tail_kind in ("VALUES", "VALUE"):
+        return InsertStmt(
+            table=unquote_ident(table),
+            columns=columns,
+            values_sql=tail.strip(),
+            select_sql=None,
+            is_replace=verb.upper() == "REPLACE",
+        )
+    return InsertStmt(
+        table=unquote_ident(table),
+        columns=columns,
+        values_sql=None,
+        select_sql=(tail_kind + " " + tail.strip()),
+        is_replace=verb.upper() == "REPLACE",
+    )
+
+
+# --------------------------------------------------------------------------
+# DELETE / misc regexes
+# --------------------------------------------------------------------------
+
+_DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\s+([`\w.]+)\s*(?:WHERE\s+(.*))?$", re.I | re.S)
+_TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([`\w.]+)\s*$", re.I)
+_USE_RE = re.compile(r"^\s*USE\s+([`\w]+)\s*$", re.I)
+_CREATE_DB_RE = re.compile(
+    r"^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?([`\w]+)\s*$", re.I
+)
+_DROP_DB_RE = re.compile(r"^\s*DROP\s+(?:DATABASE|SCHEMA)\s+(IF\s+EXISTS\s+)?([`\w]+)\s*$", re.I)
+_DROP_TABLE_RE = re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([`\w.,\s]+)\s*$", re.I)
+_CREATE_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+([`\w]+)\s+ON\s+([`\w.]+)\s*\((.*?)\)\s*$", re.I | re.S
+)
+_DROP_INDEX_RE = re.compile(r"^\s*DROP\s+INDEX\s+([`\w]+)\s+ON\s+([`\w.]+)\s*$", re.I)
+_ALTER_ADD_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+(?:COLUMN\s+)?(.*)$", re.I | re.S
+)
+_ANALYZE_RE = re.compile(r"^\s*ANALYZE\s+TABLE\s+([`\w.,\s]+)\s*$", re.I)
+_SET_USER_VAR_RE = re.compile(r"^\s*SET\s+@(\w+)\s*:?=\s*(.*)$", re.I | re.S)
+_SET_SYS_VAR_RE = re.compile(r"^\s*SET\s+(?:@@(?:GLOBAL\.|SESSION\.)?|(?:GLOBAL|SESSION)\s+)?(\w+)\s*:?=\s*(.*)$", re.I | re.S)
+
+
+# --------------------------------------------------------------------------
+# MySQL-ism rewrites on SELECT-ish text
+# --------------------------------------------------------------------------
+
+
+def rewrite_strcmp(sql: str) -> str:
+    """STRCMP(a,b) -> CASE WHEN ... (Spark has no strcmp builtin).
+
+    Reference: expression/builtin_string.go:99.
+    """
+    out = sql
+    pat = re.compile(r"\bSTRCMP\s*\(", re.I)
+    while True:
+        m = pat.search(out)
+        if not m:
+            return out
+        start = m.end()  # position after '('
+        depth, i, quote = 1, start, None
+        args_end = -1
+        while i < len(out):
+            ch = out[i]
+            if quote:
+                if ch == "\\":
+                    i += 2
+                    continue
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    args_end = i
+                    break
+            i += 1
+        if args_end < 0:
+            raise ValueError("unbalanced parentheses in STRCMP call")
+        args = split_top_level(out[start:args_end])
+        if len(args) != 2:
+            raise ValueError(f"STRCMP expects 2 arguments, got {len(args)}")
+        a, b = args
+        repl = (
+            f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS INT) "
+            f"WHEN ({a}) < ({b}) THEN -1 WHEN ({a}) > ({b}) THEN 1 ELSE 0 END)"
+        )
+        out = out[: m.start()] + repl + out[args_end + 1 :]
+
+
+def substitute_user_vars(sql: str, user_vars: dict[str, object]) -> str:
+    """Replace @name references with their literal values.
+
+    The reference evaluates GetVar at runtime
+    (expression/builtin_other.go:238-281); constant substitution covers
+    the session-scoped usage (SURVEY §7.2 documents the row-order-
+    dependent SetVar-in-stream case as unsupported).
+    """
+
+    def repl(m: re.Match) -> str:
+        name = m.group(1).lower()
+        v = user_vars.get(name)
+        return render_literal(v)
+
+    # don't touch @@sysvars
+    return re.sub(r"(?<!@)@(\w+)", repl, sql)
+
+
+def render_literal(v: object) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def rewrite_select(sql: str, user_vars: dict[str, object]) -> str:
+    return rewrite_strcmp(substitute_user_vars(sql, user_vars))
