@@ -1,0 +1,75 @@
+"""Golden plan-shape tests (SURVEY §5 layer 2): assert the efficiency
+invariants of key plans — pushdown, pruning, join strategy, partial
+aggregation, TopN, codegen — not version-sensitive plan strings."""
+
+from __future__ import annotations
+
+import pytest
+
+from tinysql_spark.operators import REGISTRY
+from tinysql_spark.plans import (
+    codegen_stage_count,
+    has_partial_aggregate,
+    has_top_n,
+    join_strategies,
+    pushed_filters,
+    scan_column_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    return run
+
+
+def test_q01_pushdown_pruning_partial_agg(q):
+    df = q("q01_pricing_summary")
+    # the shipdate filter must reach the parquet scan
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # lineitem has 11 columns; the scan must read only the 7 needed
+    assert max(scan_column_counts(df)) <= 7
+    assert has_partial_aggregate(df)
+    # (codegen markers are hidden under AdaptiveSparkPlan pre-execution;
+    # covered by test_q12_stays_in_codegen on a shuffle-free plan)
+
+
+def test_q03_topn_and_join_pushdown(q):
+    df = q("q03_shipping_priority")
+    assert has_top_n(df)
+    fs = pushed_filters(df)
+    assert any("c_mktsegment" in f for f in fs), "dim filter not pushed"
+    assert any("l_shipdate" in f for f in fs), "fact filter not pushed"
+
+
+def test_q07_broadcasts_dimensions(q):
+    df = q("q07_five_way_join")
+    js = join_strategies(df)
+    # customer/nation/region are broadcast; the orders⋈lineitem side
+    # may be SMJ/SHJ — at least 3 broadcasts expected
+    assert js.count("BroadcastHashJoin") >= 3, js
+
+
+def test_q08_limit_becomes_topn(q):
+    assert has_top_n(q("q08_topn_offset"))
+
+
+def test_q12_stays_in_codegen(q):
+    # pure scalar-function projection must be one codegen pipeline, no
+    # shuffles (LENGTH/STRCMP/IF/IFNULL are Column algebra, not UDFs)
+    df = q("q12_mysql_scalars")
+    assert codegen_stage_count(df) == 1
+    assert "Exchange" not in __import__(
+        "tinysql_spark.plans", fromlist=["plan_string"]
+    ).plan_string(df)
+
+
+def test_dedup_exact_partial_agg(q):
+    assert has_partial_aggregate(q("d01_dedup_exact"))
+
+
+def test_ann_brute_broadcasts_queries(q):
+    df = q("s01_ann_brute_topk")
+    assert "BroadcastNestedLoopJoin" in join_strategies(df) or "BroadcastHashJoin" in join_strategies(df)

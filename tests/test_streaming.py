@@ -1,0 +1,84 @@
+"""Structured Streaming tests: the streaming hourly aggregation must
+agree with its batch twin (q15 semantics), and the stateful per-user
+operator must accumulate across micro-batches.
+
+The driver ships events as ONE parquet file; the streaming file
+source wants a directory of files (1 file = 1 micro-batch with
+maxFilesPerTrigger=1), so the fixture stages the raw events into a
+4-file directory — giving a genuine multi-batch run."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tinysql_spark.sources.tables import load_table
+from tinysql_spark.streaming import (
+    hourly_counts,
+    read_event_stream,
+    run_to_memory,
+    user_running_stats,
+)
+from tinysql_spark.streaming.pipeline import EVENT_SCHEMA
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(EVENT_SCHEMA).parquet(SF + "/events.parquet")
+    # stage in EVENT-TIME order (range partition on ts): the file
+    # source replays files in order, so micro-batches arrive roughly
+    # time-ordered and the 2h watermark doesn't drop legitimate data
+    raw.repartitionByRange(4, "ts").write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_streaming_hourly_matches_batch(spark, events_stream_dir):
+    stream = read_event_stream(spark, events_stream_dir)
+    assert stream.isStreaming
+    run_to_memory(hourly_counts(stream), "hourly_stream", output_mode="append")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.table("hourly_stream").collect()
+    }
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("s"))
+    )
+    want = {(r["window_start"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()}
+    # append mode emits only watermark-finalized windows; each emitted
+    # window must match the batch result exactly
+    assert len(got) > 0
+    for k, v in got.items():
+        assert k in want, f"unexpected window {k}"
+        assert v[0] == want[k][0]
+        assert abs(v[1] - want[k][1]) < 1e-6
+
+
+def test_stateful_user_stats(spark, events_stream_dir):
+    stream = read_event_stream(spark, events_stream_dir)
+    run_to_memory(user_running_stats(stream), "user_stats", output_mode="update")
+    # update-mode memory sink appends every emission; with 4 micro-
+    # batches a user can appear up to 4 times — the max running count
+    # per user is the final state
+    pdf = spark.table("user_stats").toPandas()
+    n_emissions = len(pdf)
+    final = pdf.sort_values("n_events").groupby("user_id").last()
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("s"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    assert n_emissions > len(batch), "expected multiple emissions across micro-batches"
+    joined = final.join(batch, how="inner")
+    assert len(joined) == len(batch)
+    assert (joined["n_events"] == joined["n"]).all()
+    assert (abs(joined["total_value"] - joined["s"]) < 1e-6).all()

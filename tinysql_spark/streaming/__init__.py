@@ -1,0 +1,6 @@
+from .pipeline import (  # noqa: F401
+    hourly_counts,
+    read_event_stream,
+    run_to_memory,
+    user_running_stats,
+)

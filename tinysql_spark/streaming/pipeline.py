@@ -1,0 +1,147 @@
+"""Structured Streaming surface for the engine.
+
+The reference has no streaming (SURVEY §2: "Streaming: none") — this
+is part of the beyond-reference training-pipeline surface: the same
+event-aggregation semantics as q15_events_hourly, expressed as an
+incremental streaming job with watermarked late-data handling, plus a
+custom stateful operator (running per-user counters) via
+applyInPandasWithState.
+
+Design notes (100 TB / continuous ingest):
+- File source reads new parquet files per micro-batch; on a cluster
+  this is a cloud-storage listing (or Kafka source — same plan shape).
+- Watermark bounds state: hourly windows + 2h watermark means state
+  for a window is dropped once the event-time high-water mark passes
+  window_end + 2h.
+- availableNow trigger = batch-catchup mode; tests use it to drain
+  the source deterministically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch (driver parquet layout)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, events_dir: str, ts_is_nanos: bool = True
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files.
+
+    The streaming file source requires a directory (new files arriving
+    = new micro-batches); ``ts_is_nanos`` selects the driver's
+    TIMESTAMP(NANOS)-as-long layout vs a plain timestamp column.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = EVENT_SCHEMA
+    if not ts_is_nanos:
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+                for f in EVENT_SCHEMA.fields
+            ]
+        )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    if ts_is_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h windows per event_type with late-data watermark —
+    the streaming twin of q15_events_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) via
+    applyInPandasWithState — the pattern for operators Structured
+    Streaming lacks natively (reference has no analog; SURVEY M5)."""
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_USER_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drain the stream into an in-memory table with availableNow
+    (deterministic catch-up run; used by tests and local validation)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
