@@ -4,4 +4,5 @@ re-expressed Spark-first, plus large-scale training-data pipeline
 operators (dedup, similarity search, text analysis, multimodal).
 """
 
+from .engine import Engine, Result  # noqa: F401
 from .session import get_spark  # noqa: F401

@@ -90,8 +90,15 @@ def _token_table(docs: DataFrame) -> DataFrame:
 )
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # hash tokens to int64 before pairing: set semantics survive
+    # (xxhash64 collisions at ~30 tokens/doc are ~1e-15), and the pair
+    # join ships 8-byte ints instead of strings (~4x less shuffle)
     toks = docs.select(
-        "doc_id", "source", distinct_tokens(F.col("text")).alias("toks")
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(distinct_tokens(F.col("text")), lambda w: F.xxhash64(w))
+        ).alias("toks"),
     )
     a = toks.alias("a")
     b = toks.alias("b")

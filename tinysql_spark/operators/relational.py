@@ -453,3 +453,64 @@ def q15_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "q16_parts_by_type",
+    oracle="""
+    SELECT p_type, p_brand,
+           count(*) AS n_parts,
+           round(avg(p_retailprice), 4) AS avg_price,
+           max(p_size) AS max_size
+    FROM part
+    WHERE p_size BETWEEN 1 AND 30 AND p_brand <> 'Brand#45'
+    GROUP BY p_type, p_brand
+    """,
+    doc="TPC-H Q16 shape over part: filter (<>, BETWEEN) + multi-key "
+    "agg (executor/aggregate.go:134).",
+)
+def q16_parts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(M.between(F.col("p_size"), 1, 30) & (F.col("p_brand") != "Brand#45"))
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+@register(
+    "q17_supplier_revenue",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                  JOIN part ON p_partkey = l_partkey
+    WHERE p_retailprice > 950
+    GROUP BY s_suppkey, s_name
+    ORDER BY revenue DESC, s_suppkey
+    LIMIT 20
+    """,
+    doc="Supplier revenue through part-filtered lineitems: fact-to-dim "
+    "joins where both dims broadcast; TopN on the aggregate.",
+)
+def q17_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_retailprice") > 950)),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("s_suppkey"))
+        .limit(20)
+    )
