@@ -1,0 +1,76 @@
+"""Layout tests: bucketed joins skip the shuffle; sorted parquet
+prunes row groups via min/max stats."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tinysql_spark.sources.layout import bucket_by, exchange_count, sorted_parquet
+from tinysql_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("bucketed_wh"))
+    # warehouse.dir is static; scope the managed tables via db LOCATION
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{wh}'")
+    spark.sql("USE bktest")
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    bucket_by(li, "bktest.li_b", ["l_orderkey"], num_buckets=8)
+    bucket_by(orders, "bktest.ord_b", ["o_orderkey"], num_buckets=8)
+    yield
+    spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
+    spark.sql("USE default")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.table("bktest.li_b")
+        orders = spark.table("bktest.ord_b")
+        joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+            "o_orderstatus"
+        ).agg(F.sum("l_quantity").alias("q"))
+        # the join itself must not introduce a shuffle on either side;
+        # only the final groupBy re-partitions (1 exchange, not 3)
+        assert exchange_count(joined) <= 1
+        # and results are correct vs the plain-parquet join
+        plain = (
+            load_table(spark, SF, "lineitem")
+            .join(load_table(spark, SF, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        got = {(r[0], round(r[1], 2)) for r in joined.collect()}
+        want = {(r[0], round(r[1], 2)) for r in plain.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_unbucketed_join_shuffles_both_sides(spark):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders")
+        joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert exchange_count(joined) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_sorted_parquet_prunes(spark, tmp_path):
+    path = str(tmp_path / "li_sorted")
+    sorted_parquet(load_table(spark, SF, "lineitem"), path, ["l_orderkey"])
+    df = spark.read.parquet(path).filter(F.col("l_orderkey") == 42)
+    from tinysql_spark.plans import pushed_filters
+
+    assert any("l_orderkey" in f for f in pushed_filters(df))
+    got = df.count()
+    want = load_table(spark, SF, "lineitem").filter(F.col("l_orderkey") == 42).count()
+    assert got == want
