@@ -302,3 +302,43 @@ def test_catalog_persistence(spark, tmp_path):
     assert rows(e2.sql("SELECT a, b FROM t")) == [(1, "x")]
     info = e2.catalog.get_table("default", "t")
     assert info.primary_key == ["a"]
+
+
+def test_attach_testdata_and_readonly(eng):
+    tables = eng.attach_testdata("/root/testdata/sf0.001")
+    assert "lineitem" in tables and "events" in tables
+    n = eng.sql("SELECT count(*) AS c FROM lineitem").df.collect()[0][0]
+    assert n > 5000
+    # joins between external and managed tables work
+    eng.sql("CREATE TABLE flags (f varchar(8))")
+    eng.sql("INSERT INTO flags VALUES ('A'), ('N')")
+    got = eng.sql(
+        "SELECT count(*) AS c FROM lineitem JOIN flags ON l_returnflag = f"
+    ).df.collect()[0][0]
+    assert 0 < got <= n
+    # external tables reject DML with a clear error
+    with pytest.raises(ValueError, match="read-only external"):
+        eng.sql("DELETE FROM lineitem WHERE l_orderkey = 1")
+    # events nanos-ts table is queryable through SQL
+    hrs = eng.sql(
+        "SELECT count(DISTINCT date_trunc('hour', ts)) AS h FROM events"
+    ).df.collect()[0][0]
+    assert hrs > 0
+
+
+def test_large_insert_select_sparse_rowids(eng):
+    eng.sql("CREATE TABLE big (a bigint)")
+    eng._DENSE_ROWID_MAX = 1000  # force the sparse path
+    eng.attach_testdata("/root/testdata/sf0.001")
+    r = eng.sql("INSERT INTO big SELECT l_orderkey FROM lineitem")
+    assert r.rows_affected > 1000
+    info = eng.catalog.get_table("default", "big")
+    # rowids unique, allocator advanced past them
+    raw = eng._raw("default", "big")
+    from tinysql_spark.catalog import ROWID
+    assert raw.select(ROWID).distinct().count() == r.rows_affected
+    assert info.next_rowid > r.rows_affected
+    # second insert does not collide
+    eng.sql("INSERT INTO big VALUES (1)")
+    assert raw.select(ROWID).distinct().count() == r.rows_affected  # lazy df unchanged
+    assert eng._raw("default", "big").select(ROWID).distinct().count() == r.rows_affected + 1

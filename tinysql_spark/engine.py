@@ -53,6 +53,7 @@ class Engine:
         self.current_db = "default"
         self.user_vars: dict[str, object] = {}
         self.sys_vars: dict[str, str] = {}
+        self.external_tables: set[str] = set()
         self._register_all()
 
     # ------------------------------------------------------------------
@@ -72,6 +73,26 @@ class Engine:
         if df is None:
             raise ValueError("statement did not produce a result set")
         return df
+
+    def attach_external(self, name: str, path: str) -> None:
+        """Expose an existing parquet file/dir as a read-only queryable
+        table (temp view). DML targets must be engine-managed tables."""
+        from .sources.tables import load_table
+
+        import os
+
+        df = load_table(self.spark, os.path.dirname(path), os.path.basename(path).removesuffix(".parquet")) if path.endswith(".parquet") else self.spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        self.external_tables.add(name.lower())
+
+    def attach_testdata(self, sf_dir: str) -> list[str]:
+        """Register every driver test table (region..embeddings) for
+        SQL access — SURVEY §7.1 M1: testdata queryable on day one."""
+        from .sources.tables import register_all
+
+        out = sorted(register_all(self.spark, sf_dir))
+        self.external_tables.update(out)
+        return out
 
     # ------------------------------------------------------------------
     # dispatch
@@ -93,7 +114,10 @@ class Engine:
         if "." in name:
             db, t = name.split(".", 1)
             return P.unquote_ident(db), P.unquote_ident(t).lower()
-        return self.current_db, name.lower()
+        t = name.lower()
+        if t in self.external_tables and not self.catalog.has_table(self.current_db, t):
+            raise ValueError(f"table {t!r} is a read-only external table")
+        return self.current_db, t
 
     def _spark_name(self, db: str, table: str) -> str:
         return f"`{db}`.`{table}`"
@@ -350,16 +374,34 @@ class Engine:
                     raise ValueError(f"column {c.name!r} cannot be null")
         return out
 
+    # batches up to this size get dense rowids via a single-partition
+    # window; larger batches use sparse per-partition allocation that
+    # never funnels data through one task (100 TB INSERT..SELECT path)
+    _DENSE_ROWID_MAX = 100_000
+
     def _assign_rowids(self, df: DataFrame, info: TableInfo) -> tuple[DataFrame, int]:
-        """Dense rowid assignment from the table's allocator
-        (reference: meta/autoid). Small batches (VALUES) sort into one
-        partition; callers with huge INSERT..SELECT batches accept the
-        single-partition window or pre-repartition — documented
-        trade-off vs sparse monotonically_increasing_id."""
-        w = Window.orderBy(F.monotonically_increasing_id())
+        """Rowid assignment from the table's allocator (reference:
+        meta/autoid — which also hands out sparse per-node ranges).
+
+        Small batches: dense ids via row_number (one-partition window —
+        fine for VALUES lists). Large batches: sparse ids — each
+        partition gets a disjoint 2^33 range on top of next_rowid via
+        monotonically_increasing_id, fully parallel; the allocator then
+        advances past the largest handed-out range."""
+        n = df.count()
         start = info.next_rowid
-        out = df.withColumn(ROWID, (F.row_number().over(w) + F.lit(start - 1)).cast("long"))
-        n = out.count()
+        if n <= self._DENSE_ROWID_MAX:
+            w = Window.orderBy(F.monotonically_increasing_id())
+            out = df.withColumn(
+                ROWID, (F.row_number().over(w) + F.lit(start - 1)).cast("long")
+            )
+            info.next_rowid = start + n
+            return out, n
+        out = df.withColumn(
+            ROWID, (F.monotonically_increasing_id() + F.lit(start)).cast("long")
+        )
+        max_id = out.agg(F.max(ROWID)).collect()[0][0]
+        info.next_rowid = int(max_id) + 1
         return out, n
 
     def _exec_insert(self, stmt: str) -> Result:
@@ -379,7 +421,6 @@ class Engine:
             if conflict:
                 raise ValueError(f"duplicate key on {key} in table {t}")
         self._append(db, t, with_ids)
-        info.next_rowid += n
         self.catalog.update()
         return Result(rows_affected=n, message=f"{n} rows inserted")
 
@@ -394,7 +435,6 @@ class Engine:
         keys = info.unique_keys()
         if not keys:
             self._append(db, t, with_ids)
-            info.next_rowid += n
             self.catalog.update()
             return Result(rows_affected=n, message=f"{n} rows inserted")
         keep = raw
@@ -407,7 +447,6 @@ class Engine:
             keep = keep.join(conflicts, on=cond, how="left_anti")
         final = keep.unionByName(with_ids.select(*keep.columns))
         self._write_swap(db, t, final)
-        info.next_rowid += n
         self.catalog.update()
         return Result(rows_affected=n + n_deleted, message=f"{n_deleted} replaced, {n} inserted")
 

@@ -123,3 +123,67 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
     )
+
+
+_IVF_K = 16
+_IVF_NPROBE = 2
+
+
+def _centroids() -> list[list[float]]:
+    """Deterministic coarse centroids (seeded); a production pipeline
+    would k-means these — the plan shape is identical."""
+    rng = np.random.default_rng(7)
+    return rng.standard_normal((_IVF_K, _DIM)).tolist()
+
+
+def _nearest_centroids(emb_col: Column, n: int) -> Column:
+    """Array of the n nearest centroid ids by dot product (array of
+    (score, id) structs -> sort desc -> slice) — pure Column algebra."""
+    scored = []
+    for ci, c in enumerate(_centroids()):
+        lit_c = F.array(*[F.lit(float(v)) for v in c])
+        dot = F.aggregate(
+            F.zip_with(emb_col, lit_c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored.append(F.struct((-dot).alias("neg"), F.lit(ci).alias("cid")))
+    ranked = F.array_sort(F.array(*scored))
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["cid"])
+
+
+@register(
+    "s03_ann_ivf",
+    oracle=None,  # centroid literals make a SQL oracle impractical
+    doc="IVF-style ANN: corpus partitioned by nearest coarse centroid "
+    "(inverted lists), queries probe their nprobe=2 nearest lists via "
+    "an equi-join on centroid id, exact cosine re-rank inside. Probe "
+    "cost ~ nprobe/K of the corpus; lists are disjoint so the shuffle "
+    "is one equi-join, never all-pairs.",
+)
+def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.element_at(_nearest_centroids(F.col("embedding"), 1), 1).alias("cid"),
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(_nearest_centroids(F.col("embedding"), _IVF_NPROBE)).alias("cid"),
+    )
+    sim = cosine(F.col("q_emb"), F.col("c_emb"))
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round("sim", 6).desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
+    )

@@ -165,3 +165,30 @@ def fingerprint(col: Column) -> Column:
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "t06_word_freq",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    )
+    SELECT w, count(*) AS freq
+    FROM tok
+    GROUP BY w
+    ORDER BY freq DESC, w
+    LIMIT 20
+    """,
+    doc="Corpus word-frequency top-k: explode tokens -> hash-agg -> "
+    "TakeOrderedAndProject; the map-side partial agg makes the "
+    "shuffle carry one row per distinct word per partition.",
+)
+def t06_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w"))
+        .limit(20)
+    )
