@@ -1,0 +1,156 @@
+"""Temporal operators over `events`: as-of join, range join,
+hypertable-style rollup.
+
+The reference has none of these (SURVEY §2: joins are equi-only,
+`planner/core/logical_plans.go:96-99`; no window functions) — they are
+beyond-reference custom operators, each expressed as a composition of
+built-in DataFrame ops chosen for its shuffle profile at 100 TB:
+
+- as-of join: NOT an inequality join (quadratic worst case) but a
+  union + running-max window — one shuffle on user_id, linear state.
+- range join: NOT `ON abs(a.ts-b.ts) <= W` (cartesian per user) but
+  bucketized candidates — bin ts to W-sized buckets, explode one side
+  to its 3 adjacent bins, equi-join on (user, bin), exact filter.
+  Each qualifying pair matches exactly once (the other side has one
+  bin), so no dedup pass is needed.
+- rollup: native `df.rollup` → Spark plans a single Expand + one
+  aggregate, the same partial/final split as any hash agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+_RANGE_W = 300  # seconds
+
+
+@register(
+    "q19_asof_join",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           max(p.ts) AS last_purchase_ts,
+           count(p.event_id) AS n_purchases_before
+    FROM events c LEFT JOIN events p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase'
+         AND p.ts <= c.ts
+    WHERE c.event_type = 'click'
+    GROUP BY 1, 2, 3
+    """,
+    doc="As-of join: each click matched to the user's most recent "
+    "purchase at-or-before it. Linear formulation: union both event "
+    "streams tagged, one window over (user_id, ts) with running "
+    "max/count of the purchase side — a single shuffle, no pair "
+    "blowup, vs. the oracle's O(clicks x purchases) inequality join.",
+)
+def q19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        # purchases sort before clicks at equal ts so at-or-before holds
+        F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1)).alias("tag"),
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        both.withColumn("last_purchase_ts", F.max("p_ts").over(w))
+        .withColumn("n_purchases_before", F.count("p_ts").over(w))
+        .filter(F.col("tag") == 1)
+        .select("event_id", "user_id", "ts", "last_purchase_ts", "n_purchases_before")
+    )
+
+
+@register(
+    "q20_range_join",
+    oracle=f"""
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           date_diff('second', a.ts, b.ts) AS dt_sec
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND abs(date_diff('second', a.ts, b.ts)) <= {_RANGE_W}
+    """,
+    doc="Range (interval) join: same-user event pairs within 300 s. "
+    "Bucketized: bin ts to 300 s buckets, explode the left side to its "
+    "3 adjacent bins, equi-join on (user_id, bin), exact time filter. "
+    "Candidate space is O(events x density-per-bin), never cartesian "
+    "per user; each true pair matches in exactly one bin.",
+)
+def q20_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    bin_ = (F.col("sec") / _RANGE_W).cast("long")
+    a = ev.select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("sec").alias("a_sec"),
+        F.explode(F.array(bin_ - 1, bin_, bin_ + 1)).alias("bin"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        "user_id",
+        F.col("sec").alias("b_sec"),
+        bin_.alias("bin"),
+    )
+    dt = F.col("b_sec") - F.col("a_sec")
+    return (
+        a.join(b, ["user_id", "bin"])
+        .filter((F.col("a_id") < F.col("b_id")) & (F.abs(dt) <= _RANGE_W))
+        .select("a_id", "b_id", dt.alias("dt_sec"))
+    )
+
+
+@register(
+    "q21_hypertable_rollup",
+    oracle="""
+    SELECT CASE WHEN GROUPING(date_trunc('day', ts)) = 1 THEN 'ALL'
+                ELSE strftime(date_trunc('day', ts), '%Y-%m-%d') END AS day,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 1 THEN 'ALL'
+                ELSE strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') END AS hour,
+           CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+                ELSE event_type END AS event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts), event_type)
+    """,
+    doc="Hypertable-style continuous-aggregate rollup: one pass "
+    "produces hour, day, and total resolutions via ROLLUP (Spark "
+    "Expand + single partial/final hash agg — no re-scan per level). "
+    "Rolled-up levels render as 'ALL' so the result is hash-stable.",
+)
+def q21_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day_t"),
+        F.date_trunc("hour", "ts").alias("hour_t"),
+        "event_type",
+        "value",
+    )
+    return ev.rollup("day_t", "hour_t", "event_type").agg(
+        F.grouping("day_t").alias("g_day"),
+        F.grouping("hour_t").alias("g_hour"),
+        F.grouping("event_type").alias("g_et"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).select(
+        F.when(F.col("g_day") == 1, F.lit("ALL"))
+        .otherwise(F.date_format("day_t", "yyyy-MM-dd"))
+        .alias("day"),
+        F.when(F.col("g_hour") == 1, F.lit("ALL"))
+        .otherwise(F.date_format("hour_t", "yyyy-MM-dd HH:00"))
+        .alias("hour"),
+        F.when(F.col("g_et") == 1, F.lit("ALL"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        "n_events",
+        "sum_value",
+    )
