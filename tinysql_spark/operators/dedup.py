@@ -100,24 +100,32 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(distinct_tokens(F.col("text")), lambda w: F.xxhash64(w))
         ).alias("toks"),
     )
+    toks = toks.withColumn("n", F.size("toks"))
     a = toks.alias("a")
     b = toks.alias("b")
     # one equi-join on the blocking key; intersection/union are
-    # JVM-side array ops per pair — no token-explode shuffle blow-up
+    # JVM-side array ops per pair — no token-explode shuffle blow-up.
+    # Size-ratio prefilter: J >= 0.8 requires min(|A|,|B|)/max >= 0.8,
+    # so 4x-cheaper length checks prune pairs before any intersection.
+    # The threshold goes INTO the join condition, last: a standalone
+    # .filter() would be pushed into the join AHEAD of the cheap
+    # conjuncts (Catalyst prepends pushed filters), making the double
+    # array_intersect run on every pair; authored conjunct order is
+    # preserved and And short-circuits, so intersections only run on
+    # size-qualified pairs.
     common = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     j = common * 1.0 / (F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - common)
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            j.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.8)
+    return a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.n") * 5 >= F.col("b.n") * 4)
+        & (F.col("b.n") * 5 >= F.col("a.n") * 4)
+        & (j >= 0.8),
+    ).select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("b.doc_id").alias("b_id"),
+        j.alias("jaccard"),
     )
 
 
@@ -274,41 +282,61 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns as a sequential
+    left-fold (matches DuckDB's list_dot_product evaluation order for
+    oracle parity)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def unit_vec(a: Column) -> Column:
+    """array<float> -> unit-length array<double>. Normalizing ONCE per
+    row before any pair join means cosine per pair is a single dot
+    fold instead of three (dot + two norms) — 3x less per-pair work,
+    the dominant cost of blocked similarity at any scale."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    n = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return F.transform(ad, lambda x: x / n)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float> columns, computed in
-    double precision as a sequential left-fold (matches DuckDB's
-    list_dot_product evaluation order for oracle parity)."""
+    """Cosine similarity of two array<float> columns (for callers that
+    cannot pre-normalize; pair pipelines should unit_vec() first)."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    return dot(ad, bd) / (na * nb)
 
 
 @register(
     "d05_embedding_neardup",
     oracle="""
+    WITH u AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) AS e
+      FROM embeddings
+    )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4)
-               AS cos_sim
-    FROM embeddings a JOIN embeddings b
+           round(list_dot_product(a.e, b.e), 4) AS cos_sim
+    FROM u a JOIN u b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.3
+    WHERE list_dot_product(a.e, b.e) >= 0.3
     """,
     doc="Embedding-cosine near-dup pairs, blocked by label (IVF-style "
     "coarse partition): candidates only within a block, never global "
-    "quadratic. JVM-side zip_with/aggregate dot product.",
+    "quadratic. Vectors unit-normalized once per row before the pair "
+    "join; per-pair work is one JVM-side dot fold.",
 )
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", unit_vec(F.col("embedding")).alias("e")
+    )
     a = emb.alias("a")
     b = emb.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    sim = dot(F.col("a.e"), F.col("b.e"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(

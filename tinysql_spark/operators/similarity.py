@@ -4,19 +4,27 @@
 - s02: LSH-bucketed ANN (random hyperplane signs) — the scale path:
   candidates come from an equi-join on bucket id, so the probe cost is
   corpus_size/2^planes per query instead of the full corpus.
+- s03: IVF-style ANN — corpus sharded into inverted lists by nearest
+  coarse centroid, queries probe nprobe lists via equi-join.
 
-Everything is JVM-side Column algebra (zip_with/aggregate folds); no
-Python UDF in the hot path.
+Pair-wise re-ranking stays JVM-side (one dot fold per candidate on
+pre-normalized vectors — bit-reproducible against the SQL oracle).
+Per-ROW dense linear algebra (hyperplane signs, centroid assignment =
+an n x dim by dim x k matmul) goes through one Arrow-batched
+pandas_udf: built-in higher-order folds evaluate a closure per
+element, ~100x slower than the vectorized numpy matmul for this shape.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources.tables import load_table
-from .dedup import cosine
+from .dedup import dot, unit_vec
 from .registry import register
 
 _TOP_K = 5
@@ -26,30 +34,36 @@ _N_QUERIES = 5  # vec_id < 5 are the query vectors
 @register(
     "s01_ann_brute_topk",
     oracle=f"""
-    WITH scored AS (
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) AS e
+      FROM embeddings
+    ), scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-             / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
-                * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
-               AS sim
-      FROM embeddings q JOIN embeddings c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+             list_dot_product(q.e, c.e) AS sim
+      FROM u q JOIN u c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
     )
     SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim
     FROM scored
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 6) DESC, neighbor_id)
             <= {_TOP_K}
     """,
-    doc="Brute-force cosine top-k: broadcast the (small) query set "
-    "against the corpus; per-query top-k via window row_number. At "
-    "scale the corpus side stays partitioned, queries broadcast.",
+    doc="Brute-force cosine top-k: unit-normalize once per row, "
+    "broadcast the (small) query set against the corpus; per-query "
+    "top-k via window row_number. At scale the corpus side stays "
+    "partitioned, queries broadcast.",
 )
 def s01_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", unit_vec(F.col("embedding")).alias("e")
     )
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    sim = cosine(F.col("q_emb"), F.col("c_emb"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("q_emb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("c_emb"))
+    sim = dot(F.col("q_emb"), F.col("c_emb"))
     scored = (
         F.broadcast(queries)
         .crossJoin(corpus)
@@ -69,26 +83,29 @@ _DIM = 64
 
 
 def _hyperplanes() -> list[list[float]]:
-    """Deterministic random hyperplanes (seeded) shipped as literals."""
+    """Deterministic random hyperplanes (seeded), broadcast to workers
+    inside the udf closure."""
     rng = np.random.default_rng(42)
     return rng.standard_normal((_N_PLANES, _DIM)).tolist()
 
 
-def lsh_bucket(emb_col: Column) -> Column:
-    """Sign-bit bucket id from `_N_PLANES` fixed hyperplanes."""
-    planes = _hyperplanes()
-    bucket = None
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(emb_col, lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        bucket = term if bucket is None else bucket.bitwiseOR(term)
-    return bucket
+def _lsh_bucket_batch(emb: pd.Series) -> pd.Series:
+    """Sign-bit bucket id from `_N_PLANES` fixed hyperplanes — one
+    Arrow-batched (rows x dim) @ (dim x planes) matmul per batch."""
+    planes = np.asarray(_hyperplanes())
+    m = np.stack(emb.to_numpy())
+    bits = (m @ planes.T) > 0
+    bucket = (bits * (1 << np.arange(_N_PLANES, dtype=np.int64))).sum(axis=1)
+    return pd.Series(bucket.astype("int64"))
+
+
+# asNondeterministic: stops Catalyst pushing the join's isnotnull(key)
+# filter below the projection, which would run the Python stage TWICE
+# per side (once for the filter, once for the project). The function
+# is in fact deterministic; only the optimizer contract changes.
+# DataType object (not DDL string): parsing a string needs a live
+# session at import time.
+lsh_bucket = F.pandas_udf(_lsh_bucket_batch, T.LongType()).asNondeterministic()
 
 
 @register(
@@ -101,16 +118,18 @@ def lsh_bucket(emb_col: Column) -> Column:
     "would re-add neighbor buckets).",
 )
 def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", lsh_bucket(F.col("embedding"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        unit_vec(F.col("embedding")).alias("e"),
+        lsh_bucket(F.col("embedding")).alias("bucket"),
     )
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("e").alias("q_emb"), "bucket"
     )
     corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("c_emb"), "bucket"
     )
-    sim = cosine(F.col("q_emb"), F.col("c_emb"))
+    sim = dot(F.col("q_emb"), F.col("c_emb"))
     scored = (
         F.broadcast(queries)
         .join(corpus, "bucket")
@@ -136,20 +155,20 @@ def _centroids() -> list[list[float]]:
     return rng.standard_normal((_IVF_K, _DIM)).tolist()
 
 
-def _nearest_centroids(emb_col: Column, n: int) -> Column:
-    """Array of the n nearest centroid ids by dot product (array of
-    (score, id) structs -> sort desc -> slice) — pure Column algebra."""
-    scored = []
-    for ci, c in enumerate(_centroids()):
-        lit_c = F.array(*[F.lit(float(v)) for v in c])
-        dot = F.aggregate(
-            F.zip_with(emb_col, lit_c, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        scored.append(F.struct((-dot).alias("neg"), F.lit(ci).alias("cid")))
-    ranked = F.array_sort(F.array(*scored))
-    return F.transform(F.slice(ranked, 1, n), lambda s: s["cid"])
+def _nearest_centroids_batch(emb: pd.Series) -> pd.Series:
+    """Top-`_IVF_NPROBE` centroid ids by dot product, one vectorized
+    (rows x dim) @ (dim x k) matmul per Arrow batch; argsort ties
+    break toward the lower centroid id (stable sort)."""
+    c = np.asarray(_centroids())
+    m = np.stack(emb.to_numpy())
+    scores = m @ c.T
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :_IVF_NPROBE]
+    return pd.Series(list(order.astype("int32")))
+
+
+_nearest_centroids = F.pandas_udf(
+    _nearest_centroids_batch, T.ArrayType(T.IntegerType())
+).asNondeterministic()
 
 
 @register(
@@ -165,15 +184,21 @@ def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.element_at(_nearest_centroids(F.col("embedding"), 1), 1).alias("cid"),
+        unit_vec(F.col("embedding")).alias("c_emb"),
+        F.element_at(_nearest_centroids(F.col("embedding")), 1).alias("cid"),
     )
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.explode(_nearest_centroids(F.col("embedding"), _IVF_NPROBE)).alias("cid"),
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            unit_vec(F.col("embedding")).alias("q_emb"),
+            # separate Project: a nondeterministic expression is not
+            # allowed inside the Generate node explode() produces
+            _nearest_centroids(F.col("embedding")).alias("cids"),
+        )
+        .select("query_id", "q_emb", F.explode("cids").alias("cid"))
     )
-    sim = cosine(F.col("q_emb"), F.col("c_emb"))
+    sim = dot(F.col("q_emb"), F.col("c_emb"))
     scored = (
         F.broadcast(queries)
         .join(corpus, "cid")
