@@ -104,6 +104,58 @@ def decode_features(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(run, schema=_DECODE_SCHEMA)
 
 
+_FRAME_HEX = 64  # 32 payload bytes per frame, as hex chars
+_FRAME_EVERY = 4
+
+
+@register(
+    "m03_frame_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents
+    ), f AS (
+      SELECT doc_id, hx,
+             unnest(range(0, CAST(floor(length(hx) / {_FRAME_HEX}) AS BIGINT))) AS frame_idx
+      FROM h
+    )
+    SELECT doc_id, frame_idx,
+           md5(substr(hx, CAST(frame_idx * {_FRAME_HEX} + 1 AS BIGINT), {_FRAME_HEX})) AS frame_md5
+    FROM f
+    WHERE frame_idx % {_FRAME_EVERY} = 0
+    """,
+    doc="Frame sampling over a binary stream: window the payload into "
+    "fixed-size frames (here 32-byte windows over the hex encoding), "
+    "keep every 4th, fingerprint each — explode + substring, all "
+    "JVM-side, no shuffle; the video-decode analog keeps this exact "
+    "plan shape with the codec swapped in at the substring step.",
+)
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.upper(F.hex(F.encode("text", "UTF-8")))
+    framed = (
+        docs.select("doc_id", hx.alias("hx"))
+        .filter(F.length("hx") >= _FRAME_HEX)
+        .select(
+            "doc_id",
+            "hx",
+            F.explode(
+                F.sequence(F.lit(0), (F.floor(F.length("hx") / _FRAME_HEX) - 1).cast("long"))
+            ).alias("frame_idx"),
+        )
+        .filter(F.col("frame_idx") % _FRAME_EVERY == 0)
+    )
+    return framed.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(
+            F.encode(
+                F.substring(F.col("hx"), F.col("frame_idx") * _FRAME_HEX + 1, _FRAME_HEX),
+                "UTF-8",
+            )
+        ).alias("frame_md5"),
+    )
+
+
 @register(
     "m02_multimodal_decode",
     oracle=None,  # python decode stub — rows-only check
