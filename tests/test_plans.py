@@ -73,3 +73,54 @@ def test_dedup_exact_partial_agg(q):
 def test_ann_brute_broadcasts_queries(q):
     df = q("s01_ann_brute_topk")
     assert "BroadcastNestedLoopJoin" in join_strategies(df) or "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_s02_single_python_stage_per_side(q):
+    # regression: the join's isnotnull(key) pushdown used to duplicate
+    # the ArrowEvalPython stage (bucket udf evaluated twice per side)
+    import re
+
+    from tinysql_spark.plans import plan_string
+
+    # formatted mode lists each node twice (tree + detail); count headers
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan_string(q("s02_ann_lsh")))) == 2
+
+
+def test_d04_no_pair_dedup_shuffle(q):
+    # pairs are emitted once (first-matching-chunk predicate), so the
+    # quadratic pair stream must not pass through a distinct aggregate
+    from tinysql_spark.plans import plan_string
+
+    plan = plan_string(q("d04_simhash"))
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_q19_asof_is_one_window_no_join(q):
+    from tinysql_spark.plans import plan_string
+
+    df = q("q19_asof_join")
+    assert join_strategies(df) == []
+    import re
+
+    plan = plan_string(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1  # user_id only
+    assert "Window" in plan
+
+
+def test_q20_range_join_is_equi(q):
+    # bucketized formulation: must plan as a hash/merge equi-join,
+    # never a per-user cartesian
+    js = join_strategies(q("q20_range_join"))
+    assert js and all(
+        j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin") for j in js
+    )
+
+
+def test_q21_rollup_single_expand(q):
+    from tinysql_spark.plans import plan_string
+
+    import re
+
+    plan = plan_string(q("q21_hypertable_rollup"))
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+    assert has_partial_aggregate(q("q21_hypertable_rollup"))

@@ -82,3 +82,39 @@ def test_stateful_user_stats(spark, events_stream_dir):
     assert len(joined) == len(batch)
     assert (joined["n_events"] == joined["n"]).all()
     assert (abs(joined["total_value"] - joined["s"]) < 1e-6).all()
+
+
+def test_streaming_dedup(spark, tmp_path_factory):
+    import glob
+    import shutil
+
+    from tinysql_spark.streaming import dedup_stream
+
+    d = tmp_path_factory.mktemp("events_dup")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(EVENT_SCHEMA).parquet(SF + "/events.parquet")
+    # Stage 4 time-ordered files with lexicographic names so replay
+    # order == event-time order deterministically (repartitionByRange
+    # leaves part-file order to the lister; an out-of-order replay
+    # advances the watermark past entire chunks and drops them as
+    # late). Every event appears twice in its file.
+    cuts = raw.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    bounds = [None, *cuts, None]
+    for i in range(4):
+        part = raw
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts") <= bounds[i + 1])
+        tmp = str(d / f"stage{i}")
+        part.union(part).coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], str(d / f"{i:04d}.parquet"))
+        shutil.rmtree(tmp)
+
+    stream = read_event_stream(spark, str(d))
+    run_to_memory(dedup_stream(stream), "dedup_stream", output_mode="append")
+    out = spark.table("dedup_stream")
+    got = out.count()
+    want = raw.select("event_id").distinct().count()
+    assert got == want
+    assert out.select("event_id").distinct().count() == got

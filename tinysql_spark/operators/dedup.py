@@ -13,6 +13,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -215,27 +216,39 @@ _SIMHASH_CHUNKS = 4  # 16-bit chunks; hamming<=3 guarantees a chunk match
 _HAMMING_MAX = 3
 
 
+def _simhash_batch(toks: "pd.Series") -> "pd.Series":
+    """64-bit SimHash per token-array, vectorized per Arrow batch.
+
+    Tokens hash via blake2b (stable across workers, unlike hash());
+    the sign-of-bit-sums step is one numpy unpackbits/sum per doc.
+    """
+    import numpy as np
+    from hashlib import blake2b
+
+    def one(arr) -> int:
+        if arr is None or len(arr) == 0:
+            return 0
+        hs = np.frombuffer(
+            b"".join(blake2b(w.encode(), digest_size=8).digest() for w in arr),
+            dtype=np.uint8,
+        ).reshape(len(arr), 8)
+        bits = np.unpackbits(hs, axis=1, bitorder="little")  # (n_tokens, 64)
+        sums = bits.sum(axis=0) * 2 - len(arr)  # +1 per set bit, -1 per clear
+        return int(np.packbits(sums > 0, bitorder="little").view("<u8")[0])
+
+    return pd.Series([one(a) for a in toks], dtype="uint64").astype("int64")
+
+
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): classic sign-of-bit-sums over token hashes.
 
-    One explode + one groupBy; the 64 per-bit sums are plain agg
-    expressions evaluated JVM-side in a single pass.
+    NO shuffle: tokenization stays JVM-side, then one Arrow-batched
+    pandas_udf computes the 64-bit signature per doc — vs the
+    explode + 64-conditional-sums groupBy formulation, which ships
+    tokens x bits through an exchange. Map-only at any scale.
     """
-    tok = docs.select("doc_id", F.explode(distinct_tokens(F.col(text_col))).alias("w"))
-    h = F.xxhash64(F.col("w"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"b{i}")
-        for i in range(_SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("doc_id").agg(*bit_sums)
-    sim = None
-    for i in range(_SIMHASH_BITS):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return agg.select("doc_id", sim.alias("simhash"))
+    sig = F.pandas_udf(_simhash_batch, "long").asNondeterministic()
+    return docs.select("doc_id", sig(distinct_tokens(F.col(text_col))).alias("simhash"))
 
 
 @register(
@@ -260,21 +273,38 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = sigs.select("doc_id", "simhash", F.explode(chunks).alias("c")).select(
         "doc_id", "simhash", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_val").alias("chunk_val")
     )
+
+    def chunk(sim: Column, ci: int) -> Column:
+        return F.shiftright(sim, ci * 16).bitwiseAND(F.lit(0xFFFF))
+
+    # a pair sharing k chunks would match k times; keep it only at its
+    # LOWEST matching chunk (all earlier chunks must differ) so each
+    # pair emerges exactly once — no distinct(), no 2nd shuffle of the
+    # (quadratic-in-cluster-size) pair stream
+    first_match = None
+    for j in range(_SIMHASH_CHUNKS - 1):
+        c = (F.col("x.chunk_idx") <= j) | (
+            chunk(F.col("x.simhash"), j) != chunk(F.col("y.simhash"), j)
+        )
+        first_match = c if first_match is None else first_match & c
     pairs = (
         ct.alias("x")
         .join(
             ct.alias("y"),
             (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
             & (F.col("x.chunk_val") == F.col("y.chunk_val"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & first_match
+            & (
+                F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+                <= _HAMMING_MAX
+            ),
         )
         .select(
             F.col("x.doc_id").alias("a_id"),
             F.col("y.doc_id").alias("b_id"),
             F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
         )
-        .distinct()
-        .filter(F.col("hamming") <= _HAMMING_MAX)
     )
     return pairs
 

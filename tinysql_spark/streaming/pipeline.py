@@ -132,6 +132,15 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id: dropDuplicatesWithinWatermark
+    keeps per-key state only until the watermark passes, so state is
+    bounded by (arrival rate x watermark window) instead of growing
+    with the whole stream — the streaming twin of d01's batch dedup
+    and the ingest-side guard a training pipeline runs first."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:
