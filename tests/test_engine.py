@@ -342,3 +342,25 @@ def test_large_insert_select_sparse_rowids(eng):
     eng.sql("INSERT INTO big VALUES (1)")
     assert raw.select(ROWID).distinct().count() == r.rows_affected  # lazy df unchanged
     assert eng._raw("default", "big").select(ROWID).distinct().count() == r.rows_affected + 1
+
+
+def test_show_create_database_and_errors(eng):
+    eng.sql("CREATE DATABASE showdb")
+    r = eng.sql("SHOW CREATE DATABASE showdb")
+    assert rows(r) == [("showdb", "CREATE DATABASE `showdb`")]
+    assert eng.sql("SHOW ERRORS").df.count() == 0
+    with pytest.raises(ValueError, match="unknown database"):
+        eng.sql("SHOW CREATE DATABASE nope")
+
+
+def test_admin_show_ddl_jobs(eng):
+    eng.sql("CREATE TABLE j1 (a int)")
+    eng.sql("CREATE INDEX ia ON j1 (a)")
+    eng.sql("DROP TABLE j1")
+    got = [tuple(r) for r in eng.sql("ADMIN SHOW DDL JOBS").df.collect()]
+    kinds = [(r[1], r[2], r[3]) for r in got]
+    assert ("create_table", "j1", "synced") in kinds
+    assert ("create_index", "j1", "synced") in kinds[1:] or ("create_index", "ia", "synced") in kinds
+    assert ("drop_table", "j1", "synced") in kinds
+    # job ids are dense and ordered
+    assert [r[0] for r in got] == list(range(1, len(got) + 1))

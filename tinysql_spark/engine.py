@@ -55,6 +55,7 @@ class Engine:
         self.sys_vars: dict[str, str] = {}
         self.external_tables: set[str] = set()
         self.table_stats: dict[tuple[str, str], dict] = {}
+        self.ddl_jobs: list[dict] = []
         self._register_all()
 
     # ------------------------------------------------------------------
@@ -99,12 +100,29 @@ class Engine:
     # dispatch
     # ------------------------------------------------------------------
 
+    _DDL_KINDS = frozenset(
+        {
+            "create_database",
+            "drop_database",
+            "create_table",
+            "drop_table",
+            "truncate",
+            "create_index",
+            "drop_index",
+            "alter_table",
+        }
+    )
+
     def _execute_one(self, stmt: str) -> Result:
         kind = P.statement_kind(stmt)
         handler = getattr(self, f"_exec_{kind}", None)
         if handler is None:
             raise ValueError(f"unsupported statement kind: {kind}")
-        return handler(stmt)
+        result = handler(stmt)
+        if kind in self._DDL_KINDS:
+            m = P.re.search(r"(?:TABLE|DATABASE|SCHEMA|INDEX)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?([`\w.]+)", stmt, P.re.I)
+            self._log_ddl(kind, P.unquote_ident(m.group(1)) if m else "", stmt)
+        return result
 
     # ------------------------------------------------------------------
     # helpers
@@ -543,11 +561,41 @@ class Engine:
                 "Variable_name: string, Value: string",
             )
             return Result(df=df)
-        if up.startswith("SHOW WARNINGS"):
+        if up.startswith("SHOW WARNINGS") or up.startswith("SHOW ERRORS"):
             return Result(
                 df=self.spark.createDataFrame([], "Level: string, Code: int, Message: string")
             )
+        m = P.re.match(r"^\s*SHOW\s+CREATE\s+DATABASE\s+([`\w]+)\s*$", stmt, P.re.I)
+        if m:
+            db = P.unquote_ident(m.group(1))
+            if db not in self.catalog.dbs:
+                raise ValueError(f"unknown database {db!r}")
+            df = self.spark.createDataFrame(
+                [(db, f"CREATE DATABASE `{db}`")],
+                "Database: string, `Create Database`: string",
+            )
+            return Result(df=df)
         raise ValueError(f"unsupported SHOW: {stmt[:60]}")
+
+    def _exec_admin(self, stmt: str) -> Result:
+        """ADMIN SHOW DDL [JOBS] — the reference's DDL introspection
+        (executor/executor.go:165 ShowDDLExec, :205 ShowDDLJobsExec).
+        DDL here is synchronous, so every job is 'synced'."""
+        up = P.re.sub(r"\s+", " ", stmt.strip().upper())
+        if up in ("ADMIN SHOW DDL JOBS", "ADMIN SHOW DDL"):
+            rows = [
+                (i + 1, j["type"], j["target"], "synced", j["query"])
+                for i, j in enumerate(self.ddl_jobs)
+            ]
+            df = self.spark.createDataFrame(
+                rows or [],
+                "JOB_ID: bigint, JOB_TYPE: string, TARGET: string, STATE: string, QUERY: string",
+            )
+            return Result(df=df)
+        raise ValueError(f"unsupported ADMIN: {stmt[:60]}")
+
+    def _log_ddl(self, type_: str, target: str, query: str) -> None:
+        self.ddl_jobs.append({"type": type_, "target": target, "query": query.strip()})
 
     def _exec_analyze(self, stmt: str) -> Result:
         """ANALYZE TABLE → Spark column stats + histograms for the CBO

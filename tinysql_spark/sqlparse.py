@@ -83,6 +83,8 @@ def statement_kind(stmt: str) -> str:
         return "analyze"
     if word in ("BEGIN", "COMMIT", "ROLLBACK", "START"):
         return "txn"
+    if word == "ADMIN":
+        return "admin"
     if word == "CREATE":
         m = re.match(r"^\s*CREATE\s+(DATABASE|SCHEMA|TABLE|UNIQUE\s+INDEX|INDEX)", stmt, re.I)
         if not m:
