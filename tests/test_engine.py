@@ -364,3 +364,23 @@ def test_admin_show_ddl_jobs(eng):
     assert ("drop_table", "j1", "synced") in kinds
     # job ids are dense and ordered
     assert [r[0] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_attach_csv_json_and_export(eng, tmp_path, spark):
+    eng.sql("CREATE TABLE src (a int, b varchar(8))")
+    eng.sql("INSERT INTO src VALUES (1,'x'), (2,'y')")
+    # sink: export to csv and json
+    csv_dir = str(tmp_path / "out_csv")
+    json_dir = str(tmp_path / "out_json")
+    eng.export_table("src", csv_dir, fmt="csv")
+    eng.export_table("src", json_dir, fmt="json")
+    # source: attach both back and query through SQL
+    eng.attach_external("src_csv", csv_dir, fmt="csv")
+    eng.attach_external("src_json", json_dir, fmt="json")
+    got_csv = rows(eng.sql("SELECT a, b FROM src_csv"))
+    got_json = rows(eng.sql("SELECT a, b FROM src_json"))
+    assert got_csv == [(1, "x"), (2, "y")]
+    assert got_json == [(1, "x"), (2, "y")]
+    # external csv is read-only like any attached table
+    with pytest.raises(ValueError, match="read-only external"):
+        eng.sql("DELETE FROM src_csv WHERE a = 1")

@@ -76,16 +76,46 @@ class Engine:
             raise ValueError("statement did not produce a result set")
         return df
 
-    def attach_external(self, name: str, path: str) -> None:
-        """Expose an existing parquet file/dir as a read-only queryable
-        table (temp view). DML targets must be engine-managed tables."""
+    def attach_external(
+        self, name: str, path: str, fmt: str = "parquet", **options: str
+    ) -> None:
+        """Expose an existing parquet/csv/json file or dir as a
+        read-only queryable table (temp view). DML targets must be
+        engine-managed tables. CSV defaults to header+inferSchema
+        (pass schema=... to pin types for production reads)."""
         from .sources.tables import load_table
 
         import os
 
-        df = load_table(self.spark, os.path.dirname(path), os.path.basename(path).removesuffix(".parquet")) if path.endswith(".parquet") else self.spark.read.parquet(path)
+        if fmt == "parquet":
+            df = (
+                load_table(
+                    self.spark,
+                    os.path.dirname(path),
+                    os.path.basename(path).removesuffix(".parquet"),
+                )
+                if path.endswith(".parquet")
+                else self.spark.read.parquet(path)
+            )
+        elif fmt == "csv":
+            opts = {"header": "true", "inferSchema": "true", **options}
+            df = self.spark.read.options(**opts).csv(path)
+        elif fmt == "json":
+            df = self.spark.read.options(**options).json(path)
+        else:
+            raise ValueError(f"unsupported external format {fmt!r}")
         df.createOrReplaceTempView(name)
         self.external_tables.add(name.lower())
+
+    def export_table(self, name: str, path: str, fmt: str = "parquet", **options: str) -> None:
+        """Sink: write a managed or external table to parquet/csv/json.
+        Distributed write — one file per partition, no driver funnel."""
+        df = self.spark.table(name if name.lower() in self.external_tables else
+                              self._spark_name(self.current_db, name.lower()))
+        w = df.write.mode("overwrite").options(**options)
+        if fmt == "csv":
+            w = w.option("header", "true")
+        getattr(w, fmt)(path)
 
     def attach_testdata(self, sf_dir: str) -> list[str]:
         """Register every driver test table (region..embeddings) for
