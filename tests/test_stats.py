@@ -80,3 +80,19 @@ def test_engine_analyze_populates_stats(eng):
     assert stats["a"].n == 4
     assert stats["b"].null_count == 1
     assert stats["a"].cmsketch.query(eng.spark, 2) >= 2
+
+
+def test_stats_persist_across_engine_restart(spark, tmp_path):
+    from tinysql_spark.engine import Engine
+
+    wh = str(tmp_path / "wh")
+    e1 = Engine(spark, wh)
+    e1.sql("CREATE TABLE p (a int)")
+    e1.sql("INSERT INTO p VALUES (1), (2), (2)")
+    e1.sql("ANALYZE TABLE p")
+
+    e2 = Engine(spark, wh)  # fresh engine over the same warehouse
+    s = e2.load_stats("default", "p")
+    assert s is not None
+    assert s["a"].n == 3 and s["a"].ndv == 2
+    assert s["a"].cmsketch.query(spark, 2) >= 2

@@ -646,7 +646,43 @@ class Engine:
             self.table_stats[(db, t)] = collect_column_stats(
                 self._raw(db, t).select(*user_cols)
             )
+            self._save_stats(db, t)
         return Result(message="analyzed")
+
+    def _stats_path(self, db: str, t: str) -> str:
+        import os
+
+        return os.path.join(self.catalog.table_dir(db, t), "_stats.json")
+
+    def _save_stats(self, db: str, t: str) -> None:
+        """Persist ANALYZE artifacts next to the table data (reference
+        keeps statistics.Table in the KV store across restarts)."""
+        import json
+        import os
+
+        from .stats import stats_to_json
+
+        path = self._stats_path(db, t)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(stats_to_json(self.table_stats[(db, t)]), f)
+
+    def load_stats(self, db: str, t: str):
+        """Stats for (db, t): in-memory if ANALYZEd this session, else
+        the persisted sidecar from a previous session, else None."""
+        import json
+        import os
+
+        from .stats import stats_from_json
+
+        if (db, t) in self.table_stats:
+            return self.table_stats[(db, t)]
+        path = self._stats_path(db, t)
+        if os.path.exists(path):
+            with open(path) as f:
+                self.table_stats[(db, t)] = stats_from_json(json.load(f))
+            return self.table_stats[(db, t)]
+        return None
 
     def _exec_describe(self, stmt: str) -> Result:
         m = P.re.match(r"^\s*DESC(?:RIBE)?\s+([`\w.]+)\s*$", stmt, P.re.I)

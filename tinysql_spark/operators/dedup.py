@@ -8,7 +8,10 @@ Scale design (100 TB):
   *blocked* equi-join (LSH band buckets, SimHash chunks, label blocks)
   so the pair space never goes quadratic in the corpus.
 - Exact verification runs only on candidate pairs.
-- All hashing is Spark's JVM-side xxhash64/md5 — no Python UDFs.
+- Pair-wise hashing/compare stays JVM-side (xxhash64/md5/bit ops).
+  Per-ROW signature computation (minhash, simhash) runs as map-only
+  Arrow-batched pandas_udfs — C-vectorized hashing with no
+  token-explode shuffle; see also operators/similarity.py.
 """
 
 from __future__ import annotations
@@ -19,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import register
-from .text import distinct_tokens, fingerprint
+from .text import distinct_tokens, fingerprint, tokens
 
 # --------------------------------------------------------------------------
 # d01 — exact dedup via content fingerprint (hash-groupBy)
@@ -139,17 +142,51 @@ _BANDS = 4
 _ROWS_PER_BAND = _MINHASH_K // _BANDS
 
 
+_SHINGLE_W = 3
+
+
+def shingles(col: Column, w: int = _SHINGLE_W) -> Column:
+    """Distinct w-token shingles (classic MinHash input unit — token
+    sets lose ordering, shingles keep local word order). JVM-side
+    slice/concat over the token array; docs shorter than w yield one
+    truncated shingle."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, w))))
+
+
+def _minhash_batch(arrs: "pd.Series") -> "pd.Series":
+    """k=16 minhash signatures per shingle-array, one Arrow batch at a
+    time: pandas hash_array (C-vectorized siphash, fixed key — stable
+    across workers) per shingle, then k affine reseeds
+    (a_i*h + b_i mod 2^64) minimized with numpy."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    a = (rng.integers(1, 2**62, size=_MINHASH_K, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=_MINHASH_K, dtype=np.uint64)
+
+    def one(arr):
+        if arr is None or len(arr) == 0:
+            return [0] * _MINHASH_K
+        hs = pd.util.hash_array(np.asarray(arr, dtype=object))
+        with np.errstate(over="ignore"):
+            sigs = (hs[:, None] * a[None, :] + b[None, :]).min(axis=0)
+        return sigs.astype("int64").tolist()
+
+    return pd.Series([one(x) for x in arrs])
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, sig_0..sig_15): minimum of k seeded xxhash64 over the
-    doc's distinct tokens. Pure agg — one shuffle on doc_id."""
-    tok = docs.select("doc_id", F.explode(distinct_tokens(F.col(text_col))).alias("w"))
-    # seed goes in as an extra hashed column — xxhash64(w, i) chains the
-    # literal into the hash state, no per-seed string concat
-    aggs = [
-        F.min(F.xxhash64(F.col("w"), F.lit(i))).alias(f"sig_{i}")
-        for i in range(_MINHASH_K)
-    ]
-    return tok.groupBy("doc_id").agg(*aggs)
+    """(doc_id, sigs array<long>[16]) — map-only: shingling stays
+    JVM-side, signatures come from one Arrow-batched pandas_udf; no
+    shingle-explode shuffle (the groupBy formulation ships
+    shingles x k through an exchange)."""
+    from pyspark.sql import types as T
+
+    udf = F.pandas_udf(_minhash_batch, T.ArrayType(T.LongType())).asNondeterministic()
+    return docs.select("doc_id", udf(shingles(F.col(text_col))).alias("sigs"))
 
 
 def lsh_bands(sigs: DataFrame) -> DataFrame:
@@ -159,7 +196,10 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
             F.struct(
                 F.lit(bi).alias("band_idx"),
                 F.xxhash64(
-                    *[F.col(f"sig_{bi * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+                    *[
+                        F.element_at("sigs", bi * _ROWS_PER_BAND + r + 1)
+                        for r in range(_ROWS_PER_BAND)
+                    ]
                 ).alias("band_hash"),
             )
             for bi in range(_BANDS)
@@ -175,9 +215,9 @@ _LSH_PROPAGATION_ROUNDS = 4
 
 @register(
     "d03_minhash_lsh",
-    oracle=None,  # xxhash64 has no DuckDB analog — driver rows-only check
-    doc="MinHash(k=16) + LSH(4 bands x 4) dedup CLUSTERING: "
-    "shingle→minhash→band→bucket, then min-label propagation over the "
+    oracle=None,  # seeded-hash signatures have no DuckDB analog — rows-only check
+    doc="MinHash(k=16) + LSH(4 bands x 4) dedup CLUSTERING over 3-token "
+    "shingles: shingle→minhash→band→bucket, then min-label propagation over the "
     "doc↔bucket bipartite graph (4 rounds) to assign each doc a "
     "cluster id (= min doc_id reachable through shared buckets). "
     "Deliberately NOT pair enumeration: near-dup clusters make pair "
@@ -186,7 +226,10 @@ _LSH_PROPAGATION_ROUNDS = 4
 )
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bands = lsh_bands(minhash_signatures(docs))
+    # persist: label propagation re-reads bands every round — without
+    # it each of the 9 jobs re-runs shingling + the Python minhash
+    # stage from the scan (iterative-algorithm standard, cf. Pregel)
+    bands = lsh_bands(minhash_signatures(docs)).persist()
     labels = bands.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
     for _ in range(_LSH_PROPAGATION_ROUNDS):
         bucket_min = (
@@ -219,20 +262,19 @@ _HAMMING_MAX = 3
 def _simhash_batch(toks: "pd.Series") -> "pd.Series":
     """64-bit SimHash per token-array, vectorized per Arrow batch.
 
-    Tokens hash via blake2b (stable across workers, unlike hash());
-    the sign-of-bit-sums step is one numpy unpackbits/sum per doc.
+    Tokens hash via pandas hash_array (C-vectorized siphash with a
+    fixed key — stable across workers, unlike hash()); the
+    sign-of-bit-sums step is one numpy unpackbits/sum per doc.
     """
     import numpy as np
-    from hashlib import blake2b
 
     def one(arr) -> int:
         if arr is None or len(arr) == 0:
             return 0
-        hs = np.frombuffer(
-            b"".join(blake2b(w.encode(), digest_size=8).digest() for w in arr),
-            dtype=np.uint8,
-        ).reshape(len(arr), 8)
-        bits = np.unpackbits(hs, axis=1, bitorder="little")  # (n_tokens, 64)
+        hs = pd.util.hash_array(np.asarray(arr, dtype=object))  # (n,) uint64
+        bits = np.unpackbits(
+            hs.view(np.uint8).reshape(len(arr), 8), axis=1, bitorder="little"
+        )  # (n_tokens, 64)
         sums = bits.sum(axis=0) * 2 - len(arr)  # +1 per set bit, -1 per clear
         return int(np.packbits(sums > 0, bitorder="little").view("<u8")[0])
 

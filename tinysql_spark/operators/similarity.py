@@ -111,11 +111,13 @@ lsh_bucket = F.pandas_udf(_lsh_bucket_batch, T.LongType()).asNondeterministic()
 @register(
     "s02_ann_lsh",
     oracle=None,  # plane constants make a SQL oracle impractical — rows-only
-    doc="LSH-bucketed ANN: random-hyperplane sign bucket (8 planes -> "
-    "256 buckets), candidates via bucket equi-join, exact cosine "
-    "re-rank top-k inside the bucket. The equi-join keeps candidate "
-    "generation linear; recall traded for probe cost (multi-probe "
-    "would re-add neighbor buckets).",
+    doc="LSH-bucketed ANN with multi-probe: random-hyperplane sign "
+    "bucket (8 planes -> 256 buckets); queries probe every bucket "
+    "within hamming distance 2 of their own (37 probes = ~14% of the "
+    "corpus — sized for this corpus's weak neighbor similarity, "
+    "cos~0.35 => expected signature hamming ~3), candidates via "
+    "bucket equi-join, exact cosine re-rank top-k. Candidate "
+    "generation stays a linear equi-join; recall measured by s04.",
 )
 def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -123,8 +125,17 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit_vec(F.col("embedding")).alias("e"),
         lsh_bucket(F.col("embedding")).alias("bucket"),
     )
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("q_emb"), "bucket"
+    masks = [0] + [1 << i for i in range(_N_PLANES)] + [
+        (1 << i) | (1 << j) for i in range(_N_PLANES) for j in range(i + 1, _N_PLANES)
+    ]
+    probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("q_emb"),
+            F.explode(probes).alias("bucket"),
+        )
     )
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("c_emb"), "bucket"
@@ -169,6 +180,47 @@ def _nearest_centroids_batch(emb: pd.Series) -> pd.Series:
 _nearest_centroids = F.pandas_udf(
     _nearest_centroids_batch, T.ArrayType(T.IntegerType())
 ).asNondeterministic()
+
+
+@register(
+    "s04_ann_recall",
+    oracle=None,  # composes two rows-only ANN ops — rows-only check
+    doc="ANN quality evaluation: recall@k of the LSH and IVF probes "
+    "against the exact brute-force top-k, per query — the measurement "
+    "loop that tunes nprobe/planes before a production rollout. Pure "
+    "composition: three registered operators joined on "
+    "(query_id, neighbor_id).",
+)
+def s04_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = s01_ann_brute_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits_lsh = (
+        exact.join(
+            s02_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_lsh"))
+    )
+    hits_ivf = (
+        exact.join(
+            s03_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_ivf"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hits_lsh, "query_id", "left")
+        .join(hits_ivf, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_lsh", F.lit(0)) / F.col("n_exact")).alias("recall_lsh"),
+            (F.coalesce("n_ivf", F.lit(0)) / F.col("n_exact")).alias("recall_ivf"),
+        )
+    )
 
 
 @register(

@@ -144,6 +144,48 @@ def collect_column_stats(
     return out
 
 
+def stats_to_json(stats: dict[str, ColumnStats]) -> dict:
+    """JSON-serializable form (reference persists stats in the KV
+    store across restarts; here a sidecar file per table)."""
+    out = {}
+    for c, s in stats.items():
+        out[c] = {
+            "n": s.n,
+            "null_count": s.null_count,
+            "ndv": s.ndv,
+            "min": s.min if isinstance(s.min, (int, float, str, type(None))) else str(s.min),
+            "max": s.max if isinstance(s.max, (int, float, str, type(None))) else str(s.max),
+            "histogram": s.histogram,
+            "cmsketch": None
+            if s.cmsketch is None
+            else {
+                "depth": s.cmsketch.depth,
+                "width": s.cmsketch.width,
+                "total": s.cmsketch.total,
+                "cells": s.cmsketch.cells,
+            },
+        }
+    return out
+
+
+def stats_from_json(raw: dict) -> dict[str, ColumnStats]:
+    out = {}
+    for c, s in raw.items():
+        cm = s.get("cmsketch")
+        out[c] = ColumnStats(
+            n=s["n"],
+            null_count=s["null_count"],
+            ndv=s["ndv"],
+            min=s.get("min"),
+            max=s.get("max"),
+            histogram=s.get("histogram", []),
+            cmsketch=None
+            if cm is None
+            else CMSketch(depth=cm["depth"], width=cm["width"], total=cm["total"], cells=cm["cells"]),
+        )
+    return out
+
+
 def eq_selectivity(spark, stats: ColumnStats, value) -> float:
     """Point-predicate selectivity: CMSketch frequency / rowcount, the
     reference's `HistColl.Selectivity` fast path for equality
