@@ -63,6 +63,19 @@ _LANG_MARKERS = [
 ]
 
 
+def lang_pred(text_col: Column) -> Column:
+    """Stopword-marker language prediction as a CASE chain."""
+    padded = F.concat(F.lit(" "), text_col, F.lit(" "))
+    pred = None
+    for lang, markers in _LANG_MARKERS:
+        cond = None
+        for m in markers:
+            c = padded.contains(m)
+            cond = c if cond is None else (cond | c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return pred.otherwise(F.lit("unknown"))
+
+
 @register(
     "t02_lang_id",
     oracle="""
@@ -86,16 +99,9 @@ _LANG_MARKERS = [
 )
 def t02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    pred = None
-    for lang, markers in _LANG_MARKERS:
-        cond = None
-        for m in markers:
-            c = padded.contains(m)
-            cond = c if cond is None else (cond | c)
-        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
-    pred = pred.otherwise(F.lit("unknown"))
-    return docs.select("doc_id", pred.alias("pred_lang"), F.col("lang").alias("labeled_lang"))
+    return docs.select(
+        "doc_id", lang_pred(F.col("text")).alias("pred_lang"), F.col("lang").alias("labeled_lang")
+    )
 
 
 @register(
