@@ -555,3 +555,55 @@ def q18_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+_SALT_N = 16
+
+
+@register(
+    "q22_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type, length(event_type) AS weight FROM events
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value * d.weight), 2) AS weighted_sum
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    doc="Skew-mitigated fact-dim join: events.event_type has 5 distinct "
+    "values, so a plain shuffled join lands ALL rows on 5 reducer keys. "
+    "Salting multiplies the key space by 16: the fact side gets a "
+    "deterministic salt (xxhash64(event_id) mod 16), the dim side is "
+    "exploded to all 16 salts, and the join runs on (key, salt) — 80 "
+    "uniformly-sized partitions instead of 5 hot ones. Salting is "
+    "result-invariant, so the oracle is the unsalted join.",
+)
+def q22_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.length("event_type").alias("weight"),
+            F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1))).alias("salt"),
+        )
+    )
+    fact = ev.select(
+        "event_type",
+        "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(_SALT_N)).cast("int").alias("salt"),
+    )
+    # hint forces the shuffled path the salt exists for (a 5-row dim
+    # would otherwise broadcast and hide the skew problem entirely)
+    return (
+        fact.hint("shuffle_hash")
+        .join(dim, ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_sum"),
+        )
+    )
