@@ -53,9 +53,11 @@ def main() -> None:
     # stalls unrelated to the plan under test. Min over reps is the
     # standard noisy-host estimator.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    only = {n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n}
+    names = sorted(n for n in REGISTRY if not only or n in only)
     times: dict[str, float] = {}
     for rep in range(reps):
-        for name in sorted(REGISTRY):
+        for name in names:
             fn = REGISTRY[name].fn
             t = time.time()
             df = fn(spark, sf_dir)
