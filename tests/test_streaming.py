@@ -118,3 +118,36 @@ def test_streaming_dedup(spark, tmp_path_factory):
     want = raw.select("event_id").distinct().count()
     assert got == want
     assert out.select("event_id").distinct().count() == got
+
+
+def test_streaming_session_windows_match_batch(spark, events_stream_dir):
+    from tinysql_spark.streaming import session_stats
+
+    stream = read_event_stream(spark, events_stream_dir)
+    run_to_memory(session_stats(stream), "sessions_stream", output_mode="append")
+    got = spark.table("sessions_stream").toPandas()
+    assert len(got) > 0
+
+    # batch twin: same session_window aggregation on the static table
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+        .toPandas()
+    )
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value)
+        for r in batch.itertuples()
+    }
+    # append mode emits only watermark-closed sessions; every emitted
+    # session must exactly equal its batch twin
+    for r in got.itertuples():
+        key = (r.user_id, r.session_start)
+        assert key in want, f"unexpected session {key}"
+        assert (r.n_events, round(r.sum_value, 6)) == want[key]

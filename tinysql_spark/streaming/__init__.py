@@ -3,5 +3,6 @@ from .pipeline import (  # noqa: F401
     hourly_counts,
     read_event_stream,
     run_to_memory,
+    session_stats,
     user_running_stats,
 )

@@ -132,6 +132,27 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def session_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user — the streaming twin of the
+    batch q18 sessionization, using Spark's native session_window
+    (dynamic-gap merging state, closed and emitted once the watermark
+    passes session_end + gap). One row per closed session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id: dropDuplicatesWithinWatermark
     keeps per-key state only until the watermark passes, so state is
