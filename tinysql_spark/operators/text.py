@@ -198,3 +198,58 @@ def t06_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("w"))
         .limit(20)
     )
+
+
+_WIN_K = 8  # k-gram length (chars)
+_WIN_W = 4  # winnowing window (hashes)
+
+
+def _winnow_batch(texts):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm) per text, vectorized: Rabin-Karp rolling hash over
+    char k-grams (polynomial base 257 mod 2^64 — numpy uint64 wraps
+    natively), then the minimum hash of each w-window, deduplicated.
+    Guarantees any substring match of length >= k+w-1 shares a
+    fingerprint — the partial-overlap detector exact dedup misses."""
+    import numpy as np
+    import pandas as pd
+
+    base = np.uint64(257)
+    with np.errstate(over="ignore"):
+        powers = base ** np.arange(_WIN_K - 1, -1, -1, dtype=np.uint64)
+
+    def one(t):
+        if t is None or len(t) < _WIN_K:
+            return []
+        c = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            # hash of every k-gram in one windowed multiply-sum:
+            # h[i] = sum_j c[i+j] * base^(k-1-j)  (wraps mod 2^64)
+            grams = np.lib.stride_tricks.sliding_window_view(c, _WIN_K)
+            hs = (grams * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        if len(hs) < _WIN_W:
+            return [int(hs.min().astype("int64"))]
+        win = np.lib.stride_tricks.sliding_window_view(hs, _WIN_W)
+        return np.unique(win.min(axis=1)).astype("int64").tolist()
+
+    return pd.Series([one(t) for t in texts])
+
+
+@register(
+    "t07_winnow_fingerprint",
+    oracle=None,  # rolling-hash constants have no SQL analog — rows-only
+    doc="Winnowing (rolling-hash) fingerprints: Rabin-Karp over char "
+    "8-grams + per-window minima, deduped — emits (doc_id, fp) pairs "
+    "usable as a blocking key for partial-overlap dedup (any shared "
+    "substring >= 11 chars guarantees a shared fingerprint). Map-only "
+    "Arrow pandas_udf; no shuffle.",
+)
+def t07_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    udf = F.pandas_udf(_winnow_batch, T.ArrayType(T.LongType())).asNondeterministic()
+    return (
+        docs.select("doc_id", udf(F.col("text")).alias("fps"))
+        .select("doc_id", F.explode("fps").alias("fp"))
+    )
