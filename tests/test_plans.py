@@ -124,3 +124,19 @@ def test_q21_rollup_single_expand(q):
     plan = plan_string(q("q21_hypertable_rollup"))
     assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
     assert has_partial_aggregate(q("q21_hypertable_rollup"))
+
+
+def test_p01_cleanse_two_shuffles(q):
+    # gates fuse into the scan; only the dedup window + final agg shuffle
+    import re
+
+    from tinysql_spark.plans import plan_string
+
+    plan = plan_string(q("p01_corpus_cleanse"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_q22_salted_join_is_shuffled_hash(q):
+    # the salt exists to spread a shuffled join; broadcast would hide it
+    js = join_strategies(q("q22_salted_join"))
+    assert "ShuffledHashJoin" in js or "SortMergeJoin" in js

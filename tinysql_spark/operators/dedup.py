@@ -421,3 +421,43 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim_raw") >= 0.3)
         .select("a_id", "b_id", F.round("cos_sim_raw", 4).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# d06 — partial-overlap pairs via winnowing fingerprints (consumes t07)
+# --------------------------------------------------------------------------
+
+_OVERLAP_MIN_SHARED = 20
+_STOP_FP_MAX_DOCS = 50
+
+
+@register(
+    "d06_winnow_overlap",
+    oracle=None,  # rolling-hash constants — rows-only check
+    doc="Partial-overlap dedup: docs sharing >= 20 winnowing "
+    "fingerprints (any common substring of 11+ chars shares one — "
+    "catches copied passages inside otherwise-different docs, which "
+    "token-set Jaccard dilutes away). Blocked equi-join on fp; "
+    "fingerprints appearing in > 50 docs are dropped first (stop-fp "
+    "removal), so no single hot key can go quadratic.",
+)
+def d06_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import t07_winnow_fingerprint
+
+    fps = t07_winnow_fingerprint(spark, sf_dir)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _STOP_FP_MAX_DOCS)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")
+    pairs = (
+        kept.alias("x")
+        .join(kept.alias("y"), "fp")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= _OVERLAP_MIN_SHARED)
+    )
+    return pairs
