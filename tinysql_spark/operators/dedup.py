@@ -427,28 +427,34 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d06 — partial-overlap pairs via winnowing fingerprints (consumes t07)
 # --------------------------------------------------------------------------
 
-_OVERLAP_MIN_SHARED = 20
-_STOP_FP_MAX_DOCS = 50
+_OVERLAP_MIN_SHARED = 10
+_STOP_FP_FRAC = 0.05  # stop-fp cap: fingerprints in > 5% of docs (min 25)
 
 
 @register(
     "d06_winnow_overlap",
     oracle=None,  # rolling-hash constants — rows-only check
-    doc="Partial-overlap dedup: docs sharing >= 20 winnowing "
+    doc="Partial-overlap dedup: docs sharing >= 10 winnowing "
     "fingerprints (any common substring of 11+ chars shares one — "
     "catches copied passages inside otherwise-different docs, which "
     "token-set Jaccard dilutes away). Blocked equi-join on fp; "
-    "fingerprints appearing in > 50 docs are dropped first (stop-fp "
-    "removal), so no single hot key can go quadratic.",
+    "fingerprints appearing in > 5% of docs are dropped first "
+    "(stop-fp removal, relative so it holds at any corpus size), so "
+    "no single hot key can go quadratic.",
 )
 def d06_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import t07_winnow_fingerprint
 
-    fps = t07_winnow_fingerprint(spark, sf_dir)
+    # persist: the (doc_id, fp) relation feeds the df-count agg AND
+    # both sides of the self-join — unpersisted, the Python winnowing
+    # stage re-runs 3x from the scan
+    fps = t07_winnow_fingerprint(spark, sf_dir).persist()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    cap = max(25, int(_STOP_FP_FRAC * n_docs))
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _STOP_FP_MAX_DOCS)
+        .filter(F.col("df") <= cap)
         .select("fp")
     )
     kept = fps.join(rare, "fp")
