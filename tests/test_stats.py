@@ -96,3 +96,18 @@ def test_stats_persist_across_engine_restart(spark, tmp_path):
     assert s is not None
     assert s["a"].n == 3 and s["a"].ndv == 2
     assert s["a"].cmsketch.query(spark, 2) >= 2
+
+
+def test_show_stats_statement(spark, tmp_path):
+    from tinysql_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh2"))
+    eng.sql("CREATE TABLE ss (a int, b varchar(8))")
+    eng.sql("INSERT INTO ss VALUES (1,'x'), (2,NULL), (2,'y')")
+    with pytest.raises(ValueError, match="run ANALYZE"):
+        eng.sql("SHOW STATS ss")
+    eng.sql("ANALYZE TABLE ss")
+    got = {r["Column"]: r for r in eng.sql("SHOW STATS ss").df.collect()}
+    assert got["a"]["Rows"] == 3 and got["a"]["NDV"] == 2
+    assert got["b"]["Nulls"] == 1
+    assert got["a"]["Hist_bounds"] == 17

@@ -595,6 +595,23 @@ class Engine:
             return Result(
                 df=self.spark.createDataFrame([], "Level: string, Code: int, Message: string")
             )
+        m = P.re.match(r"^\s*SHOW\s+STATS\s+([`\w.]+)\s*$", stmt, P.re.I)
+        if m:
+            db, t = self._qualify(m.group(1))
+            self.catalog.get_table(db, t)
+            stats = self.load_stats(db, t)
+            if stats is None:
+                raise ValueError(f"no statistics for {db}.{t} — run ANALYZE TABLE first")
+            rows = [
+                (c, s.n, s.null_count, s.ndv, str(s.min), str(s.max), len(s.histogram))
+                for c, s in sorted(stats.items())
+            ]
+            df = self.spark.createDataFrame(
+                rows,
+                "Column: string, Rows: bigint, Nulls: bigint, NDV: bigint, "
+                "Min: string, Max: string, Hist_bounds: int",
+            )
+            return Result(df=df)
         m = P.re.match(r"^\s*SHOW\s+CREATE\s+DATABASE\s+([`\w]+)\s*$", stmt, P.re.I)
         if m:
             db = P.unquote_ident(m.group(1))
