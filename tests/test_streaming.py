@@ -151,3 +151,31 @@ def test_streaming_session_windows_match_batch(spark, events_stream_dir):
         key = (r.user_id, r.session_start)
         assert key in want, f"unexpected session {key}"
         assert (r.n_events, round(r.sum_value, 6)) == want[key]
+
+
+def test_custom_stateful_sessionize(spark, events_stream_dir):
+    from tinysql_spark.streaming import custom_sessionize
+
+    stream = read_event_stream(spark, events_stream_dir)
+    run_to_memory(custom_sessionize(stream), "custom_sessions", output_mode="append")
+    got = spark.table("custom_sessions").toPandas()
+    assert len(got) > 0
+
+    # batch truth: native session_window on the static table
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+        .toPandas()
+    )
+    want = {
+        (r.user_id, r.session_start): r.n_events for r in batch.itertuples()
+    }
+    # every emitted (closed) session must exactly match its batch twin
+    for r in got.itertuples():
+        key = (r.user_id, r.session_start)
+        assert key in want, f"unexpected session {key}"
+        assert r.n_events == want[key], key

@@ -1,4 +1,5 @@
 from .pipeline import (  # noqa: F401
+    custom_sessionize,
     dedup_stream,
     hourly_counts,
     read_event_stream,

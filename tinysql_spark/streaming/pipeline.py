@@ -162,6 +162,94 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_ns", T.LongType()),
+        T.StructField("last_ns", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def custom_sessionize(
+    events: DataFrame, gap_s: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState with
+    an EVENT-TIME timeout — the (b)-tier custom-operator pattern for
+    semantics Structured Streaming lacks natively (session_window
+    covers plain gaps; this skeleton is where richer per-session
+    logic — token budgets, early triggers, session-local dedup —
+    plugs in).
+
+    State per user = (open-session start, last event ts, count).
+    Sessions close either by an in-batch gap or by the watermark
+    passing last_ts + gap (timeout fires, session emitted, state
+    cleared) — so state is bounded by active users, not history.
+    """
+    gap_ns = gap_s * 1_000_000_000
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            closed.append((start, last, n))
+            state.remove()
+        else:
+            start, last, n = state.get if state.exists else (None, 0, 0)
+            ts_all = []
+            for pdf in pdfs:
+                ts_all.append(pdf["ts"].astype("int64"))
+            if ts_all:
+                for ts in pd.concat(ts_all).sort_values():
+                    ts = int(ts)
+                    if start is None:
+                        start, last, n = ts, ts, 1
+                    elif ts - last > gap_ns:
+                        closed.append((start, last, n))
+                        start, last, n = ts, ts, 1
+                    else:
+                        last, n = max(last, ts), n + 1
+            if start is not None:
+                state.update((start, last, n))
+                # close the open session once the event-time watermark
+                # passes last + gap (ms granularity; never <= watermark)
+                desired_ms = (last + gap_ns) // 1_000_000 + 1
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(desired_ms, wm + 1))
+        if not closed:
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(s) for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e) for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:
