@@ -74,3 +74,37 @@ def test_sorted_parquet_prunes(spark, tmp_path):
     got = df.count()
     want = load_table(spark, SF, "lineitem").filter(F.col("l_orderkey") == 42).count()
     assert got == want
+
+
+def test_create_index_backfill_relayout(spark, tmp_path):
+    """CREATE INDEX on a populated table re-lays data range-partitioned
+    + sorted on the index columns; data and rowids survive intact."""
+    import pyarrow.parquet as pq
+    import glob as g
+
+    from tinysql_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE bk (a int, b varchar(8))")
+    vals = ", ".join(f"({i % 97}, 'v{i}')" for i in range(500))
+    eng.sql(f"INSERT INTO bk VALUES {vals}")
+    before = sorted(tuple(r) for r in eng.sql("SELECT a, b FROM bk").df.collect())
+
+    eng.sql("CREATE INDEX ia ON bk (a)")
+    after = sorted(tuple(r) for r in eng.sql("SELECT a, b FROM bk").df.collect())
+    assert after == before
+
+    # every data file must be internally sorted on `a` (row-group
+    # min/max stats are then selective for point/range reads)
+    files = g.glob(str(tmp_path / "wh" / "default" / "bk" / "data" / "*.parquet"))
+    assert files
+    multi = 0
+    for f in files:
+        col = pq.read_table(f, columns=["a"])["a"].to_pylist()
+        assert col == sorted(col), f
+        multi += len(col) > 0
+    assert multi > 0
+
+    # point query still correct after relayout
+    n = eng.sql("SELECT count(*) AS c FROM bk WHERE a = 5").df.collect()[0][0]
+    assert n == len([1 for i in range(500) if i % 97 == 5])

@@ -198,6 +198,16 @@ class Engine:
             self.catalog.data_dir(db, table)
         )
 
+    def _layout(self, df: DataFrame, info: TableInfo) -> DataFrame:
+        """Sort within partitions on the first declared index's columns
+        (no shuffle) so parquet min/max row-group stats stay selective
+        on indexed columns across incremental writes — the standing
+        half of index parity; CREATE INDEX does the full
+        range-partitioned backfill."""
+        if info.indexes:
+            return df.sortWithinPartitions(*info.indexes[0].columns)
+        return df
+
     def _write_swap(self, db: str, table: str, df: DataFrame) -> None:
         """Write df (full schema) to a tmp dir, atomically swap it in,
         refresh Spark's file-listing cache."""
@@ -206,7 +216,7 @@ class Engine:
         cols = [F.col(ROWID).cast("long")] + [
             F.col(c.name).cast(c.spark_type()) for c in info.columns
         ]
-        df.select(*cols).write.mode("overwrite").parquet(tmp)
+        self._layout(df.select(*cols), info).write.mode("overwrite").parquet(tmp)
         self.catalog.swap_data_dir(db, table, tmp)
         self.spark.catalog.refreshTable(self._spark_name(db, table))
 
@@ -215,7 +225,9 @@ class Engine:
         cols = [F.col(ROWID).cast("long")] + [
             F.col(c.name).cast(c.spark_type()) for c in info.columns
         ]
-        df.select(*cols).write.mode("append").parquet(self.catalog.data_dir(db, table))
+        self._layout(df.select(*cols), info).write.mode("append").parquet(
+            self.catalog.data_dir(db, table)
+        )
         self.spark.catalog.refreshTable(self._spark_name(db, table))
 
     def _rewrite(self, sql: str) -> str:
@@ -337,6 +349,18 @@ class Engine:
             if dup:
                 info.indexes.pop()
                 raise ValueError(f"duplicate entries violate unique index {idx_name}")
+        # backfill = physical re-layout (the Spark analog of the
+        # reference's row backfill): range-partition + sort existing
+        # data on the index columns so every file covers a narrow key
+        # range and parquet min/max row-group stats prune point/range
+        # reads on them (SURVEY §4.4 index access-path parity)
+        if len(info.indexes) == 1 and self._raw(db, t).limit(1).count():
+            relaid = (
+                self._raw(db, t)
+                .repartitionByRange(*col_list)
+                .sortWithinPartitions(*col_list)
+            )
+            self._write_swap(db, t, relaid)
         self.catalog.update()
         return Result(message=f"index {idx_name} created on {t}")
 
