@@ -25,15 +25,43 @@ from tinysql_spark.streaming.pipeline import EVENT_SCHEMA
 SF = "/root/testdata/sf0.001"
 
 
+def stage_time_ordered(spark, raw, d, n_files: int = 4, dup: bool = False) -> None:
+    """Stage `raw` into n_files parquet files, ranged and ORDERED by
+    event time with lexicographic names and strictly increasing
+    mtimes. repartitionByRange writes part files simultaneously (tied
+    mtimes), so the file source's replay order is nondeterministic —
+    an out-of-order replay advances the watermark past whole chunks
+    (dropped as late) and feeds stateful ops backwards-in-time data."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    qs = [i / n_files for i in range(1, n_files)]
+    cuts = raw.approxQuantile("ts", qs, 0.0)
+    bounds = [None, *cuts, None]
+    for i in range(n_files):
+        part = raw
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts") <= bounds[i + 1])
+        if dup:
+            part = part.union(part)
+        tmp = os.path.join(d, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(d, f"{i:04d}.parquet")
+        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+        shutil.rmtree(tmp)
+
+
 @pytest.fixture(scope="module")
 def events_stream_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("events_stream"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.schema(EVENT_SCHEMA).parquet(SF + "/events.parquet")
-    # stage in EVENT-TIME order (range partition on ts): the file
-    # source replays files in order, so micro-batches arrive roughly
-    # time-ordered and the 2h watermark doesn't drop legitimate data
-    raw.repartitionByRange(4, "ts").write.mode("overwrite").parquet(d)
+    stage_time_ordered(spark, raw, d)
     return d
 
 
@@ -85,31 +113,13 @@ def test_stateful_user_stats(spark, events_stream_dir):
 
 
 def test_streaming_dedup(spark, tmp_path_factory):
-    import glob
-    import shutil
-
     from tinysql_spark.streaming import dedup_stream
 
-    d = tmp_path_factory.mktemp("events_dup")
+    d = str(tmp_path_factory.mktemp("events_dup"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.schema(EVENT_SCHEMA).parquet(SF + "/events.parquet")
-    # Stage 4 time-ordered files with lexicographic names so replay
-    # order == event-time order deterministically (repartitionByRange
-    # leaves part-file order to the lister; an out-of-order replay
-    # advances the watermark past entire chunks and drops them as
-    # late). Every event appears twice in its file.
-    cuts = raw.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
-    bounds = [None, *cuts, None]
-    for i in range(4):
-        part = raw
-        if bounds[i] is not None:
-            part = part.filter(F.col("ts") > bounds[i])
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col("ts") <= bounds[i + 1])
-        tmp = str(d / f"stage{i}")
-        part.union(part).coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], str(d / f"{i:04d}.parquet"))
-        shutil.rmtree(tmp)
+    # every event staged twice within its time-ordered file
+    stage_time_ordered(spark, raw, d, dup=True)
 
     stream = read_event_stream(spark, str(d))
     run_to_memory(dedup_stream(stream), "dedup_stream", output_mode="append")

@@ -194,6 +194,13 @@ def custom_sessionize(
     Sessions close either by an in-batch gap or by the watermark
     passing last_ts + gap (timeout fires, session emitted, state
     cleared) — so state is bounded by active users, not history.
+
+    Assumes per-key event-time-ordered arrival ACROSS micro-batches
+    (time-ordered log replay); events are sorted within each batch,
+    but a cross-batch late arrival merges into the open session
+    without re-splitting. Full late-data re-sessionization would
+    buffer events in state until the watermark — use the native
+    session_window (session_stats) when that guarantee matters.
     """
     gap_ns = gap_s * 1_000_000_000
 
