@@ -140,3 +140,24 @@ def test_q22_salted_join_is_shuffled_hash(q):
     # the salt exists to spread a shuffled join; broadcast would hide it
     js = join_strategies(q("q22_salted_join"))
     assert "ShuffledHashJoin" in js or "SortMergeJoin" in js
+
+
+def test_q23_rollup_single_scan_expand(q):
+    from tinysql_spark.plans import plan_string
+
+    df = q("q23_rollup")
+    plan = plan_string(df)
+    # all rollup levels come from ONE scan through an Expand operator —
+    # never one scan per grouping-set level
+    assert len(scan_column_counts(df)) == 1, plan
+    assert "Expand" in plan
+    assert has_partial_aggregate(df)
+
+
+def test_q25_grouping_sets_single_scan(q):
+    from tinysql_spark.plans import plan_string
+
+    df = q("q25_grouping_sets")
+    plan = plan_string(df)
+    assert len(scan_column_counts(df)) == 1, plan
+    assert "Expand" in plan

@@ -607,3 +607,93 @@ def q22_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets: ROLLUP / CUBE / GROUPING SETS (multi-level aggregation)
+# --------------------------------------------------------------------------
+#
+# The reference's aggregate executor handles a single grouping set
+# (executor/aggregate.go); multi-level rollups are what an analytics
+# user runs next, and both engines expand them to a union of grouping
+# sets under one shuffle (Spark: Expand operator — one pass over the
+# fact table, not one scan per level). grouping() markers disambiguate
+# "NULL because rolled up" from "NULL in the data" on both sides.
+
+
+@register(
+    "q23_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT)  AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT)  AS g_status,
+           count(*)                             AS n_rows,
+           round(sum(l_quantity), 2)            AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP(flag, status): hierarchical subtotals + grand total in "
+    "one Expand+partial-agg pass (no per-level rescan of the fact "
+    "table). Reference executes single grouping sets only "
+    "(executor/aggregate.go:97); rollup is the natural superset.",
+)
+def q23_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "q24_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT)   AS g_st,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+           count(*)                               AS n_orders,
+           round(sum(o_totalprice), 2)            AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE(status, priority): all 4 grouping sets in one shuffle "
+    "via Expand; at scale the fact table is read once regardless of "
+    "cube arity.",
+)
+def q24_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_st"),
+        F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "q25_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linenumber,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linenumber) AS INT)   AS g_linenum,
+           count(*)                            AS n_rows,
+           round(sum(l_extendedprice), 2)      AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber), ())
+    """,
+    doc="Explicit GROUPING SETS ((flag),(linenum),()): two independent "
+    "one-column breakdowns + grand total sharing a single scan/shuffle "
+    "(vs three separate groupBys = three scans).",
+)
+def q25_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linenumber"], []], "l_returnflag", "l_linenumber"
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linenumber").cast("int").alias("g_linenum"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
