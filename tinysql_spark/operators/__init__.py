@@ -1,4 +1,13 @@
 """Operator modules; importing this package populates the registry."""
 
-from . import dedup, multimodal, pipeline, relational, similarity, temporal, text  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    multimodal,
+    pipeline,
+    relational,
+    similarity,
+    streaming_bridge,
+    temporal,
+    text,
+)
 from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401

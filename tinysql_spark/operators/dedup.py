@@ -467,3 +467,100 @@ def d06_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared_fp") >= _OVERLAP_MIN_SHARED)
     )
     return pairs
+
+
+# --------------------------------------------------------------------------
+# d07 — embedding near-dup CLUSTERS (linear output; d05's scale path)
+# --------------------------------------------------------------------------
+
+_EMB_PROPAGATION_ROUNDS = 4
+
+
+def _d05_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a_id, b_id) near-dup edges: label-blocked cosine >= 0.3 —
+    the candidate join d05 emits, without the per-pair score column."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", unit_vec(F.col("embedding")).alias("e")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(dot(F.col("a.e"), F.col("b.e")) >= 0.3)
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+    )
+
+
+def _oracle_d07() -> str:
+    """Chained min-label-propagation CTEs, one per round — the exact
+    SQL twin of the Spark loop so half-converged states still match."""
+    head = """
+    WITH u AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) AS e
+      FROM embeddings
+    ),
+    e0 AS (
+      SELECT a.vec_id AS s, b.vec_id AS d
+      FROM u a JOIN u b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e) >= 0.3
+    ),
+    edges AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
+    l0 AS (SELECT vec_id, vec_id AS lbl FROM u)"""
+    rounds = []
+    for i in range(1, _EMB_PROPAGATION_ROUNDS + 1):
+        rounds.append(f""",
+    l{i} AS (
+      SELECT p.vec_id,
+             least(p.lbl, coalesce(min(n.lbl), p.lbl)) AS lbl
+      FROM l{i - 1} p
+      LEFT JOIN edges ON edges.s = p.vec_id
+      LEFT JOIN l{i - 1} n ON n.vec_id = edges.d
+      GROUP BY p.vec_id, p.lbl
+    )""")
+    tail = f"""
+    SELECT vec_id, CAST(lbl AS BIGINT) AS cluster_id
+    FROM l{_EMB_PROPAGATION_ROUNDS}"""
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "d07_embedding_cluster",
+    oracle=_oracle_d07(),
+    doc="Embedding near-dup CLUSTERS: d05's edge set collapsed to one "
+    "(vec_id, cluster_id) row per vector by min-label propagation "
+    "(4 rounds over the symmetric edge list). Pair output is quadratic "
+    "in cluster size — this is the formulation that survives 100 TB: "
+    "output linear in corpus size, 2 shuffles per round, and the "
+    "dedup decision (keep cluster min) falls out of the label itself. "
+    "Oracle = identical fixed-round propagation as chained CTEs.",
+)
+def d07_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = _d05_pairs(spark, sf_dir)
+    # symmetric edge list is re-joined every round — persist or the
+    # blocked cosine join re-runs per round
+    edges = (
+        pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d"))
+        .union(pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d")))
+        .persist()
+    )
+    labels = vecs.select("vec_id", F.col("vec_id").alias("lbl"))
+    for _ in range(_EMB_PROPAGATION_ROUNDS):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("vec_id", "d"), "d")
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nmin"))
+            .withColumnRenamed("s", "vec_id")
+        )
+        labels = (
+            labels.join(nbr_min, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
+            )
+        )
+    return labels.select("vec_id", F.col("lbl").cast("long").alias("cluster_id"))

@@ -697,3 +697,82 @@ def q25_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Window functions: ranking, offset, and frame aggregates
+# --------------------------------------------------------------------------
+#
+# The reference's parser/executor has no window functions (no
+# WindowFuncExpr in parser.y) — internally this repo already leans on
+# them (q18 lag-sessionization, s01 top-k, p01 keeper-pick); these
+# entries expose the family as first-class, oracle-checked operators.
+# Scale shape: one shuffle on the PARTITION BY key, then a sort within
+# partitions — no self-joins, no per-row Python.
+
+
+@register(
+    "q26_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           lag(o_totalprice) OVER w AS prev_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Ranking family (row_number/rank/dense_rank) + lag offset per "
+    "customer: one hash-partition exchange on o_custkey + in-partition "
+    "sort serves all four functions over the shared window.",
+)
+def q26_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+@register(
+    "q27_window_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum3,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+    doc="Frame aggregates: running total (UNBOUNDED PRECEDING), 3-row "
+    "moving sum, and whole-partition count sharing one exchange+sort. "
+    "Frame order is deterministic (unique o_orderkey), so the "
+    "sequential float fold is bit-identical across engines.",
+)
+def q27_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(wo.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.round(F.sum("o_totalprice").over(wo.rowsBetween(-2, 0)), 2).alias("moving_sum3"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_orders"),
+    )

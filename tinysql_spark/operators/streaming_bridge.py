@@ -1,0 +1,65 @@
+"""Streaming queries exposed through the batch `queries()` contract.
+
+The streaming surface (streaming/pipeline.py) normally runs as a
+long-lived job; these bridge entries replay the driver's events
+parquet through the REAL streaming plan (file source → watermarked
+window agg → sink) with an availableNow trigger, then return the sink
+table as a DataFrame — so the driver's oracle check covers the
+streaming path, not just its batch twin (q15).
+
+Determinism: the driver ships events as ONE parquet file; staging
+that single file into a fresh directory gives a single-file source.
+With availableNow every available file is processed before
+termination, and `complete` output mode emits every window regardless
+of where the final watermark lands — append mode would hold back the
+last `watermark` hours of windows forever on a finite replay.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.pipeline import hourly_counts, read_event_stream, run_to_memory
+from .registry import register
+
+
+def _stage_events(sf_dir: str) -> str:
+    d = tempfile.mkdtemp(prefix="tinysql_stream_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "0000.parquet")
+    )
+    return d
+
+
+@register(
+    "st01_stream_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Streaming tumbling-window hourly aggregation (watermarked "
+    "window() + event-time grouping), drained via availableNow into a "
+    "memory sink and returned as a batch DataFrame. Same oracle as "
+    "q15: a finite replay of the stream must agree exactly with the "
+    "batch computation over the same events.",
+)
+def st01_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, _stage_events(sf_dir))
+    name = "st01_hourly_" + uuid.uuid4().hex[:8]
+    run_to_memory(hourly_counts(stream), name, output_mode="complete")
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("hour_bucket"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
