@@ -541,14 +541,23 @@ def _oracle_d07() -> str:
 def d07_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
     pairs = _d05_pairs(spark, sf_dir)
-    # symmetric edge list is re-joined every round — persist or the
-    # blocked cosine join re-runs per round
+    # Eagerly checkpoint the symmetric edge list: the 4-round plan
+    # references it once per round, and lineage truncation keeps the
+    # expensive cosine join out of the iterative plan entirely. (On a
+    # real cluster with executor churn, use reliable checkpoint() to a
+    # DFS dir instead — localCheckpoint blocks die with the executor.)
     edges = (
         pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d"))
         .union(pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d")))
-        .persist()
+        .localCheckpoint()
     )
-    labels = vecs.select("vec_id", F.col("vec_id").alias("lbl"))
+    # Propagate only over edge-connected vertices: at corpus scale most
+    # docs have no near-dup edge, so the per-round shuffles run on the
+    # (small) component subgraph, not the whole corpus. Isolated
+    # vertices keep their own id — restored by the final left join.
+    labels = edges.select(F.col("s").alias("vec_id")).distinct().withColumn(
+        "lbl", F.col("vec_id")
+    )
     for _ in range(_EMB_PROPAGATION_ROUNDS):
         nbr_min = (
             edges.join(labels.withColumnRenamed("vec_id", "d"), "d")
@@ -563,4 +572,6 @@ def d07_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
             )
         )
-    return labels.select("vec_id", F.col("lbl").cast("long").alias("cluster_id"))
+    return vecs.join(labels, "vec_id", "left").select(
+        "vec_id", F.coalesce("lbl", F.col("vec_id")).cast("long").alias("cluster_id")
+    )
