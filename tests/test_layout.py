@@ -108,3 +108,84 @@ def test_create_index_backfill_relayout(spark, tmp_path):
     # point query still correct after relayout
     n = eng.sql("SELECT count(*) AS c FROM bk WHERE a = 5").df.collect()[0][0]
     assert n == len([1 for i in range(500) if i % 97 == 5])
+
+# --------------------------------------------------------------------------
+# CREATE TABLE ... CLUSTERED BY ... INTO n BUCKETS (engine DDL surface)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def bkeng(spark, tmp_path):
+    from tinysql_spark.engine import Engine
+
+    return Engine(spark, str(tmp_path / "wh")), tmp_path
+
+
+def _load_bucketed(eng):
+    eng.sql("CREATE TABLE fact (k INT, v DOUBLE) CLUSTERED BY (k) SORTED BY (k) INTO 8 BUCKETS")
+    eng.sql("CREATE TABLE dim (k INT, name VARCHAR(20)) CLUSTERED BY (k) INTO 8 BUCKETS")
+    eng.sql("INSERT INTO fact VALUES " + ",".join(f"({i % 50},{i * 1.5})" for i in range(1000)))
+    eng.sql("INSERT INTO dim VALUES " + ",".join(f"({i},'n{i}')" for i in range(50)))
+
+
+def test_ddl_bucketed_join_no_shuffle(spark, bkeng):
+    """Co-bucketed equi-join + bucket-key groupBy through engine SQL:
+    zero shuffle exchanges — the scans' HashPartitioning(k, 8) serves
+    the join and the aggregation."""
+    eng, _ = bkeng
+    _load_bucketed(eng)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = eng.sql(
+            "EXPLAIN FORMATTED SELECT f.k, sum(f.v) AS s, max(d.name) AS nm "
+            "FROM fact f JOIN dim d ON f.k = d.k GROUP BY f.k"
+        ).df.collect()[0][0]
+        import re as _re
+
+        assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
+        assert "Bucketed: true" in plan, plan
+        rows = eng.sql(
+            "SELECT f.k, sum(f.v) AS s FROM fact f JOIN dim d ON f.k = d.k "
+            "GROUP BY f.k ORDER BY f.k"
+        ).df.collect()
+        assert len(rows) == 50
+        assert rows[0][1] == sum(i * 1.5 for i in range(1000) if i % 50 == 0)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_ddl_bucketed_append_delete_layout(spark, bkeng):
+    """Appends add bucket-suffixed files per batch (O(batch), multiple
+    files per bucket); DELETE's rewrite re-buckets; every data file
+    keeps the bucket-id suffix so the bucketed scan stays valid."""
+    import glob as g
+    import re as _re
+
+    eng, tmp_path = bkeng
+    _load_bucketed(eng)
+    eng.sql("INSERT INTO fact VALUES (1, 999.0)")
+    assert eng.sql("SELECT count(*) AS n FROM fact").df.collect()[0][0] == 1001
+    eng.sql("DELETE FROM fact WHERE k = 1")
+    assert eng.sql("SELECT count(*) AS n FROM fact").df.collect()[0][0] == 980
+    files = g.glob(str(tmp_path / "wh" / "default" / "fact" / "data" / "part-*.parquet"))
+    assert files
+    for f in files:
+        assert _re.search(r"_\d{5}\.", f), f"file lacks bucket suffix: {f}"
+    # TRUNCATE keeps the table readable (and still bucketed on reload)
+    eng.sql("TRUNCATE TABLE fact")
+    assert eng.sql("SELECT count(*) AS n FROM fact").df.collect()[0][0] == 0
+
+
+def test_ddl_bucket_spec_persists_and_validates(spark, bkeng):
+    from tinysql_spark.engine import Engine
+
+    eng, tmp_path = bkeng
+    _load_bucketed(eng)
+    show = eng.sql("SHOW CREATE TABLE fact").df.collect()[0][1]
+    assert "CLUSTERED BY (`k`) SORTED BY (`k`) INTO 8 BUCKETS" in show
+    # reopen the warehouse: spec must survive the catalog round-trip
+    eng2 = Engine(spark, str(tmp_path / "wh"))
+    info = eng2.catalog.get_table("default", "fact")
+    assert info.bucket and info.bucket.num_buckets == 8 and info.bucket.columns == ["k"]
+    with pytest.raises(ValueError, match="unknown column"):
+        eng.sql("CREATE TABLE bad (a INT) CLUSTERED BY (zz) INTO 4 BUCKETS")

@@ -67,11 +67,27 @@ class IndexInfo:
 
 
 @dataclass
+class BucketSpec:
+    """Declared physical bucketing (CREATE TABLE ... CLUSTERED BY ...
+    INTO n BUCKETS): every write hash-partitions rows into
+    ``num_buckets`` files on ``columns`` with Spark's bucket hashing,
+    so equi-joins/aggregations on the bucket columns between
+    same-bucketed tables read co-located partitions and skip the
+    shuffle. The Spark analog of the reference's hash-partitioned
+    regions keyed by handle (tablecodec/tablecodec.go:74)."""
+
+    columns: list[str]
+    num_buckets: int
+    sort_columns: list[str] = field(default_factory=list)
+
+
+@dataclass
 class TableInfo:
     name: str
     columns: list[ColumnInfo]
     primary_key: list[str] = field(default_factory=list)
     indexes: list[IndexInfo] = field(default_factory=list)
+    bucket: BucketSpec | None = None
     next_rowid: int = 1
 
     def column(self, name: str) -> ColumnInfo | None:
@@ -135,6 +151,7 @@ class Catalog:
                     columns=[ColumnInfo(**c) for c in t["columns"]],
                     primary_key=t.get("primary_key", []),
                     indexes=[IndexInfo(**i) for i in t.get("indexes", [])],
+                    bucket=BucketSpec(**t["bucket"]) if t.get("bucket") else None,
                     next_rowid=t.get("next_rowid", 1),
                 )
 

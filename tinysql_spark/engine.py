@@ -22,7 +22,9 @@ REPLACE as anti-join + atomic swap.
 
 from __future__ import annotations
 
+import os
 import re
+import shutil
 import uuid
 from dataclasses import dataclass
 
@@ -188,8 +190,43 @@ class Engine:
         )
         self.spark.sql(
             f"CREATE TABLE {self._spark_name(db, table)} ({ddl_cols}) "
-            f"USING parquet LOCATION '{self.catalog.data_dir(db, table)}'"
+            f"USING parquet{self._bucket_ddl(info)} "
+            f"LOCATION '{self.catalog.data_dir(db, table)}'"
         )
+
+    @staticmethod
+    def _bucket_ddl(info: TableInfo) -> str:
+        """Spark-DDL CLUSTERED BY clause for a bucketed table ('' if
+        unbucketed). Registering the spec in the Spark catalog is what
+        lets scans report HashPartitioning(bucket cols) and drop the
+        Exchange on co-bucketed joins/aggregations."""
+        if not info.bucket:
+            return ""
+        b = info.bucket
+        sql = " CLUSTERED BY (" + ", ".join(f"`{c}`" for c in b.columns) + ")"
+        if b.sort_columns:
+            sql += " SORTED BY (" + ", ".join(f"`{c}`" for c in b.sort_columns) + ")"
+        return sql + f" INTO {b.num_buckets} BUCKETS"
+
+    def _write_bucket_files(self, df: DataFrame, info: TableInfo, dest: str) -> None:
+        """Write df as Spark-bucketed parquet files at dest.
+
+        Spark only emits bucket-encoded file names through the catalog
+        writer (path writes reject bucketBy), so route through a
+        throwaway external table whose LOCATION is dest, then drop the
+        metastore entry — the files stay, and readers recover the
+        bucket id from the file-name suffix."""
+        b = info.bucket
+        tmp_tbl = f"__bucket_tmp_{uuid.uuid4().hex[:8]}"
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(b.num_buckets, *b.columns)
+            .sortBy(*(b.sort_columns or b.columns))
+            .option("path", dest)
+            .saveAsTable(tmp_tbl)
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS `{tmp_tbl}`")
 
     def _raw(self, db: str, table: str) -> DataFrame:
         """Full-schema read (rowid included) straight from parquet."""
@@ -216,7 +253,11 @@ class Engine:
         cols = [F.col(ROWID).cast("long")] + [
             F.col(c.name).cast(c.spark_type()) for c in info.columns
         ]
-        self._layout(df.select(*cols), info).write.mode("overwrite").parquet(tmp)
+        out = df.select(*cols)
+        if info.bucket:
+            self._write_bucket_files(out, info, tmp)
+        else:
+            self._layout(out, info).write.mode("overwrite").parquet(tmp)
         self.catalog.swap_data_dir(db, table, tmp)
         self.spark.catalog.refreshTable(self._spark_name(db, table))
 
@@ -225,9 +266,21 @@ class Engine:
         cols = [F.col(ROWID).cast("long")] + [
             F.col(c.name).cast(c.spark_type()) for c in info.columns
         ]
-        self._layout(df.select(*cols), info).write.mode("append").parquet(
-            self.catalog.data_dir(db, table)
-        )
+        out = df.select(*cols)
+        data = self.catalog.data_dir(db, table)
+        if info.bucket:
+            # Bucketed append: write the batch as its own bucketed file
+            # set in a side dir, then move the part files in. Multiple
+            # files per bucket id are fine — the bucketed scan unions
+            # them per bucket — so appends stay O(batch), not O(table).
+            tmp = data + f".append-{uuid.uuid4().hex[:8]}"
+            self._write_bucket_files(out, info, tmp)
+            for fname in os.listdir(tmp):
+                if fname.startswith("part-"):
+                    shutil.move(os.path.join(tmp, fname), os.path.join(data, fname))
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            self._layout(out, info).write.mode("append").parquet(data)
         self.spark.catalog.refreshTable(self._spark_name(db, table))
 
     def _rewrite(self, sql: str) -> str:
@@ -291,7 +344,10 @@ class Engine:
         self.catalog.add_table(db, info)
         # seed an empty parquet dir so the external table is readable
         empty = self.spark.createDataFrame([], info.full_schema())
-        empty.write.mode("overwrite").parquet(self.catalog.data_dir(db, t))
+        if info.bucket:
+            self._write_bucket_files(empty, info, self.catalog.data_dir(db, t))
+        else:
+            empty.write.mode("overwrite").parquet(self.catalog.data_dir(db, t))
         self._register_table(db, t)
         return Result(message=f"table {t} created")
 
@@ -315,12 +371,9 @@ class Engine:
         db, t = self._qualify(m.group(1))
         info = self.catalog.get_table(db, t)
         empty = self.spark.createDataFrame([], info.full_schema())
-        tmp = self.catalog.data_dir(db, t) + f".tmp-{uuid.uuid4().hex[:8]}"
-        empty.write.mode("overwrite").parquet(tmp)
-        self.catalog.swap_data_dir(db, t, tmp)
+        self._write_swap(db, t, empty)
         info.next_rowid = 1
         self.catalog.update()
-        self.spark.catalog.refreshTable(self._spark_name(db, t))
         return Result(message=f"table {t} truncated")
 
     def _exec_create_index(self, stmt: str) -> Result:
@@ -353,8 +406,11 @@ class Engine:
         # reference's row backfill): range-partition + sort existing
         # data on the index columns so every file covers a narrow key
         # range and parquet min/max row-group stats prune point/range
-        # reads on them (SURVEY §4.4 index access-path parity)
-        if len(info.indexes) == 1 and self._raw(db, t).limit(1).count():
+        # reads on them (SURVEY §4.4 index access-path parity).
+        # Bucketed tables keep their declared CLUSTERED BY layout —
+        # re-bucketing already happens in _write_swap, and a range
+        # re-layout would destroy the bucket file contract.
+        if len(info.indexes) == 1 and not info.bucket and self._raw(db, t).limit(1).count():
             relaid = (
                 self._raw(db, t)
                 .repartitionByRange(*col_list)
@@ -606,7 +662,7 @@ class Engine:
                 parts.append(
                     f"  {kw} `{i.name}` (" + ", ".join(f"`{c}`" for c in i.columns) + ")"
                 )
-            ddl = lines[0] + "\n" + ",\n".join(parts) + "\n)"
+            ddl = lines[0] + "\n" + ",\n".join(parts) + "\n)" + self._bucket_ddl(info)
             df = self.spark.createDataFrame([(info.name, ddl)], "Table: string, `Create Table`: string")
             return Result(df=df)
         if up.startswith("SHOW VARIABLES"):

@@ -15,7 +15,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from .catalog import ColumnInfo, IndexInfo, TableInfo
+from .catalog import BucketSpec, ColumnInfo, IndexInfo, TableInfo
 
 # --------------------------------------------------------------------------
 # statement splitting / classification
@@ -182,6 +182,15 @@ _CREATE_TABLE_RE = re.compile(
     re.I | re.S,
 )
 
+# Trailing physical-layout clause (Hive/Spark SQL syntax):
+#   ... ) CLUSTERED BY (c1, c2) [SORTED BY (s1, ...)] INTO n BUCKETS
+_BUCKET_CLAUSE_RE = re.compile(
+    r"\bCLUSTERED\s+BY\s*\(([^)]*)\)"
+    r"(?:\s*SORTED\s+BY\s*\(([^)]*)\))?"
+    r"\s*INTO\s+(\d+)\s+BUCKETS\s*$",
+    re.I | re.S,
+)
+
 _COL_TYPE_RE = re.compile(
     r"^([`\w]+)\s+"
     r"(TINYINT|SMALLINT|INTEGER|INT|BIGINT|FLOAT|DOUBLE|REAL|VARCHAR|CHAR|TEXT|STRING)"
@@ -191,6 +200,20 @@ _COL_TYPE_RE = re.compile(
 
 
 def parse_create_table(stmt: str) -> CreateTable:
+    bucket: BucketSpec | None = None
+    bm = _BUCKET_CLAUSE_RE.search(stmt)
+    if bm:
+        n = int(bm.group(3))
+        if n < 1:
+            raise ValueError("INTO n BUCKETS requires n >= 1")
+        bucket = BucketSpec(
+            columns=[unquote_ident(c) for c in split_top_level(bm.group(1))],
+            num_buckets=n,
+            sort_columns=[unquote_ident(c) for c in split_top_level(bm.group(2))]
+            if bm.group(2)
+            else [],
+        )
+        stmt = stmt[: bm.start()]
     m = _CREATE_TABLE_RE.match(stmt)
     if not m:
         raise ValueError(f"cannot parse CREATE TABLE: {stmt[:80]}")
@@ -242,7 +265,18 @@ def parse_create_table(stmt: str) -> CreateTable:
     for c in columns:
         if c.name in pk:
             c.nullable = False
-    info = TableInfo(name=name.split(".")[-1], columns=columns, primary_key=pk, indexes=indexes)
+    if bucket:
+        declared = {c.name.lower() for c in columns}
+        for c in bucket.columns + bucket.sort_columns:
+            if c.lower() not in declared:
+                raise ValueError(f"CLUSTERED/SORTED BY references unknown column {c!r}")
+    info = TableInfo(
+        name=name.split(".")[-1],
+        columns=columns,
+        primary_key=pk,
+        indexes=indexes,
+        bucket=bucket,
+    )
     return CreateTable(table=name, info=info, if_not_exists=if_not_exists)
 
 
