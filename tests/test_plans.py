@@ -161,3 +161,25 @@ def test_q25_grouping_sets_single_scan(q):
     plan = plan_string(df)
     assert len(scan_column_counts(df)) == 1, plan
     assert "Expand" in plan
+
+
+def test_q28_q29_plan_semi_anti(q):
+    from tinysql_spark.plans.inspect import plan_string
+
+    assert "LeftSemi" in plan_string(q("q28_exists_semijoin"))
+    # the orders-side status filter must be pushed below the semi join
+    assert any("o_orderstatus" in f for f in pushed_filters(q("q28_exists_semijoin")))
+    assert "LeftAnti" in plan_string(q("q29_notexists_antijoin"))
+
+
+def test_q30_scalar_broadcasts(q):
+    # the 1-row aggregate must broadcast into the filter — never a
+    # shuffle of the full part table against itself
+    assert "BroadcastNestedLoopJoin" in join_strategies(q("q30_scalar_subquery"))
+
+
+def test_q32_pivot_single_pass(q):
+    # explicit pivot value list: one scan of orders, partial+final agg,
+    # no extra distinct-values job materialized in the plan
+    df = q("q32_pivot")
+    assert has_partial_aggregate(df)

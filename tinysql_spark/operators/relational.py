@@ -776,3 +776,136 @@ def q27_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(wo.rowsBetween(-2, 0)), 2).alias("moving_sum3"),
         F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# Subquery shapes: semi-join, anti-join, scalar subquery
+# --------------------------------------------------------------------------
+#
+# The reference's planner rewrites EXISTS / NOT EXISTS / scalar
+# subqueries into semi/anti/agg joins (planner/core/
+# expression_rewriter.go); Catalyst does the same rewrite — these
+# entries pin the semantics with DataFrame-native join types. Scale
+# shape: semi/anti joins shuffle once on the key and never widen rows;
+# the scalar aggregate is a 1-row broadcast, not a per-row recompute.
+
+
+@register(
+    "q28_exists_semijoin",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    """,
+    doc="Correlated EXISTS as a left-semi join: customers with at "
+    "least one open order. Semi-join output never exceeds the probe "
+    "side, and the filter on orders is pushed below the join.",
+)
+def q28_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        open_orders, cust["c_custkey"] == open_orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "q29_notexists_antijoin",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+    doc="NOT EXISTS as a left-anti join: customers with no big-ticket "
+    "order. Anti-join (not NOT IN) is the scale-safe form — NOT IN "
+    "over a nullable key degenerates to a null-aware cartesian check.",
+)
+def q29_notexists_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+@register(
+    "q30_scalar_subquery",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    """,
+    doc="Scalar subquery: parts priced above the corpus-wide average. "
+    "The aggregate collapses to one row and broadcasts into the "
+    "filter — two scans of part, zero shuffles of the full table.",
+)
+def q30_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    avg_price = part.agg(F.avg("p_retailprice").alias("_avg"))
+    return (
+        part.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("_avg"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@register(
+    "q31_set_ops",
+    oracle="""
+    SELECT 'both' AS tag, k FROM (
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT
+      SELECT s_nationkey AS k FROM supplier)
+    UNION ALL
+    SELECT 'cust_only' AS tag, k FROM (
+      SELECT c_nationkey AS k FROM customer
+      EXCEPT
+      SELECT s_nationkey AS k FROM supplier)
+    """,
+    doc="Set operations: INTERSECT and EXCEPT (distinct semantics) "
+    "over nation keys, tagged and unioned. Catalyst plans both as "
+    "semi/anti joins over pre-aggregated (distinct) inputs.",
+)
+def q31_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    both = cust.intersect(supp).select(F.lit("both").alias("tag"), "k")
+    cust_only = cust.subtract(supp).select(F.lit("cust_only").alias("tag"), "k")
+    return both.union(cust_only)
+
+
+@register(
+    "q32_pivot",
+    oracle="""
+    SELECT c_nationkey,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+    doc="Pivot: order revenue by nation x order-status spread into "
+    "columns. The explicit value list ('F','O','P') keeps the plan a "
+    "single pass (no extra distinct-values job) — mandatory at scale.",
+)
+def q32_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    piv = (
+        joined.groupBy("c_nationkey")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return piv.select(
+        "c_nationkey",
+        F.col("F").alias("total_f"),
+        F.col("O").alias("total_o"),
+        F.col("P").alias("total_p"),
+    )
