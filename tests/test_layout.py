@@ -189,3 +189,42 @@ def test_ddl_bucket_spec_persists_and_validates(spark, bkeng):
     assert info.bucket and info.bucket.num_buckets == 8 and info.bucket.columns == ["k"]
     with pytest.raises(ValueError, match="unknown column"):
         eng.sql("CREATE TABLE bad (a INT) CLUSTERED BY (zz) INTO 4 BUCKETS")
+
+
+def test_optimize_table_compacts(spark, bkeng):
+    """OPTIMIZE TABLE merges per-insert file sets into the declared
+    layout: plain -> coalesced file(s); bucketed -> one file/bucket."""
+    import glob as g
+
+    eng, tmp_path = bkeng
+    eng.sql("CREATE TABLE plain (a INT, b VARCHAR(10))")
+    for i in range(6):
+        eng.sql(f"INSERT INTO plain VALUES ({i}, 'x{i}')")
+    pdir = str(tmp_path / "wh" / "default" / "plain" / "data")
+    assert len(g.glob(pdir + "/part-*")) >= 6
+    msg = eng.sql("OPTIMIZE TABLE plain").message
+    assert "optimized" in msg
+    assert len(g.glob(pdir + "/part-*")) == 1
+    assert eng.sql("SELECT count(*) AS n FROM plain").df.collect()[0][0] == 6
+
+    _load_bucketed(eng)
+    for i in range(5):
+        eng.sql(f"INSERT INTO fact VALUES ({i}, {i}.5)")
+    fdir = str(tmp_path / "wh" / "default" / "fact" / "data")
+    n_before = len(g.glob(fdir + "/part-*"))
+    eng.sql("OPTIMIZE TABLE fact")
+    n_after = len(g.glob(fdir + "/part-*"))
+    assert n_after <= 8 < n_before
+    assert eng.sql("SELECT count(*) AS n FROM fact").df.collect()[0][0] == 1005
+    # still a valid bucketed table: co-bucketed join stays shuffle-free
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import re as _re
+
+        plan = eng.sql(
+            "EXPLAIN FORMATTED SELECT f.k, max(d.name) AS nm "
+            "FROM fact f JOIN dim d ON f.k = d.k GROUP BY f.k"
+        ).df.collect()[0][0]
+        assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

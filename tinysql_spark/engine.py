@@ -218,6 +218,11 @@ class Engine:
         bucket id from the file-name suffix."""
         b = info.bucket
         tmp_tbl = f"__bucket_tmp_{uuid.uuid4().hex[:8]}"
+        # Align task partitions with bucket ids (repartition's
+        # HashPartitioning is the same murmur3-pmod the bucket id
+        # uses), so each task writes exactly one bucket: file count
+        # per write is bounded by num_buckets, not tasks x buckets.
+        df = df.repartition(b.num_buckets, *[F.col(c) for c in b.columns])
         (
             df.write.mode("overwrite")
             .format("parquet")
@@ -419,6 +424,46 @@ class Engine:
             self._write_swap(db, t, relaid)
         self.catalog.update()
         return Result(message=f"index {idx_name} created on {t}")
+
+    def _exec_optimize(self, stmt: str) -> Result:
+        """OPTIMIZE [TABLE] t — compact small files into the table's
+        declared layout (MySQL's OPTIMIZE TABLE surface; the reference
+        needs none because TiKV compacts inside the storage layer — a
+        parquet warehouse compacts by explicit rewrite).
+
+        Append-heavy tables accumulate one file set per INSERT; at
+        cluster scale the resulting tiny-file scans dominate task
+        overhead. Bucketed tables rewrite to one file per bucket;
+        indexed tables restore the range-partitioned + sorted backfill
+        layout; plain tables coalesce (no shuffle) to
+        ceil(bytes / @@optimize_target_mb, default 128 MiB)."""
+        m = P._OPTIMIZE_RE.match(stmt)
+        if not m:
+            raise ValueError(f"cannot parse OPTIMIZE: {stmt[:60]}")
+        db, t = self._qualify(m.group(1))
+        info = self.catalog.get_table(db, t)
+        data = self.catalog.data_dir(db, t)
+
+        def _n_files() -> int:
+            return sum(1 for f in os.listdir(data) if f.startswith("part-"))
+
+        before = _n_files()
+        total_bytes = sum(
+            os.path.getsize(os.path.join(data, f))
+            for f in os.listdir(data)
+            if f.startswith("part-")
+        )
+        target = int(self.sys_vars.get("optimize_target_mb", "128")) << 20
+        n = max(1, -(-total_bytes // target))
+        raw = self._raw(db, t)
+        if info.bucket:
+            self._write_swap(db, t, raw)  # bucketed writer: 1 file/bucket
+        elif info.indexes:
+            cols = info.indexes[0].columns
+            self._write_swap(db, t, raw.repartitionByRange(n, *cols))
+        else:
+            self._write_swap(db, t, raw.coalesce(n))
+        return Result(message=f"table {t} optimized: {before} -> {_n_files()} files")
 
     def _exec_drop_index(self, stmt: str) -> Result:
         m = P._DROP_INDEX_RE.match(stmt)

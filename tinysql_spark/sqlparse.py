@@ -85,6 +85,8 @@ def statement_kind(stmt: str) -> str:
         return "txn"
     if word == "ADMIN":
         return "admin"
+    if word == "OPTIMIZE":
+        return "optimize"
     if word == "CREATE":
         m = re.match(r"^\s*CREATE\s+(DATABASE|SCHEMA|TABLE|UNIQUE\s+INDEX|INDEX)", stmt, re.I)
         if not m:
@@ -331,6 +333,8 @@ def parse_insert(stmt: str) -> InsertStmt:
 _DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\s+([`\w.]+)\s*(?:WHERE\s+(.*))?$", re.I | re.S)
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([`\w.]+)\s*$", re.I)
 _USE_RE = re.compile(r"^\s*USE\s+([`\w]+)\s*$", re.I)
+_OPTIMIZE_RE = re.compile(r"^\s*OPTIMIZE\s+(?:TABLE\s+)?([`\w.]+)\s*$", re.I)
+
 _CREATE_DB_RE = re.compile(
     r"^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?([`\w]+)\s*$", re.I
 )
