@@ -28,3 +28,21 @@ def test_rows_only_runs(spark, sf_dir, name):
     n = df.count()
     assert n >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_q34_approx_error_bounds(spark, duck, sf_dir):
+    """q34 has no hash oracle (sketches are implementation-defined);
+    bound its error against exact answers instead: HLL++ distinct
+    within 5%, approx median within 2% of exact."""
+    from tinysql_spark.operators import REGISTRY
+
+    got = {r["o_orderstatus"]: r for r in REGISTRY["q34_approx_agg"].fn(spark, sf_dir).collect()}
+    exact = duck.execute(
+        "SELECT o_orderstatus, count(DISTINCT o_custkey) AS d,"
+        " median(o_totalprice) AS m FROM orders GROUP BY 1"
+    ).fetchall()
+    assert got
+    for status, d_exact, m_exact in exact:
+        r = got[status]
+        assert abs(r["approx_custs"] - d_exact) / d_exact < 0.05
+        assert abs(r["price_q"][0] - m_exact) / m_exact < 0.02

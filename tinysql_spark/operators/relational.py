@@ -909,3 +909,56 @@ def q32_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("total_o"),
         F.col("P").alias("total_p"),
     )
+
+
+@register(
+    "q33_window_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ntile(4)        OVER w AS quartile,
+           percent_rank()  OVER w AS pct_rank,
+           cume_dist()     OVER w AS cdist,
+           first_value(o_orderkey) OVER w AS cheapest_key
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution window family: ntile/percent_rank/cume_dist + "
+    "first_value over one shared exchange+sort. percent_rank and "
+    "cume_dist are emitted unrounded — they are single IEEE divisions "
+    "of integer counts, bit-identical across engines (rounding per-row "
+    "doubles is what diverges).",
+)
+def q33_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+    )
+
+
+@register(
+    "q34_approx_agg",
+    oracle=None,
+    doc="Approximate aggregates: HLL++ distinct counts and quantile "
+    "sketches per order status. Sketches are THE scale path for "
+    "cardinality/quantiles at 100 TB: fixed memory, one pass, "
+    "mergeable across partitions (the engine analog of the "
+    "reference's FMSketch/CMSketch stats, statistics/fmsketch.go). "
+    "Sketch outputs are implementation-defined, so this entry is "
+    "rows-only for the driver; tests bound the error vs exact.",
+)
+def q34_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs"),
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("price_q"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

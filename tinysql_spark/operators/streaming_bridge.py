@@ -63,3 +63,27 @@ def st01_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_value", 2).alias("sum_value"),
     )
+
+
+@register(
+    "st02_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Streaming stateful dedup drained through the batch contract: "
+    "dropDuplicatesWithinWatermark keys state on (user_id, event_type) "
+    "and emits each key's first arrival; projecting the key columns "
+    "makes the finite replay exactly DISTINCT over the same events. "
+    "Bounded state via watermark eviction is what keeps this runnable "
+    "on an unbounded stream.",
+)
+def st02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, _stage_events(sf_dir))
+    dedup = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = "st02_dedup_" + uuid.uuid4().hex[:8]
+    run_to_memory(dedup, name, output_mode="append")
+    return spark.table(name)
