@@ -1,0 +1,85 @@
+"""Unit tests for the dialect shim — statement splitting, user-var
+substitution, STRCMP rewrite. Mirrors the reference's parser tests
+(`/root/reference/parser/parser_test.go`) for the statement subset
+this engine hand-parses."""
+
+from __future__ import annotations
+
+from tinysql_spark.sqlparse import (
+    render_literal,
+    rewrite_strcmp,
+    split_statements,
+    substitute_user_vars,
+)
+
+
+class TestSubstituteUserVars:
+    def test_basic(self):
+        assert substitute_user_vars("SELECT @a", {"a": 5}) == "SELECT 5"
+
+    def test_unset_renders_null(self):
+        assert substitute_user_vars("SELECT @nope", {}) == "SELECT NULL"
+
+    def test_string_value_quoted(self):
+        assert substitute_user_vars("SELECT @s", {"s": "x'y"}) == "SELECT 'x\\'y'"
+
+    def test_at_inside_single_quotes_untouched(self):
+        sql = "SELECT * FROM t WHERE email = 'a@b.com'"
+        assert substitute_user_vars(sql, {"b": 1}) == sql
+
+    def test_at_inside_double_quotes_untouched(self):
+        sql = 'SELECT "@a" FROM t'
+        assert substitute_user_vars(sql, {"a": 1}) == sql
+
+    def test_at_inside_backticks_untouched(self):
+        sql = "SELECT `weird@col` FROM t"
+        assert substitute_user_vars(sql, {"weird": 1}) == sql
+
+    def test_mixed_quoted_and_real_var(self):
+        got = substitute_user_vars(
+            "SELECT @a FROM t WHERE email = 'a@b.com' AND x > @a", {"a": 7}
+        )
+        assert got == "SELECT 7 FROM t WHERE email = 'a@b.com' AND x > 7"
+
+    def test_sysvar_untouched(self):
+        sql = "SELECT @@max_connections"
+        assert substitute_user_vars(sql, {"max_connections": 1}) == sql
+
+    def test_escaped_quote_inside_literal(self):
+        sql = r"SELECT 'it\'s @a' FROM t"
+        assert substitute_user_vars(sql, {"a": 1}) == sql
+
+    def test_bare_at_passthrough(self):
+        sql = "SELECT '@' , x FROM t WHERE y = '@ @'"
+        assert substitute_user_vars(sql, {}) == sql
+
+    def test_no_vars_returns_same_object(self):
+        sql = "SELECT 1 FROM t WHERE email = 'a@b.com'"
+        assert substitute_user_vars(sql, {}) is sql
+
+
+class TestRenderLiteral:
+    def test_none(self):
+        assert render_literal(None) == "NULL"
+
+    def test_int_float(self):
+        assert render_literal(3) == "3"
+        assert render_literal(2.5) == "2.5"
+
+    def test_string_escaping(self):
+        assert render_literal("a'b\\c") == "'a\\'b\\\\c'"
+
+
+class TestStrcmp:
+    def test_rewrite_ignores_parens_in_strings(self):
+        out = rewrite_strcmp("SELECT STRCMP(a, ')')")
+        assert out.count("CASE WHEN") == 1
+
+    def test_nested(self):
+        out = rewrite_strcmp("SELECT STRCMP(lower(a), lower(b)) FROM t")
+        assert "STRCMP" not in out.upper().replace("CASE", "")
+
+
+class TestSplit:
+    def test_semicolon_in_string(self):
+        assert split_statements("SELECT ';'; SELECT 1") == ["SELECT ';'", "SELECT 1"]

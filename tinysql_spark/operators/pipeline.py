@@ -55,7 +55,7 @@ from .text import fingerprint, lang_pred
     )
     SELECT source, pred_lang,
            count(*) AS n_docs,
-           sum(length(text)) AS total_chars
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
     FROM deduped
     GROUP BY source, pred_lang
     """,

@@ -35,9 +35,21 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+def _ordered() -> list[tuple[str, QuerySpec]]:
+    """Registration order, but oracle-backed entries first.
+
+    The driver's correctness harness checks a bounded prefix of
+    ``queries()`` (first 50 entries in round 1); rows-only entries
+    (``oracle=None``) carry the least verification value, so they go
+    to the tail to keep every oracle-checked query inside the window.
+    """
+    items = list(REGISTRY.items())
+    return sorted(items, key=lambda kv: kv[1].oracle is None)  # stable
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: spec.fn for name, spec in _ordered()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+    return {name: spec.oracle for name, spec in _ordered() if spec.oracle}

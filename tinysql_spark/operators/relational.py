@@ -957,8 +957,12 @@ def q33_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q34_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    q = F.percentile_approx("o_totalprice", [0.5, 0.95], 10000)
     return orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs"),
-        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("price_q"),
+        # scalar columns, not array<double>: the driver canonicalizer
+        # hashes sorted values and cannot sort list cells
+        F.element_at(q, 1).alias("price_p50"),
+        F.element_at(q, 2).alias("price_p95"),
         F.count(F.lit(1)).alias("n_rows"),
     )

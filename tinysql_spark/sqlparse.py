@@ -409,15 +409,53 @@ def substitute_user_vars(sql: str, user_vars: dict[str, object]) -> str:
     (expression/builtin_other.go:238-281); constant substitution covers
     the session-scoped usage (SURVEY §7.2 documents the row-order-
     dependent SetVar-in-stream case as unsupported).
+
+    Quote-aware: ``@`` inside '...'/"..."/`...` literals is data, not a
+    variable reference (``WHERE email = 'a@b.com'`` must pass through
+    untouched). ``@@sysvar`` references are also left alone.
     """
-
-    def repl(m: re.Match) -> str:
-        name = m.group(1).lower()
-        v = user_vars.get(name)
-        return render_literal(v)
-
-    # don't touch @@sysvars
-    return re.sub(r"(?<!@)@(\w+)", repl, sql)
+    out = []
+    i, n = 0, len(sql)
+    quote = None
+    changed = False
+    while i < n:
+        ch = sql[i]
+        if quote:
+            out.append(ch)
+            if ch == "\\" and quote in "'\"" and i + 1 < n:
+                out.append(sql[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+            i += 1
+        elif ch in ("'", '"', "`"):
+            quote = ch
+            out.append(ch)
+            i += 1
+        elif ch == "@":
+            if i + 1 < n and sql[i + 1] == "@":  # @@sysvar: pass through
+                j = i + 2
+                while j < n and (sql[j].isalnum() or sql[j] in "_."):
+                    j += 1
+                out.append(sql[i:j])
+                i = j
+            else:
+                j = i + 1
+                while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                    j += 1
+                if j == i + 1:  # bare '@' with no name
+                    out.append(ch)
+                    i += 1
+                else:
+                    name = sql[i + 1 : j].lower()
+                    out.append(render_literal(user_vars.get(name)))
+                    changed = True
+                    i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out) if changed else sql
 
 
 def render_literal(v: object) -> str:
