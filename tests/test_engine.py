@@ -133,6 +133,49 @@ def test_insert_duplicate_pk_rejected(eng):
         eng.sql("INSERT INTO t VALUES (1, 20)")
 
 
+def test_insert_duplicate_within_batch_rejected(eng):
+    # reference: executor/insert.go — the batch itself must satisfy the
+    # key, not only batch-vs-existing
+    eng.sql("CREATE TABLE t (a int primary key, b int)")
+    with pytest.raises(ValueError, match="duplicate key"):
+        eng.sql("INSERT INTO t VALUES (1, 10), (1, 20)")
+    assert rows(eng.sql("SELECT * FROM t")) == []
+
+
+def test_insert_null_keys_never_conflict(eng):
+    eng.sql("CREATE TABLE t (a int, b int, UNIQUE KEY ua (a))")
+    eng.sql("INSERT INTO t VALUES (NULL, 1), (NULL, 2)")
+    eng.sql("INSERT INTO t VALUES (NULL, 3)")
+    assert len(rows(eng.sql("SELECT * FROM t"))) == 3
+
+
+def test_insert_job_count_independent_of_width(eng):
+    """NOT NULL validation is ONE aggregation job for all columns, not
+    one job per column (VERDICT r01 item 7): the Spark job count of an
+    INSERT must not grow with the number of non-nullable columns.
+    (AQE splits shuffle queries into several jobs, so the absolute
+    count is environment-dependent; the width-independence is the
+    invariant.)"""
+
+    def insert_jobs(table: str, n_cols: int) -> int:
+        cols = ", ".join(f"c{i} int NOT NULL" for i in range(n_cols))
+        eng.sql(f"CREATE TABLE {table} (id int primary key, {cols})")
+        vals = ", ".join(str(i) for i in range(n_cols))
+        sc = eng.spark.sparkContext
+        group = f"insert-jobs-{table}"
+        sc.setJobGroup(group, "count jobs for one INSERT")
+        try:
+            eng.sql(f"INSERT INTO {table} VALUES (1, {vals})")
+        finally:
+            sc._jsc.clearJobGroup()
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    narrow = insert_jobs("narrow_t", 2)
+    wide = insert_jobs("wide_t", 12)
+    assert narrow > 0
+    assert wide == narrow, f"jobs grew with width: {narrow} -> {wide}"
+
+
 # ---------------------------------------------------------------------------
 # REPLACE  (reference: executor/replace.go, write_test.go)
 # ---------------------------------------------------------------------------
@@ -158,6 +201,14 @@ def test_replace_unique_index_conflict(eng):
     eng.sql("INSERT INTO t VALUES (1, 10), (2, 20)")
     eng.sql("REPLACE INTO t VALUES (3, 10)")  # kicks out a=1 via unique b
     assert rows(eng.sql("SELECT a, b FROM t")) == [(2, 20), (3, 10)]
+
+
+def test_replace_batch_keeps_last_per_key(eng):
+    # reference: executor/replace.go — each tuple replaces the previous
+    # one within the same statement; the last write wins
+    eng.sql("CREATE TABLE t (a int primary key, b int)")
+    eng.sql("REPLACE INTO t VALUES (1, 10), (1, 20), (1, 30), (2, 5)")
+    assert rows(eng.sql("SELECT a, b FROM t")) == [(1, 30), (2, 5)]
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,7 @@ REPLACE as anti-join + atomic swap.
 
 from __future__ import annotations
 
+import functools
 import os
 import re
 import shutil
@@ -510,10 +511,14 @@ class Engine:
     # DML — reference: executor/insert.go, replace.go, delete.go
     # ------------------------------------------------------------------
 
-    def _values_df(self, ins: P.InsertStmt, info: TableInfo) -> DataFrame:
+    def _values_df(self, ins: P.InsertStmt, info: TableInfo) -> tuple[DataFrame, int]:
         """Evaluate the VALUES tuples (or trailing SELECT) into a
         DataFrame with the table's user columns, applying declared
-        defaults for omitted columns (insert_common.go:77-198)."""
+        defaults for omitted columns (insert_common.go:77-198).
+
+        Returns (df, row_count): the count rides the same single
+        aggregation job as NOT NULL validation, so an INSERT pays one
+        validation job regardless of table width."""
         target_cols = ins.columns or [c.name for c in info.columns]
         for c in target_cols:
             if info.column(c) is None:
@@ -541,28 +546,36 @@ class Engine:
                 e = F.lit(None)
             exprs.append(e.cast(c.spark_type()).alias(c.name))
         out = src.select(*exprs)
-        # NOT NULL enforcement (reference: table/tables.go CheckNotNull)
-        for c in info.columns:
-            if not c.nullable:
-                if out.filter(F.col(c.name).isNull()).limit(1).count() > 0:
-                    raise ValueError(f"column {c.name!r} cannot be null")
-        return out
+        # NOT NULL enforcement (reference: table/tables.go CheckNotNull).
+        # One aggregation job for ALL non-nullable columns — a wide
+        # table must not pay one Spark job per column per INSERT — and
+        # the batch row count shares the same job.
+        nn_cols = [c.name for c in info.columns if not c.nullable]
+        flags = out.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.max(F.col(c).isNull().cast("int")).alias(c) for c in nn_cols],
+        ).collect()[0]
+        for c in nn_cols:
+            if flags[c]:
+                raise ValueError(f"column {c!r} cannot be null")
+        return out, int(flags["__n"])
 
     # batches up to this size get dense rowids via a single-partition
     # window; larger batches use sparse per-partition allocation that
     # never funnels data through one task (100 TB INSERT..SELECT path)
     _DENSE_ROWID_MAX = 100_000
 
-    def _assign_rowids(self, df: DataFrame, info: TableInfo) -> tuple[DataFrame, int]:
+    def _assign_rowids(self, df: DataFrame, info: TableInfo, n: int) -> tuple[DataFrame, int]:
         """Rowid assignment from the table's allocator (reference:
         meta/autoid — which also hands out sparse per-node ranges).
 
+        ``n`` is the batch row count (already measured by the
+        validation job in _values_df — no extra count job here).
         Small batches: dense ids via row_number (one-partition window —
         fine for VALUES lists). Large batches: sparse ids — each
         partition gets a disjoint 2^33 range on top of next_rowid via
         monotonically_increasing_id, fully parallel; the allocator then
         advances past the largest handed-out range."""
-        n = df.count()
         start = info.next_rowid
         if n <= self._DENSE_ROWID_MAX:
             w = Window.orderBy(F.monotonically_increasing_id())
@@ -582,17 +595,32 @@ class Engine:
         ins = P.parse_insert(stmt)
         db, t = self._qualify(ins.table)
         info = self.catalog.get_table(db, t)
-        new_df = self._values_df(ins, info)
+        new_df, n_batch = self._values_df(ins, info)
         if ins.is_replace:
-            return self._do_replace(db, t, info, new_df)
-        with_ids, n = self._assign_rowids(new_df, info)
-        # unique-key conflict check against existing data (dup-key error
-        # on plain INSERT — reference: executor/insert.go)
+            return self._do_replace(db, t, info, new_df, n_batch)
+        with_ids, n = self._assign_rowids(new_df, info, n_batch)
+        # unique-key conflict check: both against existing data AND
+        # within the inserted batch itself (INSERT VALUES (1),(1) on a
+        # PK must error — reference: executor/insert.go dup-key path).
+        # One job per key: union batch keys with (distinct) existing
+        # keys; any tuple seen more than once is a violation. Rows with
+        # a NULL in any key column never conflict (MySQL semantics).
         raw = self._raw(db, t)
         for key in info.unique_keys():
-            cond = [with_ids[k].eqNullSafe(raw[k]) & raw[k].isNotNull() for k in key]
-            conflict = with_ids.join(raw, on=cond, how="inner").limit(1).count()
-            if conflict:
+            notnull = functools.reduce(
+                lambda a, b: a & b, [F.col(k).isNotNull() for k in key]
+            )
+            batch_keys = with_ids.select(*key).filter(notnull)
+            exist_keys = raw.select(*key).filter(notnull).distinct()
+            dup = (
+                batch_keys.unionAll(exist_keys)
+                .groupBy(*key)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
                 raise ValueError(f"duplicate key on {key} in table {t}")
         self._append(db, t, with_ids)
         self.catalog.update()
@@ -601,16 +629,36 @@ class Engine:
     def _exec_replace(self, stmt: str) -> Result:
         return self._exec_insert(stmt)
 
-    def _do_replace(self, db: str, t: str, info: TableInfo, new_df: DataFrame) -> Result:
+    def _do_replace(
+        self, db: str, t: str, info: TableInfo, new_df: DataFrame, n_batch: int
+    ) -> Result:
         """REPLACE: delete rows conflicting on any PK/unique key, then
         insert (reference: executor/replace.go:29)."""
-        with_ids, n = self._assign_rowids(new_df, info)
+        with_ids, n = self._assign_rowids(new_df, info, n_batch)
         raw = self._raw(db, t)
         keys = info.unique_keys()
         if not keys:
             self._append(db, t, with_ids)
             self.catalog.update()
             return Result(rows_affected=n, message=f"{n} rows inserted")
+        # dedup the batch itself: REPLACE with two same-key tuples keeps
+        # only the LAST one (reference: executor/replace.go — each tuple
+        # replaces the previous). Keep max rowid per key; rows with a
+        # NULL key column are exempt (NULLs never conflict).
+        for key in keys:
+            notnull = functools.reduce(
+                lambda a, b: a & b, [F.col(k).isNotNull() for k in key]
+            )
+            w = Window.partitionBy(*key).orderBy(F.desc(ROWID))
+            with_ids = (
+                with_ids.withColumn(
+                    "_rn",
+                    F.when(notnull, F.row_number().over(w)).otherwise(F.lit(1)),
+                )
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        n = with_ids.count()
         keep = raw
         n_deleted = 0
         for key in keys:
