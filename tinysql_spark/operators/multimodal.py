@@ -70,16 +70,20 @@ _DECODE_SCHEMA = T.StructType(
 def _fake_decode(payload: bytes) -> list[float]:
     """STUB for the real codec (image decode / audio resample).
 
-    Deterministic fake: 4 coarse byte-histogram features. Replace with
-    e.g. PIL/torchaudio in a real deployment; keep the signature.
+    Deterministic fake: 4 coarse byte-histogram features, computed
+    vectorized (numpy bincount over the raw buffer — never a Python
+    per-byte loop, so the stub's cost profile matches what the Arrow
+    plumbing around it is demonstrating). Replace with e.g.
+    PIL/torchaudio in a real deployment; keep the signature.
     """
+    import numpy as np
+
     if payload is None:
         return []
-    counts = [0, 0, 0, 0]
-    for by in payload:
-        counts[by >> 6] += 1
-    total = max(len(payload), 1)
-    return [c / total for c in counts]
+    if len(payload) == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    counts = np.bincount(np.frombuffer(payload, dtype=np.uint8) >> 6, minlength=4)
+    return (counts / len(payload)).tolist()
 
 
 def decode_features(payloads: DataFrame) -> DataFrame:

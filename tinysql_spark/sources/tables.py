@@ -30,7 +30,23 @@ TPCH_TABLES = (
 BROADCAST_TABLES = {"region", "nation"}
 
 
+# Analyzed-DataFrame cache: spark.read.parquet runs a footer
+# schema-read job per call; caching the DataFrame (lazy plan, immutable)
+# makes repeated load_table calls — and therefore plan CONSTRUCTION in
+# every operator — job-free after first touch of a table.
+_LOADED: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    df = _LOADED.get(key)
+    if df is None:
+        df = _load_table(spark, sf_dir, name)
+        _LOADED[key] = df
+    return df
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
