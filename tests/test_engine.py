@@ -331,6 +331,29 @@ def test_explain_and_analyze(eng):
     eng.sql("ANALYZE TABLE t")  # must not raise
 
 
+def test_explain_dml(eng):
+    """ExplainableStmt covers DML (reference: parser/parser.y:4545-4550
+    — EXPLAIN {SELECT|DELETE|INSERT|REPLACE}): DML explains as the
+    write node + the underlying read plan, without executing."""
+    eng.sql("CREATE TABLE t (a int primary key, b int)")
+    eng.sql("INSERT INTO t VALUES (1, 2)")
+
+    plan = eng.sql("EXPLAIN INSERT INTO t VALUES (3, 4)").df.collect()[0][0]
+    assert "InsertExec" in plan and "t" in plan
+
+    plan = eng.sql("EXPLAIN REPLACE INTO t VALUES (1, 9)").df.collect()[0][0]
+    assert "ReplaceExec" in plan
+
+    plan = eng.sql("EXPLAIN DELETE FROM t WHERE b > 0").df.collect()[0][0]
+    assert "DeleteExec" in plan and ("Filter" in plan or "Scan" in plan)
+
+    plan = eng.sql("EXPLAIN INSERT INTO t SELECT a + 10, b FROM t").df.collect()[0][0]
+    assert "InsertExec" in plan and "Scan" in plan
+
+    # explaining must not have modified anything
+    assert rows(eng.sql("SELECT a, b FROM t")) == [(1, 2)]
+
+
 def test_txn_noops(eng):
     for s in ["BEGIN", "COMMIT", "ROLLBACK"]:
         assert "no-op" in eng.sql(s).message

@@ -185,6 +185,17 @@ def test_q32_pivot_single_pass(q):
     assert has_partial_aggregate(df)
 
 
+def test_q35_is_sort_merge_join(q):
+    """MergeJoinExec parity evidence (reference: executor/merge_join.go
+    :31-100): the large-large join must plan as SortMergeJoin, not a
+    broadcast — at 100 TB neither fact side fits in a broadcast."""
+    js = join_strategies(q("q35_merge_join"))
+    assert js and set(js) == {"SortMergeJoin"}, js
+    # the orders status filter still reaches the scan below the SMJ
+    assert any("o_orderstatus" in f for f in pushed_filters(q("q35_merge_join")))
+    assert has_partial_aggregate(q("q35_merge_join"))
+
+
 def test_no_eager_job_building_any_batch_query(spark, sf_dir):
     """Building a queries() DataFrame must not trigger a Spark job —
     collects/counts in an operator path would serialize the driver at

@@ -111,3 +111,42 @@ def test_show_stats_statement(spark, tmp_path):
     assert got["a"]["Rows"] == 3 and got["a"]["NDV"] == 2
     assert got["b"]["Nulls"] == 1
     assert got["a"]["Hist_bounds"] == 17
+
+
+def test_analyze_stats_flip_join_strategy(spark, tmp_path):
+    """CBO wiring proof (SURVEY §4.3, reference: joinReOrderSolver +
+    DataSource.DeriveStats): ANALYZE-produced stats must actually
+    change Catalyst's physical choice. A selective dim filter is
+    opaque without column stats (filter size = table size -> SMJ);
+    with cbo.enabled + stats, the estimated post-filter size drops
+    under the broadcast threshold -> BroadcastHashJoin."""
+    from tinysql_spark.engine import Engine
+    from tinysql_spark.plans.inspect import join_strategies, plan_string
+
+    eng = Engine(spark, str(tmp_path / "wh_cbo"))
+    eng.sql("CREATE TABLE dim (k int, v int)")
+    eng.sql("CREATE TABLE fact (k int, x int)")
+    eng.sql("INSERT INTO dim SELECT CAST(id AS INT), CAST(id % 500 AS INT) FROM range(2000)")
+    eng.sql("INSERT INTO fact SELECT CAST(id % 2000 AS INT), CAST(id AS INT) FROM range(4000)")
+    q = "SELECT fact.k AS k, x, v FROM fact JOIN dim ON fact.k = dim.k WHERE dim.v = 7"
+
+    old_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+
+        before = join_strategies(eng.sql(q).df)
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before
+
+        eng.sql("ANALYZE TABLE dim")
+        eng.sql("ANALYZE TABLE fact")
+
+        df = eng.sql(q).df
+        after = join_strategies(df)
+        assert "BroadcastHashJoin" in after, after
+        # stats are visible to the cost model (EXPLAIN COST rowCount)
+        assert "rowCount" in plan_string(df, "cost")
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)

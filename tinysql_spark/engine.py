@@ -305,7 +305,55 @@ class Engine:
             mode, body = body.split(None, 1)
         else:
             mode = "FORMATTED"
+        # ExplainableStmt covers DML too (reference:
+        # parser/parser.y:4545-4550 — SELECT, DELETE, INSERT, REPLACE);
+        # DML explains as the underlying read plan + a write node line.
+        kind = P.statement_kind(body)
+        if kind in ("insert", "replace"):
+            return self._explain_write(body, mode)
+        if kind == "delete":
+            return self._explain_delete(body, mode)
         return Result(df=self.spark.sql(f"EXPLAIN {mode} {self._rewrite(body)}"))
+
+    def _plan_text_df(self, header: str, df: DataFrame, mode: str):
+        from .plans.inspect import plan_string
+
+        text = header + "\n" + plan_string(df, mode.lower())
+        return Result(df=self.spark.createDataFrame([(text,)], "plan string"))
+
+    def _explain_write(self, body: str, mode: str) -> Result:
+        ins = P.parse_insert(body)
+        db, t = self._qualify(ins.table)
+        info = self.catalog.get_table(db, t)
+        src = self._values_plan(ins, info)
+        verb = "ReplaceExec" if ins.is_replace else "InsertExec"
+        detail = "unique-key delete + insert, atomic swap" if ins.is_replace else "append"
+        header = f"{verb}: table={db}.{t} ({detail}, parquet)\n+- source plan:"
+        return self._plan_text_df(header, src, mode)
+
+    def _explain_delete(self, body: str, mode: str) -> Result:
+        m = P._DELETE_RE.match(body)
+        if not m:
+            raise ValueError(f"cannot parse DELETE: {body[:60]}")
+        db, t = self._qualify(m.group(1))
+        raw = self._raw(db, t)
+        cond = m.group(2)
+        if cond is None:
+            keep = raw.limit(0)
+        else:
+            view = f"__explain_del_{t}_{uuid.uuid4().hex[:6]}"
+            raw.createOrReplaceTempView(view)
+            try:
+                keep = self.spark.sql(
+                    f"SELECT * FROM {view} WHERE NOT coalesce(({self._rewrite(cond)}), false)"
+                )
+            finally:
+                self.spark.catalog.dropTempView(view)
+        header = (
+            f"DeleteExec: table={db}.{t} (keep-rows rewrite, atomic dir swap)\n"
+            "+- kept-rows plan:"
+        )
+        return self._plan_text_df(header, keep, mode)
 
     # ------------------------------------------------------------------
     # DDL — reference: executor/ddl.go:35, ddl/ddl_api.go
@@ -511,14 +559,11 @@ class Engine:
     # DML — reference: executor/insert.go, replace.go, delete.go
     # ------------------------------------------------------------------
 
-    def _values_df(self, ins: P.InsertStmt, info: TableInfo) -> tuple[DataFrame, int]:
-        """Evaluate the VALUES tuples (or trailing SELECT) into a
-        DataFrame with the table's user columns, applying declared
-        defaults for omitted columns (insert_common.go:77-198).
-
-        Returns (df, row_count): the count rides the same single
-        aggregation job as NOT NULL validation, so an INSERT pays one
-        validation job regardless of table width."""
+    def _values_plan(self, ins: P.InsertStmt, info: TableInfo) -> DataFrame:
+        """Build the source plan of an INSERT/REPLACE (VALUES tuples or
+        trailing SELECT projected to the table's declared columns with
+        defaults applied — insert_common.go:77-198) WITHOUT running any
+        job; shared by execution and EXPLAIN."""
         target_cols = ins.columns or [c.name for c in info.columns]
         for c in target_cols:
             if info.column(c) is None:
@@ -545,11 +590,14 @@ class Engine:
             else:
                 e = F.lit(None)
             exprs.append(e.cast(c.spark_type()).alias(c.name))
-        out = src.select(*exprs)
-        # NOT NULL enforcement (reference: table/tables.go CheckNotNull).
-        # One aggregation job for ALL non-nullable columns — a wide
-        # table must not pay one Spark job per column per INSERT — and
-        # the batch row count shares the same job.
+        return src.select(*exprs)
+
+    def _values_df(self, ins: P.InsertStmt, info: TableInfo) -> tuple[DataFrame, int]:
+        """_values_plan + validation. Returns (df, row_count): the
+        count rides the same single aggregation job as NOT NULL
+        validation, so an INSERT pays one validation job regardless of
+        table width (reference: table/tables.go CheckNotNull)."""
+        out = self._values_plan(ins, info)
         nn_cols = [c.name for c in info.columns if not c.nullable]
         flags = out.agg(
             F.count(F.lit(1)).alias("__n"),

@@ -609,6 +609,40 @@ def q22_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q35_merge_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="Large-large equi-join pinned to the SORT-MERGE path (merge "
+    "hint): lineitem ⋈ orders are both fact-sized, so at 100 TB "
+    "neither side broadcasts and SMJ's sort+spill discipline is the "
+    "safe strategy. Evidences MergeJoinExec parity (reference: "
+    "executor/merge_join.go:31-100 — ordered children, rowsWithSameKey "
+    "grouping); Spark's SMJ additionally spills, which the reference's "
+    "in-memory executor cannot. Plan test pins the SortMergeJoin node.",
+)
+def q35_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.hint("merge")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Grouping sets: ROLLUP / CUBE / GROUPING SETS (multi-level aggregation)
 # --------------------------------------------------------------------------
