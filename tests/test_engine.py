@@ -438,6 +438,53 @@ def test_admin_show_ddl_jobs(eng):
     assert ("drop_table", "j1", "synced") in kinds
     # job ids are dense and ordered
     assert [r[0] for r in got] == list(range(1, len(got) + 1))
+    # JOBS n — the most recent n (parser.y:4383 JobNumber)
+    last2 = [tuple(r) for r in eng.sql("ADMIN SHOW DDL JOBS 2").df.collect()]
+    assert last2 == got[-2:]
+    # WHERE filters on the result columns (parser.y:4374 WhereClauseOptional)
+    only_idx = eng.sql("ADMIN SHOW DDL JOBS WHERE JOB_TYPE = 'create_index'").df.collect()
+    assert {r["JOB_TYPE"] for r in only_idx} == {"create_index"}
+
+
+def test_admin_check_table_ok(eng):
+    eng.sql("CREATE TABLE chk (id int NOT NULL, v varchar(16), PRIMARY KEY (id))")
+    eng.sql("CREATE UNIQUE INDEX uv ON chk (v)")
+    eng.sql("INSERT INTO chk VALUES (1,'a'), (2,'b'), (3,NULL), (4,NULL)")
+    got = [tuple(r) for r in eng.sql("ADMIN CHECK TABLE chk").df.collect()]
+    assert got == [("chk", 4, "OK")]
+    got = [tuple(r) for r in eng.sql("ADMIN CHECK INDEX chk uv").df.collect()]
+    assert got == [("chk", 4, "OK")]
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("ADMIN CHECK INDEX chk nope")
+
+
+def test_admin_check_table_detects_corruption(eng, spark):
+    """Bypass the engine's INSERT validation by appending a parquet
+    file straight into the data dir (a crashed writer / foreign tool),
+    then assert ADMIN CHECK TABLE reports the violation — the
+    ErrAdminCheckTable analog (executor/errors.go:37)."""
+    eng.sql("CREATE TABLE corr (id int NOT NULL, PRIMARY KEY (id))")
+    eng.sql("INSERT INTO corr VALUES (1), (2)")
+    db, t = eng._qualify("corr")
+    data_dir = eng.catalog.data_dir(db, t)
+    rogue = spark.createDataFrame([(1, 1)], "_rowid: bigint, id: int")
+    rogue.write.mode("append").parquet(data_dir)
+    with pytest.raises(ValueError, match="duplicate _rowid"):
+        eng.sql("ADMIN CHECK TABLE corr")
+
+
+def test_admin_check_table_detects_dup_key(eng, spark):
+    eng.sql("CREATE TABLE corr2 (id int, PRIMARY KEY (id))")
+    eng.sql("INSERT INTO corr2 VALUES (1), (2)")
+    db, t = eng._qualify("corr2")
+    rogue = spark.createDataFrame([(99, 2)], "_rowid: bigint, id: int")
+    rogue.write.mode("append").parquet(eng.catalog.data_dir(db, t))
+    # rowid allocator is now behind the injected handle 99
+    with pytest.raises(ValueError, match="allocator behind data"):
+        eng.sql("ADMIN CHECK TABLE corr2")
+    eng.catalog.get_table(db, t).next_rowid = 100
+    with pytest.raises(ValueError, match="duplicate key"):
+        eng.sql("ADMIN CHECK TABLE corr2")
 
 
 def test_attach_csv_json_and_export(eng, tmp_path, spark):

@@ -846,21 +846,104 @@ class Engine:
         raise ValueError(f"unsupported SHOW: {stmt[:60]}")
 
     def _exec_admin(self, stmt: str) -> Result:
-        """ADMIN SHOW DDL [JOBS] — the reference's DDL introspection
-        (executor/executor.go:165 ShowDDLExec, :205 ShowDDLJobsExec).
-        DDL here is synchronous, so every job is 'synced'."""
-        up = P.re.sub(r"\s+", " ", stmt.strip().upper())
-        if up in ("ADMIN SHOW DDL JOBS", "ADMIN SHOW DDL"):
+        """ADMIN statements — the reference's introspection/consistency
+        surface (grammar: parser.y:4369-4392 AdminStmt):
+
+        - ``ADMIN SHOW DDL`` / ``ADMIN SHOW DDL JOBS [n] [WHERE ...]``
+          (executor/executor.go:165 ShowDDLExec, :205 ShowDDLJobsExec;
+          JobNumber + Where per parser.y:4383-4392). DDL here is
+          synchronous, so every job is 'synced'.
+        - ``ADMIN CHECK TABLE t[, ...]`` / ``ADMIN CHECK INDEX t idx``
+          — data/constraint consistency audit, the surface behind
+          ErrAdminCheckTable (executor/errors.go:37). Validates, in ONE
+          aggregate job per table: rowid-handle uniqueness, NOT NULL
+          columns, plus one groupBy job per declared unique key.
+        """
+        norm = P.re.sub(r"\s+", " ", stmt.strip())
+        m = P.re.match(r"(?i)^ADMIN SHOW DDL( JOBS(?: (\d+))?( WHERE .+)?)?$", norm)
+        if m:
             rows = [
                 (i + 1, j["type"], j["target"], "synced", j["query"])
                 for i, j in enumerate(self.ddl_jobs)
             ]
+            if m.group(2):  # JOBS n — the most recent n jobs
+                rows = rows[-int(m.group(2)) :]
             df = self.spark.createDataFrame(
                 rows or [],
                 "JOB_ID: bigint, JOB_TYPE: string, TARGET: string, STATE: string, QUERY: string",
             )
+            if m.group(3):  # WHERE on the result columns
+                df = df.filter(m.group(3)[7:])
+            return Result(df=df)
+        m = P.re.match(r"(?i)^ADMIN CHECK TABLE (.+)$", norm)
+        if m:
+            tables = [P.unquote_ident(t.strip()) for t in m.group(1).split(",")]
+            rows = [self._admin_check_one(*self._qualify(t)) for t in tables]
+            df = self.spark.createDataFrame(
+                rows, "TABLE_NAME: string, ROW_COUNT: bigint, STATUS: string"
+            )
+            return Result(df=df)
+        m = P.re.match(r"(?i)^ADMIN CHECK INDEX ([`\w.]+) ([`\w]+)$", norm)
+        if m:
+            db, t = self._qualify(m.group(1))
+            idx_name = P.unquote_ident(m.group(2))
+            info = self.catalog.get_table(db, t)
+            idx = next((i for i in info.indexes if i.name == idx_name), None)
+            if idx is None:
+                raise ValueError(f"index {idx_name} does not exist on {t}")
+            row = self._admin_check_one(db, t, only_index=idx)
+            df = self.spark.createDataFrame(
+                [row], "TABLE_NAME: string, ROW_COUNT: bigint, STATUS: string"
+            )
             return Result(df=df)
         raise ValueError(f"unsupported ADMIN: {stmt[:60]}")
+
+    def _admin_check_one(
+        self, db: str, t: str, only_index: IndexInfo | None = None
+    ) -> tuple[str, int, str]:
+        """One-pass consistency audit of a stored table. Raises (the
+        ErrAdminCheckTable analog, executor/errors.go:37) on the first
+        violation; returns (table, row_count, 'OK') when clean."""
+        info = self.catalog.get_table(db, t)
+        raw = self._raw(db, t)
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(ROWID)).alias("n_rowid"),
+            F.max(F.col(ROWID)).alias("max_rowid"),
+        ]
+        notnull = [] if only_index else [c.name for c in info.columns if not c.nullable]
+        for c in notnull:
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+        s = raw.agg(*aggs).collect()[0]
+        if s["n_rowid"] != s["n"]:
+            raise ValueError(
+                f"admin check table {t} failed: duplicate _rowid handles "
+                f"({s['n']} rows, {s['n_rowid']} distinct)"
+            )
+        if s["n"] and s["max_rowid"] >= info.next_rowid:
+            raise ValueError(
+                f"admin check table {t} failed: rowid {s['max_rowid']} >= "
+                f"next_rowid {info.next_rowid} (allocator behind data)"
+            )
+        for c in notnull:
+            if s[f"nn_{c}"]:
+                raise ValueError(
+                    f"admin check table {t} failed: {s[f'nn_{c}']} NULLs in NOT NULL column {c}"
+                )
+        keys = [only_index.columns] if only_index and only_index.unique else (
+            [] if only_index else info.unique_keys()
+        )
+        for key in keys:
+            nn = raw
+            for c in key:  # MySQL unique semantics: NULLs never collide
+                nn = nn.filter(F.col(c).isNotNull())
+            dup = nn.groupBy(*key).count().filter(F.col("count") > 1).limit(1).collect()
+            if dup:
+                raise ValueError(
+                    f"admin check table {t} failed: duplicate key {tuple(dup[0])[:-1]} "
+                    f"for unique key ({', '.join(key)})"
+                )
+        return (t, s["n"], "OK")
 
     def _log_ddl(self, type_: str, target: str, query: str) -> None:
         self.ddl_jobs.append({"type": type_, "target": target, "query": query.strip()})

@@ -1000,3 +1000,48 @@ def q34_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(q, 2).alias("price_p95"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "q36_first_row",
+    late=True,
+    oracle="""
+    SELECT l_returnflag,
+           arg_min(l_linestatus, filename || lpad(CAST(file_row_number AS VARCHAR), 12, '0'))
+             AS first_status,
+           arg_min(l_quantity, filename || lpad(CAST(file_row_number AS VARCHAR), 12, '0'))
+             AS first_qty,
+           count(*) AS n_rows
+    FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet',
+                      filename=true, file_row_number=true)
+    GROUP BY l_returnflag
+    """,
+    doc="FIRST_ROW with exact scan-order semantics (reference: "
+    "executor/aggfuncs/func_first_row.go — first value per group in "
+    "execution order). Spark's first() is nondeterministic under "
+    "parallel scan, so the scan position is made EXPLICIT: min_by over "
+    "the parquet metadata key (file_name, row_index), which is the "
+    "reference's 'first row encountered' under a deterministic "
+    "single-pass scan, stable across partitioning and retries. "
+    "Map-side combinable agg — one shuffle, no sort, scales like any "
+    "min(). Oracle pins the identical order via read_parquet "
+    "file_row_number (path is literal: DuckDB metadata cols are scan "
+    "options, not view columns; the driver checks at sf0.01).",
+)
+def q36_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        # lexicographic composite == (file, row) scan order; a plain
+        # string key because the oracle's arg_min needs a scalar too
+        F.concat(
+            F.col("_metadata.file_name"),
+            F.lpad(F.col("_metadata.row_index").cast("string"), 12, "0"),
+        ).alias("_scan_pos"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.min_by("l_linestatus", F.col("_scan_pos")).alias("first_status"),
+        F.min_by("l_quantity", F.col("_scan_pos")).alias("first_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
