@@ -1045,3 +1045,38 @@ def q36_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("l_quantity", F.col("_scan_pos")).alias("first_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "q37_json_props",
+    late=True,
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY event_type, k_mod
+    """,
+    doc="Semi-structured JSON property extraction + aggregation: "
+    "get_json_object pulls the typed field JVM-side (no Python), "
+    "then a partial-agg groupBy. The pattern for every metadata "
+    "sidecar a training pipeline carries as JSON strings; at scale "
+    "prefer from_json with an explicit schema once fields are known "
+    "(constant-folds the parse into codegen) — both stay one "
+    "shuffle.",
+)
+def q37_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod"),
+            "value",
+        )
+        .groupBy("event_type", "k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )

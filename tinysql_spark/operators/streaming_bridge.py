@@ -87,3 +87,60 @@ def st02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "st02_dedup_" + uuid.uuid4().hex[:8]
     run_to_memory(dedup, name, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "st03_stream_join",
+    late=True,
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           round(p.value, 2) AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream interval join (view -> purchase attribution "
+    "within 30 min, keyed on user): both sides watermarked, the "
+    "event-time range condition bounds join state so either side's "
+    "buffer evicts once the watermark passes ts + 30 min — the "
+    "property that keeps an unbounded-stream join in bounded memory. "
+    "Finite replay through availableNow must emit exactly the batch "
+    "interval-join answer (the oracle). Spark plans this as "
+    "StreamingSymmetricHashJoin keyed on user_id; at 100 TB state is "
+    "hash-partitioned by key across executors.",
+)
+def st03_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        read_event_stream(spark, _stage_events(sf_dir))
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        read_event_stream(spark, _stage_events(sf_dir))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = user_id AND p_ts >= view_ts "
+            "AND p_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        "view_id", "purchase_id", "user_id", F.round("p_value", 2).alias("purchase_value")
+    )
+    name = "st03_join_" + uuid.uuid4().hex[:8]
+    run_to_memory(joined, name, output_mode="append")
+    return spark.table(name)
