@@ -505,3 +505,22 @@ def test_attach_csv_json_and_export(eng, tmp_path, spark):
     # external csv is read-only like any attached table
     with pytest.raises(ValueError, match="read-only external"):
         eng.sql("DELETE FROM src_csv WHERE a = 1")
+
+
+def test_explain_synonyms_and_format(eng):
+    """DESCRIBE/DESC are EXPLAIN synonyms over ExplainableStmt, and
+    FORMAT = 'row'|'dot' parses (parser.y:2128-2153)."""
+    eng.sql("CREATE TABLE ex (a int)")
+    eng.sql("INSERT INTO ex VALUES (1)")
+    for q in (
+        "DESC SELECT * FROM ex",
+        "DESCRIBE SELECT a FROM ex WHERE a > 0",
+        "EXPLAIN FORMAT = 'row' SELECT * FROM ex",
+        "EXPLAIN FORMAT = 'dot' SELECT * FROM ex",
+        "DESC DELETE FROM ex WHERE a = 1",
+    ):
+        plan = eng.sql(q).df.collect()[0][0]
+        assert "ex" in plan or "Scan" in plan or "Exec" in plan, (q, plan)
+    # bare DESC table still describes
+    got = [r["Field"] for r in eng.sql("DESC ex").df.collect()]
+    assert got == ["a"]

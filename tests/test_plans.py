@@ -262,3 +262,39 @@ def test_chunked_block_pairs_matches_naive(spark):
         .collect()
     )
     assert got == naive and len(got) == 3 * (10 * 9 // 2)
+
+
+def test_p02_sample_is_map_only(q):
+    """Deterministic sampling must stay shuffle-free and Python-free:
+    a plan with an Exchange or an ArrowEvalPython here would turn a
+    free scan-side filter into a 100 TB reshuffle."""
+    from tinysql_spark.plans import plan_string
+
+    p = plan_string(q("p02_train_sample"), mode="simple")
+    assert "Exchange" not in p, p
+    assert "Python" not in p, p
+
+
+def test_p04_contamination_broadcasts_eval_side(q):
+    """The eval (benchmark) side is small by construction; the
+    candidate join must broadcast it — a shuffle join here ships the
+    full corpus gram table."""
+    df = q("p04_contamination")
+    assert "BroadcastHashJoin" in join_strategies(df)
+    from tinysql_spark.plans import plan_string
+
+    assert "Python" not in plan_string(df, mode="simple")
+
+
+def test_q36_first_row_partial_agg(q):
+    """Scan-order FIRST_ROW is min_by — map-side combinable; the plan
+    must show a partial aggregate before the exchange, like any min()."""
+    assert has_partial_aggregate(q("q36_first_row"))
+
+
+def test_q37_json_partial_agg_no_python(q):
+    df = q("q37_json_props")
+    assert has_partial_aggregate(df)
+    from tinysql_spark.plans import plan_string
+
+    assert "Python" not in plan_string(df, mode="simple")

@@ -300,8 +300,15 @@ class Engine:
         return Result(df=self.spark.sql(self._rewrite(stmt)))
 
     def _exec_explain(self, stmt: str) -> Result:
-        body = stmt.strip()[len("EXPLAIN") :].strip()
-        if re.match(r"^(FORMATTED|EXTENDED|CODEGEN|COST)\b", body, re.I):
+        body = re.sub(r"^\s*(EXPLAIN|DESCRIBE|DESC)\s+", "", stmt.strip(), flags=re.I)
+        # FORMAT = 'row'|'dot' (parser.y:2139-2153): both render as
+        # Spark's formatted plan text — "dot" has no Spark analog and
+        # maps to the same tree, documented substitution
+        m = re.match(r"^FORMAT\s*=\s*['\"]?(\w+)['\"]?\s+", body, re.I)
+        if m:
+            body = body[m.end() :]
+            mode = "FORMATTED"
+        elif re.match(r"^(FORMATTED|EXTENDED|CODEGEN|COST)\b", body, re.I):
             mode, body = body.split(None, 1)
         else:
             mode = "FORMATTED"
@@ -1007,6 +1014,10 @@ class Engine:
 
     def _exec_describe(self, stmt: str) -> Result:
         m = P.re.match(r"^\s*DESC(?:RIBE)?\s+([`\w.]+)\s*$", stmt, P.re.I)
+        if m is None:
+            # DESCRIBE/DESC are EXPLAIN synonyms over any ExplainableStmt
+            # (parser.y:2128-2129 ExplainSym) — `DESC SELECT ...` etc.
+            return self._exec_explain(stmt)
         db, t = self._qualify(m.group(1))
         info = self.catalog.get_table(db, t)
         rows = [
