@@ -258,15 +258,35 @@ def custom_sessionize(
 
 
 def run_to_memory(
-    df: DataFrame, query_name: str, output_mode: str = "append"
+    df: DataFrame, query_name: str, output_mode: str = "append",
+    shuffle_partitions: int | None = 8,
 ) -> None:
     """Drain the stream into an in-memory table with availableNow
-    (deterministic catch-up run; used by tests and local validation)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    (deterministic catch-up run; used by tests and local validation).
+
+    ``shuffle_partitions`` bounds state-store parallelism for the
+    replay: a stateful streaming query creates one state store (RocksDB
+    or HDFS-backed files + maintenance thread) PER shuffle partition
+    PER stateful operator, and the partition count is frozen into the
+    checkpoint. The batch default (32 here) is sized for table scans,
+    not for a finite replay's state volume — 8 stores cut per-batch
+    state overhead ~4x. On a production cluster size this to peak key
+    cardinality / executor count, NOT to the batch shuffle setting,
+    and keep it stable for the checkpoint's lifetime."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        # the value is captured when the streaming query plans its first
+        # batch; restored after termination so batch queries are untouched
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
