@@ -524,3 +524,21 @@ def test_explain_synonyms_and_format(eng):
     # bare DESC table still describes
     got = [r["Field"] for r in eng.sql("DESC ex").df.collect()]
     assert got == ["a"]
+
+
+def test_show_grammar_forms(eng):
+    """SHOW [FULL] TABLES [FROM db] [LIKE], SHOW DATABASES LIKE,
+    SHOW VARIABLES LIKE, SHOW [FULL] PROCESSLIST (parser.y:4396-4419)."""
+    eng.sql("CREATE DATABASE shg")
+    eng.sql("CREATE TABLE shg.alpha (a int)")
+    eng.sql("CREATE TABLE shg.beta (a int)")
+    assert rows(eng.sql("SHOW TABLES FROM shg")) == [("alpha",), ("beta",)]
+    assert rows(eng.sql("SHOW TABLES FROM shg LIKE 'al%'")) == [("alpha",)]
+    assert rows(eng.sql("SHOW FULL TABLES FROM shg LIKE '%eta'")) == [("beta", "BASE TABLE")]
+    assert rows(eng.sql("SHOW DATABASES LIKE 'shg'")) == [("shg",)]
+    eng.sql("SET @@timeout = '30'")
+    eng.sql("SET @@other = '1'")
+    assert rows(eng.sql("SHOW VARIABLES LIKE 'time%'")) == [("timeout", "30")]
+    pl = eng.sql("SHOW PROCESSLIST").df.collect()
+    assert len(pl) == 1 and pl[0]["Command"] == "Query"
+    assert eng.sql("SHOW FULL PROCESSLIST").df.count() == 1

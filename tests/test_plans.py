@@ -298,3 +298,15 @@ def test_q37_json_partial_agg_no_python(q):
     from tinysql_spark.plans import plan_string
 
     assert "Python" not in plan_string(df, mode="simple")
+
+
+def test_q38_subquery_decorrelates(q):
+    """The correlated scalar subquery must rewrite to aggregate+join —
+    a BroadcastNestedLoopJoin/CartesianProduct here would execute the
+    subquery per outer row."""
+    from tinysql_spark.plans import plan_string
+
+    df = q("q38_correlated_scalar")
+    p = plan_string(df, mode="simple")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p
+    assert has_partial_aggregate(df)

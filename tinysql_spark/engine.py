@@ -780,17 +780,54 @@ class Engine:
             return Result(message=f"{name} set")
         raise ValueError(f"cannot parse SET: {stmt[:60]}")
 
+    @staticmethod
+    def _like_match(pattern: str | None, name: str) -> bool:
+        """MySQL SHOW ... LIKE 'pat': % and _ wildcards, case-insensitive
+        (parser.y ShowLikeOrWhereOpt)."""
+        if pattern is None:
+            return True
+        rx = re.escape(pattern).replace("%", ".*").replace("_", ".")
+        return re.fullmatch(rx, name, re.I) is not None
+
     def _exec_show(self, stmt: str) -> Result:
         up = stmt.strip().upper()
-        if up.startswith("SHOW DATABASES"):
+        m = P.re.match(r"^\s*SHOW\s+DATABASES(?:\s+LIKE\s+'([^']*)')?\s*$", stmt, P.re.I)
+        if m:
             df = self.spark.createDataFrame(
-                [(d,) for d in sorted(self.catalog.dbs)], "Database: string"
+                [(d,) for d in sorted(self.catalog.dbs) if self._like_match(m.group(1), d)]
+                or [],
+                "Database: string",
             )
             return Result(df=df)
-        if up.startswith("SHOW TABLES"):
+        m = P.re.match(
+            r"^\s*SHOW\s+(FULL\s+)?TABLES(?:\s+(?:FROM|IN)\s+([`\w]+))?"
+            r"(?:\s+LIKE\s+'([^']*)')?\s*$",
+            stmt,
+            P.re.I,
+        )
+        if m:
+            full, db_opt, pat = m.groups()
+            db = P.unquote_ident(db_opt) if db_opt else self.current_db
+            if db not in self.catalog.dbs:
+                raise ValueError(f"unknown database {db!r}")
+            names = [t for t in self.catalog.tables(db) if self._like_match(pat, t)]
+            if full:  # SHOW FULL TABLES carries the table type column
+                df = self.spark.createDataFrame(
+                    [(t, "BASE TABLE") for t in names] or [],
+                    f"Tables_in_{db}: string, Table_type: string",
+                )
+            else:
+                df = self.spark.createDataFrame(
+                    [(t,) for t in names] or [], f"Tables_in_{db}: string"
+                )
+            return Result(df=df)
+        if P.re.match(r"^\s*SHOW\s+(FULL\s+)?PROCESSLIST\s*$", stmt, P.re.I):
+            # single-session engine: the process list is this session
+            # (parser.y:4419; reference sessions are wire connections)
             df = self.spark.createDataFrame(
-                [(t,) for t in self.catalog.tables(self.current_db)],
-                f"Tables_in_{self.current_db}: string",
+                [(1, "root", "localhost", self.current_db, "Query", 0, "autocommit", stmt.strip())],
+                "Id: bigint, User: string, Host: string, db: string, "
+                "Command: string, Time: int, State: string, Info: string",
             )
             return Result(df=df)
         m = P.re.match(r"^\s*SHOW\s+CREATE\s+TABLE\s+([`\w.]+)\s*$", stmt, P.re.I)
@@ -813,9 +850,18 @@ class Engine:
             ddl = lines[0] + "\n" + ",\n".join(parts) + "\n)" + self._bucket_ddl(info)
             df = self.spark.createDataFrame([(info.name, ddl)], "Table: string, `Create Table`: string")
             return Result(df=df)
-        if up.startswith("SHOW VARIABLES"):
+        m = P.re.match(
+            r"^\s*SHOW\s+(?:GLOBAL\s+|SESSION\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*$",
+            stmt,
+            P.re.I,
+        )
+        if m:
+            items = [
+                kv for kv in sorted(self.sys_vars.items())
+                if self._like_match(m.group(1), kv[0])
+            ]
             df = self.spark.createDataFrame(
-                sorted(self.sys_vars.items()) or [("", "")],
+                items or ([("", "")] if m.group(1) is None else []),
                 "Variable_name: string, Value: string",
             )
             return Result(df=df)

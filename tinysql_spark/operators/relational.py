@@ -1080,3 +1080,38 @@ def q37_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+@register(
+    "q38_correlated_scalar",
+    late=True,
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           (SELECT round(coalesce(avg(o_totalprice), 0), 4)
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS avg_f_price
+    FROM customer c
+    WHERE c_acctbal < 0
+    """,
+    doc="Correlated scalar subquery, decorrelated: the reference's "
+    "planner rewrites correlated subqueries into aggregate+join "
+    "(planner/core/expression_rewriter.go subquery handling; SURVEY "
+    "§4.1) — Catalyst's RewriteCorrelatedScalarSubquery does the same "
+    "here, turning the per-customer subquery into one grouped "
+    "aggregate over orders joined left-outer to customer. The plan "
+    "MUST NOT contain a nested-loop per-row subquery execution: "
+    "that is the O(n^2) trap at 100 TB (asserted in test_plans).",
+)
+def q38_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_q38_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_q38_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal,
+               (SELECT round(coalesce(avg(o_totalprice), 0), 4)
+                FROM v_q38_orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS avg_f_price
+        FROM v_q38_customer c
+        WHERE c_acctbal < 0
+        """
+    )

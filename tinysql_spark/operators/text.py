@@ -253,3 +253,55 @@ def t07_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", udf(F.col("text")).alias("fps"))
         .select("doc_id", F.explode("fps").alias("fp"))
     )
+
+
+@register(
+    "t08_repetition",
+    late=True,
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN list_transform(generate_series(1, len(ws) - 2),
+                                      i -> array_to_string(ws[i:i+2], ' '))
+                  ELSE [] END AS grams
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CASE WHEN len(grams) > 0
+                THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+                ELSE 0.0 END AS rep_ratio
+    FROM g
+    """,
+    doc="Within-document repetition score: 1 - distinct/total over "
+    "3-gram shingles — the C4/Gopher-style repetition quality gate "
+    "for corpus filtering. Pure Column algebra (slice/transform/"
+    "array_distinct), map-only, zero shuffles; the ratio is a single "
+    "IEEE division of integer counts, emitted UNROUNDED because one "
+    "division is bit-identical across engines (per-row rounding is "
+    "what diverges).",
+)
+def t08_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    grams = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(2)),
+            lambda i: F.array_join(F.slice(ws, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", grams.alias("grams"))
+    return g.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.when(
+            F.size("grams") > 0,
+            F.lit(1.0) - F.size(F.array_distinct("grams")) * F.lit(1.0) / F.size("grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )
