@@ -1115,3 +1115,33 @@ def q38_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_acctbal < 0
         """
     )
+
+
+@register(
+    "q39_notin_nullaware",
+    late=True,
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE nullif(c_custkey, 42) NOT IN
+          (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    doc="NULL-aware NOT IN anti-join — the 3VL cousin of q29's NOT "
+    "EXISTS: a NULL outer key can never satisfy NOT IN (customer 42 "
+    "is nulled via nullif to pin that row's exclusion), and any NULL "
+    "in the subquery would empty the result. MySQL semantics "
+    "(reference: expression_rewriter.go IN-subquery handling with "
+    "Not=true). Spark compiles this to its null-aware anti join "
+    "(single-column NAAJ broadcast), not a nested loop.",
+)
+def q39_notin_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_q39_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_q39_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM v_q39_customer
+        WHERE nullif(c_custkey, 42) NOT IN
+              (SELECT o_custkey FROM v_q39_orders WHERE o_orderstatus = 'F')
+        """
+    )
