@@ -264,3 +264,73 @@ def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# s05 — scalar-quantized ANN (4-bit codes, asymmetric-style rescoring)
+# --------------------------------------------------------------------------
+
+_SQ_LO, _SQ_STEP, _SQ_LEVELS = -0.6, 0.075, 16  # covers the embedding range
+
+
+@register(
+    "s05_ann_scalar_quant",
+    late=True,
+    oracle=f"""
+    WITH dq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> {_SQ_LO} + (greatest(0, least({_SQ_LEVELS - 1},
+                      floor((x - {_SQ_LO}) / {_SQ_STEP}))) + 0.5) * {_SQ_STEP}) AS e
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.e, c.e) AS sim
+      FROM dq q JOIN dq c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS approx_dot
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 6) DESC, neighbor_id)
+            <= {_TOP_K}
+    """,
+    doc="Scalar-quantized ANN: every dimension maps to a 4-bit code "
+    "(16 uniform levels over the value range), scoring runs on the "
+    "reconstructed level centers. THE memory lever at 100 TB: 4 bits/"
+    "dim vs 32 shrinks the resident corpus 8x, so a 1000-executor "
+    "fleet holds the whole index in RAM and the exact float pass "
+    "(s01) is reserved for reranking survivors. Same broadcast-"
+    "queries x partitioned-corpus plan as s01; quantize/dequantize "
+    "is pure Column algebra (floor/clamp), JVM-side, map-only.",
+)
+def s05_ann_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dq = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.lit(_SQ_LO)
+        + (
+            F.greatest(
+                F.lit(0.0),
+                F.least(F.lit(float(_SQ_LEVELS - 1)), F.floor((x - F.lit(_SQ_LO)) / F.lit(_SQ_STEP)).cast("double")),
+            )
+            + F.lit(0.5)
+        )
+        * F.lit(_SQ_STEP),
+    )
+    vecs = emb.select("vec_id", dq.alias("e"))
+    queries = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("q_emb")
+    )
+    corpus = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("c_emb"))
+    sim = dot(F.col("q_emb"), F.col("c_emb"))
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round("sim", 6).desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("approx_dot"))
+    )

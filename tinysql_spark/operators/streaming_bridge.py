@@ -144,3 +144,89 @@ def st03_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "st03_join_" + uuid.uuid4().hex[:8]
     run_to_memory(joined, name, output_mode="append")
     return spark.table(name)
+
+
+def _stage_events_with_sentinels(sf_dir: str) -> str:
+    """Stage events plus two far-future watermark-sentinel files with
+    strictly increasing mtimes. Append-mode sinks only emit a window
+    after the watermark passes its end, and the watermark used by
+    micro-batch N is computed from batch N-1 — so a finite replay
+    needs two extra batches beyond the data to flush every real
+    window: sentinel 1 advances event-time past all 2024 data,
+    sentinel 2 triggers a batch that PLANS with that advanced
+    watermark and emits the held windows."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = _stage_events(sf_dir)
+    base = os.path.getmtime(os.path.join(d, "0000.parquet"))
+    for i, iso in enumerate(("2030-01-01T00:00:00", "2030-01-01T12:00:00"), start=1):
+        ns = int(time.mktime(time.strptime(iso, "%Y-%m-%dT%H:%M:%S"))) * 10**9
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-i], pa.int64()),
+                "ts": pa.array([ns], pa.int64()),  # ns-as-long, like the source
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["__wm__"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        )
+        path = os.path.join(d, f"{i:04d}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (base + i, base + i))
+    return d
+
+
+@register(
+    "st04_stream_parquet_sink",
+    late=True,
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Streaming hourly aggregation into a durable APPEND-mode "
+    "parquet sink — the production path (st01's memory/complete sink "
+    "is a test harness). Append mode emits a window only once the "
+    "watermark passes window_end, so emission is driven by event-time "
+    "progress: two sentinel files advance the watermark and flush "
+    "every real window during the replay, exactly the discipline a "
+    "24/7 pipeline relies on for exactly-once window output. Sink "
+    "files + checkpoint dir are the recovery contract at 100 TB "
+    "(restart resumes from the checkpoint, no reprocessing).",
+)
+def st04_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, _stage_events_with_sentinels(sf_dir))
+    out_dir = tempfile.mkdtemp(prefix="tinysql_st04_out_")
+    ck_dir = tempfile.mkdtemp(prefix="tinysql_st04_ck_")
+    agg = hourly_counts(stream)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("event_type") != "__wm__")
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:00").alias("hour_bucket"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+    )
