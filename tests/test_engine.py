@@ -542,3 +542,48 @@ def test_show_grammar_forms(eng):
     pl = eng.sql("SHOW PROCESSLIST").df.collect()
     assert len(pl) == 1 and pl[0]["Command"] == "Query"
     assert eng.sql("SHOW FULL PROCESSLIST").df.count() == 1
+
+
+def test_alter_drop_modify_rename_column(eng):
+    """AlterTableSpec surface: DROP/MODIFY/CHANGE/RENAME COLUMN,
+    SET/DROP DEFAULT, DROP PRIMARY KEY, RENAME INDEX."""
+    eng.sql("CREATE TABLE at (a int primary key, b int, c varchar(8), d int)")
+    eng.sql("INSERT INTO at VALUES (1, 10, 'x', 5), (2, 20, 'y', 6)")
+    # DROP COLUMN: metadata-only; reads project it away
+    eng.sql("ALTER TABLE at DROP COLUMN d")
+    assert [f.name for f in eng.sql("SELECT * FROM at").df.schema.fields] == ["a", "b", "c"]
+    # MODIFY widens int -> bigint, data preserved
+    eng.sql("ALTER TABLE at MODIFY COLUMN b bigint")
+    assert eng.catalog.get_table("default", "at").column("b").type == "BIGINT"
+    assert rows(eng.sql("SELECT a, b FROM at")) == [(1, 10), (2, 20)]
+    # MODIFY that loses values must fail
+    with pytest.raises(ValueError, match="do not fit"):
+        eng.sql("ALTER TABLE at MODIFY COLUMN c int")
+    # RENAME COLUMN rewrites data under the new name
+    eng.sql("ALTER TABLE at RENAME COLUMN c TO label")
+    assert rows(eng.sql("SELECT a, label FROM at")) == [(1, "x"), (2, "y")]
+    # CHANGE = rename + retype in one spec
+    eng.sql("ALTER TABLE at CHANGE COLUMN b b_big bigint")
+    assert rows(eng.sql("SELECT a, b_big FROM at")) == [(1, 10), (2, 20)]
+    # defaults
+    eng.sql("ALTER TABLE at ADD COLUMN e int")
+    eng.sql("ALTER TABLE at ALTER COLUMN e SET DEFAULT 7")
+    eng.sql("INSERT INTO at (a) VALUES (3)")
+    assert (3, 7) in rows(eng.sql("SELECT a, e FROM at"))
+    eng.sql("ALTER TABLE at ALTER COLUMN e DROP DEFAULT")
+    eng.sql("INSERT INTO at (a) VALUES (4)")
+    assert (4, None) in rows(eng.sql("SELECT a, e FROM at"))
+    # key metadata specs
+    eng.sql("CREATE INDEX ie ON at (e)")
+    eng.sql("ALTER TABLE at RENAME INDEX ie TO ie2")
+    assert any(i.name == "ie2" for i in eng.catalog.get_table("default", "at").indexes)
+    eng.sql("ALTER TABLE at DROP INDEX ie2")
+    eng.sql("ALTER TABLE at DROP PRIMARY KEY")
+    assert eng.catalog.get_table("default", "at").primary_key == []
+    # dropping an indexed column is rejected
+    eng.sql("CREATE INDEX ib ON at (b_big)")
+    with pytest.raises(ValueError, match="part of a key"):
+        eng.sql("ALTER TABLE at DROP COLUMN b_big")
+    # multiple comma-separated specs
+    eng.sql("ALTER TABLE at ADD COLUMN f int, ADD COLUMN g int")
+    assert eng.catalog.get_table("default", "at").column("g") is not None

@@ -534,33 +534,174 @@ class Engine:
         return Result(message=f"index {idx_name} dropped")
 
     def _exec_alter_table(self, stmt: str) -> Result:
-        """ALTER TABLE ADD COLUMN — metadata-only; existing rows read
-        the new column as NULL/default (reference: ddl/column.go)."""
-        m = P._ALTER_ADD_COL_RE.match(stmt)
+        """ALTER TABLE — the AlterTableSpec surface (parser.y
+        AlterTableSpec): ADD/DROP/MODIFY/CHANGE/RENAME COLUMN,
+        ALTER COLUMN SET/DROP DEFAULT, DROP PRIMARY KEY, RENAME INDEX,
+        DROP KEY|INDEX.
+
+        Metadata-only where the parquet-by-name read model allows it
+        (ADD, DROP COLUMN — pruning means a dropped column is never
+        even read; defaults; key metadata). Shape-changing specs
+        (MODIFY/CHANGE type, column rename) rewrite the data through
+        the atomic dir swap — the reference's online backfill states
+        (ddl/column.go) collapse to one synchronous rewrite here; a
+        100 TB deployment would avoid the rename rewrite by keying
+        files with column IDs (the reference's row format does this,
+        as do Iceberg/Delta)."""
+        m = P.re.match(r"^\s*ALTER\s+TABLE\s+([`\w.]+)\s+(.*)$", stmt, P.re.I | P.re.S)
         if not m:
-            raise ValueError(f"only ALTER TABLE ... ADD COLUMN is supported: {stmt[:60]}")
+            raise ValueError(f"cannot parse ALTER TABLE: {stmt[:60]}")
         db, t = self._qualify(m.group(1))
-        info = self.catalog.get_table(db, t)
-        cm = P._COL_TYPE_RE.match(m.group(2).strip())
-        if not cm:
-            raise ValueError(f"cannot parse column definition: {m.group(2)[:60]}")
-        col_name = P.unquote_ident(cm.group(1))
-        if info.column(col_name) is not None:
-            raise ValueError(f"column {col_name!r} already exists in {t}")
-        col_type = cm.group(2).upper() + (cm.group(3) or "").replace(" ", "")
-        rest = m.group(2)[cm.end() :]
-        dm = P.re.search(r"DEFAULT\s+('(?:[^'\\]|\\.)*'|[\w.+-]+)", rest, P.re.I)
-        info.columns.append(
-            ColumnInfo(
-                name=col_name,
-                type=col_type,
-                nullable="NOT NULL" not in rest.upper(),
-                default=dm.group(1) if dm else None,
-            )
-        )
+        messages = [self._alter_one(db, t, spec.strip()) for spec in P.split_top_level(m.group(2))]
         self.catalog.update()
         self._register_table(db, t)
-        return Result(message=f"column {col_name} added to {t}")
+        return Result(message="; ".join(messages))
+
+    def _alter_one(self, db: str, t: str, spec: str) -> str:
+        info = self.catalog.get_table(db, t)
+        m = P.re.match(r"^ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?(.+)$", spec, P.re.I | P.re.S)
+        if m and not P.re.match(r"^ADD\s+(PRIMARY|UNIQUE|KEY|INDEX|CONSTRAINT|FOREIGN)", spec, P.re.I):
+            cm = P._COL_TYPE_RE.match(m.group(1).strip())
+            if not cm:
+                raise ValueError(f"cannot parse column definition: {m.group(1)[:60]}")
+            col_name = P.unquote_ident(cm.group(1))
+            if info.column(col_name) is not None:
+                raise ValueError(f"column {col_name!r} already exists in {t}")
+            col_type = cm.group(2).upper() + (cm.group(3) or "").replace(" ", "")
+            rest = m.group(1)[cm.end() :]
+            dm = P.re.search(r"DEFAULT\s+('(?:[^'\\]|\\.)*'|[\w.+-]+)", rest, P.re.I)
+            info.columns.append(
+                ColumnInfo(
+                    name=col_name,
+                    type=col_type,
+                    nullable="NOT NULL" not in rest.upper(),
+                    default=dm.group(1) if dm else None,
+                )
+            )
+            return f"column {col_name} added to {t}"
+        m = P.re.match(r"^DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?([`\w]+)\s*(?:RESTRICT|CASCADE)?$", spec, P.re.I)
+        if m and m.group(1).upper() not in ("PRIMARY", "KEY", "INDEX", "FOREIGN", "CHECK"):
+            col_name = P.unquote_ident(m.group(1))
+            if info.column(col_name) is None:
+                raise ValueError(f"no column {col_name!r} in table {t}")
+            if col_name in info.primary_key or any(col_name in i.columns for i in info.indexes):
+                raise ValueError(f"cannot drop column {col_name!r}: part of a key")
+            if len(info.columns) == 1:
+                raise ValueError("cannot drop the only column")
+            info.columns = [c for c in info.columns if c.name.lower() != col_name.lower()]
+            return f"column {col_name} dropped from {t}"
+        m = P.re.match(r"^DROP\s+PRIMARY\s+KEY$", spec, P.re.I)
+        if m:
+            if not info.primary_key:
+                raise ValueError(f"no primary key on {t}")
+            info.primary_key = []
+            return f"primary key dropped from {t}"
+        m = P.re.match(r"^DROP\s+(?:KEY|INDEX)\s+(?:IF\s+EXISTS\s+)?([`\w]+)$", spec, P.re.I)
+        if m:
+            idx = P.unquote_ident(m.group(1))
+            before = len(info.indexes)
+            info.indexes = [i for i in info.indexes if i.name != idx]
+            if len(info.indexes) == before:
+                raise ValueError(f"index {idx} does not exist on {t}")
+            return f"index {idx} dropped"
+        m = P.re.match(r"^RENAME\s+(?:KEY|INDEX)\s+([`\w]+)\s+TO\s+([`\w]+)$", spec, P.re.I)
+        if m:
+            old, new = P.unquote_ident(m.group(1)), P.unquote_ident(m.group(2))
+            idx = next((i for i in info.indexes if i.name == old), None)
+            if idx is None:
+                raise ValueError(f"index {old} does not exist on {t}")
+            idx.name = new
+            return f"index {old} renamed to {new}"
+        m = P.re.match(
+            r"^ALTER\s+(?:COLUMN\s+)?([`\w]+)\s+(SET\s+DEFAULT\s+(.+)|DROP\s+DEFAULT)$",
+            spec,
+            P.re.I,
+        )
+        if m:
+            c = info.column(P.unquote_ident(m.group(1)))
+            if c is None:
+                raise ValueError(f"no column {m.group(1)!r} in table {t}")
+            if m.group(2).upper().startswith("DROP"):
+                c.default = None
+            else:
+                d = m.group(3).strip()
+                if d.startswith("(") and d.endswith(")"):  # SET DEFAULT (expr)
+                    d = d[1:-1].strip()
+                c.default = d
+            return f"default {'dropped' if c.default is None else 'set'} on {c.name}"
+        m = P.re.match(r"^RENAME\s+COLUMN\s+([`\w]+)\s+TO\s+([`\w]+)$", spec, P.re.I)
+        if m:
+            return self._alter_rewrite_column(db, t, P.unquote_ident(m.group(1)), new_name=P.unquote_ident(m.group(2)))
+        m = P.re.match(r"^MODIFY\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?(.+)$", spec, P.re.I | P.re.S)
+        if m:
+            cm = P._COL_TYPE_RE.match(m.group(1).strip())
+            if not cm:
+                raise ValueError(f"cannot parse MODIFY definition: {m.group(1)[:60]}")
+            return self._alter_rewrite_column(
+                db, t, P.unquote_ident(cm.group(1)),
+                new_type=cm.group(2).upper() + (cm.group(3) or "").replace(" ", ""),
+                spec_rest=m.group(1)[cm.end():],
+            )
+        m = P.re.match(r"^CHANGE\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?([`\w]+)\s+(.+)$", spec, P.re.I | P.re.S)
+        if m:
+            cm = P._COL_TYPE_RE.match(m.group(2).strip())
+            if not cm:
+                raise ValueError(f"cannot parse CHANGE definition: {m.group(2)[:60]}")
+            return self._alter_rewrite_column(
+                db, t, P.unquote_ident(m.group(1)),
+                new_name=P.unquote_ident(cm.group(1)),
+                new_type=cm.group(2).upper() + (cm.group(3) or "").replace(" ", ""),
+                spec_rest=m.group(2)[cm.end():],
+            )
+        raise ValueError(f"unsupported ALTER TABLE spec: {spec[:60]}")
+
+    def _alter_rewrite_column(
+        self, db: str, t: str, old_name: str,
+        new_name: str | None = None, new_type: str | None = None,
+        spec_rest: str = "",
+    ) -> str:
+        """RENAME/MODIFY/CHANGE COLUMN: update metadata and rewrite the
+        data through the atomic swap (cast validated: a value that
+        casts to NULL would silently corrupt — one aggregation job
+        checks before the swap commits)."""
+        info = self.catalog.get_table(db, t)
+        col = info.column(old_name)
+        if col is None:
+            raise ValueError(f"no column {old_name!r} in table {t}")
+        if new_name and new_name.lower() != old_name.lower() and info.column(new_name) is not None:
+            raise ValueError(f"column {new_name!r} already exists in {t}")
+        raw = self._raw(db, t)
+        target = new_name or old_name
+        if new_type:
+            new_spark_type = ColumnInfo(name=target, type=new_type).spark_type()
+            casted = F.col(old_name).cast(new_spark_type)
+            bad = raw.agg(
+                F.max((F.col(old_name).isNotNull() & casted.isNull()).cast("int")).alias("b")
+            ).collect()[0]["b"]
+            if bad:
+                raise ValueError(
+                    f"MODIFY {old_name} to {new_type}: existing values do not fit"
+                )
+            raw = raw.withColumn(old_name, casted)
+            col.type = new_type
+            if spec_rest:
+                col.nullable = "NOT NULL" not in spec_rest.upper()
+                dm = P.re.search(r"DEFAULT\s+('(?:[^'\\]|\\.)*'|[\w.+-]+)", spec_rest, P.re.I)
+                if dm:
+                    col.default = dm.group(1)
+        if new_name and new_name != old_name:
+            raw = raw.withColumnRenamed(old_name, new_name)
+            col.name = new_name
+            info.primary_key = [new_name if k.lower() == old_name.lower() else k for k in info.primary_key]
+            for i in info.indexes:
+                i.columns = [new_name if c.lower() == old_name.lower() else c for c in i.columns]
+        if self._raw_has_rows(db, t):
+            self._write_swap(db, t, raw)
+        return f"column {old_name} altered"
+
+    def _raw_has_rows(self, db: str, t: str) -> bool:
+        data = self.catalog.data_dir(db, t)
+        return os.path.isdir(data) and any(f.startswith("part-") for f in os.listdir(data))
 
     # ------------------------------------------------------------------
     # DML — reference: executor/insert.go, replace.go, delete.go
