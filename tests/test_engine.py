@@ -587,3 +587,30 @@ def test_alter_drop_modify_rename_column(eng):
     # multiple comma-separated specs
     eng.sql("ALTER TABLE at ADD COLUMN f int, ADD COLUMN g int")
     assert eng.catalog.get_table("default", "at").column("g") is not None
+
+
+def test_insert_set_form(eng):
+    """INSERT/REPLACE ... SET a=1, b='x' (parser.y InsertValues SET
+    ColumnSetValueList) desugars to the column-list VALUES form."""
+    eng.sql("CREATE TABLE ist (a int primary key, b varchar(8), c int)")
+    eng.sql("INSERT INTO ist SET a = 1, b = 'x'")
+    eng.sql("INSERT INTO ist SET b = 'y', a = 2, c = 1 + 1")
+    assert rows(eng.sql("SELECT a, b, c FROM ist")) == [(1, "x", None), (2, "y", 2)]
+    eng.sql("REPLACE INTO ist SET a = 1, b = 'z'")
+    assert (1, "z", None) in rows(eng.sql("SELECT a, b, c FROM ist"))
+
+
+def test_delete_order_by_limit(eng):
+    """DELETE ... [WHERE] [ORDER BY] LIMIT n (parser.y DeleteFromStmt
+    OrderByOptional LimitClause): only the first n ordered rows go."""
+    eng.sql("CREATE TABLE dl (a int, b int)")
+    eng.sql("INSERT INTO dl VALUES (1, 5), (2, 4), (3, 3), (4, 2), (5, 1)")
+    r = eng.sql("DELETE FROM dl ORDER BY b LIMIT 2")  # deletes b=1, b=2
+    assert r.rows_affected == 2
+    assert rows(eng.sql("SELECT a FROM dl")) == [(1,), (2,), (3,)]
+    r = eng.sql("DELETE FROM dl WHERE a > 1 ORDER BY a DESC LIMIT 1")  # deletes a=3
+    assert r.rows_affected == 1
+    assert rows(eng.sql("SELECT a FROM dl")) == [(1,), (2,)]
+    r = eng.sql("DELETE FROM dl LIMIT 10")  # limit larger than table
+    assert r.rows_affected == 2
+    assert rows(eng.sql("SELECT a FROM dl")) == []

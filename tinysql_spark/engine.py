@@ -874,8 +874,26 @@ class Engine:
             raise ValueError(f"cannot parse DELETE: {stmt[:60]}")
         db, t = self._qualify(m.group(1))
         info = self.catalog.get_table(db, t)
-        cond = m.group(2)
+        cond, order_by, limit = m.group(2), m.group(3), m.group(4)
         raw = self._raw(db, t)
+        if order_by or limit:
+            # DELETE ... [ORDER BY ...] LIMIT n (parser.y DeleteFromStmt):
+            # pick doomed rowids with the query engine, anti-join them out
+            view = f"__dell_{t}_{uuid.uuid4().hex[:6]}"
+            raw.createOrReplaceTempView(view)
+            q = f"SELECT {ROWID} FROM {view}"
+            if cond:
+                q += f" WHERE coalesce(({self._rewrite(cond)}), false)"
+            if order_by:
+                q += f" ORDER BY {self._rewrite(order_by)}"
+            if limit:
+                q += f" LIMIT {limit}"
+            doomed = self.spark.sql(q)
+            n_del = doomed.count()
+            keep = raw.join(F.broadcast(doomed), ROWID, "left_anti")
+            self._write_swap(db, t, keep)
+            self.spark.catalog.dropTempView(view)
+            return Result(rows_affected=n_del, message=f"{n_del} rows deleted")
         if cond is None:
             n = raw.count()
             empty = self.spark.createDataFrame([], info.full_schema())

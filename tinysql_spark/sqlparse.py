@@ -302,7 +302,30 @@ _INSERT_RE = re.compile(
 )
 
 
+_INSERT_SET_RE = re.compile(
+    r"^\s*(INSERT|REPLACE)\s+INTO\s+([`\w.]+)\s+SET\s+(.+)$", re.I | re.S
+)
+
+
 def parse_insert(stmt: str) -> InsertStmt:
+    m = _INSERT_SET_RE.match(stmt)
+    if m:
+        # INSERT ... SET a = 1, b = 2 (parser.y InsertValues "SET"
+        # ColumnSetValueList) — desugar to the column-list VALUES form
+        cols, vals = [], []
+        for a in split_top_level(m.group(3)):
+            am = re.match(r"^\s*([`\w]+)\s*=\s*(.+)$", a, re.S)
+            if not am:
+                raise ValueError(f"cannot parse SET assignment: {a[:40]}")
+            cols.append(unquote_ident(am.group(1)))
+            vals.append(am.group(2).strip())
+        return InsertStmt(
+            table=unquote_ident(m.group(2)),
+            columns=cols,
+            values_sql="(" + ", ".join(vals) + ")",
+            select_sql=None,
+            is_replace=m.group(1).upper() == "REPLACE",
+        )
     m = _INSERT_RE.match(stmt)
     if not m:
         raise ValueError(f"cannot parse INSERT/REPLACE: {stmt[:80]}")
@@ -330,7 +353,15 @@ def parse_insert(stmt: str) -> InsertStmt:
 # DELETE / misc regexes
 # --------------------------------------------------------------------------
 
-_DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\s+([`\w.]+)\s*(?:WHERE\s+(.*))?$", re.I | re.S)
+_DELETE_RE = re.compile(
+    # DELETE [LOW_PRIORITY] [QUICK] FROM t [WHERE w] [ORDER BY o] [LIMIT n]
+    # (parser.y DeleteFromStmt: OrderByOptional LimitClause)
+    r"^\s*DELETE\s+(?:LOW_PRIORITY\s+)?(?:QUICK\s+)?FROM\s+([`\w.]+)\s*"
+    r"(?:WHERE\s+(.*?))?"
+    r"(?:\s*ORDER\s+BY\s+(.*?))?"
+    r"(?:\s*LIMIT\s+(\d+))?\s*$",
+    re.I | re.S,
+)
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([`\w.]+)\s*$", re.I)
 _USE_RE = re.compile(r"^\s*USE\s+([`\w]+)\s*$", re.I)
 _OPTIMIZE_RE = re.compile(r"^\s*OPTIMIZE\s+(?:TABLE\s+)?([`\w.]+)\s*$", re.I)
