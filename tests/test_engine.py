@@ -614,3 +614,11 @@ def test_delete_order_by_limit(eng):
     r = eng.sql("DELETE FROM dl LIMIT 10")  # limit larger than table
     assert r.rows_affected == 2
     assert rows(eng.sql("SELECT a FROM dl")) == []
+
+
+def test_alter_add_parenthesized_list(eng):
+    """ALTER TABLE t ADD (a int, b varchar) — TableElementList form."""
+    eng.sql("CREATE TABLE ap (a int)")
+    eng.sql("ALTER TABLE ap ADD (b int DEFAULT 3, c varchar(4))")
+    eng.sql("INSERT INTO ap (a) VALUES (1)")
+    assert rows(eng.sql("SELECT a, b, c FROM ap")) == [(1, 3, None)]

@@ -559,6 +559,14 @@ class Engine:
 
     def _alter_one(self, db: str, t: str, spec: str) -> str:
         info = self.catalog.get_table(db, t)
+        m = P.re.match(
+            r"^ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?\((.+)\)\s*$", spec, P.re.I | P.re.S
+        )
+        if m:  # ADD (a int, b int, ...) — TableElementList form
+            return "; ".join(
+                self._alter_one(db, t, "ADD COLUMN " + d.strip())
+                for d in P.split_top_level(m.group(1))
+            )
         m = P.re.match(r"^ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?(.+)$", spec, P.re.I | P.re.S)
         if m and not P.re.match(r"^ADD\s+(PRIMARY|UNIQUE|KEY|INDEX|CONSTRAINT|FOREIGN)", spec, P.re.I):
             cm = P._COL_TYPE_RE.match(m.group(1).strip())
