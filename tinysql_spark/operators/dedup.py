@@ -662,3 +662,61 @@ def d07_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.join(labels, "vec_id", "left").select(
         "vec_id", F.coalesce("lbl", F.col("vec_id")).cast("long").alias("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# d08 — fuzzy near-dup pairs via bounded edit distance on head prefixes
+# --------------------------------------------------------------------------
+
+_D08_HEAD, _D08_K = 16, 6
+
+
+@register(
+    "d08_fuzzy_pairs",
+    late=True,
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, source, substring(trim(text), 1, {_D08_HEAD}) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           levenshtein(a.head, b.head) AS dist
+    FROM p a JOIN p b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+     AND abs(length(a.head) - length(b.head)) <= {_D08_K}
+     AND levenshtein(a.head, b.head) <= {_D08_K}
+    """,
+    doc="Fuzzy near-dup candidate pairs: bounded Levenshtein distance "
+    "on fixed-length head prefixes, blocked by source. Edit distance "
+    "is O(len^2) PER PAIR, so the plan bounds both factors: the "
+    "prefix caps the DP matrix, the blocking key caps the pair space, "
+    "and the length-difference prefilter (a free lower bound on edit "
+    "distance) sits BEFORE levenshtein in the authored join "
+    "condition — And short-circuits in condition order, and a "
+    "standalone .filter() would be merged ahead of the cheap "
+    "conjuncts (the d02 lesson). Exact integer DP — hash-identical "
+    "across engines, no float drift.",
+)
+def d08_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        "source",
+        F.substring(F.trim(F.col("text")), 1, _D08_HEAD).alias("head"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.length(F.col("a.head")) - F.length(F.col("b.head"))) <= _D08_K)
+            & (dist <= _D08_K),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            dist.alias("dist"),
+        )
+    )
