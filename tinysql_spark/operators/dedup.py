@@ -695,7 +695,11 @@ _D08_HEAD, _D08_K = 16, 6
     "condition — And short-circuits in condition order, and a "
     "standalone .filter() would be merged ahead of the cheap "
     "conjuncts (the d02 lesson). Exact integer DP — hash-identical "
-    "across engines, no float drift.",
+    "across engines, no float drift. Scale note: the source block is "
+    "O(block^2) in pair space like d05; at 100 TB the edit-distance "
+    "verify runs BEHIND a linear candidate generator (d03's LSH "
+    "bands or t07's winnowing fps as the blocking key) rather than "
+    "a raw metadata block — the operator composes with either.",
 )
 def d08_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
