@@ -230,3 +230,44 @@ def st04_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sum_value", 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "st05_stream_static_join",
+    late=True,
+    oracle="""
+    SELECT n_name, count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n_name
+    """,
+    doc="Stream-static enrichment: the events stream joins two BATCH "
+    "dimension tables (customer -> nation) before a stateful "
+    "aggregation — the standard production enrichment topology. The "
+    "static side is planned per micro-batch (a broadcast of the "
+    "dimensions, no stream state for the join; only the final "
+    "count/sum aggregation keeps state), so dimension updates are "
+    "picked up between batches — the property a 24/7 enrichment "
+    "pipeline relies on. Complete-mode memory sink on finite replay "
+    "must equal the batch 3-way join oracle exactly.",
+)
+def st05_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    stream = read_event_stream(spark, _stage_events(sf_dir))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = (
+        stream.join(cust, stream["user_id"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    name = "st05_enrich_" + uuid.uuid4().hex[:8]
+    run_to_memory(enriched, name, output_mode="complete")
+    return spark.table(name)
