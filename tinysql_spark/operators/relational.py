@@ -1145,3 +1145,47 @@ def q39_notin_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
               (SELECT o_custkey FROM v_q39_orders WHERE o_orderstatus = 'F')
         """
     )
+
+
+@register(
+    "q40_dormant_rich_customers",
+    late=True,
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: uncorrelated scalar subquery (global average "
+    "balance — broadcast as a 1-row cross join, never a per-row "
+    "re-evaluation), correlated NOT EXISTS anti-join with an extra "
+    "pushable predicate on the inner side, final partial-agg rollup "
+    "by segment. The composite exercises three rewrite families "
+    "(scalar-subquery lift, anti-join decorrelation, filter pushdown "
+    "through the anti-join's build side) in one plan.",
+)
+def q40_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_q40_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_q40_orders")
+    return spark.sql(
+        """
+        WITH avg_bal AS (
+          SELECT avg(c_acctbal) AS ab FROM v_q40_customer WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment, count(*) AS n_cust,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM v_q40_customer c, avg_bal
+        WHERE c_acctbal > ab
+          AND NOT EXISTS (SELECT 1 FROM v_q40_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        GROUP BY c_mktsegment
+        """
+    )
