@@ -154,3 +154,50 @@ def q21_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "q41_gap_fill",
+    late=True,
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events WHERE event_type = 'purchase'
+    ), hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ), actual AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT strftime(hours.h, '%Y-%m-%d %H:00') AS hour_bucket,
+           CAST(coalesce(actual.n, 0) AS BIGINT) AS n_events
+    FROM hours LEFT JOIN actual ON hours.h = actual.h
+    """,
+    doc="Time-series gap filling (timescale-style time_bucket_gapfill): "
+    "generate the dense hour spine from the data's own bounds "
+    "(sequence() exploded from a 1-row aggregate — stays in the plan, "
+    "no driver round-trip), left-join the sparse hourly counts, fill "
+    "zeros. The spine side is tiny (hours between bounds) and "
+    "broadcasts; the aggregate side is one partial-agg shuffle. The "
+    "dense output is what rollup dashboards and window-over-time "
+    "models need — missing buckets are rows, not absences.",
+)
+def q41_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"))
+    )
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    actual = ev.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        F.broadcast(hours)
+        .join(actual, "h", "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour_bucket"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
