@@ -1189,3 +1189,32 @@ def q40_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@register(
+    "q42_exact_percentiles",
+    late=True,
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="EXACT linear-interpolation percentiles per group (Spark "
+    "percentile() == SQL percentile_cont) — the precise counterpart "
+    "to q34's sketches. Exact quantiles need the group's values "
+    "materialized at one reducer, so this is the small-group/final-"
+    "report tool; q34's mergeable one-pass sketch is what runs on "
+    "the 100 TB raw scan. Having both, oracle-checked, documents the "
+    "tradeoff instead of hiding it.",
+)
+def q42_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
