@@ -310,3 +310,32 @@ def test_q38_subquery_decorrelates(q):
     p = plan_string(df, mode="simple")
     assert "NestedLoop" not in p and "CartesianProduct" not in p, p
     assert has_partial_aggregate(df)
+
+
+def test_d08_cheap_prefilter_before_levenshtein(q):
+    """The length lower bound must precede the DP in the join
+    condition — condition order is evaluation order for And."""
+    from tinysql_spark.plans import plan_string
+
+    p = plan_string(q("d08_fuzzy_pairs"), mode="simple")
+    join_line = next(l for l in p.splitlines() if "Join" in l and "levenshtein" in l)
+    assert join_line.index("abs(") < join_line.index("levenshtein"), join_line
+
+
+def test_q40_no_nested_loop_anti_join(q):
+    from tinysql_spark.plans import plan_string
+
+    df = q("q40_dormant_rich_customers")
+    p = plan_string(df, mode="simple")
+    assert "LeftAnti" in p, p
+    assert has_partial_aggregate(df)
+
+
+def test_q41_spine_broadcasts(q):
+    df = q("q41_gap_fill")
+    assert "BroadcastHashJoin" in join_strategies(df) or "BroadcastNestedLoop" not in str(
+        join_strategies(df)
+    )
+    from tinysql_spark.plans import plan_string
+
+    assert "Python" not in plan_string(df, mode="simple")
