@@ -559,9 +559,22 @@ def test_alter_drop_modify_rename_column(eng):
     # MODIFY that loses values must fail
     with pytest.raises(ValueError, match="do not fit"):
         eng.sql("ALTER TABLE at MODIFY COLUMN c int")
-    # RENAME COLUMN rewrites data under the new name
+    # RENAME COLUMN is metadata-only: the parquet files must be
+    # untouched (at 100 TB a rename cannot rewrite the table) — the
+    # catalog maps logical -> in-file names instead
+    import os
+
+    data_dir = eng.catalog.data_dir("default", "at")
+    before = {f: os.path.getmtime(os.path.join(data_dir, f)) for f in os.listdir(data_dir)}
     eng.sql("ALTER TABLE at RENAME COLUMN c TO label")
+    after = {f: os.path.getmtime(os.path.join(data_dir, f)) for f in os.listdir(data_dir)}
+    assert after == before, "rename rewrote data files"
     assert rows(eng.sql("SELECT a, label FROM at")) == [(1, "x"), (2, "y")]
+    # inserts and deletes keep working through the name mapping
+    eng.sql("INSERT INTO at (a, label) VALUES (9, 'w')")
+    assert (9, "w") in rows(eng.sql("SELECT a, label FROM at"))
+    eng.sql("DELETE FROM at WHERE a = 9")
+    assert (9, "w") not in rows(eng.sql("SELECT a, label FROM at"))
     # CHANGE = rename + retype in one spec
     eng.sql("ALTER TABLE at CHANGE COLUMN b b_big bigint")
     assert rows(eng.sql("SELECT a, b_big FROM at")) == [(1, 10), (2, 20)]
@@ -622,3 +635,30 @@ def test_alter_add_parenthesized_list(eng):
     eng.sql("ALTER TABLE ap ADD (b int DEFAULT 3, c varchar(4))")
     eng.sql("INSERT INTO ap (a) VALUES (1)")
     assert rows(eng.sql("SELECT a, b, c FROM ap")) == [(1, 3, None)]
+
+
+def test_rename_on_bucketed_table_keeps_mapping(eng, spark):
+    """Metadata-only rename on a bucketed table: files untouched,
+    bucket spec follows the logical name, data intact through the
+    physical-name mapping, and further writes keep the mapping."""
+    import os
+
+    eng.sql(
+        "CREATE TABLE bt (k int, v int) CLUSTERED BY (k) INTO 4 BUCKETS"
+    )
+    eng.sql("INSERT INTO bt VALUES (1, 10), (2, 20), (3, 30)")
+    data_dir = eng.catalog.data_dir("default", "bt")
+    before = sorted(os.listdir(data_dir))
+    eng.sql("ALTER TABLE bt RENAME COLUMN k TO key_id")
+    assert sorted(os.listdir(data_dir)) == before
+    info = eng.catalog.get_table("default", "bt")
+    assert info.bucket.columns == ["key_id"]
+    assert rows(eng.sql("SELECT key_id, v FROM bt")) == [(1, 10), (2, 20), (3, 30)]
+    # write through the mapping, then read back
+    eng.sql("INSERT INTO bt VALUES (4, 40)")
+    eng.sql("REPLACE INTO bt VALUES (4, 44)")
+    assert (4, 44) in rows(eng.sql("SELECT key_id, v FROM bt"))
+    # the in-file name stays the original
+    assert info.column("key_id").physical == "k"
+    got = [f.name for f in spark.read.parquet(data_dir).schema.fields]
+    assert "k" in got and "key_id" not in got

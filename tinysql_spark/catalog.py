@@ -54,6 +54,16 @@ class ColumnInfo:
     type: str  # declared SQL type, e.g. "INT", "VARCHAR(255)"
     nullable: bool = True
     default: str | None = None  # SQL literal text, or None
+    # Physical (in-file) parquet column name when it differs from the
+    # logical name — RENAME COLUMN updates only this mapping, making
+    # renames metadata-only (no 100 TB rewrite). The reference keys
+    # rows by column ID for the same reason (parser/model/model.go
+    # ColumnInfo.ID); Iceberg/Delta field IDs are the same idea.
+    physical: str | None = None
+
+    @property
+    def file_name(self) -> str:
+        return self.physical or self.name
 
     def spark_type(self) -> T.DataType:
         return sql_type_to_spark(self.type)
@@ -106,6 +116,16 @@ class TableInfo:
         return T.StructType(
             [T.StructField(ROWID, T.LongType(), False)] + list(self.user_schema().fields)
         )
+
+    def physical_schema(self) -> T.StructType:
+        """full_schema with in-file column names (see ColumnInfo.physical)."""
+        return T.StructType(
+            [T.StructField(ROWID, T.LongType(), False)]
+            + [T.StructField(c.file_name, c.spark_type(), c.nullable) for c in self.columns]
+        )
+
+    def has_name_mapping(self) -> bool:
+        return any(c.physical and c.physical != c.name for c in self.columns)
 
     def unique_keys(self) -> list[list[str]]:
         """PK + unique indexes — the conflict targets for REPLACE

@@ -181,16 +181,60 @@ class Engine:
                 self._register_table(db, t)
         self.spark.catalog.setCurrentDatabase(self.current_db)
 
+    def _drop_spark_entry(self, name: str) -> None:
+        """Drop a Spark-catalog entry that may be a view or a table —
+        DROP VIEW on a table (and vice versa) raises even with IF
+        EXISTS, so try both."""
+        for ddl in (f"DROP VIEW IF EXISTS {name}", f"DROP TABLE IF EXISTS {name}"):
+            try:
+                self.spark.sql(ddl)
+            except Exception:
+                pass
+
     def _register_table(self, db: str, table: str) -> None:
         """(Re)expose a warehouse table in the Spark catalog as an
-        external parquet table with the *user* schema (hides _rowid)."""
+        external parquet table with the *user* schema (hides _rowid).
+
+        When a metadata-only RENAME COLUMN left logical names differing
+        from in-file names, the parquet table is registered under the
+        PHYSICAL names (parquet resolves by name) behind a renaming
+        view carrying the logical names — Spark propagates bucket
+        HashPartitioning through the view's aliases, so co-bucketed
+        joins still skip the Exchange."""
         info = self.catalog.get_table(db, table)
-        self.spark.sql(f"DROP TABLE IF EXISTS {self._spark_name(db, table)}")
+        name = self._spark_name(db, table)
+        backing = self._spark_name(db, table + "__phys")
+        self._drop_spark_entry(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {backing}")
+        if info.has_name_mapping():
+            phys = {c.name: c.file_name for c in info.columns}
+            b = info.bucket
+            bucket_ddl = ""
+            if b:
+                bucket_ddl = " CLUSTERED BY (" + ", ".join(
+                    f"`{phys.get(c, c)}`" for c in b.columns
+                ) + ")"
+                if b.sort_columns:
+                    bucket_ddl += " SORTED BY (" + ", ".join(
+                        f"`{phys.get(c, c)}`" for c in b.sort_columns
+                    ) + ")"
+                bucket_ddl += f" INTO {b.num_buckets} BUCKETS"
+            ddl_cols = ", ".join(
+                f"`{c.file_name}` {c.spark_type().simpleString()}" for c in info.columns
+            )
+            self.spark.sql(
+                f"CREATE TABLE {backing} ({ddl_cols}) "
+                f"USING parquet{bucket_ddl} "
+                f"LOCATION '{self.catalog.data_dir(db, table)}'"
+            )
+            sel = ", ".join(f"`{c.file_name}` AS `{c.name}`" for c in info.columns)
+            self.spark.sql(f"CREATE VIEW {name} AS SELECT {sel} FROM {backing}")
+            return
         ddl_cols = ", ".join(
             f"`{c.name}` {c.spark_type().simpleString()}" for c in info.columns
         )
         self.spark.sql(
-            f"CREATE TABLE {self._spark_name(db, table)} ({ddl_cols}) "
+            f"CREATE TABLE {name} ({ddl_cols}) "
             f"USING parquet{self._bucket_ddl(info)} "
             f"LOCATION '{self.catalog.data_dir(db, table)}'"
         )
@@ -219,27 +263,33 @@ class Engine:
         bucket id from the file-name suffix."""
         b = info.bucket
         tmp_tbl = f"__bucket_tmp_{uuid.uuid4().hex[:8]}"
+        phys = {c.name: c.file_name for c in info.columns}
+        df = self._to_physical(df, info)
+        bcols = [phys.get(c, c) for c in b.columns]
+        scols = [phys.get(c, c) for c in (b.sort_columns or b.columns)]
         # Align task partitions with bucket ids (repartition's
         # HashPartitioning is the same murmur3-pmod the bucket id
         # uses), so each task writes exactly one bucket: file count
         # per write is bounded by num_buckets, not tasks x buckets.
-        df = df.repartition(b.num_buckets, *[F.col(c) for c in b.columns])
+        df = df.repartition(b.num_buckets, *[F.col(c) for c in bcols])
         (
             df.write.mode("overwrite")
             .format("parquet")
-            .bucketBy(b.num_buckets, *b.columns)
-            .sortBy(*(b.sort_columns or b.columns))
+            .bucketBy(b.num_buckets, *bcols)
+            .sortBy(*scols)
             .option("path", dest)
             .saveAsTable(tmp_tbl)
         )
         self.spark.sql(f"DROP TABLE IF EXISTS `{tmp_tbl}`")
 
     def _raw(self, db: str, table: str) -> DataFrame:
-        """Full-schema read (rowid included) straight from parquet."""
+        """Full-schema read (rowid included) straight from parquet,
+        renamed physical -> logical (metadata-only RENAME COLUMN)."""
         info = self.catalog.get_table(db, table)
-        return self.spark.read.schema(info.full_schema()).parquet(
+        df = self.spark.read.schema(info.physical_schema()).parquet(
             self.catalog.data_dir(db, table)
         )
+        return df.toDF(ROWID, *[c.name for c in info.columns])
 
     def _layout(self, df: DataFrame, info: TableInfo) -> DataFrame:
         """Sort within partitions on the first declared index's columns
@@ -250,6 +300,18 @@ class Engine:
         if info.indexes:
             return df.sortWithinPartitions(*info.indexes[0].columns)
         return df
+
+    def _refresh_table(self, db: str, table: str) -> None:
+        info = self.catalog.get_table(db, table)
+        if info.has_name_mapping():
+            self.spark.catalog.refreshTable(self._spark_name(db, table + "__phys"))
+        else:
+            self.spark.catalog.refreshTable(self._spark_name(db, table))
+
+    @staticmethod
+    def _to_physical(df: DataFrame, info: TableInfo) -> DataFrame:
+        """Rename logical -> in-file column names just before a write."""
+        return df.toDF(ROWID, *[c.file_name for c in info.columns])
 
     def _write_swap(self, db: str, table: str, df: DataFrame) -> None:
         """Write df (full schema) to a tmp dir, atomically swap it in,
@@ -263,9 +325,11 @@ class Engine:
         if info.bucket:
             self._write_bucket_files(out, info, tmp)
         else:
-            self._layout(out, info).write.mode("overwrite").parquet(tmp)
+            self._to_physical(self._layout(out, info), info).write.mode(
+                "overwrite"
+            ).parquet(tmp)
         self.catalog.swap_data_dir(db, table, tmp)
-        self.spark.catalog.refreshTable(self._spark_name(db, table))
+        self._refresh_table(db, table)
 
     def _append(self, db: str, table: str, df: DataFrame) -> None:
         info = self.catalog.get_table(db, table)
@@ -286,8 +350,10 @@ class Engine:
                     shutil.move(os.path.join(tmp, fname), os.path.join(data, fname))
             shutil.rmtree(tmp, ignore_errors=True)
         else:
-            self._layout(out, info).write.mode("append").parquet(data)
-        self.spark.catalog.refreshTable(self._spark_name(db, table))
+            self._to_physical(self._layout(out, info), info).write.mode(
+                "append"
+            ).parquet(data)
+        self._refresh_table(db, table)
 
     def _rewrite(self, sql: str) -> str:
         return P.rewrite_select(sql, self.user_vars)
@@ -422,7 +488,8 @@ class Engine:
                 if if_exists:
                     continue
                 raise ValueError(f"table {db}.{t} does not exist")
-            self.spark.sql(f"DROP TABLE IF EXISTS {self._spark_name(db, t)}")
+            self._drop_spark_entry(self._spark_name(db, t))
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._spark_name(db, t + '__phys')}")
             self.catalog.drop_table(db, t)
             dropped.append(t)
         return Result(message=f"dropped {', '.join(dropped) or 'nothing'}")
@@ -668,43 +735,57 @@ class Engine:
         new_name: str | None = None, new_type: str | None = None,
         spec_rest: str = "",
     ) -> str:
-        """RENAME/MODIFY/CHANGE COLUMN: update metadata and rewrite the
-        data through the atomic swap (cast validated: a value that
-        casts to NULL would silently corrupt — one aggregation job
-        checks before the swap commits)."""
+        """RENAME/MODIFY/CHANGE COLUMN.
+
+        A pure rename is METADATA-ONLY: the logical name changes in the
+        catalog, the in-file name is frozen into ColumnInfo.physical,
+        and every read/write maps between the two (the reference keys
+        rows by column ID — model.ColumnInfo.ID — for exactly this;
+        at 100 TB a rename must not rewrite the table). Type changes
+        (MODIFY/CHANGE) still rewrite through the atomic swap, with the
+        cast validated first: a value that casts to NULL would silently
+        corrupt, so one aggregation job checks before the swap commits.
+        """
         info = self.catalog.get_table(db, t)
         col = info.column(old_name)
         if col is None:
             raise ValueError(f"no column {old_name!r} in table {t}")
         if new_name and new_name.lower() != old_name.lower() and info.column(new_name) is not None:
             raise ValueError(f"column {new_name!r} already exists in {t}")
-        raw = self._raw(db, t)
+        if new_name and new_name != old_name:
+            col.physical = col.file_name  # freeze the in-file name
+            col.name = new_name
+            info.primary_key = [new_name if k.lower() == old_name.lower() else k for k in info.primary_key]
+            for i in info.indexes:
+                i.columns = [new_name if c.lower() == old_name.lower() else c for c in i.columns]
+            if info.bucket:
+                info.bucket.columns = [
+                    new_name if c.lower() == old_name.lower() else c for c in info.bucket.columns
+                ]
+                info.bucket.sort_columns = [
+                    new_name if c.lower() == old_name.lower() else c
+                    for c in info.bucket.sort_columns
+                ]
         target = new_name or old_name
         if new_type:
+            raw = self._raw(db, t)  # logical names (post-rename mapping)
             new_spark_type = ColumnInfo(name=target, type=new_type).spark_type()
-            casted = F.col(old_name).cast(new_spark_type)
+            casted = F.col(target).cast(new_spark_type)
             bad = raw.agg(
-                F.max((F.col(old_name).isNotNull() & casted.isNull()).cast("int")).alias("b")
+                F.max((F.col(target).isNotNull() & casted.isNull()).cast("int")).alias("b")
             ).collect()[0]["b"]
             if bad:
                 raise ValueError(
                     f"MODIFY {old_name} to {new_type}: existing values do not fit"
                 )
-            raw = raw.withColumn(old_name, casted)
             col.type = new_type
             if spec_rest:
                 col.nullable = "NOT NULL" not in spec_rest.upper()
                 dm = P.re.search(r"DEFAULT\s+('(?:[^'\\]|\\.)*'|[\w.+-]+)", spec_rest, P.re.I)
                 if dm:
                     col.default = dm.group(1)
-        if new_name and new_name != old_name:
-            raw = raw.withColumnRenamed(old_name, new_name)
-            col.name = new_name
-            info.primary_key = [new_name if k.lower() == old_name.lower() else k for k in info.primary_key]
-            for i in info.indexes:
-                i.columns = [new_name if c.lower() == old_name.lower() else c for c in i.columns]
-        if self._raw_has_rows(db, t):
-            self._write_swap(db, t, raw)
+            if self._raw_has_rows(db, t):
+                self._write_swap(db, t, raw.withColumn(target, casted))
         return f"column {old_name} altered"
 
     def _raw_has_rows(self, db: str, t: str) -> bool:
@@ -905,10 +986,7 @@ class Engine:
         if cond is None:
             n = raw.count()
             empty = self.spark.createDataFrame([], info.full_schema())
-            tmp = self.catalog.data_dir(db, t) + f".tmp-{uuid.uuid4().hex[:8]}"
-            empty.write.mode("overwrite").parquet(tmp)
-            self.catalog.swap_data_dir(db, t, tmp)
-            self.spark.catalog.refreshTable(self._spark_name(db, t))
+            self._write_swap(db, t, empty)
             return Result(rows_affected=n, message=f"{n} rows deleted")
         view = f"__del_{t}_{uuid.uuid4().hex[:6]}"
         raw.createOrReplaceTempView(view)
