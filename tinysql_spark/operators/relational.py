@@ -1218,3 +1218,43 @@ def q42_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q43_unpivot",
+    late=True,
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderstatus,
+             round(sum(CASE WHEN o_orderpriority LIKE '1%' THEN o_totalprice ELSE 0 END), 2) AS p1,
+             round(sum(CASE WHEN o_orderpriority LIKE '2%' THEN o_totalprice ELSE 0 END), 2) AS p2,
+             round(sum(CASE WHEN o_orderpriority LIKE '3%' THEN o_totalprice ELSE 0 END), 2) AS p3
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, prio, total FROM agg
+    UNPIVOT (total FOR prio IN (p1, p2, p3))
+    """,
+    doc="UNPIVOT (wide -> long), the inverse of q32's pivot: "
+    "conditional aggregation builds the wide columns, stack() melts "
+    "them back to (key, measure) rows. stack is a local Generate — "
+    "row count multiplies by the column count with NO shuffle, so "
+    "melting a 100 TB feature-wide table is map-only; the only "
+    "exchange is the upstream aggregation's.",
+)
+def q43_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        *[
+            F.round(
+                F.sum(
+                    F.when(F.col("o_orderpriority").like(f"{i}%"), F.col("o_totalprice")).otherwise(0.0)
+                ),
+                2,
+            ).alias(f"p{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    return wide.select(
+        "o_orderstatus",
+        F.expr("stack(3, 'p1', p1, 'p2', p2, 'p3', p3) AS (prio, total)"),
+    ).select("o_orderstatus", "prio", "total")
