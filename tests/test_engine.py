@@ -662,3 +662,72 @@ def test_rename_on_bucketed_table_keeps_mapping(eng, spark):
     assert info.column("key_id").physical == "k"
     got = [f.name for f in spark.read.parquet(data_dir).schema.fields]
     assert "k" in got and "key_id" not in got
+
+
+def test_add_column_after_drop_reads_null(eng):
+    """DROP COLUMN is metadata-only, so the old bytes stay in the
+    part-files; re-ADDing the same name must read NULL, not resurrect
+    the dead values (fresh physical name — the column-ID pattern)."""
+    eng.sql("CREATE TABLE adn (a int, b int)")
+    eng.sql("INSERT INTO adn VALUES (1, 10), (2, 20)")
+    eng.sql("ALTER TABLE adn DROP COLUMN b")
+    eng.sql("ALTER TABLE adn ADD COLUMN b int")
+    assert rows(eng.sql("SELECT a, b FROM adn")) == [(1, None), (2, None)]
+    # new writes land in the fresh physical column and read back
+    eng.sql("INSERT INTO adn VALUES (3, 30)")
+    assert (3, 30) in rows(eng.sql("SELECT a, b FROM adn"))
+    info = eng.catalog.get_table("default", "adn")
+    assert info.column("b").physical not in (None, "b")
+
+
+def test_add_column_matching_frozen_physical_name(eng):
+    """After RENAME a TO c (physical 'a' frozen in-file), ADD COLUMN a
+    must not alias the frozen bytes: two distinct physical names, old
+    data under c, NULL under the new a."""
+    eng.sql("CREATE TABLE afz (a int, b int)")
+    eng.sql("INSERT INTO afz VALUES (1, 10), (2, 20)")
+    eng.sql("ALTER TABLE afz RENAME COLUMN a TO c")
+    eng.sql("ALTER TABLE afz ADD COLUMN a int")
+    assert rows(eng.sql("SELECT c, a FROM afz")) == [(1, None), (2, None)]
+    info = eng.catalog.get_table("default", "afz")
+    names = [col.file_name for col in info.columns]
+    assert len(names) == len(set(names)), f"duplicate physical names: {names}"
+    eng.sql("INSERT INTO afz (c, a) VALUES (3, 33)")
+    assert (3, 33) in rows(eng.sql("SELECT c, a FROM afz"))
+
+
+def test_analyze_after_rename_column(eng):
+    """ANALYZE TABLE on a renamed table: the logical name is a view
+    over the __phys backing table; stats must target the backing
+    table instead of raising AnalysisException on the view."""
+    eng.sql("CREATE TABLE art (a int, b varchar(8))")
+    eng.sql("INSERT INTO art VALUES (1, 'x'), (2, 'y')")
+    eng.sql("ALTER TABLE art RENAME COLUMN a TO k")
+    eng.sql("ANALYZE TABLE art")
+    assert eng.load_stats("default", "art") is not None
+
+
+def test_delete_where_keyword_inside_string_literal(eng):
+    """Quote-aware DELETE clause split: ORDER BY / LIMIT inside a
+    string literal is data, not a clause."""
+    eng.sql("CREATE TABLE dq (a int, note varchar(64))")
+    eng.sql(
+        "INSERT INTO dq VALUES (1, 'x ORDER BY y'), (2, 'keep LIMIT 5'), (3, 'plain')"
+    )
+    r = eng.sql("DELETE FROM dq WHERE note = 'x ORDER BY y'")
+    assert r.rows_affected == 1
+    assert rows(eng.sql("SELECT a FROM dq")) == [(2,), (3,)]
+    r = eng.sql("DELETE FROM dq WHERE note = 'keep LIMIT 5' LIMIT 1")
+    assert r.rows_affected == 1
+    assert rows(eng.sql("SELECT a FROM dq")) == [(3,)]
+
+
+def test_delete_order_by_without_limit_no_broadcast(eng):
+    """DELETE ... ORDER BY with no LIMIT matches an unbounded row set —
+    correctness here; the plan-side guarantee is that the doomed set is
+    not force-broadcast (a whole-table broadcast OOMs at scale)."""
+    eng.sql("CREATE TABLE dob (a int, b int)")
+    eng.sql("INSERT INTO dob VALUES (1, 1), (2, 2), (3, 3)")
+    r = eng.sql("DELETE FROM dob WHERE b >= 2 ORDER BY b")
+    assert r.rows_affected == 2
+    assert rows(eng.sql("SELECT a FROM dob")) == [(1,)]

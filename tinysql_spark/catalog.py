@@ -99,6 +99,14 @@ class TableInfo:
     indexes: list[IndexInfo] = field(default_factory=list)
     bucket: BucketSpec | None = None
     next_rowid: int = 1
+    # In-file names of DROPped columns. DROP COLUMN is metadata-only
+    # (pruning means the dead column is never read), so the bytes stay
+    # in old part-files; a later ADD COLUMN of the same name must NOT
+    # resolve to them (parquet resolves by name — the old values would
+    # silently resurrect instead of reading NULL/default). ADD checks
+    # this list plus live file_names and mints a fresh physical name on
+    # collision — the column-ID discipline (model.ColumnInfo.ID).
+    dropped_physical: list[str] = field(default_factory=list)
 
     def column(self, name: str) -> ColumnInfo | None:
         for c in self.columns:
@@ -173,6 +181,7 @@ class Catalog:
                     indexes=[IndexInfo(**i) for i in t.get("indexes", [])],
                     bucket=BucketSpec(**t["bucket"]) if t.get("bucket") else None,
                     next_rowid=t.get("next_rowid", 1),
+                    dropped_physical=t.get("dropped_physical", []),
                 )
 
     def _save(self) -> None:

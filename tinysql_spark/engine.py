@@ -405,12 +405,9 @@ class Engine:
         return self._plan_text_df(header, src, mode)
 
     def _explain_delete(self, body: str, mode: str) -> Result:
-        m = P._DELETE_RE.match(body)
-        if not m:
-            raise ValueError(f"cannot parse DELETE: {body[:60]}")
-        db, t = self._qualify(m.group(1))
+        table, cond, _order_by, _limit = P.parse_delete(body)
+        db, t = self._qualify(table)
         raw = self._raw(db, t)
-        cond = m.group(2)
         if cond is None:
             keep = raw.limit(0)
         else:
@@ -645,12 +642,25 @@ class Engine:
             col_type = cm.group(2).upper() + (cm.group(3) or "").replace(" ", "")
             rest = m.group(1)[cm.end() :]
             dm = P.re.search(r"DEFAULT\s+('(?:[^'\\]|\\.)*'|[\w.+-]+)", rest, P.re.I)
+            # ADD COLUMN is metadata-only, so the new column must read
+            # as NULL from existing files. If the name matches bytes
+            # already on disk — a DROPped column, or a physical name
+            # frozen by RENAME — parquet's by-name resolution would
+            # resurrect the old values; mint a fresh physical name
+            # instead (the reference's column-ID pattern).
+            taken = {c.file_name.lower() for c in info.columns} | {
+                d.lower() for d in info.dropped_physical
+            }
+            physical = None
+            if col_name.lower() in taken:
+                physical = f"{col_name}__{uuid.uuid4().hex[:8]}"
             info.columns.append(
                 ColumnInfo(
                     name=col_name,
                     type=col_type,
                     nullable="NOT NULL" not in rest.upper(),
                     default=dm.group(1) if dm else None,
+                    physical=physical,
                 )
             )
             return f"column {col_name} added to {t}"
@@ -663,7 +673,12 @@ class Engine:
                 raise ValueError(f"cannot drop column {col_name!r}: part of a key")
             if len(info.columns) == 1:
                 raise ValueError("cannot drop the only column")
+            dropped = info.column(col_name)
             info.columns = [c for c in info.columns if c.name.lower() != col_name.lower()]
+            # remember the in-file name: a future ADD COLUMN of the same
+            # name must not resolve to the dead bytes still in old files
+            if dropped.file_name not in info.dropped_physical:
+                info.dropped_physical.append(dropped.file_name)
             return f"column {col_name} dropped from {t}"
         m = P.re.match(r"^DROP\s+PRIMARY\s+KEY$", spec, P.re.I)
         if m:
@@ -958,12 +973,9 @@ class Engine:
         return Result(rows_affected=n + n_deleted, message=f"{n_deleted} replaced, {n} inserted")
 
     def _exec_delete(self, stmt: str) -> Result:
-        m = P._DELETE_RE.match(stmt)
-        if not m:
-            raise ValueError(f"cannot parse DELETE: {stmt[:60]}")
-        db, t = self._qualify(m.group(1))
+        table, cond, order_by, limit = P.parse_delete(stmt)
+        db, t = self._qualify(table)
         info = self.catalog.get_table(db, t)
-        cond, order_by, limit = m.group(2), m.group(3), m.group(4)
         raw = self._raw(db, t)
         if order_by or limit:
             # DELETE ... [ORDER BY ...] LIMIT n (parser.y DeleteFromStmt):
@@ -979,7 +991,11 @@ class Engine:
                 q += f" LIMIT {limit}"
             doomed = self.spark.sql(q)
             n_del = doomed.count()
-            keep = raw.join(F.broadcast(doomed), ROWID, "left_anti")
+            # broadcast only the LIMIT-bounded set; ORDER BY alone can
+            # match the whole table and a forced broadcast would OOM
+            if limit:
+                doomed = F.broadcast(doomed)
+            keep = raw.join(doomed, ROWID, "left_anti")
             self._write_swap(db, t, keep)
             self.spark.catalog.dropTempView(view)
             return Result(rows_affected=n_del, message=f"{n_del} rows deleted")
@@ -1258,8 +1274,13 @@ class Engine:
         for name in P.split_top_level(m.group(1)):
             db, t = self._qualify(name)
             info = self.catalog.get_table(db, t)  # existence check
+            # after a metadata-only RENAME COLUMN the logical name is a
+            # VIEW over the __phys backing table, and Spark rejects
+            # ANALYZE TABLE on a view — stats go on the backing table
+            # (same data; the CBO reads them through the view's aliases)
+            target = t + "__phys" if info.has_name_mapping() else t
             self.spark.sql(
-                f"ANALYZE TABLE {self._spark_name(db, t)} COMPUTE STATISTICS FOR ALL COLUMNS"
+                f"ANALYZE TABLE {self._spark_name(db, target)} COMPUTE STATISTICS FOR ALL COLUMNS"
             )
             user_cols = [c.name for c in info.columns]
             self.table_stats[(db, t)] = collect_column_stats(

@@ -10,6 +10,7 @@ TinySQL's index-range access paths (SURVEY §4.4).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,15 +35,26 @@ BROADCAST_TABLES = {"region", "nation"}
 # schema-read job per call; caching the DataFrame (lazy plan, immutable)
 # makes repeated load_table calls — and therefore plan CONSTRUCTION in
 # every operator — job-free after first touch of a table.
-_LOADED: dict[tuple[int, str, str], DataFrame] = {}
+#
+# Keyed on applicationId (stable per session) + a weakref identity
+# check, NOT id(spark): a recycled id() must never hand out a plan
+# bound to a dead session, and entries whose session has been
+# garbage-collected are evicted on the next miss so a long-lived
+# process does not leak plans across sessions.
+_LOADED: dict[tuple[str, str, str], tuple["weakref.ref[SparkSession]", DataFrame]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
-    df = _LOADED.get(key)
-    if df is None:
-        df = _load_table(spark, sf_dir, name)
-        _LOADED[key] = df
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _LOADED.get(key)
+    if hit is not None:
+        ref, df = hit
+        if ref() is spark:
+            return df
+    for k in [k for k, (r, _) in _LOADED.items() if r() is None]:
+        _LOADED.pop(k, None)
+    df = _load_table(spark, sf_dir, name)
+    _LOADED[key] = (weakref.ref(spark), df)
     return df
 
 

@@ -353,15 +353,76 @@ def parse_insert(stmt: str) -> InsertStmt:
 # DELETE / misc regexes
 # --------------------------------------------------------------------------
 
-_DELETE_RE = re.compile(
-    # DELETE [LOW_PRIORITY] [QUICK] FROM t [WHERE w] [ORDER BY o] [LIMIT n]
+_DELETE_HEAD_RE = re.compile(
+    # DELETE [LOW_PRIORITY] [QUICK] FROM t <tail>
     # (parser.y DeleteFromStmt: OrderByOptional LimitClause)
-    r"^\s*DELETE\s+(?:LOW_PRIORITY\s+)?(?:QUICK\s+)?FROM\s+([`\w.]+)\s*"
-    r"(?:WHERE\s+(.*?))?"
-    r"(?:\s*ORDER\s+BY\s+(.*?))?"
-    r"(?:\s*LIMIT\s+(\d+))?\s*$",
+    r"^\s*DELETE\s+(?:LOW_PRIORITY\s+)?(?:QUICK\s+)?FROM\s+([`\w.]+)\s*(.*)$",
     re.I | re.S,
 )
+
+
+def _top_level_keyword_spans(s: str) -> list[tuple[int, int, str]]:
+    """(start, end, KEYWORD) for top-level WHERE / ORDER BY / LIMIT —
+    quote- and paren-aware, so a keyword inside a string literal (e.g.
+    WHERE note = 'x ORDER BY y') or a subquery never splits the
+    clause."""
+    spans = []
+    depth, quote = 0, None
+    i, n = 0, len(s)
+    kw = re.compile(r"(WHERE\b|ORDER\s+BY\b|LIMIT\b)", re.I)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == "\\" and quote in "'\"":
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch.isalpha() and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "_`")):
+            m = kw.match(s, i)
+            if m:
+                spans.append((m.start(), m.end(), re.sub(r"\s+", " ", m.group(1).upper())))
+                i = m.end()
+                continue
+        i += 1
+    return spans
+
+
+def parse_delete(stmt: str) -> tuple[str, str | None, str | None, str | None]:
+    """DELETE FROM t [WHERE w] [ORDER BY o] [LIMIT n] →
+    (table, where, order_by, limit) with quote-aware clause splitting
+    (a plain regex misparses string literals containing keywords)."""
+    m = _DELETE_HEAD_RE.match(stmt)
+    if not m:
+        raise ValueError(f"cannot parse DELETE: {stmt[:60]}")
+    table, tail = m.group(1), m.group(2)
+    spans = _top_level_keyword_spans(tail)
+    # clauses must appear in grammar order; a later WHERE after ORDER BY
+    # would be malformed — take the first of each in order
+    where = order_by = limit = None
+    bounds = spans + [(len(tail), len(tail), "")]
+    for idx, (start, end, word) in enumerate(spans):
+        text = tail[end : bounds[idx + 1][0]].strip()
+        if word == "WHERE" and where is None and order_by is None and limit is None:
+            where = text
+        elif word == "ORDER BY" and order_by is None and limit is None:
+            order_by = text
+        elif word == "LIMIT" and limit is None:
+            if not re.fullmatch(r"\d+", text):
+                raise ValueError(f"cannot parse DELETE LIMIT: {text[:30]!r}")
+            limit = text
+        else:
+            raise ValueError(f"cannot parse DELETE clause order near: {word}")
+    leading = tail[: spans[0][0]].strip() if spans else tail.strip()
+    if leading:
+        raise ValueError(f"cannot parse DELETE: unexpected {leading[:30]!r}")
+    return table, where, order_by, limit
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([`\w.]+)\s*$", re.I)
 _USE_RE = re.compile(r"^\s*USE\s+([`\w]+)\s*$", re.I)
 _OPTIMIZE_RE = re.compile(r"^\s*OPTIMIZE\s+(?:TABLE\s+)?([`\w.]+)\s*$", re.I)
