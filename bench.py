@@ -51,8 +51,10 @@ def main() -> None:
     # Best-of-N per query: this box is shared (driver-side correctness
     # checks run concurrently), so single-shot timings see multi-second
     # stalls unrelated to the plan under test. Min over reps is the
-    # standard noisy-host estimator.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # standard noisy-host estimator; 3 warm reps keeps untouched-query
+    # deltas attributable across rounds (best-of-2 still showed 2-4x
+    # inflation on unchanged plans).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     only = {n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n}
     names = sorted(n for n in REGISTRY if not only or n in only)
     times: dict[str, float] = {}

@@ -34,10 +34,29 @@ def test_oracle_backed_entries_fit_driver_window():
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_parity(spark, duck, sf_dir, name):
+    from tinysql_spark.operators.registry import render_oracle
+
     spec = REGISTRY[name]
     spark_df = spec.fn(spark, sf_dir)
-    duck_df = duck.execute(spec.oracle).df()
+    duck_df = duck.execute(render_oracle(spec.oracle, sf_dir)).df()
     assert_match(spark_df, duck_df, name)
+
+
+def test_q36_oracle_tracks_sf_dir(spark):
+    """q36's oracle needs a raw parquet path (file_row_number is a
+    read_parquet scan option); the {sf_dir} placeholder must follow
+    the harness scale factor — parity at sf0.001 proves no literal
+    path is baked in."""
+    import duckdb
+
+    from tinysql_spark.operators.registry import render_oracle
+
+    sf_small = "/root/testdata/sf0.001"
+    spec = REGISTRY["q36_first_row"]
+    con = duckdb.connect()
+    duck_df = con.execute(render_oracle(spec.oracle, sf_small)).df()
+    assert_match(spec.fn(spark, sf_small), duck_df, "q36@sf0.001")
+    con.close()
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

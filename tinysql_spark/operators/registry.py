@@ -9,12 +9,25 @@ check.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# The driver runs oracle SQL against views registered at sf0.01; an
+# oracle that needs a raw file path (DuckDB scan options like
+# file_row_number are read_parquet options, not view columns) writes
+# the `{sf_dir}` placeholder instead of a literal, rendered here. The
+# env override keeps the registry correct if the harness ever checks
+# at a different scale factor.
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def render_oracle(oracle: str, sf_dir: str | None = None) -> str:
+    return oracle.replace("{sf_dir}", sf_dir or ORACLE_SF_DIR)
 
 
 @dataclass(frozen=True)
@@ -57,4 +70,4 @@ def all_queries() -> dict[str, QueryFn]:
 
 
 def all_oracles() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in _ordered() if spec.oracle}
+    return {name: render_oracle(spec.oracle) for name, spec in _ordered() if spec.oracle}

@@ -1012,7 +1012,7 @@ def q34_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_min(l_quantity, filename || lpad(CAST(file_row_number AS VARCHAR), 12, '0'))
              AS first_qty,
            count(*) AS n_rows
-    FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet',
+    FROM read_parquet('{sf_dir}/lineitem.parquet',
                       filename=true, file_row_number=true)
     GROUP BY l_returnflag
     """,
@@ -1025,8 +1025,9 @@ def q34_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single-pass scan, stable across partitioning and retries. "
     "Map-side combinable agg — one shuffle, no sort, scales like any "
     "min(). Oracle pins the identical order via read_parquet "
-    "file_row_number (path is literal: DuckDB metadata cols are scan "
-    "options, not view columns; the driver checks at sf0.01).",
+    "file_row_number (DuckDB metadata cols are scan options, not view "
+    "columns, so the oracle takes a {sf_dir} placeholder rendered by "
+    "the registry — correct at any scale factor the harness picks).",
 )
 def q36_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
