@@ -1,0 +1,105 @@
+"""Quality measurement for the seeded-hash dedup sketches (d03
+MinHash+LSH, d04 SimHash) — the s04-for-dedup counterpart: their
+signatures have no DuckDB oracle (rows-only in the driver), so their
+evidence is measured precision/recall against exact ground truth at
+sf0.01, asserted against thresholds with a safety margin below the
+measured values (documented in the operator docstrings).
+
+Measured at sf0.01 (seed-42 driver data):
+- d03 cluster recall vs shingle-Jaccard >= 0.8 pairs: 1.00 (25/25);
+  theory floor for 4 bands x 4 rows at J = 0.8 is 1-(1-0.8^4)^4 = 0.88
+- d03 co-clustered precision vs shingle-Jaccard >= 0.5: 1.00
+- d04 pair recall vs token-Jaccard >= 0.97: 1.00 (444/444);
+  hamming <= 3 of 64 bits corresponds to cosine >= ~0.989, so the
+  truth band is very-near-duplicates, not J >= 0.9
+- d04 pair precision vs token-Jaccard >= 0.5: 0.78
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+import pytest
+
+
+def _toks(t: str) -> list[str]:
+    return t.strip().split()
+
+
+def _shingle_set(t: str, w: int = 3) -> set[str]:
+    ws = _toks(t)
+    if len(ws) <= w:
+        return {" ".join(ws)}
+    return {" ".join(ws[i : i + w]) for i in range(len(ws) - w + 1)}
+
+
+def _jac(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+@pytest.fixture(scope="module")
+def doc_sets(sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    tok_sets = {r.doc_id: set(_toks(r.text)) for r in docs.itertuples()}
+    sh_sets = {r.doc_id: _shingle_set(r.text) for r in docs.itertuples()}
+    return tok_sets, sh_sets
+
+
+def _truth_pairs(sets: dict, thresh: float) -> set[tuple]:
+    ids = sorted(sets)
+    return {
+        (a, b)
+        for a, b in itertools.combinations(ids, 2)
+        if _jac(sets[a], sets[b]) >= thresh
+    }
+
+
+def test_d03_lsh_cluster_recall_and_precision(spark, sf_dir, doc_sets):
+    """d03's banded-LSH clustering must co-cluster near-dup pairs
+    (shingle-Jaccard >= 0.8; theoretical band-match floor 0.88) and
+    must not glue unrelated docs together (co-clustered pairs stay
+    above shingle-Jaccard 0.5)."""
+    from tinysql_spark.operators.dedup import d03_minhash_lsh
+
+    _, sh_sets = doc_sets
+    truth = _truth_pairs(sh_sets, 0.8)
+    assert truth, "ground truth empty — testdata changed?"
+    clus = {r["doc_id"]: r["cluster_id"] for r in d03_minhash_lsh(spark, sf_dir).collect()}
+    recall = sum(1 for a, b in truth if clus[a] == clus[b]) / len(truth)
+    assert recall >= 0.85, f"d03 recall {recall:.3f} < 0.85 (measured 1.00 at sf0.01)"
+
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for d, c in clus.items():
+        groups[c].append(d)
+    co = {
+        p
+        for g in groups.values()
+        if len(g) > 1
+        for p in itertools.combinations(sorted(g), 2)
+    }
+    assert co, "no co-clustered pairs — LSH produced singletons only"
+    precision = sum(1 for a, b in co if _jac(sh_sets[a], sh_sets[b]) >= 0.5) / len(co)
+    assert precision >= 0.8, f"d03 precision {precision:.3f} < 0.8 (measured 1.00)"
+
+
+def test_d04_simhash_recall_and_precision(spark, sf_dir, doc_sets):
+    """d04's hamming <= 3 gate corresponds to cosine >= ~0.989 over
+    token vectors, so the recall truth band is token-Jaccard >= 0.97
+    (very-near duplicates); precision is measured against the looser
+    J >= 0.5 band (a reported pair should at least be half-similar)."""
+    from tinysql_spark.operators.dedup import d04_simhash
+
+    tok_sets, _ = doc_sets
+    truth = _truth_pairs(tok_sets, 0.97)
+    assert truth, "ground truth empty — testdata changed?"
+    pairs = {(r["a_id"], r["b_id"]) for r in d04_simhash(spark, sf_dir).collect()}
+    recall = sum(1 for p in truth if p in pairs) / len(truth)
+    assert recall >= 0.95, f"d04 recall {recall:.3f} < 0.95 (measured 1.00 at sf0.01)"
+    loose = _truth_pairs(tok_sets, 0.5)
+    precision = sum(1 for p in pairs if p in loose) / len(pairs)
+    assert precision >= 0.6, f"d04 precision {precision:.3f} < 0.6 (measured 0.78)"

@@ -244,7 +244,12 @@ _LSH_PROPAGATION_ROUNDS = 4
     "cluster id (= min doc_id reachable through shared buckets). "
     "Deliberately NOT pair enumeration: near-dup clusters make pair "
     "output quadratic in cluster size; label propagation is linear "
-    "(2 shuffles per round) and is the 100 TB-safe formulation.",
+    "(2 shuffles per round) and is the 100 TB-safe formulation. "
+    "Quality (measured at sf0.01, tests/test_dedup_quality.py): "
+    "cluster recall 1.00 vs exact shingle-Jaccard >= 0.8 pairs "
+    "(theoretical band-match floor at J=0.8: 1-(1-J^4)^4 = 0.88), "
+    "co-clustered precision 1.00 vs shingle-Jaccard >= 0.5; asserted "
+    "thresholds 0.85 / 0.80.",
 )
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -321,7 +326,12 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     oracle=None,  # xxhash64-based — rows-only check
     doc="SimHash(64-bit) near-dup: chunked candidate join (4x16-bit "
     "chunks; pigeonhole: hamming<=3 implies an equal chunk) then exact "
-    "hamming-distance filter via bit_count(xor).",
+    "hamming-distance filter via bit_count(xor). Quality (measured at "
+    "sf0.01, tests/test_dedup_quality.py): hamming<=3 of 64 bits "
+    "corresponds to cosine >= ~0.989 over token vectors, so the truth "
+    "band is token-Jaccard >= 0.97 — pair recall 1.00 there, "
+    "precision 0.78 vs the looser J >= 0.5 band; asserted thresholds "
+    "0.95 / 0.60.",
 )
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
