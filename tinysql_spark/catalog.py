@@ -98,6 +98,13 @@ class TableInfo:
     primary_key: list[str] = field(default_factory=list)
     indexes: list[IndexInfo] = field(default_factory=list)
     bucket: BucketSpec | None = None
+    # CREATE TABLE ... PARTITIONED BY (col, ...): rows land in
+    # hive-style directories (col=value/), so a predicate on the
+    # partition column prunes whole directories at planning time
+    # (PartitionFilters) — the third pruning lever next to sorted
+    # layout and bucketing, and the direct analog of the reference's
+    # index range scans (util/ranger/ranger.go:282).
+    partition_by: list[str] = field(default_factory=list)
     next_rowid: int = 1
     # In-file names of DROPped columns. DROP COLUMN is metadata-only
     # (pruning means the dead column is never read), so the bytes stay
@@ -180,6 +187,7 @@ class Catalog:
                     primary_key=t.get("primary_key", []),
                     indexes=[IndexInfo(**i) for i in t.get("indexes", [])],
                     bucket=BucketSpec(**t["bucket"]) if t.get("bucket") else None,
+                    partition_by=t.get("partition_by", []),
                     next_rowid=t.get("next_rowid", 1),
                     dropped_physical=t.get("dropped_physical", []),
                 )

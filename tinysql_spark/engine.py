@@ -200,13 +200,17 @@ class Engine:
         PHYSICAL names (parquet resolves by name) behind a renaming
         view carrying the logical names — Spark propagates bucket
         HashPartitioning through the view's aliases, so co-bucketed
-        joins still skip the Exchange."""
+        joins still skip the Exchange. PARTITIONED BY tables use the
+        same backing-table + view shape (Spark reorders partition
+        columns to the schema tail; the view restores declared order),
+        and partition predicates push through the view into
+        PartitionFilters."""
         info = self.catalog.get_table(db, table)
         name = self._spark_name(db, table)
         backing = self._spark_name(db, table + "__phys")
         self._drop_spark_entry(name)
         self.spark.sql(f"DROP TABLE IF EXISTS {backing}")
-        if info.has_name_mapping():
+        if info.has_name_mapping() or info.partition_by:
             phys = {c.name: c.file_name for c in info.columns}
             b = info.bucket
             bucket_ddl = ""
@@ -219,14 +223,21 @@ class Engine:
                         f"`{phys.get(c, c)}`" for c in b.sort_columns
                     ) + ")"
                 bucket_ddl += f" INTO {b.num_buckets} BUCKETS"
+            part_ddl = ""
+            if info.partition_by:
+                part_ddl = " PARTITIONED BY (" + ", ".join(
+                    f"`{phys.get(c, c)}`" for c in info.partition_by
+                ) + ")"
             ddl_cols = ", ".join(
                 f"`{c.file_name}` {c.spark_type().simpleString()}" for c in info.columns
             )
             self.spark.sql(
                 f"CREATE TABLE {backing} ({ddl_cols}) "
-                f"USING parquet{bucket_ddl} "
+                f"USING parquet{part_ddl}{bucket_ddl} "
                 f"LOCATION '{self.catalog.data_dir(db, table)}'"
             )
+            if info.partition_by:
+                self.spark.sql(f"ALTER TABLE {backing} RECOVER PARTITIONS")
             sel = ", ".join(f"`{c.file_name}` AS `{c.name}`" for c in info.columns)
             self.spark.sql(f"CREATE VIEW {name} AS SELECT {sel} FROM {backing}")
             return
@@ -303,10 +314,14 @@ class Engine:
 
     def _refresh_table(self, db: str, table: str) -> None:
         info = self.catalog.get_table(db, table)
-        if info.has_name_mapping():
-            self.spark.catalog.refreshTable(self._spark_name(db, table + "__phys"))
-        else:
-            self.spark.catalog.refreshTable(self._spark_name(db, table))
+        backed = info.has_name_mapping() or bool(info.partition_by)
+        name = self._spark_name(db, table + "__phys" if backed else table)
+        if info.partition_by:
+            # hive-style partition dirs register in the metastore via
+            # partition recovery — a plain refresh does not discover
+            # new directories on an external partitioned table
+            self.spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
+        self.spark.catalog.refreshTable(name)
 
     @staticmethod
     def _to_physical(df: DataFrame, info: TableInfo) -> DataFrame:
@@ -325,9 +340,11 @@ class Engine:
         if info.bucket:
             self._write_bucket_files(out, info, tmp)
         else:
-            self._to_physical(self._layout(out, info), info).write.mode(
-                "overwrite"
-            ).parquet(tmp)
+            w = self._to_physical(self._layout(out, info), info).write.mode("overwrite")
+            if info.partition_by:
+                phys = {c.name: c.file_name for c in info.columns}
+                w = w.partitionBy(*[phys.get(c, c) for c in info.partition_by])
+            w.parquet(tmp)
         self.catalog.swap_data_dir(db, table, tmp)
         self._refresh_table(db, table)
 
@@ -350,9 +367,11 @@ class Engine:
                     shutil.move(os.path.join(tmp, fname), os.path.join(data, fname))
             shutil.rmtree(tmp, ignore_errors=True)
         else:
-            self._to_physical(self._layout(out, info), info).write.mode(
-                "append"
-            ).parquet(data)
+            w = self._to_physical(self._layout(out, info), info).write.mode("append")
+            if info.partition_by:
+                phys = {c.name: c.file_name for c in info.columns}
+                w = w.partitionBy(*[phys.get(c, c) for c in info.partition_by])
+            w.parquet(data)
         self._refresh_table(db, table)
 
     def _rewrite(self, sql: str) -> str:
@@ -470,6 +489,10 @@ class Engine:
         empty = self.spark.createDataFrame([], info.full_schema())
         if info.bucket:
             self._write_bucket_files(empty, info, self.catalog.data_dir(db, t))
+        elif info.partition_by:
+            # no root-level part file: a file at the root of a
+            # hive-partitioned layout breaks partition discovery
+            os.makedirs(self.catalog.data_dir(db, t), exist_ok=True)
         else:
             empty.write.mode("overwrite").parquet(self.catalog.data_dir(db, t))
         self._register_table(db, t)
@@ -671,6 +694,8 @@ class Engine:
                 raise ValueError(f"no column {col_name!r} in table {t}")
             if col_name in info.primary_key or any(col_name in i.columns for i in info.indexes):
                 raise ValueError(f"cannot drop column {col_name!r}: part of a key")
+            if any(col_name.lower() == p.lower() for p in info.partition_by):
+                raise ValueError(f"cannot drop column {col_name!r}: partition column")
             if len(info.columns) == 1:
                 raise ValueError("cannot drop the only column")
             dropped = info.column(col_name)
@@ -765,6 +790,10 @@ class Engine:
         col = info.column(old_name)
         if col is None:
             raise ValueError(f"no column {old_name!r} in table {t}")
+        if any(old_name.lower() == p.lower() for p in info.partition_by):
+            # partition values live in directory names; renaming or
+            # retyping them would orphan the hive-style layout
+            raise ValueError(f"cannot alter partition column {old_name!r}")
         if new_name and new_name.lower() != old_name.lower() and info.column(new_name) is not None:
             raise ValueError(f"column {new_name!r} already exists in {t}")
         if new_name and new_name != old_name:
@@ -1274,11 +1303,13 @@ class Engine:
         for name in P.split_top_level(m.group(1)):
             db, t = self._qualify(name)
             info = self.catalog.get_table(db, t)  # existence check
-            # after a metadata-only RENAME COLUMN the logical name is a
-            # VIEW over the __phys backing table, and Spark rejects
-            # ANALYZE TABLE on a view — stats go on the backing table
-            # (same data; the CBO reads them through the view's aliases)
-            target = t + "__phys" if info.has_name_mapping() else t
+            # after a metadata-only RENAME COLUMN (or on a partitioned
+            # table) the logical name is a VIEW over the __phys backing
+            # table, and Spark rejects ANALYZE TABLE on a view — stats
+            # go on the backing table (same data; the CBO reads them
+            # through the view's aliases)
+            backed = info.has_name_mapping() or bool(info.partition_by)
+            target = t + "__phys" if backed else t
             self.spark.sql(
                 f"ANALYZE TABLE {self._spark_name(db, target)} COMPUTE STATISTICS FOR ALL COLUMNS"
             )

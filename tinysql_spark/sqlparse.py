@@ -193,6 +193,13 @@ _BUCKET_CLAUSE_RE = re.compile(
     re.I | re.S,
 )
 
+# Trailing partition clause (Hive/Spark SQL syntax):
+#   ... ) PARTITIONED BY (c1, ...)
+_PARTITION_CLAUSE_RE = re.compile(
+    r"\bPARTITIONED\s+BY\s*\(([^)]*)\)\s*$",
+    re.I | re.S,
+)
+
 _COL_TYPE_RE = re.compile(
     r"^([`\w]+)\s+"
     r"(TINYINT|SMALLINT|INTEGER|INT|BIGINT|FLOAT|DOUBLE|REAL|VARCHAR|CHAR|TEXT|STRING)"
@@ -202,6 +209,9 @@ _COL_TYPE_RE = re.compile(
 
 
 def parse_create_table(stmt: str) -> CreateTable:
+    # strip trailing layout clauses innermost-last: ... ) [PARTITIONED
+    # BY (...)] [CLUSTERED BY (...) ... INTO n BUCKETS] — the bucket
+    # clause is outermost, so it comes off first
     bucket: BucketSpec | None = None
     bm = _BUCKET_CLAUSE_RE.search(stmt)
     if bm:
@@ -216,6 +226,11 @@ def parse_create_table(stmt: str) -> CreateTable:
             else [],
         )
         stmt = stmt[: bm.start()]
+    partition_by: list[str] = []
+    pm = _PARTITION_CLAUSE_RE.search(stmt)
+    if pm:
+        partition_by = [unquote_ident(c) for c in split_top_level(pm.group(1))]
+        stmt = stmt[: pm.start()]
     m = _CREATE_TABLE_RE.match(stmt)
     if not m:
         raise ValueError(f"cannot parse CREATE TABLE: {stmt[:80]}")
@@ -272,12 +287,20 @@ def parse_create_table(stmt: str) -> CreateTable:
         for c in bucket.columns + bucket.sort_columns:
             if c.lower() not in declared:
                 raise ValueError(f"CLUSTERED/SORTED BY references unknown column {c!r}")
+    if partition_by:
+        declared = {c.name.lower() for c in columns}
+        for c in partition_by:
+            if c.lower() not in declared:
+                raise ValueError(f"PARTITIONED BY references unknown column {c!r}")
+        if bucket:
+            raise ValueError("PARTITIONED BY + CLUSTERED BY on one table is unsupported")
     info = TableInfo(
         name=name.split(".")[-1],
         columns=columns,
         primary_key=pk,
         indexes=indexes,
         bucket=bucket,
+        partition_by=partition_by,
     )
     return CreateTable(table=name, info=info, if_not_exists=if_not_exists)
 
