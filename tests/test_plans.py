@@ -362,3 +362,64 @@ def test_d09_joins_on_candidate_signature(q):
     joins = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*", plan)
     assert any("sh" in j for j in joins), joins
     assert not any("source" in j for j in joins), joins
+
+
+def test_aqe_skew_join_splits_partition_and_its_limits(spark):
+    """AQE skew-join evidence (VERDICT r02 item 6): on a skewed
+    shuffled SMJ, AQE splits the hot partition at runtime —
+    SortMergeJoin(skew=true) + 'AQEShuffleRead ... skewed' in the
+    final plan. The second half shows its LIMIT, which is why q22
+    salts manually: when the query aggregates on the join key, the
+    skew-split would break the aggregation's required hash
+    distribution, so OptimizeSkewedJoin declines and the hot
+    partition stays whole. Manual salting (q22) remains the lever for
+    join+agg-on-key topologies; AQE covers plain join outputs."""
+    from pyspark.sql import functions as F
+
+    keys = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # 90% of rows on one key — one hot shuffle partition
+        fact = spark.range(400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 10).cast("string")))
+            .alias("key"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.createDataFrame([("hot", 1), ("k9", 2)], "key string, w int")
+        plain = fact.hint("merge").join(dim, "key").select("v", "w")
+        plain.collect()
+        plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+
+        # q22 shape: aggregation on the join key right above the join —
+        # AQE must NOT split (would break the agg's distribution), so
+        # the manual salt in q22 is load-bearing, not belt-and-braces
+        agged = (
+            fact.hint("merge")
+            .join(dim, "key")
+            .groupBy("key")
+            .agg(F.sum("v").alias("s"))
+        )
+        agged.collect()
+        plan2 = agged._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan2
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
