@@ -189,3 +189,27 @@ def test_custom_stateful_sessionize(spark, events_stream_dir):
         key = (r.user_id, r.session_start)
         assert key in want, f"unexpected session {key}"
         assert r.n_events == want[key], key
+
+
+def test_st06_upsert_really_multi_batch(spark, sf_dir):
+    """The upsert contract only means something if keys actually
+    mutate ACROSS batches: assert the replay ran 3 micro-batches and
+    that some key was updated by a later batch (its winner event_id
+    lives in a later slice than its first appearance)."""
+    from tinysql_spark.operators.streaming_bridge import stream_upsert
+
+    df, n_batches = stream_upsert(spark, sf_dir)
+    assert n_batches == 3
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_id", "user_id", "event_type"]
+    ]
+    n = len(ev)
+    step = (n + 2) // 3
+    first_slice = ev.iloc[:step]
+    got = df.toPandas()
+    merged = got.merge(first_slice, on=["user_id", "event_type"], how="inner",
+                       suffixes=("", "_first"))
+    # at least one key seen in batch 0 was overwritten by a later batch
+    assert (merged["last_event_id"] > merged["event_id"]).any()

@@ -271,3 +271,96 @@ def st05_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "st05_enrich_" + uuid.uuid4().hex[:8]
     run_to_memory(enriched, name, output_mode="complete")
     return spark.table(name)
+
+
+def _stage_events_split(sf_dir: str, n: int = 3) -> str:
+    """Stage events as n parquet slices with strictly increasing
+    mtimes, so maxFilesPerTrigger=1 replays them as n micro-batches —
+    the multi-batch arrival pattern an upsert sink exists for."""
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="tinysql_st06_")
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    step = (tbl.num_rows + n - 1) // n
+    base = None
+    for i in range(n):
+        path = os.path.join(d, f"{i:04d}.parquet")
+        pq.write_table(tbl.slice(i * step, step), path)
+        if base is None:
+            base = os.path.getmtime(path)
+        os.utime(path, (base + i, base + i))
+    return d
+
+
+def stream_upsert(spark: SparkSession, sf_dir: str):
+    """foreachBatch MERGE-style upsert; returns (final DataFrame,
+    number of micro-batches run). See st06 registration for semantics."""
+    src = _stage_events_split(sf_dir)
+    base = tempfile.mkdtemp(prefix="tinysql_st06_tbl_")
+    ck = tempfile.mkdtemp(prefix="tinysql_st06_ck_")
+    state = {"dir": None, "batches": 0}
+    keys = ["user_id", "event_type"]
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        state["batches"] += 1
+        # within-batch winners first: the shuffle runs on the batch,
+        # not the table
+        w = batch.groupBy(*keys).agg(
+            F.max_by("value", "event_id").alias("last_value"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        if state["dir"] is not None:
+            existing = spark.read.parquet(state["dir"])
+            w = (
+                existing.unionByName(w)
+                .groupBy(*keys)
+                .agg(
+                    F.max_by("last_value", "last_event_id").alias("last_value"),
+                    F.max("last_event_id").alias("last_event_id"),
+                )
+            )
+        new_dir = os.path.join(base, f"v{batch_id}")
+        w.write.mode("overwrite").parquet(new_dir)
+        state["dir"] = new_dir
+
+    stream = read_event_stream(spark, src).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ck)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["dir"]), state["batches"]
+
+
+@register(
+    "st06_stream_upsert",
+    late=True,
+    oracle="""
+    SELECT user_id, event_type,
+           arg_max(value, event_id) AS last_value,
+           CAST(max(event_id) AS BIGINT) AS last_event_id
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    doc="Streaming UPSERT sink (the streaming REPLACE analog):"
+    " foreachBatch merges each micro-batch into a keyed warehouse "
+    "table — per-batch winners (max_by over the unique event_id) "
+    "union the existing table, re-keyed, written to a versioned dir "
+    "and swapped, so every batch commit is atomic and restart resumes "
+    "from the checkpoint. Last-writer-wins is keyed on event_id "
+    "(total order), making the result batch-order independent: the "
+    "finite replay across 3 micro-batches must equal the batch "
+    "arg_max oracle exactly. This is the production pattern for "
+    "continuously-updated dimension/feature tables where append (st04)"
+    " is wrong because keys mutate. The per-batch merge cost is "
+    "O(table + batch) — at 100 TB the real sink is a storage format "
+    "with keyed merge (Delta/Iceberg MERGE INTO or a partition-scoped "
+    "rewrite); the foreachBatch contract is identical.",
+)
+def st06_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_upsert(spark, sf_dir)[0]
