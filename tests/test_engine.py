@@ -824,3 +824,14 @@ def test_partitioned_events_date_rollup(eng):
     from tinysql_spark.plans import plan_string
 
     assert "PartitionFilters" in plan_string(r.df)
+
+
+def test_show_create_table_renders_partitioned_by(eng):
+    eng.sql("CREATE TABLE scp (a int, d varchar(10)) PARTITIONED BY (d)")
+    out = eng.sql("SHOW CREATE TABLE scp").df.collect()[0][1]
+    assert "PARTITIONED BY (`d`)" in out
+    # round-trip: the rendered DDL parses back to the same layout
+    from tinysql_spark import sqlparse as P
+
+    ct = P.parse_create_table(out)
+    assert ct.info.partition_by == ["d"]

@@ -37,15 +37,26 @@ def stage_time_ordered(spark, raw, d, n_files: int = 4, dup: bool = False) -> No
     import shutil
     import time
 
+    # quantile cuts need a numeric column; ts may be a plain timestamp
+    # (micros layout) or a long (nanos layouts)
+    # TIMESTAMP_NTZ has no direct numeric cast; hop through TIMESTAMP
+    # (session tz is UTC, so the instant is unchanged)
+    raw = raw.withColumn(
+        "_ts_num",
+        F.col("ts").cast("timestamp").cast("double")
+        if dict(raw.dtypes)["ts"].startswith("timestamp")
+        else F.col("ts"),
+    )
     qs = [i / n_files for i in range(1, n_files)]
-    cuts = raw.approxQuantile("ts", qs, 0.0)
+    cuts = raw.approxQuantile("_ts_num", qs, 0.0)
     bounds = [None, *cuts, None]
     for i in range(n_files):
         part = raw
         if bounds[i] is not None:
-            part = part.filter(F.col("ts") > bounds[i])
+            part = part.filter(F.col("_ts_num") > bounds[i])
         if bounds[i + 1] is not None:
-            part = part.filter(F.col("ts") <= bounds[i + 1])
+            part = part.filter(F.col("_ts_num") <= bounds[i + 1])
+        part = part.drop("_ts_num")
         if dup:
             part = part.union(part)
         tmp = os.path.join(d, f"stage{i}")
@@ -59,8 +70,11 @@ def stage_time_ordered(spark, raw, d, n_files: int = 4, dup: bool = False) -> No
 @pytest.fixture(scope="module")
 def events_stream_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("events_stream"))
+    # read with the file's own layout (the driver has shipped both
+    # TIMESTAMP(NANOS) and TIMESTAMP(MICROS)); read_event_stream
+    # re-detects from the staged files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(EVENT_SCHEMA).parquet(SF + "/events.parquet")
+    raw = spark.read.parquet(SF + "/events.parquet")
     stage_time_ordered(spark, raw, d)
     return d
 

@@ -1137,7 +1137,12 @@ class Engine:
                 parts.append(
                     f"  {kw} `{i.name}` (" + ", ".join(f"`{c}`" for c in i.columns) + ")"
                 )
-            ddl = lines[0] + "\n" + ",\n".join(parts) + "\n)" + self._bucket_ddl(info)
+            part_ddl = (
+                " PARTITIONED BY (" + ", ".join(f"`{c}`" for c in info.partition_by) + ")"
+                if info.partition_by
+                else ""
+            )
+            ddl = lines[0] + "\n" + ",\n".join(parts) + "\n)" + part_ddl + self._bucket_ddl(info)
             df = self.spark.createDataFrame([(info.name, ddl)], "Table: string, `Create Table`: string")
             return Result(df=df)
         m = P.re.match(

@@ -253,3 +253,148 @@ def p04_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# p05 — sequence packing into fixed token-budget bins
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "p05_sequence_packing",
+    late=True,
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok_cnt
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, tok_cnt,
+             sum(tok_cnt) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT source,
+           CAST((cum - tok_cnt) // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(tok_cnt) AS BIGINT) AS n_tokens
+    FROM c
+    GROUP BY source, bin_id
+    """,
+    doc=f"Sequence packing: stream each source's docs (doc_id order) "
+    f"into {_PACK_BUDGET}-token training bins — a doc belongs to the "
+    "bin where its tokens START (cumulative-sum // budget), the "
+    "standard streaming-packing compromise (exact first-fit needs a "
+    "sequential scan; boundary docs straddle into the next bin and "
+    "the collator truncates/continues). One window shuffle on source "
+    "+ one partial-agg shuffle. At 100 TB per-source windows are the "
+    "skew risk: sub-shard the partition key (source, doc_id div N) "
+    "the way the salted join (q22) shards a hot key — packing only "
+    "needs intra-shard contiguity.",
+)
+def p05_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("tok_cnt"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("tok_cnt").over(w))
+    return (
+        c.select(
+            "source",
+            F.floor((F.col("cum") - F.col("tok_cnt")) / _PACK_BUDGET)
+            .cast("long")
+            .alias("bin_id"),
+            "tok_cnt",
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_cnt").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# p06 — temperature-scaled source mixture sampling
+# --------------------------------------------------------------------------
+
+_MIX_ALPHA_SQRT = True  # alpha = 0.5 -> sqrt(): bit-exact in both engines
+_MIX_BUDGET_FRAC = 0.5  # expected kept fraction of the corpus
+
+
+@register(
+    "p06_temperature_mix",
+    late=True,
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n_s FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_s, sqrt(n_s) AS w_s,
+             sum(sqrt(n_s)) OVER () AS w_tot,
+             sum(n_s) OVER () AS n_tot
+      FROM s
+    ), p AS (
+      SELECT source, n_s,
+             least(1.0, {_MIX_BUDGET_FRAC} * n_tot * (w_s / w_tot) / n_s) AS p_keep
+      FROM w
+    )
+    SELECT d.source,
+           CAST(p.n_s AS BIGINT) AS n_docs,
+           count(*) FILTER (
+             WHERE ((d.doc_id * 2654435761 + 1013904223) % 4294967296) / 4294967296.0
+                   < p.p_keep
+           ) AS n_kept
+    FROM documents d JOIN p ON d.source = p.source
+    GROUP BY d.source, p.n_s
+    """,
+    doc="Temperature-scaled mixture sampling (alpha = 0.5): keep "
+    "probability per source proportional to n_s^alpha / n_s, so small "
+    "sources are up-weighted relative to their share — the standard "
+    "multilingual/multi-source rebalancing step before training. "
+    "Per-doc keep decisions are the deterministic LCG hash of doc_id "
+    "(p02's reproducibility discipline — identical under retries and "
+    "repartitioning; sqrt keeps the weight math bit-exact across "
+    "engines). Plan: one tiny per-source aggregate broadcast back "
+    "onto the corpus (map-side join), one final partial agg — no "
+    "corpus-wide shuffle of doc rows at any point.",
+)
+def p06_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n_s"))
+    w = (
+        s.withColumn("w_s", F.sqrt(F.col("n_s")))
+        .withColumn("w_tot", F.sum("w_s").over(Window.partitionBy()))
+        .withColumn("n_tot", F.sum("n_s").over(Window.partitionBy()))
+    )
+    p = w.select(
+        "source",
+        "n_s",
+        F.least(
+            F.lit(1.0),
+            F.lit(_MIX_BUDGET_FRAC)
+            * F.col("n_tot")
+            * (F.col("w_s") / F.col("w_tot"))
+            / F.col("n_s"),
+        ).alias("p_keep"),
+    )
+    u = ((F.col("doc_id") * F.lit(2654435761) + F.lit(1013904223)) % F.lit(_M32)) / F.lit(
+        float(_M32)
+    )
+    return (
+        docs.join(F.broadcast(p), "source")
+        .groupBy("source", "n_s")
+        .agg(F.count(F.when(u < F.col("p_keep"), 1)).alias("n_kept"))
+        .select(
+            "source", F.col("n_s").cast("long").alias("n_docs"), "n_kept"
+        )
+    )

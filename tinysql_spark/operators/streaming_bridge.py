@@ -160,14 +160,25 @@ def _stage_events_with_sentinels(sf_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from ..streaming.pipeline import ts_layout
+
     d = _stage_events(sf_dir)
+    layout = ts_layout(os.path.join(d, "0000.parquet"))
     base = os.path.getmtime(os.path.join(d, "0000.parquet"))
     for i, iso in enumerate(("2030-01-01T00:00:00", "2030-01-01T12:00:00"), start=1):
-        ns = int(time.mktime(time.strptime(iso, "%Y-%m-%dT%H:%M:%S"))) * 10**9
+        sec = int(time.mktime(time.strptime(iso, "%Y-%m-%dT%H:%M:%S")))
+        # the sentinel file must share the source's ts physical layout
+        # or the fixed-schema stream read breaks on the mixed directory
+        if layout == "micros":
+            ts_arr = pa.array([sec * 10**6], pa.timestamp("us"))
+        elif layout == "nanos":
+            ts_arr = pa.array([sec * 10**9], pa.timestamp("ns"))
+        else:
+            ts_arr = pa.array([sec * 10**9], pa.int64())
         tbl = pa.table(
             {
                 "event_id": pa.array([-i], pa.int64()),
-                "ts": pa.array([ns], pa.int64()),  # ns-as-long, like the source
+                "ts": ts_arr,
                 "user_id": pa.array([-1], pa.int64()),
                 "event_type": pa.array(["__wm__"], pa.string()),
                 "value": pa.array([0.0], pa.float64()),

@@ -31,7 +31,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns since epoch (driver parquet layout)
+        T.StructField("ts", T.LongType()),  # ns-since-epoch layouts; micros layout swaps in TimestampType (see read_event_stream)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -40,21 +40,49 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+def ts_layout(events_path: str) -> str:
+    """Physical layout of the events `ts` column, read from the parquet
+    footer of the first file: 'nanos' (TIMESTAMP(NANOS) — Spark reads
+    it as long under nanosAsLong), 'long' (plain int64 nanoseconds),
+    or 'micros' (TIMESTAMP(MICROS) — a plain Spark timestamp). The
+    driver has shipped both nanos (rounds 1-2) and micros (round 3)
+    layouts, so the streaming source detects instead of assuming."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(events_path, "*.parquet"))) or [events_path]
+    t = str(pq.read_schema(files[0]).field("ts").type)
+    if t == "timestamp[ns]":
+        return "nanos"
+    if t == "int64":
+        return "long"
+    return "micros"
+
+
 def read_event_stream(
-    spark: SparkSession, events_dir: str, ts_is_nanos: bool = True
+    spark: SparkSession, events_dir: str, ts_is_nanos: bool | None = None
 ) -> DataFrame:
     """File-source stream over a directory of event parquet files.
 
     The streaming file source requires a directory (new files arriving
-    = new micro-batches); ``ts_is_nanos`` selects the driver's
-    TIMESTAMP(NANOS)-as-long layout vs a plain timestamp column.
+    = new micro-batches). The ts physical layout is auto-detected from
+    the parquet footer (see ts_layout); ``ts_is_nanos`` forces it.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if ts_is_nanos is None:
+        nanos = ts_layout(events_dir) in ("nanos", "long")
+    else:
+        nanos = ts_is_nanos
     schema = EVENT_SCHEMA
-    if not ts_is_nanos:
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    else:
+        # TIMESTAMP(MICROS) with isAdjustedToUTC=false -> TIMESTAMP_NTZ;
+        # matching the file's own type avoids any tz reinterpretation
         schema = T.StructType(
             [
-                f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+                f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
                 for f in EVENT_SCHEMA.fields
             ]
         )
@@ -63,8 +91,13 @@ def read_event_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    if ts_is_nanos:
+    if nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # watermarks require TIMESTAMP (not NTZ); the session tz is
+        # UTC, so the cast preserves the wall-clock values the batch
+        # twins (load_table reads NTZ) group and format by
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
@@ -214,7 +247,10 @@ def custom_sessionize(
             start, last, n = state.get if state.exists else (None, 0, 0)
             ts_all = []
             for pdf in pdfs:
-                ts_all.append(pdf["ts"].astype("int64"))
+                # normalize to int64 NANOSECONDS regardless of the
+                # Arrow-delivered pandas precision (datetime64[us] under
+                # pandas 2 / micros parquet; [ns] under the nanos layout)
+                ts_all.append(pdf["ts"].astype("datetime64[ns]").astype("int64"))
             if ts_all:
                 for ts in pd.concat(ts_all).sort_values():
                     ts = int(ts)
