@@ -1259,3 +1259,43 @@ def q43_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.expr("stack(3, 'p1', p1, 'p2', p2, 'p3', p3) AS (prio, total)"),
     ).select("o_orderstatus", "prio", "total")
+
+
+@register(
+    "q44_range_frame_window",
+    late=True,
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="Event-time RANGE frame: per-user trailing-1-hour count/sum at "
+    "every event — the value-based frame family q27's ROWS frames "
+    "cannot express (a row 59 minutes back is in-frame regardless of "
+    "how many rows sit between). One hash-partitioned window shuffle "
+    "on user_id + a per-partition sort; the frame bound is resolved "
+    "by binary search per row, never a self-join — the trailing-"
+    "window feature pattern (rate limits, rolling engagement) at any "
+    "scale. Aggregates rounded, not the per-row inputs (engine "
+    "rounding parity).",
+)
+def q44_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
