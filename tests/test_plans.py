@@ -423,3 +423,22 @@ def test_aqe_skew_join_splits_partition_and_its_limits(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_d09_verify_stays_above_candidate_agg(spark, sf_dir):
+    """Regression: with heads as GROUP KEYS Catalyst pushed the
+    Levenshtein verify below the pair aggregation — running the DP
+    once per raw shared-shingle pair (~20x the candidates, 2.5x query
+    wall time). Heads now ride as first() aggregates, so the verify
+    must appear in a Filter above the final HashAggregate and never
+    inside the join condition."""
+    from tinysql_spark.operators import REGISTRY
+    from tinysql_spark.plans import plan_string
+
+    plan = plan_string(REGISTRY["d09_fuzzy_dedup_scaled"].fn(spark, sf_dir))
+    join_lines = [
+        line for line in plan.splitlines()
+        if "Join" in line and "levenshtein" in line.lower()
+    ]
+    assert not join_lines, join_lines
+    assert "levenshtein" in plan.lower()  # the verify exists, post-agg

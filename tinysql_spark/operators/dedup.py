@@ -882,10 +882,26 @@ _D09_STOP_FRAC = 0.05  # drop shingles in > 5% of docs (min 25) — hot-key cap
 )
 def d09_fuzzy_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.substring(F.trim(F.col("text")), 1, _D08_HEAD).alias("head"),
-        F.explode(shingles(F.col("text"))).alias("sh"),
+    # int64-hash the shingle before the explode/join: the pair join
+    # ships 8-byte keys instead of ~20-char strings (~3x less shuffle,
+    # the d02 lesson). xxhash64 collisions (~1e-15 at corpus scale)
+    # can only add a phantom shared-shingle count; the oracle joins on
+    # the string, and parity holds because collisions are vanishingly
+    # rare at any tested scale.
+    # persisted: the (doc_id, head, sh) relation feeds the df-cap agg
+    # AND both sides of the pair join — unpersisted, the shingle
+    # construction (the most expensive map stage) runs 3x from the
+    # scan; keyed so the next invocation releases the cache (d06's
+    # discipline)
+    sh = _keyed_persist(
+        "d09.sh",
+        docs.select(
+            "doc_id",
+            F.substring(F.trim(F.col("text")), 1, _D08_HEAD).alias("head"),
+            F.explode(
+                F.transform(shingles(F.col("text")), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        ),
     )
     # stop-shingle cap, computed distributively (broadcast 1-row agg,
     # no driver-side count at plan-build — the d06 discipline)
@@ -898,7 +914,18 @@ def d09_fuzzy_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= cap)
         .select("sh")
     )
-    kept = sh.join(rare, "sh")
+    # persisted: `kept` feeds BOTH sides of the pair join — without a
+    # cache barrier the rare-shingle aggregation (its own exchange)
+    # executes once per side
+    kept = _keyed_persist("d09.kept", sh.join(rare, "sh"))
+    # Heads ride as first() AGGREGATES, not group keys: a filter on
+    # group-by columns is pushable below the aggregation, and Catalyst
+    # would push the Levenshtein verify down into the pair join —
+    # running the O(len^2) DP once per RAW shared-shingle pair (~20x
+    # the candidate count) instead of once per deduped candidate.
+    # first() over a group is exact here (head is functionally
+    # dependent on doc_id), and an aggregate output is unpushable, so
+    # the verify stays above the agg where it belongs.
     cand = (
         kept.alias("x")
         .join(kept.alias("y"), "sh")
@@ -906,15 +933,16 @@ def d09_fuzzy_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("x.doc_id").alias("a_id"),
             F.col("y.doc_id").alias("b_id"),
-            F.col("x.head").alias("a_head"),
-            F.col("y.head").alias("b_head"),
         )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first(F.col("x.head")).alias("a_head"),
+            F.first(F.col("y.head")).alias("b_head"),
+        )
         .filter(F.col("n_shared") >= _D09_MIN_SHARED)
     )
     # verify kernel (d08): cheap length lower bound ahead of the DP,
-    # running once per DEDUPED candidate pair — after the aggregation,
-    # not per shared shingle
+    # once per deduped candidate pair
     dist = F.levenshtein(F.col("a_head"), F.col("b_head"))
     return (
         cand.filter(
