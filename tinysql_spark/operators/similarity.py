@@ -166,20 +166,24 @@ def _centroids() -> list[list[float]]:
     return rng.standard_normal((_IVF_K, _DIM)).tolist()
 
 
-def _nearest_centroids_batch(emb: pd.Series) -> pd.Series:
-    """Top-`_IVF_NPROBE` centroid ids by dot product, one vectorized
-    (rows x dim) @ (dim x k) matmul per Arrow batch; argsort ties
-    break toward the lower centroid id (stable sort)."""
-    c = np.asarray(_centroids())
-    m = np.stack(emb.to_numpy())
-    scores = m @ c.T
-    order = np.argsort(-scores, axis=1, kind="stable")[:, :_IVF_NPROBE]
-    return pd.Series(list(order.astype("int32")))
+def _make_nearest_centroids(nprobe: int):
+    """Factory: a pandas_udf returning the top-``nprobe`` centroid ids
+    by dot product — one vectorized (rows x dim) @ (dim x k) matmul
+    per Arrow batch; argsort ties break toward the lower centroid id
+    (stable sort). nprobe is the recall-vs-cost dial: s03 probes 2
+    lists; s06 probes 4 to buy back recall on its compressed index."""
+
+    def batch(emb: pd.Series) -> pd.Series:
+        c = np.asarray(_centroids())
+        m = np.stack(emb.to_numpy())
+        scores = m @ c.T
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    return F.pandas_udf(batch, T.ArrayType(T.IntegerType())).asNondeterministic()
 
 
-_nearest_centroids = F.pandas_udf(
-    _nearest_centroids_batch, T.ArrayType(T.IntegerType())
-).asNondeterministic()
+_nearest_centroids = _make_nearest_centroids(_IVF_NPROBE)
 
 
 @register(
@@ -333,4 +337,90 @@ def s05_ann_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("approx_dot"))
+    )
+
+
+# --------------------------------------------------------------------------
+# s06 — IVF + scalar quantization (the production big-index composition)
+# --------------------------------------------------------------------------
+
+_SQ_RERANK = 3  # rerank pool: top 3*K by quantized score
+_SQ_NPROBE = 4  # s06 probes more lists than s03: recall buy-back on the compressed index
+
+
+@register(
+    "s06_ann_ivf_sq",
+    late=True,
+    oracle=None,  # centroid literals — rows-only; recall measured in tests
+    doc="IVF + scalar quantization, composed (the FAISS IVF-SQ shape "
+    "— the realistic 100 TB ANN index): corpus sharded into inverted "
+    "lists by nearest coarse centroid (s03's partitioner) AND stored "
+    "as 4-bit scalar-quantized codes (s05's compressor, 8x smaller "
+    "resident set), queries probe nprobe lists via the equi-join, "
+    "first-pass scoring is ASYMMETRIC (exact query x dequantized "
+    "corpus — the ADC trick: no query-side quantization error), and "
+    "only the top 3k survivors per query get the exact float re-rank. "
+    "Both s03's probe-cost lever (nprobe/K of the corpus touched) and "
+    "s05's memory lever stack; the exact pass runs on ~3k rows per "
+    "query, not the corpus. Candidate generation stays one equi-join; "
+    "recall vs s01 measured in tests/test_similarity_quality.py.",
+)
+def s06_ann_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dq = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.lit(_SQ_LO)
+        + (
+            F.greatest(
+                F.lit(0.0),
+                F.least(
+                    F.lit(float(_SQ_LEVELS - 1)),
+                    F.floor((x - F.lit(_SQ_LO)) / F.lit(_SQ_STEP)).cast("double"),
+                ),
+            )
+            + F.lit(0.5)
+        )
+        * F.lit(_SQ_STEP),
+    )
+    probe4 = _make_nearest_centroids(_SQ_NPROBE)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        dq.alias("c_code"),
+        unit_vec(F.col("embedding")).alias("c_exact"),
+        F.element_at(_nearest_centroids(F.col("embedding")), 1).alias("cid"),
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            unit_vec(F.col("embedding")).alias("q_exact"),
+            probe4(F.col("embedding")).alias("cids"),
+        )
+        .select("query_id", "q_exact", F.explode("cids").alias("cid"))
+    )
+    approx = dot(F.col("q_exact"), F.col("c_code"))
+    pool = (
+        F.broadcast(queries)
+        .join(corpus, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_exact", "c_exact", approx.alias("approx"))
+        .distinct()
+    )
+    w_pool = Window.partitionBy("query_id").orderBy(
+        F.round("approx", 6).desc(), F.col("neighbor_id")
+    )
+    survivors = pool.withColumn("rn", F.row_number().over(w_pool)).filter(
+        F.col("rn") <= _TOP_K * _SQ_RERANK
+    )
+    exact = dot(F.col("q_exact"), F.col("c_exact"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("exact_sim", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        survivors.select("query_id", "neighbor_id", exact.alias("exact_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("exact_sim", 4).alias("cos_sim"))
     )
