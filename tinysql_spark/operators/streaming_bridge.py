@@ -375,3 +375,62 @@ def stream_upsert(spark: SparkSession, sf_dir: str):
 )
 def st06_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_upsert(spark, sf_dir)[0]
+
+
+@register(
+    "st07_stream_sessions",
+    late=True,
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR date_diff('microsecond',
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+                          >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    doc="Streaming SESSION WINDOWS through the batch contract: Spark's "
+    "native session_window (dynamic gap-merging state per user, 30-min "
+    "inactivity gap) in APPEND mode — a session row emits exactly once, "
+    "when the watermark passes session_end, which is the production "
+    "semantics for sessionized training features. Two watermark "
+    "sentinels flush the tail (append emission is event-time driven; "
+    "st04's discipline). session_window merges an event iff it arrives "
+    "strictly within gap of the session end, so the oracle's break "
+    "condition is diff >= gap — the lag/cumsum SQL twin of q18 "
+    "extended to full session rows (start, end=last+gap, count, sum). "
+    "State is per-user and watermark-evicted: bounded by active users "
+    "x gap, not history — the 100 TB property.",
+)
+def st07_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import session_stats
+
+    stream = read_event_stream(spark, _stage_events_with_sentinels(sf_dir))
+    sess = session_stats(stream, gap="30 minutes", watermark="2 hours")
+    name = "st07_sessions_" + uuid.uuid4().hex[:8]
+    run_to_memory(sess, name, output_mode="append")
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)  # drop the watermark-sentinel rows
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+    )
