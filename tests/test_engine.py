@@ -835,3 +835,49 @@ def test_show_create_table_renders_partitioned_by(eng):
 
     ct = P.parse_create_table(out)
     assert ct.info.partition_by == ["d"]
+
+
+def test_auto_increment_allocation(eng):
+    """AUTO_INCREMENT parity (reference: meta/autoid; insert fills on
+    omitted/NULL/0, explicit values rebase the counter, allocator
+    survives persistence)."""
+    eng.sql("CREATE TABLE ai (id int AUTO_INCREMENT PRIMARY KEY, v varchar(8))")
+    eng.sql("INSERT INTO ai (v) VALUES ('a'), ('b')")
+    assert rows(eng.sql("SELECT id, v FROM ai")) == [(1, "a"), (2, "b")]
+    # explicit value rebases the counter past it
+    eng.sql("INSERT INTO ai VALUES (10, 'x')")
+    eng.sql("INSERT INTO ai (v) VALUES ('c')")
+    assert (11, "c") in rows(eng.sql("SELECT id, v FROM ai"))
+    # NULL and 0 both trigger allocation (MySQL fill rule)
+    eng.sql("INSERT INTO ai VALUES (NULL, 'n'), (0, 'z')")
+    got = dict((v, i) for i, v in rows(eng.sql("SELECT id, v FROM ai")))
+    assert got["n"] == 12 and got["z"] == 13
+    # rendered in DESCRIBE Extra and SHOW CREATE TABLE
+    desc = {r[0]: r[5] for r in rows(eng.sql("DESCRIBE ai"))}
+    assert desc["id"] == "auto_increment"
+    assert "AUTO_INCREMENT" in eng.sql("SHOW CREATE TABLE ai").df.collect()[0][1]
+    # constraint violations
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integer"):
+        eng.sql("CREATE TABLE bad1 (s varchar(4) AUTO_INCREMENT PRIMARY KEY)")
+    with _pytest.raises(ValueError, match="must be a key"):
+        eng.sql("CREATE TABLE bad2 (a int, b int AUTO_INCREMENT)")
+    with _pytest.raises(ValueError, match="only one"):
+        eng.sql(
+            "CREATE TABLE bad3 (a int AUTO_INCREMENT PRIMARY KEY, "
+            "b int AUTO_INCREMENT, INDEX ib (b))"
+        )
+
+
+def test_auto_increment_persists(spark, tmp_path):
+    from tinysql_spark.engine import Engine
+
+    wh = str(tmp_path / "wh_ai")
+    e1 = Engine(spark, wh)
+    e1.sql("CREATE TABLE ai (id int AUTO_INCREMENT PRIMARY KEY, v int)")
+    e1.sql("INSERT INTO ai (v) VALUES (1), (2), (3)")
+    e2 = Engine(spark, wh)  # fresh engine over the same warehouse
+    e2.sql("INSERT INTO ai (v) VALUES (4)")
+    got = sorted(tuple(r) for r in e2.sql("SELECT id, v FROM ai").df.collect())
+    assert got == [(1, 1), (2, 2), (3, 3), (4, 4)]

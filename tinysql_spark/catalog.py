@@ -54,6 +54,11 @@ class ColumnInfo:
     type: str  # declared SQL type, e.g. "INT", "VARCHAR(255)"
     nullable: bool = True
     default: str | None = None  # SQL literal text, or None
+    # AUTO_INCREMENT (reference: meta/autoid, table/tables.go:378
+    # AddRecord allocates when the column is missing/NULL): at most
+    # one integer key column per table; values come from the table's
+    # persistent allocator (TableInfo.next_auto).
+    auto_increment: bool = False
     # Physical (in-file) parquet column name when it differs from the
     # logical name — RENAME COLUMN updates only this mapping, making
     # renames metadata-only (no 100 TB rewrite). The reference keys
@@ -106,6 +111,7 @@ class TableInfo:
     # index range scans (util/ranger/ranger.go:282).
     partition_by: list[str] = field(default_factory=list)
     next_rowid: int = 1
+    next_auto: int = 1  # AUTO_INCREMENT allocator (reference: meta/autoid)
     # In-file names of DROPped columns. DROP COLUMN is metadata-only
     # (pruning means the dead column is never read), so the bytes stay
     # in old part-files; a later ADD COLUMN of the same name must NOT
@@ -118,6 +124,12 @@ class TableInfo:
     def column(self, name: str) -> ColumnInfo | None:
         for c in self.columns:
             if c.name.lower() == name.lower():
+                return c
+        return None
+
+    def auto_column(self) -> ColumnInfo | None:
+        for c in self.columns:
+            if c.auto_increment:
                 return c
         return None
 
@@ -189,6 +201,7 @@ class Catalog:
                     bucket=BucketSpec(**t["bucket"]) if t.get("bucket") else None,
                     partition_by=t.get("partition_by", []),
                     next_rowid=t.get("next_rowid", 1),
+                    next_auto=t.get("next_auto", 1),
                     dropped_physical=t.get("dropped_physical", []),
                 )
 

@@ -871,7 +871,24 @@ class Engine:
             else:
                 e = F.lit(None)
             exprs.append(e.cast(c.spark_type()).alias(c.name))
-        return src.select(*exprs)
+        out = src.select(*exprs)
+        auto = info.auto_column()
+        if auto is not None:
+            # allocate ids for rows that omitted the column or passed
+            # NULL/0 (MySQL fill rule; reference: insert_common.go
+            # adjustAutoIncrementDatum -> meta/autoid). Allocation is a
+            # running count over the batch on top of the persistent
+            # counter — lazy (EXPLAIN-safe), executed with the insert.
+            need = F.col(auto.name).isNull() | (F.col(auto.name) == 0)
+            w = Window.orderBy(F.monotonically_increasing_id()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            alloc = F.sum(need.cast("long")).over(w) + F.lit(info.next_auto - 1)
+            out = out.withColumn(
+                auto.name,
+                F.when(need, alloc).otherwise(F.col(auto.name)).cast(auto.spark_type()),
+            )
+        return out
 
     def _values_df(self, ins: P.InsertStmt, info: TableInfo) -> tuple[DataFrame, int]:
         """_values_plan + validation. Returns (df, row_count): the
@@ -880,13 +897,24 @@ class Engine:
         table width (reference: table/tables.go CheckNotNull)."""
         out = self._values_plan(ins, info)
         nn_cols = [c.name for c in info.columns if not c.nullable]
+        auto = info.auto_column()
+        auto_aggs = (
+            [F.max(F.col(auto.name)).alias("__max_auto")] if auto is not None else []
+        )
         flags = out.agg(
             F.count(F.lit(1)).alias("__n"),
             *[F.max(F.col(c).isNull().cast("int")).alias(c) for c in nn_cols],
+            *auto_aggs,
         ).collect()[0]
         for c in nn_cols:
             if flags[c]:
                 raise ValueError(f"column {c!r} cannot be null")
+        if auto is not None and flags["__n"]:
+            # advance the allocator past everything handed out OR
+            # explicitly inserted (MySQL: an explicit value bumps the
+            # counter; reference: meta/autoid Rebase)
+            info.next_auto = max(info.next_auto, int(flags["__max_auto"]) + 1)
+            self.catalog.update()
         return out, int(flags["__n"])
 
     # batches up to this size get dense rowids via a single-partition
@@ -1129,7 +1157,8 @@ class Engine:
             for c in info.columns:
                 null_sql = "" if c.nullable else " NOT NULL"
                 default_sql = f" DEFAULT {c.default}" if c.default is not None else ""
-                parts.append(f"  `{c.name}` {c.type}{null_sql}{default_sql}")
+                auto_sql = " AUTO_INCREMENT" if c.auto_increment else ""
+                parts.append(f"  `{c.name}` {c.type}{null_sql}{default_sql}{auto_sql}")
             if info.primary_key:
                 parts.append("  PRIMARY KEY (" + ", ".join(f"`{k}`" for k in info.primary_key) + ")")
             for i in info.indexes:
@@ -1375,11 +1404,14 @@ class Engine:
                 "YES" if c.nullable else "NO",
                 "PRI" if c.name in info.primary_key else "",
                 c.default,
+                "auto_increment" if c.auto_increment else "",
             )
             for c in info.columns
         ]
         df = self.spark.createDataFrame(
-            rows, "Field: string, Type: string, `Null`: string, Key: string, Default: string"
+            rows,
+            "Field: string, Type: string, `Null`: string, Key: string, "
+            "Default: string, Extra: string",
         )
         return Result(df=df)
 

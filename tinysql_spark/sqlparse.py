@@ -276,12 +276,38 @@ def parse_create_table(stmt: str) -> CreateTable:
                 nullable = False
             if re.search(r"(?<!PRIMARY KEY)\bUNIQUE\b", rest_up) and "PRIMARY" not in rest_up:
                 indexes.append(IndexInfo(name=f"uniq_{col_name}", columns=[col_name], unique=True))
+            auto = "AUTO_INCREMENT" in rest_up
+            if auto:
+                if col_type.split("(")[0] not in (
+                    "TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT",
+                ):
+                    raise ValueError(
+                        f"AUTO_INCREMENT column {col_name!r} must be an integer type"
+                    )
+                nullable = False
             columns.append(
-                ColumnInfo(name=col_name, type=col_type, nullable=nullable, default=default)
+                ColumnInfo(
+                    name=col_name, type=col_type, nullable=nullable,
+                    default=default, auto_increment=auto,
+                )
             )
     for c in columns:
         if c.name in pk:
             c.nullable = False
+    autos = [c for c in columns if c.auto_increment]
+    if len(autos) > 1:
+        raise ValueError("only one AUTO_INCREMENT column is allowed")
+    if autos:
+        a = autos[0].name.lower()
+        keyed = (pk and pk[0].lower() == a) or any(
+            i.columns and i.columns[0].lower() == a for i in indexes
+        )
+        if not keyed:
+            # MySQL rule the reference inherits: the auto column must
+            # head a key (meta/autoid allocates per key-owner table)
+            raise ValueError(
+                "AUTO_INCREMENT column must be a key (PK or first column of an index)"
+            )
     if bucket:
         declared = {c.name.lower() for c in columns}
         for c in bucket.columns + bucket.sort_columns:
