@@ -175,3 +175,57 @@ def m02_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1), 4).alias("f0"),
         F.size("feature").alias("feature_dim"),
     )
+
+
+_CHUNK_BYTES = 100
+
+
+@register(
+    "m04_payload_chunks",
+    late=True,
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents
+    ), c AS (
+      SELECT doc_id, hx,
+             unnest(generate_series(1, greatest((length(hx) + {2 * _CHUNK_BYTES} - 1)
+                                                // {2 * _CHUNK_BYTES}, 1))) AS chunk_idx
+      FROM h
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(length(substring(hx, (chunk_idx - 1) * {2 * _CHUNK_BYTES} + 1,
+                                 {2 * _CHUNK_BYTES})) // 2 AS BIGINT) AS chunk_bytes,
+           md5(substring(hx, (chunk_idx - 1) * {2 * _CHUNK_BYTES} + 1,
+                         {2 * _CHUNK_BYTES})) AS chunk_md5
+    FROM c
+    """,
+    doc=f"Binary payload chunking into {_CHUNK_BYTES}-byte parts with "
+    "per-chunk checksums — the multi-part upload / content-addressed "
+    "manifest step a multimodal ingest pipeline runs before shipping "
+    "media to object storage (and the unit for chunk-level dedup of "
+    "large media). Chunking is an explode over index ranges + "
+    "substring: map-only, zero shuffles, row count multiplies by "
+    "size/chunk — linear at any corpus size. Chunks are addressed over "
+    "the hex encoding so the checksum is engine-portable (md5 of the "
+    "same text both sides).",
+)
+def m04_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.upper(F.hex(F.encode("text", "UTF-8")))
+    step = 2 * _CHUNK_BYTES
+    h = docs.select("doc_id", hx.alias("hx"))
+    n_chunks = F.greatest(
+        F.ceil(F.length("hx") / F.lit(step)).cast("long"), F.lit(1)
+    )
+    c = h.select(
+        "doc_id",
+        "hx",
+        F.explode(F.sequence(F.lit(1), n_chunks)).alias("chunk_idx"),
+    )
+    part = F.expr(f"substring(hx, (chunk_idx - 1) * {step} + 1, {step})")
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.length(part) / 2).cast("long").alias("chunk_bytes"),
+        F.md5(part).alias("chunk_md5"),
+    )
