@@ -442,3 +442,14 @@ def test_d09_verify_stays_above_candidate_agg(spark, sf_dir):
     ]
     assert not join_lines, join_lines
     assert "levenshtein" in plan.lower()  # the verify exists, post-agg
+
+
+def test_q45_lateral_decorrelates_to_group_limit(q):
+    """The correlated LATERAL top-k must decorrelate to a
+    WindowGroupLimit top-k per key — never a per-outer-row nested
+    loop."""
+    from tinysql_spark.plans import plan_string
+
+    plan = plan_string(q("q45_lateral_topk"))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

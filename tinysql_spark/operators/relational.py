@@ -1299,3 +1299,43 @@ def q44_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
         F.round(F.sum("value").over(w), 2).alias("sum_1h"),
     )
+
+
+@register(
+    "q45_lateral_topk",
+    late=True,
+    oracle="""
+    SELECT n_name, c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    """,
+    doc="Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 "
+    "orders per customer): the naive execution is a nested loop — one "
+    "ordered probe per outer row — but Catalyst DECORRELATES it into "
+    "WindowGroupLimit (a partial per-partition top-k before the "
+    "shuffle, then a final top-k per key), i.e. one pass over orders "
+    "with map-side group-limit pruning and zero per-row subplans. "
+    "Plan-tested: WindowGroupLimit present, no nested-loop join. The "
+    "lateral-top-k shape is the standard 'best N per entity' feature "
+    "extraction; at 100 TB the group limit prunes before the exchange "
+    "so the shuffle carries <= 2 rows per customer.",
+)
+def q45_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    sfx = _uuid.uuid4().hex[:6]
+    for t in ("nation", "customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_{sfx}")
+    return spark.sql(f"""
+        SELECT n_name, c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM nation_{sfx} n JOIN customer_{sfx} c ON c.c_nationkey = n.n_nationkey,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_{sfx}
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+    """)
