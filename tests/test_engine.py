@@ -881,3 +881,33 @@ def test_auto_increment_persists(spark, tmp_path):
     e2.sql("INSERT INTO ai (v) VALUES (4)")
     got = sorted(tuple(r) for r in e2.sql("SELECT id, v FROM ai").df.collect())
     assert got == [(1, 1), (2, 2), (3, 3), (4, 4)]
+
+
+def test_create_table_as_select(eng):
+    """CTAS: schema inferred from the SELECT, rows loaded through the
+    normal rowid path, result queryable/DML-able like any table."""
+    eng.attach_testdata("/root/testdata/sf0.001")
+    r = eng.sql(
+        "CREATE TABLE big_orders AS "
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 100000"
+    )
+    assert r.rows_affected > 0
+    info = eng.catalog.get_table("default", "big_orders")
+    assert [c.type for c in info.columns] == ["BIGINT", "BIGINT", "DOUBLE"]
+    n = eng.sql("SELECT count(*) AS c FROM big_orders").df.collect()[0][0]
+    assert n == r.rows_affected
+    # DML works on the materialized table
+    eng.sql("DELETE FROM big_orders WHERE o_totalprice < 200000")
+    n2 = eng.sql("SELECT count(*) AS c FROM big_orders").df.collect()[0][0]
+    assert n2 <= n
+    # IF NOT EXISTS short-circuits; plain duplicate errors
+    eng.sql("CREATE TABLE IF NOT EXISTS big_orders AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE TABLE big_orders AS SELECT 1 AS x")
+    # unsupported result types get a clear error, not silent corruption
+    with pytest.raises(ValueError, match="cannot store column type"):
+        eng.sql("CREATE TABLE ev2 AS SELECT ts FROM events")
+    # DDL job log records it
+    jobs = eng.sql("ADMIN SHOW DDL JOBS 5").df.collect()
+    assert any("create table as select" in str(r).lower() for r in jobs)

@@ -48,6 +48,27 @@ def sql_type_to_spark(type_str: str) -> T.DataType:
     return _TYPE_MAP[base]
 
 
+def spark_type_to_sql(dt: T.DataType) -> str:
+    """Inverse mapping for CTAS: the SELECT's inferred Spark schema
+    back to declared SQL types (only the engine's three eval families —
+    SURVEY §1.2 — are representable; anything else is a clear error)."""
+    if isinstance(dt, T.IntegerType):
+        return "INT"
+    if isinstance(dt, T.LongType):
+        return "BIGINT"
+    if isinstance(dt, T.FloatType):
+        return "FLOAT"
+    if isinstance(dt, T.DoubleType):
+        return "DOUBLE"
+    if isinstance(dt, T.StringType):
+        return "TEXT"
+    raise ValueError(
+        f"CREATE TABLE AS SELECT cannot store column type {dt.simpleString()!r}: "
+        "declare the table explicitly and cast, or project to "
+        "int/bigint/float/double/string columns"
+    )
+
+
 @dataclass
 class ColumnInfo:
     name: str

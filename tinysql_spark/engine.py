@@ -475,7 +475,17 @@ class Engine:
         self.spark.catalog.setCurrentDatabase(db)
         return Result(message=f"database changed to {db}")
 
+    _CTAS_RE = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s+AS\s+(SELECT\b.*)$",
+        re.I | re.S,
+    )
+
     def _exec_create_table(self, stmt: str) -> Result:
+        m = self._CTAS_RE.match(stmt)
+        if m:
+            return self._exec_ctas(
+                bool(m.group(1)), P.unquote_ident(m.group(2)), m.group(3)
+            )
         ct = P.parse_create_table(stmt)
         db, t = self._qualify(ct.table)
         if self.catalog.has_table(db, t):
@@ -497,6 +507,35 @@ class Engine:
             empty.write.mode("overwrite").parquet(self.catalog.data_dir(db, t))
         self._register_table(db, t)
         return Result(message=f"table {t} created")
+
+    def _exec_ctas(self, if_not_exists: bool, name: str, select_sql: str) -> Result:
+        """CREATE TABLE ... AS SELECT: infer the declared schema from
+        the SELECT (three eval families only — SURVEY §1.2), create the
+        table, load the result through the normal rowid/append path.
+        Beyond the reference grammar (TinySQL has no CTAS) but the
+        natural materialization step every pipeline needs."""
+        from .catalog import spark_type_to_sql
+
+        db, t = self._qualify(name)
+        if self.catalog.has_table(db, t):
+            if if_not_exists:
+                return Result(message=f"table {t} already exists")
+            raise ValueError(f"table {db}.{t} already exists")
+        df = self.spark.sql(self._rewrite(select_sql))
+        cols = [
+            ColumnInfo(name=f.name, type=spark_type_to_sql(f.dataType))
+            for f in df.schema.fields
+        ]
+        info = TableInfo(name=t, columns=cols)
+        self.catalog.add_table(db, info)
+        os.makedirs(self.catalog.data_dir(db, t), exist_ok=True)
+        self._register_table(db, t)  # before _append: it refreshes the entry
+        n = df.count()
+        with_ids, _ = self._assign_rowids(df, info, n)
+        self._append(db, t, with_ids)
+        self.catalog.update()
+        self._log_ddl("create table as select", f"{db}.{t}", f"CREATE TABLE {t} AS {select_sql}")
+        return Result(rows_affected=n, message=f"table {t} created with {n} rows")
 
     def _exec_drop_table(self, stmt: str) -> Result:
         m = P._DROP_TABLE_RE.match(stmt)
