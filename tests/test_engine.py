@@ -911,3 +911,20 @@ def test_create_table_as_select(eng):
     # DDL job log records it
     jobs = eng.sql("ADMIN SHOW DDL JOBS 5").df.collect()
     assert any("create table as select" in str(r).lower() for r in jobs)
+
+
+def test_show_index_from(eng):
+    """SHOW INDEX FROM t (executor/show.go fetchShowIndex shape): PK
+    rows first (Key_name PRIMARY, Non_unique 0), then declared
+    indexes, one row per key column in sequence."""
+    eng.sql(
+        "CREATE TABLE six (a int PRIMARY KEY, b int, c int, "
+        "UNIQUE KEY ub (b), INDEX ibc (b, c))"
+    )
+    got = [tuple(r) for r in eng.sql("SHOW INDEX FROM six").df.collect()]
+    assert ("six", 0, "PRIMARY", 1, "a") in got
+    assert ("six", 0, "ub", 1, "b") in got
+    assert ("six", 1, "ibc", 1, "b") in got and ("six", 1, "ibc", 2, "c") in got
+    # SHOW KEYS / INDEXES synonyms (parser.y ShowTargetFilterable)
+    assert [tuple(r) for r in eng.sql("SHOW KEYS IN six").df.collect()] == got
+    assert [tuple(r) for r in eng.sql("SHOW INDEXES FROM six").df.collect()] == got

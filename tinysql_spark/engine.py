@@ -1148,6 +1148,26 @@ class Engine:
 
     def _exec_show(self, stmt: str) -> Result:
         up = stmt.strip().upper()
+        m = P.re.match(
+            r"^\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+(?:FROM|IN)\s+([`\w.]+)\s*$", stmt, P.re.I
+        )
+        if m:
+            # SHOW INDEX FROM t (executor/show.go fetchShowIndex): PK
+            # first, then declared indexes, one row per key column
+            db, t = self._qualify(m.group(1))
+            info = self.catalog.get_table(db, t)
+            rows = []
+            for seq, col in enumerate(info.primary_key, start=1):
+                rows.append((t, 0, "PRIMARY", seq, col))
+            for idx in info.indexes:
+                for seq, col in enumerate(idx.columns, start=1):
+                    rows.append((t, 0 if idx.unique else 1, idx.name, seq, col))
+            df = self.spark.createDataFrame(
+                rows or [],
+                "Table: string, Non_unique: int, Key_name: string, "
+                "Seq_in_index: int, Column_name: string",
+            )
+            return Result(df=df)
         m = P.re.match(r"^\s*SHOW\s+DATABASES(?:\s+LIKE\s+'([^']*)')?\s*$", stmt, P.re.I)
         if m:
             df = self.spark.createDataFrame(

@@ -1339,3 +1339,45 @@ def q45_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
         ) t
     """)
+
+
+@register(
+    "q46_locf_fill",
+    late=True,
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN value >= 50 THEN value ELSE NULL END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM e
+    """,
+    doc="LOCF forward fill (last observation carried forward): sensor-"
+    "style sparse readings (value < 50 masked to NULL here) filled "
+    "from each user's most recent non-NULL via last_value(IGNORE "
+    "NULLS) over an ordered running frame — the time-series imputation "
+    "step q41's gap-fill (missing ROWS) complements with missing "
+    "VALUES. One window shuffle on user_id, single sorted pass per "
+    "partition; leading NULLs (no prior observation) stay NULL in "
+    "both engines. Unique (ts, event_id) ordering keeps the fill "
+    "deterministic.",
+)
+def q46_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") >= 50, F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("v_filled"),
+    )
