@@ -928,3 +928,28 @@ def test_show_index_from(eng):
     # SHOW KEYS / INDEXES synonyms (parser.y ShowTargetFilterable)
     assert [tuple(r) for r in eng.sql("SHOW KEYS IN six").df.collect()] == got
     assert [tuple(r) for r in eng.sql("SHOW INDEXES FROM six").df.collect()] == got
+
+
+def test_ctas_partitioned(eng):
+    """CTAS + PARTITIONED BY: one-statement date-partitioned
+    materialization — hive dirs on disk, pruning active on the result."""
+    import os
+
+    eng.attach_testdata("/root/testdata/sf0.001")
+    r = eng.sql(
+        "CREATE TABLE ev_day PARTITIONED BY (event_date) AS "
+        "SELECT event_id, value, date_format(ts, 'yyyy-MM-dd') AS event_date "
+        "FROM events"
+    )
+    assert r.rows_affected > 0
+    data = eng.catalog.data_dir("default", "ev_day")
+    days = [d for d in os.listdir(data) if d.startswith("event_date=")]
+    assert len(days) > 1
+    one = days[0].split("=", 1)[1]
+    q = eng.sql(f"SELECT count(*) AS n FROM ev_day WHERE event_date = '{one}'")
+    assert 0 < q.df.collect()[0][0] < r.rows_affected
+    from tinysql_spark.plans import plan_string
+
+    assert "PartitionFilters" in plan_string(q.df)
+    with pytest.raises(ValueError, match="unknown column"):
+        eng.sql("CREATE TABLE bad PARTITIONED BY (nope) AS SELECT 1 AS x")

@@ -476,15 +476,21 @@ class Engine:
         return Result(message=f"database changed to {db}")
 
     _CTAS_RE = re.compile(
-        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s+AS\s+(SELECT\b.*)$",
+        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s*"
+        r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?AS\s+(SELECT\b.*)$",
         re.I | re.S,
     )
 
     def _exec_create_table(self, stmt: str) -> Result:
         m = self._CTAS_RE.match(stmt)
         if m:
+            part_cols = (
+                [P.unquote_ident(c) for c in P.split_top_level(m.group(3))]
+                if m.group(3)
+                else []
+            )
             return self._exec_ctas(
-                bool(m.group(1)), P.unquote_ident(m.group(2)), m.group(3)
+                bool(m.group(1)), P.unquote_ident(m.group(2)), m.group(4), part_cols
             )
         ct = P.parse_create_table(stmt)
         db, t = self._qualify(ct.table)
@@ -508,12 +514,18 @@ class Engine:
         self._register_table(db, t)
         return Result(message=f"table {t} created")
 
-    def _exec_ctas(self, if_not_exists: bool, name: str, select_sql: str) -> Result:
-        """CREATE TABLE ... AS SELECT: infer the declared schema from
-        the SELECT (three eval families only — SURVEY §1.2), create the
-        table, load the result through the normal rowid/append path.
-        Beyond the reference grammar (TinySQL has no CTAS) but the
-        natural materialization step every pipeline needs."""
+    def _exec_ctas(
+        self, if_not_exists: bool, name: str, select_sql: str,
+        part_cols: list[str] | None = None,
+    ) -> Result:
+        """CREATE TABLE [PARTITIONED BY (...)] AS SELECT: infer the
+        declared schema from the SELECT (three eval families only —
+        SURVEY §1.2), create the table, load the result through the
+        normal rowid/append path; with PARTITIONED BY the load lands in
+        the hive-style pruned layout directly (date-partitioned
+        materialization in one statement). Beyond the reference
+        grammar (TinySQL has no CTAS) but the natural materialization
+        step every pipeline needs."""
         from .catalog import spark_type_to_sql
 
         db, t = self._qualify(name)
@@ -526,7 +538,11 @@ class Engine:
             ColumnInfo(name=f.name, type=spark_type_to_sql(f.dataType))
             for f in df.schema.fields
         ]
-        info = TableInfo(name=t, columns=cols)
+        declared = {c.name.lower() for c in cols}
+        for c in part_cols or []:
+            if c.lower() not in declared:
+                raise ValueError(f"PARTITIONED BY references unknown column {c!r}")
+        info = TableInfo(name=t, columns=cols, partition_by=part_cols or [])
         self.catalog.add_table(db, info)
         os.makedirs(self.catalog.data_dir(db, t), exist_ok=True)
         self._register_table(db, t)  # before _append: it refreshes the entry
