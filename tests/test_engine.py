@@ -953,3 +953,10 @@ def test_ctas_partitioned(eng):
     assert "PartitionFilters" in plan_string(q.df)
     with pytest.raises(ValueError, match="unknown column"):
         eng.sql("CREATE TABLE bad PARTITIONED BY (nope) AS SELECT 1 AS x")
+
+
+def test_show_columns_is_describe(eng):
+    eng.sql("CREATE TABLE sc (a int PRIMARY KEY, b varchar(8))")
+    want = rows(eng.sql("DESCRIBE sc"))
+    assert rows(eng.sql("SHOW COLUMNS FROM sc")) == want
+    assert rows(eng.sql("SHOW FULL FIELDS IN sc")) == want

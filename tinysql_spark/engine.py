@@ -1165,6 +1165,15 @@ class Engine:
     def _exec_show(self, stmt: str) -> Result:
         up = stmt.strip().upper()
         m = P.re.match(
+            r"^\s*SHOW\s+(?:FULL\s+)?(?:COLUMNS|FIELDS)\s+(?:FROM|IN)\s+([`\w.]+)\s*$",
+            stmt,
+            P.re.I,
+        )
+        if m:
+            # SHOW [FULL] COLUMNS FROM t == DESCRIBE t (parser.y
+            # ShowTargetFilterable; executor/show.go fetchShowColumns)
+            return self._exec_describe(f"DESCRIBE {m.group(1)}")
+        m = P.re.match(
             r"^\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+(?:FROM|IN)\s+([`\w.]+)\s*$", stmt, P.re.I
         )
         if m:

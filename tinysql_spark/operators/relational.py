@@ -1381,3 +1381,32 @@ def q46_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(v, ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+@register(
+    "q47_string_agg",
+    late=True,
+    oracle="""
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+             AS priorities,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Deterministic string aggregation (GROUP_CONCAT analog — "
+    "notably absent from the reference registry, SURVEY §2.3): "
+    "collect_set -> sort_array -> array_join makes the concatenation "
+    "order-stable under any partitioning, which is what makes it "
+    "hashable against an oracle and reproducible at 100 TB (a bare "
+    "collect_list/GROUP_CONCAT order depends on task scheduling). "
+    "Partial aggregation still applies to the set collection.",
+)
+def q47_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
