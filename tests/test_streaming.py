@@ -227,3 +227,51 @@ def test_st06_upsert_really_multi_batch(spark, sf_dir):
                        suffixes=("", "_first"))
     # at least one key seen in batch 0 was overwritten by a later batch
     assert (merged["last_event_id"] > merged["event_id"]).any()
+
+
+def test_st06_upsert_resumes_from_checkpoint(spark, sf_dir, tmp_path, duck):
+    """The restart contract, exercised for real: run the upsert over
+    the first slice only, then 'restart' — a second invocation with
+    the SAME checkpoint and table dirs after the remaining slices
+    arrive. The resumed run must skip the already-processed file
+    (1 + 2 batches, not 3), merge onto the durable _LATEST table
+    version, and end bit-identical to the batch arg_max oracle."""
+    import os
+    import shutil
+
+    from tinysql_spark.operators.streaming_bridge import (
+        _stage_events_split,
+        _upsert_latest,
+        run_stream_upsert,
+    )
+
+    staged = _stage_events_split(sf_dir)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    os.makedirs(base)
+
+    files = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    assert len(files) == 3
+    shutil.copy2(os.path.join(staged, files[0]), os.path.join(src, files[0]))
+    n1 = run_stream_upsert(spark, src, ck, base)
+    assert n1 == 1
+
+    for f in files[1:]:
+        shutil.copy2(os.path.join(staged, f), os.path.join(src, f))
+    n2 = run_stream_upsert(spark, src, ck, base)
+    assert n2 == 2, "resumed run must not reprocess the first file"
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["last_value"], r["last_event_id"])
+        for r in spark.read.parquet(_upsert_latest(base)).collect()
+    }
+    want = {
+        (u, t): (v, i)
+        for u, t, v, i in duck.execute(
+            "SELECT user_id, event_type, arg_max(value, event_id),"
+            " max(event_id) FROM events GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert got == want

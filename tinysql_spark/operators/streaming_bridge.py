@@ -303,14 +303,29 @@ def _stage_events_split(sf_dir: str, n: int = 3) -> str:
     return d
 
 
-def stream_upsert(spark: SparkSession, sf_dir: str):
-    """foreachBatch MERGE-style upsert; returns (final DataFrame,
-    number of micro-batches run). See st06 registration for semantics."""
-    src = _stage_events_split(sf_dir)
-    base = tempfile.mkdtemp(prefix="tinysql_st06_tbl_")
-    ck = tempfile.mkdtemp(prefix="tinysql_st06_ck_")
-    state = {"dir": None, "batches": 0}
+def _upsert_latest(base: str) -> str | None:
+    ptr = os.path.join(base, "_LATEST")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            return f.read().strip() or None
+    return None
+
+
+def run_stream_upsert(spark: SparkSession, src: str, ck: str, base: str) -> int:
+    """One upsert run over whatever files are currently in ``src``;
+    returns the number of micro-batches processed THIS run.
+
+    Restart contract: the merge base is the durable ``_LATEST``
+    pointer in ``base`` (committed by atomic rename after each batch's
+    table version lands), NOT driver memory — a restarted query reads
+    the last committed table and the checkpoint skips already-
+    processed files. If a crash lands between the table commit and
+    the checkpoint commit, the replayed batch re-merges the same rows:
+    max_by over a union with itself is idempotent, so at-least-once
+    batch replay still yields exactly-once table state."""
     keys = ["user_id", "event_type"]
+    state = {"batches": 0}
+    ptr = os.path.join(base, "_LATEST")
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         state["batches"] += 1
@@ -320,8 +335,9 @@ def stream_upsert(spark: SparkSession, sf_dir: str):
             F.max_by("value", "event_id").alias("last_value"),
             F.max("event_id").alias("last_event_id"),
         )
-        if state["dir"] is not None:
-            existing = spark.read.parquet(state["dir"])
+        cur = _upsert_latest(base)
+        if cur is not None:
+            existing = spark.read.parquet(cur)
             w = (
                 existing.unionByName(w)
                 .groupBy(*keys)
@@ -332,7 +348,10 @@ def stream_upsert(spark: SparkSession, sf_dir: str):
             )
         new_dir = os.path.join(base, f"v{batch_id}")
         w.write.mode("overwrite").parquet(new_dir)
-        state["dir"] = new_dir
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(new_dir)
+        os.replace(tmp, ptr)  # atomic table-version commit
 
     stream = read_event_stream(spark, src).select(
         "event_id", "user_id", "event_type", "value"
@@ -345,7 +364,17 @@ def stream_upsert(spark: SparkSession, sf_dir: str):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(state["dir"]), state["batches"]
+    return state["batches"]
+
+
+def stream_upsert(spark: SparkSession, sf_dir: str):
+    """foreachBatch MERGE-style upsert; returns (final DataFrame,
+    number of micro-batches run). See st06 registration for semantics."""
+    src = _stage_events_split(sf_dir)
+    base = tempfile.mkdtemp(prefix="tinysql_st06_tbl_")
+    ck = tempfile.mkdtemp(prefix="tinysql_st06_ck_")
+    n = run_stream_upsert(spark, src, ck, base)
+    return spark.read.parquet(_upsert_latest(base)), n
 
 
 @register(
