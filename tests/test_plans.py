@@ -453,3 +453,15 @@ def test_q45_lateral_decorrelates_to_group_limit(q):
     plan = plan_string(q("q45_lateral_topk"))
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q48_decorrelates_semi_and_anti(q):
+    """The Q21-shape EXISTS + NOT EXISTS stack must decorrelate to
+    semi + anti joins with residual <> conditions — never per-row
+    correlated subplans or a cartesian."""
+    from tinysql_spark.plans import plan_string
+
+    plan = plan_string(q("q48_sole_fault_supplier"))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    js = join_strategies(q("q48_sole_fault_supplier"))
+    assert js and all(j != "CartesianProduct" for j in js), js

@@ -1410,3 +1410,59 @@ def q47_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "q48_sole_fault_supplier",
+    late=True,
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape (adapted to the driver schema: returnflag "
+    "'R' as the fault marker instead of receipt-past-commit): "
+    "suppliers who are the SOLE at-fault supplier inside "
+    "multi-supplier finished orders — a correlated EXISTS and a "
+    "correlated NOT EXISTS against the same fact table, stacked on "
+    "one query block. The decorrelation stress test: Catalyst must "
+    "plan semi + anti joins on l_orderkey with the <>-residual "
+    "conditions (never per-row subplans), and the fact table is "
+    "scanned three times only as pushed-down column-pruned scans. "
+    "Plan-tested: LeftSemi + LeftAnti present, no loops.",
+)
+def q48_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    sfx = _uuid.uuid4().hex[:6]
+    for t in ("supplier", "lineitem", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_{sfx}")
+    return spark.sql(f"""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier_{sfx}
+          JOIN lineitem_{sfx} l1 ON s_suppkey = l1.l_suppkey
+          JOIN orders_{sfx} ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem_{sfx} l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem_{sfx} l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+    """)
