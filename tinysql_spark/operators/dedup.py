@@ -245,6 +245,13 @@ _LSH_PROPAGATION_ROUNDS = 4
     "Deliberately NOT pair enumeration: near-dup clusters make pair "
     "output quadratic in cluster size; label propagation is linear "
     "(2 shuffles per round) and is the 100 TB-safe formulation. "
+    "Round count: 4 fixed rounds cover a 4-hop bucket-graph diameter "
+    "— sufficient here by measurement (recall 1.00 below), and near-"
+    "dup LSH graphs are star-shaped around shared buckets, not "
+    "chains; a corpus with deeper components would swap in d07's "
+    "iterate-to-convergence machinery (_d07_converge: early exit + "
+    "pointer halving + per-round checkpoint) at the cost of executed "
+    "per-round probe jobs. "
     "Quality (measured at sf0.01, tests/test_dedup_quality.py): "
     "cluster recall 1.00 vs exact shingle-Jaccard >= 0.8 pairs "
     "(theoretical band-match floor at J=0.8: 1-(1-J^4)^4 = 0.88), "
