@@ -275,3 +275,42 @@ def test_st06_upsert_resumes_from_checkpoint(spark, sf_dir, tmp_path, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_st06_upsert_crash_window_replay(spark, sf_dir, tmp_path):
+    """The exact crash window the restart contract documents: the
+    _LATEST pointer committed but the checkpoint did NOT, so on
+    restart the SAME batch_id replays while _LATEST already points at
+    that batch's output. The merge must read the committed version and
+    write a DIFFERENT dir (attempt-unique), not overwrite its own
+    merge base — and re-merging the same rows must be a no-op."""
+    import os
+
+    from tinysql_spark.operators.streaming_bridge import (
+        _stage_events_split,
+        _upsert_latest,
+        merge_upsert_batch,
+    )
+
+    staged = _stage_events_split(sf_dir)
+    files = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    base = str(tmp_path / "tbl")
+    os.makedirs(base)
+    batch0 = spark.read.parquet(os.path.join(staged, files[0])).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    merge_upsert_batch(spark, batch0, 0, base)
+    committed = _upsert_latest(base)
+    before = {
+        (r["user_id"], r["event_type"]): (r["last_value"], r["last_event_id"])
+        for r in spark.read.parquet(committed).collect()
+    }
+    # replay of batch 0 with _LATEST already at batch 0's output
+    merge_upsert_batch(spark, batch0, 0, base)
+    replayed = _upsert_latest(base)
+    assert replayed != committed, "replay must write an attempt-unique dir"
+    after = {
+        (r["user_id"], r["event_type"]): (r["last_value"], r["last_event_id"])
+        for r in spark.read.parquet(replayed).collect()
+    }
+    assert after == before, "at-least-once replay must be idempotent"

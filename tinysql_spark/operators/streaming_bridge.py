@@ -7,8 +7,11 @@ window agg → sink) with an availableNow trigger, then return the sink
 table as a DataFrame — so the driver's oracle check covers the
 streaming path, not just its batch twin (q15).
 
-Determinism: the driver ships events as ONE parquet file; staging
-that single file into a fresh directory gives a single-file source.
+Determinism: the driver ships events as ONE parquet file; the
+streaming file source requires a directory, so a source-view dir
+holding a SYMLINK to the file (no data copied through the driver —
+the local analog of pointing the stream at the ingest directory
+itself) gives a single-file source read in place.
 With availableNow every available file is processed before
 termination, and `complete` output mode emits every window regardless
 of where the final watermark lands — append mode would hold back the
@@ -18,7 +21,6 @@ last `watermark` hours of windows forever on a finite replay.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 import uuid
 
@@ -30,8 +32,13 @@ from .registry import register
 
 
 def _stage_events(sf_dir: str) -> str:
+    """Source-view directory for the events stream: a symlink to the
+    source parquet, read in place (the file source needs a directory
+    and ``sf_dir`` mixes every table's files, so an isolating view dir
+    stands in for a dedicated ingest directory). O(1) metadata op —
+    the data itself never moves through the driver."""
     d = tempfile.mkdtemp(prefix="tinysql_stream_")
-    shutil.copy(
+    os.symlink(
         os.path.join(sf_dir, "events.parquet"), os.path.join(d, "0000.parquet")
     )
     return d
@@ -311,6 +318,43 @@ def _upsert_latest(base: str) -> str | None:
     return None
 
 
+def merge_upsert_batch(
+    spark: SparkSession, batch: DataFrame, batch_id: int, base: str
+) -> None:
+    """Merge ONE micro-batch into the keyed table at ``base``; the
+    foreachBatch body of run_stream_upsert, exposed for crash-replay
+    testing. Idempotent under batch replay: re-merging the same rows
+    through max_by changes nothing, and the attempt-unique version dir
+    guarantees the write target is never the read source."""
+    keys = ["user_id", "event_type"]
+    ptr = os.path.join(base, "_LATEST")
+    # within-batch winners first: the shuffle runs on the batch,
+    # not the table
+    w = batch.groupBy(*keys).agg(
+        F.max_by("value", "event_id").alias("last_value"),
+        F.max("event_id").alias("last_event_id"),
+    )
+    cur = _upsert_latest(base)
+    if cur is not None:
+        existing = spark.read.parquet(cur)
+        w = (
+            existing.unionByName(w)
+            .groupBy(*keys)
+            .agg(
+                F.max_by("last_value", "last_event_id").alias("last_value"),
+                F.max("last_event_id").alias("last_event_id"),
+            )
+        )
+    # attempt-unique: a replayed batch_id gets a fresh dir, so the
+    # write can never clobber the committed version it reads from
+    new_dir = os.path.join(base, f"v{batch_id}_{uuid.uuid4().hex[:8]}")
+    w.write.mode("overwrite").parquet(new_dir)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(new_dir)
+    os.replace(tmp, ptr)  # atomic table-version commit
+
+
 def run_stream_upsert(spark: SparkSession, src: str, ck: str, base: str) -> int:
     """One upsert run over whatever files are currently in ``src``;
     returns the number of micro-batches processed THIS run.
@@ -322,36 +366,16 @@ def run_stream_upsert(spark: SparkSession, src: str, ck: str, base: str) -> int:
     processed files. If a crash lands between the table commit and
     the checkpoint commit, the replayed batch re-merges the same rows:
     max_by over a union with itself is idempotent, so at-least-once
-    batch replay still yields exactly-once table state."""
-    keys = ["user_id", "event_type"]
+    batch replay still yields exactly-once table state. Each ATTEMPT
+    writes a unique ``v{batch_id}_{uuid}`` dir — a replayed batch must
+    never overwrite the version it lazily reads as its merge base
+    (same-path overwrite either errors or destroys the only table
+    copy before the scan runs)."""
     state = {"batches": 0}
-    ptr = os.path.join(base, "_LATEST")
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         state["batches"] += 1
-        # within-batch winners first: the shuffle runs on the batch,
-        # not the table
-        w = batch.groupBy(*keys).agg(
-            F.max_by("value", "event_id").alias("last_value"),
-            F.max("event_id").alias("last_event_id"),
-        )
-        cur = _upsert_latest(base)
-        if cur is not None:
-            existing = spark.read.parquet(cur)
-            w = (
-                existing.unionByName(w)
-                .groupBy(*keys)
-                .agg(
-                    F.max_by("last_value", "last_event_id").alias("last_value"),
-                    F.max("last_event_id").alias("last_event_id"),
-                )
-            )
-        new_dir = os.path.join(base, f"v{batch_id}")
-        w.write.mode("overwrite").parquet(new_dir)
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(new_dir)
-        os.replace(tmp, ptr)  # atomic table-version commit
+        merge_upsert_batch(spark, batch, batch_id, base)
 
     stream = read_event_stream(spark, src).select(
         "event_id", "user_id", "event_type", "value"
