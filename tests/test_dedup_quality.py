@@ -103,3 +103,18 @@ def test_d04_simhash_recall_and_precision(spark, sf_dir, doc_sets):
     loose = _truth_pairs(tok_sets, 0.5)
     precision = sum(1 for p in pairs if p in loose) / len(pairs)
     assert precision >= 0.6, f"d04 precision {precision:.3f} < 0.6 (measured 0.78)"
+
+
+def test_d07_prior_result_survives_reinvocation(spark, sf_dir):
+    """A d07 result held across a later invocation must stay
+    re-executable: its final labels frame is localCheckpoint-ed
+    (truncated lineage), so any explicit unpersist by later runs would
+    destroy the only copy of its blocks — block-not-found instead of
+    recompute. Release is GC-driven (ContextCleaner), never explicit."""
+    from tinysql_spark.operators.dedup import d07_embedding_cluster
+
+    first = d07_embedding_cluster(spark, sf_dir)
+    want = first.count()
+    d07_embedding_cluster(spark, sf_dir).count()  # second invocation
+    # the FIRST result must still execute after the second run
+    assert first.count() == want

@@ -870,6 +870,30 @@ def test_auto_increment_allocation(eng):
         )
 
 
+def test_auto_increment_explicit_and_fill_same_batch(eng):
+    """A fill must never collide with an explicit id in the SAME
+    statement: INSERT VALUES (1,'x'),(NULL,'y') on a fresh table — a
+    pre-statement-counter allocation would hand the fill id 1 and fail
+    the dup-key check; fills allocate above max(counter, explicit)
+    (whole-batch rebase; MySQL rebases row-by-row, which differs only
+    in which ids fills before a high explicit value get — documented
+    divergence, never a collision)."""
+    eng.sql("CREATE TABLE aib (id int AUTO_INCREMENT PRIMARY KEY, v varchar(8))")
+    eng.sql("INSERT INTO aib VALUES (1, 'x'), (NULL, 'y')")
+    got = dict((v, i) for i, v in rows(eng.sql("SELECT id, v FROM aib")))
+    assert got["x"] == 1 and got["y"] == 2
+    # explicit value above the fill range in the same batch
+    eng.sql("INSERT INTO aib VALUES (NULL, 'a'), (50, 'b'), (0, 'c')")
+    got = dict((v, i) for i, v in rows(eng.sql("SELECT id, v FROM aib")))
+    assert got["b"] == 50
+    assert len(set(got.values())) == len(got), got  # all ids distinct
+    assert got["a"] == 51 and got["c"] == 52
+    # counter rebased past everything
+    eng.sql("INSERT INTO aib (v) VALUES ('d')")
+    got = dict((v, i) for i, v in rows(eng.sql("SELECT id, v FROM aib")))
+    assert got["d"] == 53
+
+
 def test_auto_increment_persists(spark, tmp_path):
     from tinysql_spark.engine import Engine
 
@@ -911,6 +935,42 @@ def test_create_table_as_select(eng):
     # DDL job log records it
     jobs = eng.sql("ADMIN SHOW DDL JOBS 5").df.collect()
     assert any("create table as select" in str(r).lower() for r in jobs)
+
+
+def test_ctas_nondeterministic_select_consistent(eng):
+    """CTAS materializes the SELECT exactly once (localCheckpoint):
+    a nondeterministic source must not disagree between the count,
+    the rowid pass, and the write — table contents, rows_affected,
+    and rowid accounting all describe the same execution."""
+    eng.attach_testdata("/root/testdata/sf0.001")
+    r = eng.sql(
+        "CREATE TABLE rnd AS "
+        "SELECT o_orderkey, rand() AS x FROM orders ORDER BY rand() LIMIT 50"
+    )
+    assert r.rows_affected == 50
+    got = eng.sql("SELECT o_orderkey, x FROM rnd").df.collect()
+    assert len(got) == 50
+    # re-reading yields the SAME materialized values (one execution)
+    again = eng.sql("SELECT o_orderkey, x FROM rnd").df.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_ctas_failure_drops_half_created_table(eng, monkeypatch):
+    """A failure during the CTAS load must roll back the catalog entry
+    — no half-created table that blocks a retry."""
+    from tinysql_spark.engine import Engine
+
+    def boom(self, db, t, df):
+        raise RuntimeError("simulated load failure")
+
+    monkeypatch.setattr(Engine, "_append", boom)
+    with pytest.raises(RuntimeError, match="simulated load failure"):
+        eng.sql("CREATE TABLE half AS SELECT 1 AS x")
+    assert not eng.catalog.has_table("default", "half")
+    monkeypatch.undo()
+    # retry succeeds cleanly
+    r = eng.sql("CREATE TABLE half AS SELECT 1 AS x")
+    assert r.rows_affected == 1
 
 
 def test_show_index_from(eng):

@@ -84,3 +84,52 @@ def test_q34_approx_error_bounds(spark, duck, sf_dir):
         r = got[status]
         assert abs(r["approx_custs"] - d_exact) / d_exact < 0.05
         assert abs(r["price_p50"] - m_exact) / m_exact < 0.02
+
+
+def test_q44_subsecond_timestamps(spark, tmp_path):
+    """q44's RANGE frame must hold at microsecond precision: with
+    sub-second timestamps, whole-second frame ordering would both
+    shift the 1h boundary and merge same-second rows into one peer
+    group. Synthetic events straddle both hazards; parity against the
+    oracle's INTERVAL arithmetic on the same file pins the fix."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tinysql_spark.operators.registry import render_oracle
+
+    base = 1_700_000_000_000_000  # us since epoch
+    rows = [
+        # user 1: two events in the same second (peer-group hazard),
+        # one exactly 1h before another at us precision (boundary),
+        # one 1h + 1us before (just outside the frame)
+        (1, 1, base + 100, 1.0),
+        (1, 2, base + 500_000, 2.0),
+        (1, 3, base + 3_600_000_100, 4.0),     # exactly 1h after event 1
+        (1, 4, base + 3_600_000_101, 8.0),     # 1h+1us after event 1
+        (2, 5, base + 999_999, 16.0),
+        (2, 6, base + 1_000_000, 32.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["x"] * len(rows), pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "subsec"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    spec = REGISTRY["q44_range_frame_window"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    duck_df = con.execute(render_oracle(spec.oracle, str(d))).df()
+    assert_match(spec.fn(spark, str(d)), duck_df, "q44@subsecond")
+    # the 1h+1us event must NOT include event 1 in its frame
+    got = {r["event_id"]: r["n_1h"] for r in spec.fn(spark, str(d)).collect()}
+    assert got[3] == 3 and got[4] == 3
+    con.close()

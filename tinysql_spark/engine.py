@@ -543,12 +543,24 @@ class Engine:
             if c.lower() not in declared:
                 raise ValueError(f"PARTITIONED BY references unknown column {c!r}")
         info = TableInfo(name=t, columns=cols, partition_by=part_cols or [])
+        # materialize the SELECT exactly once BEFORE any accounting: a
+        # nondeterministic source (rand(), limit without order) must
+        # not disagree between the count, the rowid pass, and the
+        # write. localCheckpoint truncates lineage, so recompute is
+        # impossible, not merely unlikely.
+        df = df.localCheckpoint(eager=True)
         self.catalog.add_table(db, info)
-        os.makedirs(self.catalog.data_dir(db, t), exist_ok=True)
-        self._register_table(db, t)  # before _append: it refreshes the entry
-        n = df.count()
-        with_ids, _ = self._assign_rowids(df, info, n)
-        self._append(db, t, with_ids)
+        try:
+            os.makedirs(self.catalog.data_dir(db, t), exist_ok=True)
+            self._register_table(db, t)  # before _append: it refreshes the entry
+            n = df.count()
+            with_ids, _ = self._assign_rowids(df, info, n)
+            self._append(db, t, with_ids)
+        except BaseException:
+            # a failed load must not leave a half-created table behind
+            self._drop_spark_entry(self._spark_name(db, t))
+            self.catalog.drop_table(db, t)
+            raise
         self.catalog.update()
         self._log_ddl("create table as select", f"{db}.{t}", f"CREATE TABLE {t} AS {select_sql}")
         return Result(rows_affected=n, message=f"table {t} created with {n} rows")
@@ -938,7 +950,24 @@ class Engine:
             w = Window.orderBy(F.monotonically_increasing_id()).rowsBetween(
                 Window.unboundedPreceding, Window.currentRow
             )
-            alloc = F.sum(need.cast("long")).over(w) + F.lit(info.next_auto - 1)
+            # fills start above BOTH the persistent counter and the
+            # largest explicit value in the same statement, so a fill
+            # can never collide with an explicit id in its own batch
+            # (MySQL rebases row-by-row — insert_common.go
+            # adjustAutoIncrementDatum; the whole-batch base diverges
+            # only in which ids fills BEFORE a high explicit value get,
+            # never by colliding)
+            w_all = Window.orderBy(F.monotonically_increasing_id()).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            base = F.greatest(
+                F.lit(info.next_auto - 1),
+                F.coalesce(
+                    F.max(F.when(~need, F.col(auto.name).cast("long"))).over(w_all),
+                    F.lit(info.next_auto - 1),
+                ),
+            )
+            alloc = F.sum(need.cast("long")).over(w) + base
             out = out.withColumn(
                 auto.name,
                 F.when(need, alloc).otherwise(F.col(auto.name)).cast(auto.spark_type()),

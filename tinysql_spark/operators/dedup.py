@@ -687,15 +687,15 @@ def d07_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-    # hand the final persisted round to the keyed-cache bookkeeping so
-    # the NEXT invocation (not this one) releases it
-    prev = _LIVE_CACHES.pop("d07.labels", None)
-    if prev is not None and prev is not labels:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass
-    _LIVE_CACHES["d07.labels"] = labels
+    # The final labels frame is localCheckpoint-ed (truncated lineage):
+    # explicitly unpersisting it later would DESTROY the only copy of
+    # its blocks — a still-held result DataFrame from a prior
+    # invocation would hit block-not-found on re-execution instead of
+    # recomputing (checkpointed frames have no lineage to recompute
+    # from). So no keyed-cache bookkeeping here: release is left to
+    # Spark's ContextCleaner, which frees the round's blocks once no
+    # live DataFrame references its RDD — the same invalidation model
+    # as any returned query result.
     labels = labels.select("vec_id", "lbl")
     return vecs.join(labels, "vec_id", "left").select(
         "vec_id", F.coalesce("lbl", F.col("vec_id")).cast("long").alias("cluster_id")

@@ -1288,10 +1288,14 @@ def q44_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
+    # microsecond-precision frame: ordering by whole seconds would both
+    # shift the 1h boundary and merge same-second rows into one peer
+    # group on sub-second data; unix_micros matches the oracle's
+    # INTERVAL arithmetic at the data's full granularity
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("timestamp").cast("long"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600 * 1_000_000, Window.currentRow)
     )
     return ev.select(
         "event_id",
