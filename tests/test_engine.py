@@ -317,6 +317,26 @@ def test_user_vars(eng):
     assert eng.sql("SELECT @s AS v").df.collect()[0][0] == "abc"
 
 
+def test_row_stream_setvar_loud_error(eng):
+    """`SELECT @a := col ...` is row-order dependent (reference:
+    executor/executor.go:413 unBatchedNext exists precisely for it) —
+    the engine must refuse loudly, not return a silent wrong answer.
+    `SET @a := expr` (session scope) stays supported; @ inside string
+    literals stays data."""
+    eng.sql("CREATE TABLE tv (a int)")
+    eng.sql("INSERT INTO tv VALUES (1), (2)")
+    with pytest.raises(ValueError, match="row-order-dependent SetVar"):
+        eng.sql("SELECT @r := a FROM tv")
+    with pytest.raises(ValueError, match="row-order-dependent SetVar"):
+        eng.sql("SELECT a FROM tv WHERE a > (SELECT @x := 1)")
+    eng.sql("SET @r := 5")  # session-scoped assignment still fine
+    assert rows(eng.sql("SELECT a FROM tv WHERE a < @r")) == [(1,), (2,)]
+    # '@... :=' inside a string literal is data, not an assignment
+    eng.sql("CREATE TABLE ts (s varchar(20))")
+    eng.sql("INSERT INTO ts VALUES ('x @a := y')")
+    assert rows(eng.sql("SELECT s FROM ts")) == [("x @a := y",)]
+
+
 def test_sys_vars_and_show_variables(eng):
     eng.sql("SET @@tidb_executor_concurrency = 8")
     vals = dict(rows(eng.sql("SHOW VARIABLES")))
@@ -354,9 +374,87 @@ def test_explain_dml(eng):
     assert rows(eng.sql("SELECT a, b FROM t")) == [(1, 2)]
 
 
-def test_txn_noops(eng):
-    for s in ["BEGIN", "COMMIT", "ROLLBACK"]:
-        assert "no-op" in eng.sql(s).message
+def test_txn_outside_transaction(eng):
+    # COMMIT/ROLLBACK with no open transaction are harmless no-ops
+    assert "no active transaction" in eng.sql("COMMIT").message
+    assert "no active transaction" in eng.sql("ROLLBACK").message
+    assert "started" in eng.sql("BEGIN").message
+    eng.sql("ROLLBACK")
+
+
+def test_txn_read_your_writes_and_rollback(eng):
+    """The UnionScan contract (union_scan.go:57-90): an in-txn SELECT
+    sees the txn's own inserts; ROLLBACK makes them vanish; nothing
+    ever hits the committed table until COMMIT."""
+    eng.sql("CREATE TABLE tx (a int, b varchar(8))")
+    eng.sql("INSERT INTO tx VALUES (1, 'base')")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO tx VALUES (2, 'dirty')")
+    # read-your-writes, both unqualified and db-qualified
+    assert sorted(rows(eng.sql("SELECT a, b FROM tx"))) == [(1, "base"), (2, "dirty")]
+    assert sorted(rows(eng.sql("SELECT a, b FROM default.tx"))) == [
+        (1, "base"), (2, "dirty"),
+    ]
+    eng.sql("ROLLBACK")
+    assert rows(eng.sql("SELECT a, b FROM tx")) == [(1, "base")]
+    # and a commit path
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO tx VALUES (3, 'kept')")
+    eng.sql("COMMIT")
+    assert sorted(rows(eng.sql("SELECT a, b FROM tx"))) == [(1, "base"), (3, "kept")]
+
+
+def test_txn_delete_visibility(eng):
+    """In-txn DELETE hides rows from subsequent in-txn reads (dirty
+    delete, mem_reader.go semantics); ROLLBACK restores them; COMMIT
+    publishes the deletion. Deletes apply to buffered adds too."""
+    eng.sql("CREATE TABLE txd (a int)")
+    eng.sql("INSERT INTO txd VALUES (1), (2), (3)")
+    eng.sql("BEGIN")
+    r = eng.sql("DELETE FROM txd WHERE a = 2")
+    assert r.rows_affected == 1
+    assert sorted(rows(eng.sql("SELECT a FROM txd"))) == [(1,), (3,)]
+    # delete a row the txn itself inserted: visible in neither read
+    eng.sql("INSERT INTO txd VALUES (4)")
+    eng.sql("DELETE FROM txd WHERE a = 4")
+    assert sorted(rows(eng.sql("SELECT a FROM txd"))) == [(1,), (3,)]
+    eng.sql("ROLLBACK")
+    assert sorted(rows(eng.sql("SELECT a FROM txd"))) == [(1,), (2,), (3,)]
+    eng.sql("BEGIN")
+    eng.sql("DELETE FROM txd WHERE a = 1")
+    eng.sql("COMMIT")
+    assert sorted(rows(eng.sql("SELECT a FROM txd"))) == [(2,), (3,)]
+
+
+def test_txn_multi_table_commit_and_replace(eng):
+    """COMMIT publishes every touched table (prepare-all-then-swap);
+    REPLACE inside a txn resolves conflicts against the overlay."""
+    eng.sql("CREATE TABLE txa (k int PRIMARY KEY, v varchar(8))")
+    eng.sql("CREATE TABLE txb (x int)")
+    eng.sql("INSERT INTO txa VALUES (1, 'old')")
+    eng.sql("BEGIN")
+    eng.sql("REPLACE INTO txa VALUES (1, 'new'), (2, 'two')")
+    eng.sql("INSERT INTO txb VALUES (10)")
+    assert sorted(rows(eng.sql("SELECT k, v FROM txa"))) == [(1, "new"), (2, "two")]
+    eng.sql("COMMIT")
+    assert sorted(rows(eng.sql("SELECT k, v FROM txa"))) == [(1, "new"), (2, "two")]
+    assert rows(eng.sql("SELECT x FROM txb")) == [(10,)]
+    # dup-key inside txn checks the overlay (2 is now taken)
+    eng.sql("BEGIN")
+    with pytest.raises(ValueError, match="duplicate key"):
+        eng.sql("INSERT INTO txa VALUES (2, 'boom')")
+    eng.sql("ROLLBACK")
+
+
+def test_txn_ddl_implicit_commit(eng):
+    """DDL inside a transaction implicitly commits it first (MySQL
+    semantics — DDL cannot be rolled back)."""
+    eng.sql("CREATE TABLE txi (a int)")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO txi VALUES (7)")
+    eng.sql("CREATE TABLE txi2 (b int)")  # implicit COMMIT of the insert
+    eng.sql("ROLLBACK")  # nothing left to roll back
+    assert rows(eng.sql("SELECT a FROM txi")) == [(7,)]
 
 
 def test_multi_statement_and_describe(eng):

@@ -12,8 +12,13 @@ Division of labor (SURVEY §7.0):
   ROLLBACK — implemented here over a parquet warehouse + JSON catalog.
 - Writes are per-statement atomic via write-tmp-dir-then-rename
   (the reference's 2PC/Percolator machinery, store/tikv/2pc.go:67,
-  maps to this single-writer commit protocol; multi-statement
-  transactions are declared out of scope — SURVEY §7.2).
+  maps to this single-writer commit protocol). Multi-statement
+  transactions are a session write-buffer overlay (the UnionScan /
+  DirtyTable analog, executor/union_scan.go:57-90): in-txn writes
+  stage to parquet buffers, reads union committed data with buffered
+  adds minus deleted rowids, COMMIT prepares every touched table then
+  publishes via metadata renames, ROLLBACK drops the buffer. Session-
+  scoped only — no cross-session MVCC (SURVEY §7.2).
 
 Every table carries a hidden `_rowid` int64 handle (reference:
 implicit row handle, table/tables/tables.go:378) enabling DELETE and
@@ -34,6 +39,29 @@ from pyspark.sql import functions as F
 
 from . import sqlparse as P
 from .catalog import ROWID, Catalog, ColumnInfo, IndexInfo, TableInfo
+
+
+@dataclass
+class _TxnTable:
+    """Per-table write buffer of an open transaction — the Spark
+    analog of the reference's DirtyTable (executor/union_scan.go:57:
+    addedRows + deletedRows keyed by handle). Staged as parquet so
+    overlay reads are ordinary file scans, not driver state."""
+
+    add_dir: str
+    del_dir: str
+    has_adds: bool = False
+    has_dels: bool = False
+
+
+@dataclass
+class _Txn:
+    """Session transaction: staging root + touched-table buffers
+    (reference: kv.MemBuffer / kv.UnionStore, kv/kv.go:139 — reads
+    union the snapshot with the in-txn buffer)."""
+
+    dir: str
+    tables: dict
 
 
 @dataclass
@@ -59,6 +87,12 @@ class Engine:
         self.external_tables: set[str] = set()
         self.table_stats: dict[tuple[str, str], dict] = {}
         self.ddl_jobs: list[dict] = []
+        self.txn: _Txn | None = None
+        # stale staging from a crashed session: committed data is never
+        # under .txn-*, so removal == rollback of the dead transaction
+        for leftover in os.listdir(warehouse):
+            if leftover.startswith(".txn-"):
+                shutil.rmtree(os.path.join(warehouse, leftover), ignore_errors=True)
         self._register_all()
 
     # ------------------------------------------------------------------
@@ -146,11 +180,18 @@ class Engine:
         }
     )
 
+    # statements that implicitly COMMIT an open transaction first
+    # (MySQL: DDL and table-maintenance statements cannot be rolled
+    # back and end the transaction before executing)
+    _IMPLICIT_COMMIT_KINDS = _DDL_KINDS | {"optimize", "analyze"}
+
     def _execute_one(self, stmt: str) -> Result:
         kind = P.statement_kind(stmt)
         handler = getattr(self, f"_exec_{kind}", None)
         if handler is None:
             raise ValueError(f"unsupported statement kind: {kind}")
+        if self.txn is not None and kind in self._IMPLICIT_COMMIT_KINDS:
+            self._txn_commit()
         result = handler(stmt)
         if kind in self._DDL_KINDS:
             m = P.re.search(r"(?:TABLE|DATABASE|SCHEMA|INDEX)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?([`\w.]+)", stmt, P.re.I)
@@ -328,9 +369,12 @@ class Engine:
         """Rename logical -> in-file column names just before a write."""
         return df.toDF(ROWID, *[c.file_name for c in info.columns])
 
-    def _write_swap(self, db: str, table: str, df: DataFrame) -> None:
-        """Write df (full schema) to a tmp dir, atomically swap it in,
-        refresh Spark's file-listing cache."""
+    def _prepare_swap(self, db: str, table: str, df: DataFrame) -> str:
+        """Write df (full schema) to a tmp dir in the table's declared
+        layout and return the tmp path — the PREPARE half of the
+        write-then-rename commit protocol (the swap itself is a
+        metadata rename). Split out so multi-table COMMIT can prepare
+        every table before publishing any of them."""
         info = self.catalog.get_table(db, table)
         tmp = self.catalog.data_dir(db, table) + f".tmp-{uuid.uuid4().hex[:8]}"
         cols = [F.col(ROWID).cast("long")] + [
@@ -345,6 +389,12 @@ class Engine:
                 phys = {c.name: c.file_name for c in info.columns}
                 w = w.partitionBy(*[phys.get(c, c) for c in info.partition_by])
             w.parquet(tmp)
+        return tmp
+
+    def _write_swap(self, db: str, table: str, df: DataFrame) -> None:
+        """Write df (full schema) to a tmp dir, atomically swap it in,
+        refresh Spark's file-listing cache."""
+        tmp = self._prepare_swap(db, table, df)
         self.catalog.swap_data_dir(db, table, tmp)
         self._refresh_table(db, table)
 
@@ -1046,7 +1096,9 @@ class Engine:
         # One job per key: union batch keys with (distinct) existing
         # keys; any tuple seen more than once is a violation. Rows with
         # a NULL in any key column never conflict (MySQL semantics).
-        raw = self._raw(db, t)
+        # In a transaction, "existing" includes the txn's own buffered
+        # writes (read-your-writes — union_scan.go).
+        raw = self._overlay_raw(db, t)
         for key in info.unique_keys():
             notnull = functools.reduce(
                 lambda a, b: a & b, [F.col(k).isNotNull() for k in key]
@@ -1063,7 +1115,10 @@ class Engine:
             )
             if dup:
                 raise ValueError(f"duplicate key on {key} in table {t}")
-        self._append(db, t, with_ids)
+        if self.txn is not None:
+            self._txn_stage_add(db, t, with_ids)
+        else:
+            self._append(db, t, with_ids)
         self.catalog.update()
         return Result(rows_affected=n, message=f"{n} rows inserted")
 
@@ -1076,10 +1131,13 @@ class Engine:
         """REPLACE: delete rows conflicting on any PK/unique key, then
         insert (reference: executor/replace.go:29)."""
         with_ids, n = self._assign_rowids(new_df, info, n_batch)
-        raw = self._raw(db, t)
+        raw = self._overlay_raw(db, t)
         keys = info.unique_keys()
         if not keys:
-            self._append(db, t, with_ids)
+            if self.txn is not None:
+                self._txn_stage_add(db, t, with_ids)
+            else:
+                self._append(db, t, with_ids)
             self.catalog.update()
             return Result(rows_affected=n, message=f"{n} rows inserted")
         # dedup the batch itself: REPLACE with two same-key tuples keeps
@@ -1102,12 +1160,28 @@ class Engine:
         n = with_ids.count()
         keep = raw
         n_deleted = 0
+        doomed_ids: DataFrame | None = None
         for key in keys:
             conflicts = with_ids.select(*key).distinct()
             cond = [keep[k].eqNullSafe(conflicts[k]) & keep[k].isNotNull() for k in key]
             matched = keep.join(conflicts, on=cond, how="left_semi")
             n_deleted += matched.count()
+            if self.txn is not None:
+                ids = matched.select(ROWID)
+                doomed_ids = ids if doomed_ids is None else doomed_ids.unionByName(ids)
             keep = keep.join(conflicts, on=cond, how="left_anti")
+        if self.txn is not None:
+            # in-txn REPLACE: conflicting rowids (committed or buffered
+            # — the deleted set filters both overlay branches) go to
+            # the delete buffer, new tuples to the add buffer
+            if n_deleted and doomed_ids is not None:
+                self._txn_stage_del(db, t, doomed_ids)
+            self._txn_stage_add(db, t, with_ids)
+            self.catalog.update()
+            return Result(
+                rows_affected=n + n_deleted,
+                message=f"{n_deleted} replaced, {n} inserted",
+            )
         final = keep.unionByName(with_ids.select(*keep.columns))
         self._write_swap(db, t, final)
         self.catalog.update()
@@ -1117,7 +1191,11 @@ class Engine:
         table, cond, order_by, limit = P.parse_delete(stmt)
         db, t = self._qualify(table)
         info = self.catalog.get_table(db, t)
-        raw = self._raw(db, t)
+        # in a transaction the doomed set is computed over the overlay
+        # (committed ∪ buffered adds − already-deleted) and staged to
+        # the delete buffer instead of rewriting the table
+        raw = self._overlay_raw(db, t)
+        in_txn = self.txn is not None
         if order_by or limit:
             # DELETE ... [ORDER BY ...] LIMIT n (parser.y DeleteFromStmt):
             # pick doomed rowids with the query engine, anti-join them out
@@ -1132,6 +1210,10 @@ class Engine:
                 q += f" LIMIT {limit}"
             doomed = self.spark.sql(q)
             n_del = doomed.count()
+            if in_txn:
+                self._txn_stage_del(db, t, doomed)
+                self.spark.catalog.dropTempView(view)
+                return Result(rows_affected=n_del, message=f"{n_del} rows deleted")
             # broadcast only the LIMIT-bounded set; ORDER BY alone can
             # match the whole table and a forced broadcast would OOM
             if limit:
@@ -1142,19 +1224,29 @@ class Engine:
             return Result(rows_affected=n_del, message=f"{n_del} rows deleted")
         if cond is None:
             n = raw.count()
+            if in_txn:
+                self._txn_stage_del(db, t, raw.select(ROWID))
+                return Result(rows_affected=n, message=f"{n} rows deleted")
             empty = self.spark.createDataFrame([], info.full_schema())
             self._write_swap(db, t, empty)
             return Result(rows_affected=n, message=f"{n} rows deleted")
         view = f"__del_{t}_{uuid.uuid4().hex[:6]}"
         raw.createOrReplaceTempView(view)
         cond_sql = self._rewrite(cond)
+        n_del = self.spark.sql(
+            f"SELECT count(*) FROM {view} WHERE coalesce(({cond_sql}), false)"
+        ).collect()[0][0]
+        if in_txn:
+            doomed = self.spark.sql(
+                f"SELECT {ROWID} FROM {view} WHERE coalesce(({cond_sql}), false)"
+            )
+            self._txn_stage_del(db, t, doomed)
+            self.spark.catalog.dropTempView(view)
+            return Result(rows_affected=n_del, message=f"{n_del} rows deleted")
         # delete WHERE cond is TRUE; keep FALSE and NULL (3VL)
         keep = self.spark.sql(
             f"SELECT * FROM {view} WHERE NOT coalesce(({cond_sql}), false)"
         )
-        n_del = self.spark.sql(
-            f"SELECT count(*) FROM {view} WHERE coalesce(({cond_sql}), false)"
-        ).collect()[0][0]
         self._write_swap(db, t, keep)
         self.spark.catalog.dropTempView(view)
         return Result(rows_affected=n_del, message=f"{n_del} rows deleted")
@@ -1528,8 +1620,199 @@ class Engine:
         )
         return Result(df=df)
 
+    # ------------------------------------------------------------------
+    # transactions — session write-buffer overlay
+    # (reference: executor/union_scan.go:57-90 DirtyTable +
+    #  executor/mem_reader.go in-txn reads; kv/kv.go:139 MemBuffer;
+    #  commit protocol stands in for store/tikv/2pc.go:67)
+    # ------------------------------------------------------------------
+
     def _exec_txn(self, stmt: str) -> Result:
-        """BEGIN/COMMIT/ROLLBACK accepted as no-ops: every statement is
-        atomic on its own; multi-statement transactions are out of
-        scope (SURVEY §7.2, reference executor/simple.go:33)."""
-        return Result(message=f"{stmt.split()[0].lower()}: no-op (autocommit engine)")
+        """BEGIN/START TRANSACTION/COMMIT/ROLLBACK — real session
+        transactions: writes inside a txn land in a staged parquet
+        buffer; reads union committed data with buffered adds minus
+        deleted rowids (read-your-writes, the UnionScan semantics);
+        COMMIT prepares every touched table then publishes via
+        metadata renames; ROLLBACK drops the buffer. DDL implicitly
+        commits (MySQL semantics). Single-session isolation: the
+        engine object IS the session (SURVEY §7.2 — no cross-session
+        MVCC; the reference's 2PC/Percolator layer maps to the
+        prepare-then-rename publish)."""
+        word = stmt.split()[0].lower()
+        if word in ("begin", "start"):
+            if self.txn is not None:
+                self._txn_commit()  # MySQL: BEGIN implicitly commits
+            self.txn = _Txn(
+                dir=os.path.join(self.catalog.warehouse, f".txn-{uuid.uuid4().hex[:8]}"),
+                tables={},
+            )
+            return Result(message="transaction started")
+        if word == "commit":
+            return self._txn_commit()
+        if word == "rollback":
+            return self._txn_rollback()
+        raise ValueError(f"unsupported transaction statement: {stmt[:40]}")
+
+    def _txn_buffer(self, db: str, t: str) -> _TxnTable:
+        """Get-or-create the transaction's write buffer for a table;
+        first touch re-registers the table's Spark-catalog entry as the
+        overlay view (committed ∪ adds − deleted)."""
+        key = (db, t)
+        buf = self.txn.tables.get(key)
+        if buf is None:
+            troot = os.path.join(self.txn.dir, f"{db}.{t}")
+            buf = _TxnTable(
+                add_dir=os.path.join(troot, "add"),
+                del_dir=os.path.join(troot, "del"),
+            )
+            os.makedirs(troot, exist_ok=True)
+            self.txn.tables[key] = buf
+            self._register_txnbase(db, t)
+        return buf
+
+    def _register_txnbase(self, db: str, t: str) -> None:
+        """Register the committed data dir under `t__txnbase` with the
+        FULL physical schema (rowid included — the overlay's anti-join
+        key; the normal registration hides it)."""
+        info = self.catalog.get_table(db, t)
+        name = self._spark_name(db, t + "__txnbase")
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        ddl_cols = f"`{ROWID}` bigint, " + ", ".join(
+            f"`{c.file_name}` {c.spark_type().simpleString()}" for c in info.columns
+        )
+        part_ddl = ""
+        if info.partition_by:
+            phys = {c.name: c.file_name for c in info.columns}
+            part_ddl = " PARTITIONED BY (" + ", ".join(
+                f"`{phys.get(c, c)}`" for c in info.partition_by
+            ) + ")"
+        self.spark.sql(
+            f"CREATE TABLE {name} ({ddl_cols}) USING parquet{part_ddl} "
+            f"LOCATION '{self.catalog.data_dir(db, t)}'"
+        )
+        if info.partition_by:
+            self.spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
+
+    def _txn_view(self, db: str, t: str) -> None:
+        """(Re)point the table's Spark-catalog entry at the overlay:
+        committed ∪ staged adds, minus deleted rowids — so every
+        SELECT (qualified or not) sees the transaction's own writes.
+        Staged dirs are referenced as parquet.`path` scans: filters
+        and pruning push into both union branches like any file scan."""
+        info = self.catalog.get_table(db, t)
+        buf = self.txn.tables[(db, t)]
+        name = self._spark_name(db, t)
+        inner = f"`{ROWID}`, " + ", ".join(f"`{c.file_name}`" for c in info.columns)
+        base = f"SELECT {inner} FROM {self._spark_name(db, t + '__txnbase')}"
+        if buf.has_adds:
+            base += f" UNION ALL SELECT {inner} FROM parquet.`{buf.add_dir}`"
+        where = ""
+        if buf.has_dels:
+            # rowids are non-null: NOT IN plans as a broadcast
+            # null-aware anti join on the (small) deleted-id set
+            where = (
+                f" WHERE `{ROWID}` NOT IN "
+                f"(SELECT `{ROWID}` FROM parquet.`{buf.del_dir}`)"
+            )
+        outer = ", ".join(f"`{c.file_name}` AS `{c.name}`" for c in info.columns)
+        self._drop_spark_entry(name)
+        self.spark.sql(
+            f"CREATE VIEW {name} AS SELECT {outer} FROM ({base}) __txn_u{where}"
+        )
+
+    def _overlay_raw(self, db: str, t: str) -> DataFrame:
+        """_raw + the open transaction's buffer (full schema, rowid
+        included) — what every in-txn DML reads (mem_reader.go)."""
+        raw = self._raw(db, t)
+        buf = self.txn.tables.get((db, t)) if self.txn is not None else None
+        if buf is None:
+            return raw
+        info = self.catalog.get_table(db, t)
+        if buf.has_adds:
+            add = self.spark.read.schema(info.physical_schema()).parquet(
+                buf.add_dir
+            ).toDF(ROWID, *[c.name for c in info.columns])
+            raw = raw.unionByName(add)
+        if buf.has_dels:
+            dels = self.spark.read.parquet(buf.del_dir).select(ROWID)
+            raw = raw.join(F.broadcast(dels), ROWID, "left_anti")
+        return raw
+
+    def _txn_stage_add(self, db: str, t: str, with_ids: DataFrame) -> None:
+        buf = self._txn_buffer(db, t)
+        info = self.catalog.get_table(db, t)
+        cols = [F.col(ROWID).cast("long")] + [
+            F.col(c.name).cast(c.spark_type()) for c in info.columns
+        ]
+        out = self._to_physical(with_ids.select(*cols), info)
+        # materialize before writing: the batch may READ the very dir
+        # it appends to (INSERT INTO t SELECT FROM t inside the txn)
+        out.localCheckpoint().write.mode("append").parquet(buf.add_dir)
+        buf.has_adds = True
+        self.spark.catalog.refreshByPath(buf.add_dir)
+        self._txn_view(db, t)
+
+    def _txn_stage_del(self, db: str, t: str, doomed: DataFrame) -> None:
+        buf = self._txn_buffer(db, t)
+        out = doomed.select(F.col(ROWID).cast("long"))
+        # materialize: the doomed set is computed over the overlay,
+        # which reads the del dir this write appends to
+        out.localCheckpoint().write.mode("append").parquet(buf.del_dir)
+        buf.has_dels = True
+        self.spark.catalog.refreshByPath(buf.del_dir)
+        self._txn_view(db, t)
+
+    def _txn_restore_registration(self, db: str, t: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._spark_name(db, t + '__txnbase')}")
+        self._register_table(db, t)
+
+    def _txn_commit(self) -> Result:
+        """Publish the transaction: phase 1 PREPARES (writes every
+        delete-touched table's final contents to a tmp dir — the
+        expensive, failure-prone half; a failure here leaves the txn
+        open and committed data untouched); phase 2 publishes via
+        per-table metadata renames + buffered-add appends. The
+        rename window is the 2PC-commit analog — metadata-only, not
+        data-proportional."""
+        txn = self.txn
+        if txn is None:
+            return Result(message="commit: no active transaction")
+        prepared: list[tuple[str, str, str]] = []
+        appends: list[tuple[str, str, _TxnTable]] = []
+        try:
+            for (db, t), buf in txn.tables.items():
+                if buf.has_dels:
+                    prepared.append(
+                        (db, t, self._prepare_swap(db, t, self._overlay_raw(db, t)))
+                    )
+                elif buf.has_adds:
+                    appends.append((db, t, buf))
+        except BaseException:
+            for _, _, tmp in prepared:
+                shutil.rmtree(tmp, ignore_errors=True)
+            raise  # txn stays open; the session may ROLLBACK
+        self.txn = None
+        for (db, t) in txn.tables:
+            self._txn_restore_registration(db, t)
+        for db, t, tmp in prepared:
+            self.catalog.swap_data_dir(db, t, tmp)
+            self._refresh_table(db, t)
+        for db, t, buf in appends:
+            info = self.catalog.get_table(db, t)
+            add = self.spark.read.schema(info.physical_schema()).parquet(
+                buf.add_dir
+            ).toDF(ROWID, *[c.name for c in info.columns])
+            self._append(db, t, add)
+        shutil.rmtree(txn.dir, ignore_errors=True)
+        self.catalog.update()
+        return Result(message=f"commit: {len(txn.tables)} table(s) published")
+
+    def _txn_rollback(self) -> Result:
+        txn = self.txn
+        if txn is None:
+            return Result(message="rollback: no active transaction")
+        self.txn = None
+        for (db, t) in txn.tables:
+            self._txn_restore_registration(db, t)
+        shutil.rmtree(txn.dir, ignore_errors=True)
+        return Result(message=f"rollback: {len(txn.tables)} table(s) reverted")

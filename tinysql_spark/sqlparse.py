@@ -590,6 +590,20 @@ def substitute_user_vars(sql: str, user_vars: dict[str, object]) -> str:
                     i += 1
                 else:
                     name = sql[i + 1 : j].lower()
+                    # @a := expr inside a row stream is row-order
+                    # dependent (reference: executor/executor.go:413
+                    # unBatchedNext exists precisely for it) — loud
+                    # failure beats a silent wrong answer
+                    k = j
+                    while k < n and sql[k].isspace():
+                        k += 1
+                    if sql[k : k + 2] == ":=":
+                        raise ValueError(
+                            f"row-order-dependent SetVar '@{name} := ...' inside a "
+                            "query is unsupported (rows have no deterministic order "
+                            "in a distributed scan); use SET @"
+                            f"{name} = <expr> for session-scoped assignment"
+                        )
                     out.append(render_literal(user_vars.get(name)))
                     changed = True
                     i = j
