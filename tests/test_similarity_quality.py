@@ -4,11 +4,12 @@ the exact brute-force top-k, the same discipline as s04 and
 test_dedup_quality.
 
 Measured at sf0.01 (seed-42 corpus, weak neighbor structure — nearest
-neighbors sit at cos~0.35): s03's nprobe=2 coarse probe recalls 0.32;
-s06 probes 4 lists (the recall buy-back dial on a compressed index)
-and recalls 0.48, with zero loss introduced by the SQ first pass +
-3k-survivor exact rerank. Asserted floor 0.4, plus s06 >= the
-measured coarse-probe baseline."""
+neighbors sit at cos~0.35): with k-means-trained centroids (seed 7)
+and top-2 multiple assignment of the corpus, s06 at nprobe=4 recalls
+0.96 (was 0.48 with random centroids + single assignment); s03's
+single-assignment nprobe=2 coarse probe recalls 0.36. Asserted floor
+0.8 for s06 per the trained-centroid contract, plus s06 >= the
+coarse-probe baseline."""
 
 from __future__ import annotations
 
@@ -29,9 +30,9 @@ def test_s06_ivf_sq_recall(spark, sf_dir):
     }
     assert exact, "exact top-k empty"
     recall = len(exact & got) / len(exact)
-    assert recall >= 0.4, f"s06 recall {recall:.3f} < 0.4 (measured 0.48)"
+    assert recall >= 0.8, f"s06 recall {recall:.3f} < 0.8 (measured 0.96)"
     # the composition must not lose recall vs its own candidate
-    # generator baseline (s03, nprobe=2, measured 0.32)
+    # generator baseline (s03, nprobe=2 single-assignment, measured 0.36)
     from tinysql_spark.operators.similarity import s03_ann_ivf
 
     ivf = {
