@@ -1,0 +1,145 @@
+"""m02's PNG codec, verified against the generator: the decode path
+must recover exactly the dimensions and channel statistics the pixel
+generator specifies — independently recomputed here without touching
+the codec — and the full pipeline's Spark output must agree per doc.
+Also pins spec coverage the generator never exercises (Up/Sub/Average/
+Paeth filters, greyscale) and corruption detection (CRC)."""
+
+from __future__ import annotations
+
+import binascii
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from tinysql_spark.operators.multimodal import (
+    decode_png,
+    png_pixels,
+    synth_png_bytes,
+)
+
+
+def test_codec_round_trip_matches_generator():
+    """decode(synth(text)) must equal the generator's independent
+    spec: w = 8 + len%9, h = 8 + crc32%9, means of the md5 stream."""
+    for text in ["", "a", "hello world", "x" * 1000, "ünïcode ✓ テスト"]:
+        b = text.encode("utf-8")
+        exp_w = 8 + len(b) % 9
+        exp_h = 8 + binascii.crc32(b) % 9
+        w, h, channels, means = decode_png(synth_png_bytes(text))
+        assert (w, h, channels) == (exp_w, exp_h, 3), text
+        px = png_pixels(text)
+        exp_means = px.reshape(-1, 3).mean(axis=0)
+        assert np.allclose(means, exp_means), text
+
+
+def test_codec_pixel_identity():
+    """Bit-exact: re-encode via an independent zlib inflate of the
+    synthesized file and compare raw scanlines to the generator."""
+    text = "pixel identity check"
+    data = synth_png_bytes(text)
+    # manual IDAT extraction (not via decode_png)
+    pos, idat = 8, b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    px = png_pixels(text)
+    h, w, _ = px.shape
+    raw = zlib.decompress(idat)
+    got = np.concatenate(
+        [
+            np.frombuffer(raw, np.uint8, count=w * 3, offset=r * (w * 3 + 1) + 1)
+            for r in range(h)
+        ]
+    )
+    assert (got == px.reshape(-1)).all()
+
+
+def _encode_with_filters(px: np.ndarray, ftypes: list[int], channels: int) -> bytes:
+    """Independent encoder applying arbitrary per-row filter types —
+    exercises the decoder's unfilter paths the generator never emits."""
+    h, w = px.shape[0], px.shape[1]
+    stride = w * channels
+    flat = px.reshape(h, stride).astype(np.int32)
+    raw = b""
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        line = flat[r]
+        ft = ftypes[r % len(ftypes)]
+        enc = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = line[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if ft == 0:
+                enc[x] = line[x]
+            elif ft == 1:
+                enc[x] = line[x] - a
+            elif ft == 2:
+                enc[x] = line[x] - b
+            elif ft == 3:
+                enc[x] = line[x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pr = a if abs(p - a) <= min(abs(p - b), abs(p - c)) else (
+                    b if abs(p - b) <= abs(p - c) else c
+                )
+                enc[x] = line[x] - pr
+        raw += bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+    from tinysql_spark.operators.multimodal import _PNG_SIG, _png_chunk
+
+    ctype = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decoder_all_filter_types_and_color_types():
+    rng = np.random.default_rng(3)
+    for channels in (1, 3, 4):
+        px = rng.integers(0, 256, size=(7, 5, channels), dtype=np.uint8)
+        data = _encode_with_filters(px, [0, 1, 2, 3, 4], channels)
+        w, h, ch, means = decode_png(data)
+        assert (w, h, ch) == (5, 7, channels)
+        assert np.allclose(means, px.reshape(-1, channels).mean(axis=0))
+
+
+def test_decoder_rejects_corruption():
+    data = bytearray(synth_png_bytes("corrupt me"))
+    data[40] ^= 0xFF  # flip a byte inside a chunk payload
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF not a png")
+
+
+def test_m02_pipeline_matches_generator(spark, sf_dir):
+    """The Spark pipeline end-to-end: every doc's decoded dims/means
+    must equal the generator's spec computed driver-side from the
+    same text."""
+    import pandas as pd
+
+    from tinysql_spark.operators.multimodal import m02_multimodal_decode
+
+    got = m02_multimodal_decode(spark, sf_dir).toPandas().set_index("doc_id")
+    texts = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    sample = texts.sample(n=min(50, len(texts)), random_state=1)
+    for r in sample.itertuples():
+        px = png_pixels(r.text if isinstance(r.text, str) else "")
+        h, w, _ = px.shape
+        row = got.loc[r.doc_id]
+        assert (row["width"], row["height"]) == (w, h), r.doc_id
+        exp = px.reshape(-1, 3).mean(axis=0)
+        assert abs(row["mean_r"] - round(float(exp[0]), 4)) < 1e-9
+        assert abs(row["mean_g"] - round(float(exp[1]), 4)) < 1e-9
+        assert abs(row["mean_b"] - round(float(exp[2]), 4)) < 1e-9
