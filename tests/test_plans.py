@@ -204,7 +204,8 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
     iterate-to-convergence algorithm must execute a per-round
     changed-label probe (VERDICT r02 item 2 — driver-coordinated
     iteration, cf. Pregel), which is an executed job, not an eager
-    plan-build collect."""
+    plan-build collect; d03 shares that kernel (_d07_converge) since
+    round 4."""
     from tinysql_spark.sources.tables import TPCH_TABLES, load_table
 
     # warm the analyzed-DataFrame cache: parquet footer schema reads
@@ -222,7 +223,7 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
     sc.setJobGroup(group, "assert lazy plan construction")
     try:
         for name, spec in REGISTRY.items():
-            if name.startswith("st") or name == "d07_embedding_cluster":
+            if name.startswith("st") or name in ("d07_embedding_cluster", "d03_minhash_lsh"):
                 continue
             spec.fn(spark, sf_dir)
     finally:

@@ -232,26 +232,24 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
-_LSH_PROPAGATION_ROUNDS = 4
-
-
 @register(
     "d03_minhash_lsh",
     oracle=None,  # seeded-hash signatures have no DuckDB analog — rows-only check
     doc="MinHash(k=16) + LSH(4 bands x 4) dedup CLUSTERING over 3-token "
-    "shingles: shingle→minhash→band→bucket, then min-label propagation over the "
-    "doc↔bucket bipartite graph (4 rounds) to assign each doc a "
-    "cluster id (= min doc_id reachable through shared buckets). "
-    "Deliberately NOT pair enumeration: near-dup clusters make pair "
-    "output quadratic in cluster size; label propagation is linear "
-    "(2 shuffles per round) and is the 100 TB-safe formulation. "
-    "Round count: 4 fixed rounds cover a 4-hop bucket-graph diameter "
-    "— sufficient here by measurement (recall 1.00 below), and near-"
-    "dup LSH graphs are star-shaped around shared buckets, not "
-    "chains; a corpus with deeper components would swap in d07's "
-    "iterate-to-convergence machinery (_d07_converge: early exit + "
-    "pointer halving + per-round checkpoint) at the cost of executed "
-    "per-round probe jobs. "
+    "shingles: shingle→minhash→band→bucket, then min-label propagation "
+    "TO CONVERGENCE to assign each doc a cluster id (= min doc_id "
+    "reachable through shared buckets). The doc↔bucket bipartite graph "
+    "reduces to doc–doc STAR EDGES through each bucket's min-doc "
+    "representative (same connected components, edge count = band "
+    "rows — linear), which feeds the shared convergence kernel "
+    "_d07_converge: early exit on zero changed labels (cheaper than a "
+    "fixed round count on shallow graphs), pointer halving for O(log "
+    "diameter) on deep ones, per-round localCheckpoint against plan "
+    "blowup. Deliberately NOT pair enumeration: near-dup clusters "
+    "make pair output quadratic in cluster size; label propagation "
+    "is linear (2 shuffles per round) — the 100 TB-safe formulation. "
+    "Executes per-round convergence probes by design (driver-"
+    "coordinated iteration, cf. Pregel — same exemption as d07). "
     "Quality (measured at sf0.01, tests/test_dedup_quality.py): "
     "cluster recall 1.00 vs exact shingle-Jaccard >= 0.8 pairs "
     "(theoretical band-match floor at J=0.8: 1-(1-J^4)^4 = 0.88), "
@@ -260,28 +258,58 @@ _LSH_PROPAGATION_ROUNDS = 4
 )
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # persist: label propagation re-reads bands every round — without
-    # it each of the 9 jobs re-runs shingling + the Python minhash
+    # persist: label propagation re-reads the graph every round —
+    # without it each round re-runs shingling + the Python minhash
     # stage from the scan (iterative-algorithm standard, cf. Pregel);
     # keyed so the next invocation releases this cache
     bands = _keyed_persist("d03.bands", lsh_bands(minhash_signatures(docs)))
-    labels = bands.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
-    for _ in range(_LSH_PROPAGATION_ROUNDS):
-        bucket_min = (
-            bands.join(labels, "doc_id")
-            .groupBy("band_idx", "band_hash")
-            .agg(F.min("label").alias("bmin"))
-        )
-        labels = (
-            bands.join(bucket_min, ["band_idx", "band_hash"])
-            .groupBy("doc_id")
-            .agg(F.min("bmin").alias("label"))
-        )
+    # bucket graph -> doc-doc star edges via each bucket's min-doc
+    # representative: two docs sharing a bucket are both adjacent to
+    # its rep, so connected components (and their min labels) are
+    # unchanged, and edge count stays <= band rows (linear)
+    reps = bands.groupBy("band_idx", "band_hash").agg(F.min("doc_id").alias("rep"))
+    star = (
+        bands.join(reps, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select("doc_id", "rep")
+        .distinct()
+    )
+    edges = _keyed_persist(
+        "d03.edges",
+        star.select(F.col("doc_id").alias("s"), F.col("rep").alias("d")).union(
+            star.select(F.col("rep").alias("s"), F.col("doc_id").alias("d"))
+        ),
+    )
+    labels = (
+        edges.select(F.col("s").alias("vec_id"))
+        .distinct()
+        .withColumn("lbl", F.col("vec_id"))
+        .persist()
+    )
+    # same iteration discipline as d07: materialize the expensive part
+    # under normal AQE, then run the loop AQE-off with edge-sized
+    # shuffle partitions (re-planning tiny label shuffles costs more
+    # than the loop itself at bench scale)
+    spark = docs.sparkSession
+    n_edges = edges.count()
+    labels.count()
+    iter_parts = str(min(2000, max(8, n_edges // 1_000_000 + 8)))
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", iter_parts)
+    try:
+        labels = _d07_converge(edges, labels)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    # final labels frame is localCheckpoint-ed: release is GC-driven
+    # (ContextCleaner), never an explicit unpersist — see d07
     # docs with no tokens never enter a bucket: they are their own cluster
     return (
         docs.select("doc_id")
-        .join(labels, "doc_id", "left")
-        .select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
+        .join(labels.select(F.col("vec_id").alias("doc_id"), "lbl"), "doc_id", "left")
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("cluster_id"))
     )
 
 
