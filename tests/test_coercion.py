@@ -1,0 +1,169 @@
+"""Comparison-coercion truth tables (SURVEY §7.3.2 watch item).
+
+The reference picks ONE of three eval types per comparison
+(expression/builtin_compare.go:59-76 getBaseCmpType):
+  string vs string -> ETString (binary collation compare)
+  int    vs int    -> ETInt    (exact 64-bit compare)
+  anything else    -> ETReal   (both sides to float64; strings via
+                                types/convert.go:408 StrToFloat —
+                                best-effort valid-prefix parse, ""->0)
+
+The engine evaluates comparisons in Spark SQL with ANSI off
+(engine.py sets spark.sql.ansi.enabled=false). These tests pin where
+that MATCHES the reference and document the bounded divergences:
+
+1. Non-numeric string vs number: MySQL parses the valid numeric
+   PREFIX ('12abc' -> 12.0, '' -> 0, with a truncation warning);
+   Spark's lenient cast yields NULL for any string that is not fully
+   parseable, so the comparison is NULL (never TRUE). Spark is
+   STRICTER; rows drop where MySQL would warn-and-match.
+2. String vs INT-typed side: Spark casts the STRING to the int side
+   (legacy coercion), so '12.5' > 12 evaluates cast('12.5' AS
+   INT)=12 > 12 = FALSE where the reference compares as real (12.5 >
+   12 = TRUE), and '1e2' = 100 is NULL. Reference semantics hold
+   whenever the numeric side is REAL ('12.5' > 12.0 is TRUE) — the
+   documented usage bound: compare strings against real-typed
+   values/casts, which is what getBaseCmpType does implicitly.
+3. Exact-looking literals: 'x.0' literals are DECIMAL in Spark
+   (exact), REAL in the reference's three-type system — so
+   2^53+1 = 9007199254740992.0 is FALSE in Spark (exact) and TRUE in
+   the reference (both through float64). Spark is more precise.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tinysql_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def ceng(spark, tmp_path_factory):
+    return Engine(spark, str(tmp_path_factory.mktemp("wh_coerce")))
+
+
+def scalar(ceng, expr: str):
+    return ceng.sql(f"SELECT ({expr}) AS v").df.collect()[0][0]
+
+
+def truth(ceng, expr: str):
+    v = scalar(ceng, expr)
+    return None if v is None else bool(v)
+
+
+# -- int vs int: exact 64-bit compare, never through double ---------------
+
+
+def test_int_int_is_exact_64bit(ceng):
+    """types/compare.go:22 CompareInt64 — a double roundtrip would
+    collapse 2^53+1 and 2^53; the int path must not."""
+    assert truth(ceng, "9007199254740993 = 9007199254740992") is False
+    assert truth(ceng, "9007199254740993 > 9007199254740992") is True
+    assert truth(ceng, "-9223372036854775807 < 9223372036854775807") is True
+    assert truth(ceng, "5 = 5") is True
+    assert truth(ceng, "5 <> 5") is False
+
+
+# -- int vs real: promote to real (getBaseCmpType fallthrough) ------------
+
+
+def test_int_real_promotes_to_real(ceng):
+    assert truth(ceng, "1 = 1.0") is True
+    assert truth(ceng, "3 < 3.5") is True
+    assert truth(ceng, "4 > 3.5") is True
+    assert truth(ceng, "0 = 0.0") is True
+    # divergence 3 (Spark MORE precise): 'x.0' literals are DECIMAL in
+    # Spark, so 2^53+1 keeps full precision and the compare is FALSE;
+    # the reference's ETReal path pushes both through float64 -> TRUE
+    assert truth(ceng, "9007199254740993 = 9007199254740992.0") is False
+    # forced through an actual REAL, parity with the reference returns
+    assert truth(ceng, "9007199254740993 = CAST(9007199254740992 AS DOUBLE)") is True
+
+
+# -- string vs string: binary compare (CompareString) ---------------------
+
+
+def test_string_string_binary_compare(ceng):
+    assert truth(ceng, "'abc' < 'abd'") is True
+    assert truth(ceng, "'abc' = 'abc'") is True
+    assert truth(ceng, "'B' < 'a'") is True  # binary collation: 0x42 < 0x61
+    assert truth(ceng, "'abc' < 'abcd'") is True  # prefix sorts first
+    # numeric-looking strings still compare as STRINGS when both sides
+    # are strings — '9' > '10' lexicographically (MySQL parity)
+    assert truth(ceng, "'9' > '10'") is True
+
+
+# -- string vs number: ETReal via numeric parse ---------------------------
+
+
+def test_string_number_numeric_compare(ceng):
+    """Fully numeric strings convert and compare numerically
+    (StrToFloat happy path); integral strings agree with the
+    reference against either int or real sides."""
+    assert truth(ceng, "'12' = 12") is True
+    assert truth(ceng, "' 3.5 ' = 3.5") is True  # whitespace trimmed
+    assert truth(ceng, "'-4' < 0") is True
+    assert truth(ceng, "'0.0' = 0") is True
+    # and it is a NUMERIC compare, not lexicographic: '9' < 10
+    assert truth(ceng, "'9' < 10") is True
+    # reference semantics (ETReal) whenever the numeric side is real
+    assert truth(ceng, "'12.5' > 12.0") is True
+    assert truth(ceng, "'1e2' = CAST(100 AS DOUBLE)") is True
+
+
+def test_string_vs_int_side_casts_string_to_int(ceng):
+    """DOCUMENTED DIVERGENCE 2: with an INT-typed numeric side Spark
+    casts the STRING to int (truncating non-ANSI parse), where the
+    reference promotes both to real. Pin the exact behavior so an
+    upgrade cannot move it silently; the usage bound is 'compare
+    strings against real-typed values' (previous test)."""
+    assert truth(ceng, "'12.5' > 12") is False  # reference/MySQL: True
+    # the truncating cast even makes equality hold: cast('12.5' AS
+    # INT) = 12 -> TRUE, where the reference's real compare says FALSE
+    assert truth(ceng, "'12.5' = 12") is True  # reference/MySQL: False
+    assert truth(ceng, "'1e2' = 100") is None  # reference/MySQL: True
+
+
+def test_string_number_divergence_is_null_not_prefix(ceng):
+    """DOCUMENTED DIVERGENCE: MySQL/the reference parse the valid
+    numeric prefix ('12abc' -> 12, '' -> 0, truncation warning);
+    Spark's lenient cast yields NULL, making the comparison NULL.
+    Strictly narrower: a row MySQL would warn-and-match drops instead
+    of silently matching something else. Pin the NULL so a future
+    Spark upgrade cannot change this silently."""
+    assert truth(ceng, "'12abc' = 12") is None
+    assert truth(ceng, "'abc' = 0") is None
+    assert truth(ceng, "'' = 0") is None
+    # NULL propagates through 3VL, so NOT(cmp) is also NULL, and a
+    # WHERE clause drops the row either way
+    assert truth(ceng, "NOT ('12abc' = 12)") is None
+    ceng.sql("CREATE TABLE coerce_t (s varchar(8))")
+    ceng.sql("INSERT INTO coerce_t VALUES ('12abc'), ('12')")
+    got = [r[0] for r in ceng.sql("SELECT s FROM coerce_t WHERE s = 12").df.collect()]
+    assert got == ["12"]  # MySQL would also return '12abc'
+    ceng.sql("DROP TABLE coerce_t")
+
+
+# -- NULL operands: any comparison with NULL is NULL (3VL) ----------------
+
+
+def test_null_comparisons_are_null(ceng):
+    for op in ("=", "<>", "<", "<=", ">", ">="):
+        assert truth(ceng, f"NULL {op} 1") is None
+        assert truth(ceng, f"'a' {op} NULL") is None
+    # and the reference's 3VL logic ops over those NULLs
+    assert truth(ceng, "(NULL = 1) AND FALSE") is False
+    assert truth(ceng, "(NULL = 1) OR TRUE") is True
+    assert truth(ceng, "(NULL = 1) OR FALSE") is None
+
+
+# -- comparisons nested in reference builtins -----------------------------
+
+
+def test_coercion_composes_with_mysql_builtins(ceng):
+    """The coerced comparison feeds IF/IFNULL/ISNULL like any boolean
+    (builtin_control.go IF evaluates cond as int)."""
+    assert scalar(ceng, "IF('12' = 12, 'y', 'n')") == "y"
+    # NULL condition takes the else branch (MySQL IF semantics)
+    assert scalar(ceng, "IF('12abc' = 12, 'y', 'n')") == "n"
+    assert scalar(ceng, "ISNULL('' = 0)") in (1, True)
