@@ -472,3 +472,42 @@ def test_q48_decorrelates_semi_and_anti(q):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     js = join_strategies(q("q48_sole_fault_supplier"))
     assert js and all(j != "CartesianProduct" for j in js), js
+
+
+def test_q49_decorrelated_window_min_no_resscan(q):
+    """Q2-shape correlated min must plan as ONE window over the
+    offers aggregate — no second offers scan, no nested loop — with
+    all dims broadcast."""
+    from tinysql_spark.plans import plan_string
+
+    df = q("q49_min_cost_supplier")
+    p = plan_string(df, mode="simple")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p
+    assert p.count("Window") == 1, p
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert has_partial_aggregate(df)
+
+
+def test_q50_fact_never_shuffled_for_threshold(q):
+    """Q17-shape: the per-part avg threshold (part-sized) must
+    broadcast back to the fact scan — the big lineitem side joins
+    with zero shuffles of its own."""
+    from tinysql_spark.plans import plan_string
+
+    df = q("q50_small_qty_revenue")
+    p = plan_string(df, mode="simple")
+    strategies = join_strategies(df)
+    assert all("Broadcast" in s for s in strategies), strategies
+    assert has_partial_aggregate(df)
+
+
+def test_q51_semi_join_broadcasts_qualifier_list(q):
+    """Q18-shape IN-subquery must plan as a broadcast LEFT SEMI join
+    on the qualifying-order list, filtering lineitem before the
+    customer/orders joins."""
+    from tinysql_spark.plans import plan_string
+
+    df = q("q51_large_volume_customers")
+    p = plan_string(df, mode="simple")
+    assert "LeftSemi" in p, p
+    assert any("Broadcast" in s for s in join_strategies(df))

@@ -1470,3 +1470,170 @@ def q48_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
           )
         GROUP BY s_name
     """)
+
+
+@register(
+    "q49_min_cost_supplier",
+    late=True,
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ), regional AS (
+      SELECT o.l_partkey, o.l_suppkey, o.unit_cost, s_name, s_acctbal, n_name
+      FROM offers o
+        JOIN supplier ON s_suppkey = o.l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'AMERICA'
+    )
+    SELECT p_partkey, p_name, s_name, n_name,
+           round(s_acctbal, 2) AS s_acctbal,
+           round(unit_cost, 4) AS unit_cost
+    FROM part JOIN regional r ON p_partkey = r.l_partkey
+    WHERE p_size <= 10
+      AND unit_cost = (SELECT min(r2.unit_cost) FROM regional r2
+                       WHERE r2.l_partkey = r.l_partkey)
+    """,
+    doc="TPC-H Q2 shape (adapted: lineitem's unit price stands in "
+    "for partsupp.ps_supplycost, which the driver schema lacks): for "
+    "each small part, the supplier(s) in one region offering the "
+    "MINIMUM unit cost — a correlated min subquery against the same "
+    "derived offer list. The Spark side decorrelates it as a window "
+    "min over l_partkey + equality filter (exactly the rewrite a "
+    "cost-based planner wants: one shuffle on the correlation key, no "
+    "per-row subplan, no second scan of the offers relation; the "
+    "oracle keeps the textbook correlated form to pin equivalence). "
+    "The min comparison is on the UNROUNDED double — both engines "
+    "compute the identical IEEE division, so equality is exact; only "
+    "display columns are rounded. Region/nation/supplier dims "
+    "broadcast; the single shuffle is the offers aggregation. "
+    "Reference parity: correlated-subquery decorrelation is the "
+    "planner path tinysql exercises in planner/core (apply -> "
+    "aggregation elimination).",
+)
+def q49_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    regional = (
+        offers.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = regional.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return best.join(part, F.col("p_partkey") == F.col("l_partkey")).select(
+        "p_partkey",
+        "p_name",
+        "s_name",
+        "n_name",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+        F.round("unit_cost", 4).alias("unit_cost"),
+    )
+
+
+@register(
+    "q50_small_qty_revenue",
+    late=True,
+    oracle="""
+    SELECT p_brand,
+           round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_brand
+    """,
+    doc="TPC-H Q17 shape: revenue from unusually-small-quantity "
+    "orders, where 'unusually small' is a correlated aggregate over "
+    "the SAME fact table (per-part average quantity). Spark side "
+    "decorrelates to one per-part aggregate joined back to the fact "
+    "scan — the agg output is part-sized (small), so it BROADCASTS "
+    "and the fact table is shuffled zero times; the quantity "
+    "threshold comparison is per-row unrounded double arithmetic "
+    "(identical IEEE mul of avg), only the final aggregate rounds. "
+    "Three brands instead of Q17's one so the result is a stable "
+    "multi-row group-by, not a single drift-prone scalar.",
+)
+def q50_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(per_part), F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q51_large_volume_customers",
+    late=True,
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): IN over a "
+    "grouped-HAVING subquery on the fact table, then a three-way "
+    "join re-aggregated per order. Spark side plans the IN as a "
+    "LEFT SEMI join against the HAVING aggregate — the semi join's "
+    "build side is the qualifying-order list (tiny at any scale: "
+    "99th-percentile order qty is ~261, threshold 200), so it "
+    "broadcasts, and the lineitem scan is filtered before the "
+    "customer/orders joins. o_orderdate is a DATE group key — "
+    "exactness across engines is free (no float drift on keys).",
+)
+def q51_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
