@@ -511,3 +511,25 @@ def test_q51_semi_join_broadcasts_qualifier_list(q):
     p = plan_string(df, mode="simple")
     assert "LeftSemi" in p, p
     assert any("Broadcast" in s for s in join_strategies(df))
+
+
+def test_p07_no_single_partition_exchange(q):
+    """Global position assignment must NOT plan a single-partition
+    exchange (the global-window row_number choke); the plan is a
+    range shuffle + one Python (Arrow) pass."""
+    from tinysql_spark.plans import plan_string
+
+    df = q("p07_training_order")
+    p = plan_string(df, mode="simple")
+    assert "SinglePartition" not in p, p
+    assert "rangepartitioning" in p.lower(), p
+
+
+def test_t09_map_only_no_shuffle(q):
+    """Gopher gates must stay one map-only codegen stage — zero
+    exchanges (the word-explode formulation would shuffle the whole
+    tokenized corpus)."""
+    from tinysql_spark.plans import plan_string
+
+    p = plan_string(q("t09_gopher_gates"), mode="simple")
+    assert "Exchange" not in p, p

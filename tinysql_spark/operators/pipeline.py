@@ -398,3 +398,84 @@ def p06_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.col("n_s").cast("long").alias("n_docs"), "n_kept"
         )
     )
+
+
+_P07_PARTS = 8  # fixed range-partition count — deterministic plan
+
+
+@register(
+    "p07_training_order",
+    late=True,
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             ((doc_id * 2654435761 + 88172645) % 4294967296) AS shuf
+      FROM documents
+    )
+    SELECT CAST(row_number() OVER (ORDER BY shuf, doc_id) - 1 AS BIGINT) AS position,
+           doc_id, source, shuf
+    FROM h
+    """,
+    doc="Epoch-seeded GLOBAL training-order shuffle: every doc gets a "
+    "deterministic LCG sort key (seed baked into the increment, so "
+    "epoch 2 is one constant away) and a contiguous 0-based global "
+    "position. The naive formulation — row_number() over a global "
+    "window — executes on ONE task and is the canonical 100 TB "
+    "driver-choke; this plan is the zipWithIndex discipline instead: "
+    "(1) repartitionByRange + sortWithinPartitions on (key, id) — a "
+    "range-partitioned sort, Spark's own ORDER BY machinery; (2) one "
+    "tiny job counts rows per partition (output = #partitions rows, "
+    "the only collect); (3) a mapInPandas pass assigns "
+    "offset[pid] + local running index, Arrow-batched, one sweep, no "
+    "second shuffle. Cost at any scale: one range shuffle + one "
+    "map pass — identical to what a global sort alone costs. "
+    "Determinism does not depend on partition count; the oracle is a "
+    "plain window row_number over the same key.",
+)
+def p07_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") * F.lit(2654435761) + F.lit(88172645)) % F.lit(_M32)).alias("shuf"),
+    )
+    ordered = (
+        keyed.repartitionByRange(_P07_PARTS, "shuf", "doc_id")
+        .sortWithinPartitions("shuf", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # partition histogram: #partitions rows — the scalar-side collect
+    # every zipWithIndex implementation does (Spark's RDD.zipWithIndex
+    # runs the same count job)
+    sizes = {r["pid"]: r["n"] for r in ordered.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in range(_P07_PARTS):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+    boff = spark.sparkContext.broadcast(offsets)
+
+    schema = "position long, doc_id long, source string, shuf long"
+
+    def assign(batches):
+        seen = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = boff.value[int(pdf["pid"].iloc[0])]
+            out = pd.DataFrame(
+                {
+                    "position": range(base + seen, base + seen + len(pdf)),
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "shuf": pdf["shuf"],
+                }
+            )
+            seen += len(pdf)
+            yield out
+
+    return ordered.mapInPandas(assign, schema=schema)

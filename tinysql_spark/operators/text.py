@@ -305,3 +305,91 @@ def t08_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("rep_ratio"),
     )
+
+
+@register(
+    "t09_gopher_gates",
+    late=True,
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) >= 2
+                  THEN list_transform(generate_series(1, len(ws) - 1),
+                                      i -> ws[i] || ' ' || ws[i + 1])
+                  ELSE [] END AS gs
+      FROM w
+    )
+    SELECT doc_id,
+           list_max(list_transform(list_distinct(ws),
+                    t -> len(list_filter(ws, x -> x = t)))) * 1.0
+             / len(ws) AS top_word_frac,
+           CASE WHEN len(gs) > 0
+                THEN list_max(list_transform(list_distinct(gs),
+                         t -> len(list_filter(gs, x -> x = t)))) * 1.0
+                       / len(gs)
+                ELSE 0.0 END AS top_2gram_frac,
+           CASE WHEN list_max(list_transform(list_distinct(ws),
+                    t -> len(list_filter(ws, x -> x = t)))) * 1.0 / len(ws) <= 0.2
+                 AND (len(gs) = 0 OR
+                      list_max(list_transform(list_distinct(gs),
+                          t -> len(list_filter(gs, x -> x = t)))) * 1.0 / len(gs) <= 0.2)
+                THEN 1 ELSE 0 END AS gopher_pass
+    FROM g
+    """,
+    doc="Gopher-style repetition-concentration gates (Rae et al. 2021 "
+    "corpus filters): fraction of tokens taken by the single most "
+    "frequent word and by the most frequent 2-gram, plus the "
+    "composite <=0.2 pass flag used to drop boilerplate/spam docs. "
+    "Pure map-only Column algebra: per-doc most-common counting runs "
+    "as transform(array_distinct(ws), t -> size(filter(ws, =t))) — "
+    "O(distinct x len) inside one codegen stage, ZERO shuffles, "
+    "versus the word-explode + groupBy formulation whose shuffle "
+    "volume equals the whole tokenized corpus. At 100 TB the choice "
+    "is a full-corpus shuffle vs none; docs are short (<=2k tokens "
+    "by the t03 gate), so the quadratic-in-doc term is bounded and "
+    "embarrassingly parallel. Fractions are single integer divisions "
+    "— bit-identical across engines, emitted unrounded.",
+)
+def t09_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    gs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(1)),
+            lambda i: F.concat(F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def top_count(arr):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda t: F.size(F.filter(arr, lambda x: x == t)),
+            )
+        )
+
+    d = docs.select("doc_id", ws.alias("ws"), gs.alias("gs"))
+    top_word = (top_count(F.col("ws")) * F.lit(1.0) / F.size("ws")).alias("top_word_frac")
+    top_gram = (
+        F.when(
+            F.size("gs") > 0,
+            top_count(F.col("gs")) * F.lit(1.0) / F.size("gs"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_frac")
+    )
+    out = d.select("doc_id", top_word, top_gram)
+    return out.select(
+        "doc_id",
+        "top_word_frac",
+        "top_2gram_frac",
+        F.when(
+            (F.col("top_word_frac") <= 0.2) & (F.col("top_2gram_frac") <= 0.2),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("gopher_pass"),
+    )
