@@ -41,3 +41,23 @@ def test_s06_ivf_sq_recall(spark, sf_dir):
     }
     recall_ivf = len(exact & ivf) / len(exact)
     assert recall >= recall_ivf, (recall, recall_ivf)
+
+
+def test_s07_pq_recall(spark, sf_dir):
+    """s07 (PQ + ADC + exact rerank) is rows-only in the driver
+    (trained codebooks), so its evidence is recall@k vs the exact
+    brute force. Measured 1.0 at sf0.01 with 16x4-dim subspaces,
+    16 codes each, rerank pool 10*K; floor 0.8 per the trained-
+    quantizer contract."""
+    from tinysql_spark.operators.similarity import s01_ann_brute_topk, s07_ann_pq
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in s01_ann_brute_topk(spark, sf_dir).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"]) for r in s07_ann_pq(spark, sf_dir).collect()
+    }
+    assert exact
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"s07 recall {recall:.3f} < 0.8 (measured 1.0)"

@@ -468,3 +468,148 @@ def s06_ann_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", F.round("exact_sim", 4).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# s07 — product-quantized ANN (FAISS PQ shape: per-subspace codebooks,
+# ADC lookup-table scoring, exact rerank)
+# --------------------------------------------------------------------------
+
+_PQ_M = 16  # subspaces (64 dims -> 16 x 4)
+_PQ_KS = 16  # codes per subspace (4 bits)
+_PQ_ITERS = 20
+_PQ_RERANK = 10  # rerank pool: top 10*K by ADC score (codes are cheap; rerank is the recall dial)
+
+_PQ_CODEBOOK_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Per-subspace k-means codebooks (M x Ks x dim/M), trained on a
+    capped sample of the unit-normalized corpus — the FAISS
+    ``ProductQuantizer.train()`` step. Lloyd iterations run driver-
+    side on the bounded sample (16 MB at the 65536 cap — training is
+    sample-sized at any corpus scale, same discipline as
+    _trained_centroids); seeded deterministic init (LCG pick of
+    distinct sample rows), empty clusters re-seeded from the farthest
+    points so every code stays live."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _PQ_CODEBOOK_CACHE.get(key)
+    if got is None:
+        sample = (
+            load_table(spark, sf_dir, "embeddings")
+            .select(unit_vec(F.col("embedding")).alias("e"))
+            .limit(_IVF_TRAIN_CAP)
+            .toPandas()
+        )
+        x = np.stack(sample["e"].to_numpy()).astype(np.float64)
+        n, dim = x.shape
+        sub = dim // _PQ_M
+        rng = np.random.default_rng(7)
+        books = []
+        for m in range(_PQ_M):
+            xs = x[:, m * sub : (m + 1) * sub]
+            cb = xs[rng.choice(n, size=_PQ_KS, replace=False)].copy()
+            for _ in range(_PQ_ITERS):
+                d2 = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for k in range(_PQ_KS):
+                    pts = xs[assign == k]
+                    if len(pts):
+                        cb[k] = pts.mean(axis=0)
+                    else:  # re-seed dead code from the farthest point
+                        cb[k] = xs[d2.min(axis=1).argmax()]
+            books.append(cb)
+        got = np.stack(books)  # (M, Ks, sub)
+        _PQ_CODEBOOK_CACHE[key] = got
+    return got
+
+
+@register(
+    "s07_ann_pq",
+    late=True,
+    oracle=None,  # trained codebooks — rows-only; recall measured in tests
+    doc="Product-quantized ANN (Jégou et al. 2011, the FAISS PQ "
+    "shape): 64 dims split into 16 subspaces x 16 codes = 64-bit "
+    "codes, a 32x shrink of the resident corpus vs float32 — the "
+    "memory end-game at 100 TB (s05's scalar quantizer stops at 8x). "
+    "Encoding is one vectorized matmul per subspace in an Arrow "
+    "pandas_udf; scoring is ASYMMETRIC (ADC): each query precomputes "
+    "its M x Ks lookup table of exact-query x centroid dot products "
+    "(a 128-double literal per query), and per-candidate scoring is "
+    "M array lookups summed — pure JVM Column algebra "
+    "(aggregate + element_at), no per-pair float vector math at all. "
+    "Top 3k survivors per query get the exact float rerank (s06's "
+    "discipline), so emitted cos_sim is exact. Corpus stays "
+    "partitioned, queries + LUTs broadcast; candidate scan is the "
+    "compressed-code sweep a RAM-resident PQ index does.",
+)
+def s07_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    books = _pq_codebooks(spark, sf_dir)  # (M, Ks, sub)
+    sub = books.shape[2]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy())  # (n, dim)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        m = m / nrm
+        codes = np.empty((m.shape[0], _PQ_M), dtype=np.int32)
+        for i in range(_PQ_M):
+            xs = m[:, i * sub : (i + 1) * sub]
+            d2 = (xs * xs).sum(axis=1, keepdims=True) - 2.0 * (xs @ books[i].T) + (
+                books[i] * books[i]
+            ).sum(axis=1)[None, :]
+            codes[:, i] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+    def lut(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy())
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        m = m / nrm
+        out = []
+        for row in m:
+            t = [
+                (books[i] @ row[i * sub : (i + 1) * sub]).tolist()
+                for i in range(_PQ_M)
+            ]
+            out.append(t)
+        return pd.Series(out)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        encode(F.col("embedding")).alias("codes"),
+        unit_vec(F.col("embedding")).alias("c_emb"),
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        lut(F.col("embedding")).alias("lut"),
+        unit_vec(F.col("embedding")).alias("q_emb"),
+    )
+    # ADC first pass: score = sum_m lut[m][codes[m]] — JVM-side lookups
+    approx = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_PQ_M)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.element_at(F.col("lut"), i), F.element_at(F.col("codes"), i) + 1),
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_emb", "c_emb", approx.alias("approx"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("neighbor_id"))
+    pool = scored.withColumn("rn", F.row_number().over(wa)).filter(
+        F.col("rn") <= _PQ_RERANK * _TOP_K
+    )
+    # exact rerank of the survivor pool
+    exact = dot(F.col("q_emb"), F.col("c_emb"))
+    we = Window.partitionBy("query_id").orderBy(F.round(exact, 6).desc(), F.col("neighbor_id"))
+    return (
+        pool.withColumn("rx", F.row_number().over(we))
+        .filter(F.col("rx") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round(exact, 4).alias("cos_sim"))
+    )
