@@ -143,3 +143,27 @@ def test_m02_pipeline_matches_generator(spark, sf_dir):
         assert abs(row["mean_r"] - round(float(exp[0]), 4)) < 1e-9
         assert abs(row["mean_g"] - round(float(exp[1]), 4)) < 1e-9
         assert abs(row["mean_b"] - round(float(exp[2]), 4)) < 1e-9
+
+
+def test_m05_thumbnail_pixel_exact(spark, sf_dir):
+    """m05 is rows-only in the driver, so its evidence is an
+    independent recompute: generator pixels -> 2x2 box mean -> md5
+    must equal the operator's thumb_px_md5 for every doc."""
+    import hashlib
+
+    from tinysql_spark.operators.multimodal import (
+        box_downsample,
+        m05_thumbnail,
+        png_pixels,
+    )
+
+    got = {r["doc_id"]: r for r in m05_thumbnail(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()
+    assert len(got) == len(docs) and docs
+    for r in docs:
+        px = png_pixels(r["text"] or "")
+        th = box_downsample(px)
+        g = got[r["doc_id"]]
+        assert (g["height"], g["width"]) == px.shape[:2]
+        assert (g["thumb_h"], g["thumb_w"]) == th.shape[:2]
+        assert g["thumb_px_md5"] == hashlib.md5(th.tobytes()).hexdigest()

@@ -110,11 +110,11 @@ def synth_png_bytes(text: str) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, list[float]]:
-    """Decode a PNG: parse chunks, inflate IDAT, undo scanline filters
-    (all five types of the spec), return (width, height, channels,
-    per-channel means). 8-bit greyscale/RGB/RGBA (color types 0/2/6).
-    Filter types 0 (None) and 2 (Up) unfilter vectorized; 1/3/4
+def decode_png_pixels(data: bytes) -> np.ndarray:
+    """Decode a PNG to its (h, w, channels) uint8 pixel array: parse
+    chunks, inflate IDAT, undo scanline filters (all five types of
+    the spec). 8-bit greyscale/RGB/RGBA (color types 0/2/6). Filter
+    types 0 (None) and 2 (Up) unfilter vectorized; 1/3/4
     (Sub/Average/Paeth) carry a left dependency and run per-pixel —
     the generator emits filter 0, the others are for spec coverage."""
     if data[: len(_PNG_SIG)] != _PNG_SIG:
@@ -176,7 +176,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[float]]:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[r] = rec
         prev = rec
-    px = out.reshape(h, w, channels)
+    return out.reshape(h, w, channels)
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, list[float]]:
+    """Decode a PNG and return (width, height, channels, per-channel
+    means) — the feature-extract form of :func:`decode_png_pixels`."""
+    px = decode_png_pixels(data)
+    h, w, channels = px.shape
     means = px.reshape(-1, channels).mean(axis=0).tolist()
     return w, h, channels, means
 
@@ -368,4 +375,98 @@ def m04_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         (F.length(part) / 2).cast("long").alias("chunk_bytes"),
         F.md5(part).alias("chunk_md5"),
+    )
+
+
+# -- m05: thumbnail / resize stage over the real codec ---------------------
+
+_THUMB_FACTOR = 2  # 2x2 box downsample
+
+
+def box_downsample(px: np.ndarray, f: int = _THUMB_FACTOR) -> np.ndarray:
+    """f x f box-mean downsample (floor division, uint8) — crops to a
+    multiple of f first, the conventional thumbnail reduce. Exact
+    integer arithmetic, so tests recompute it independently."""
+    h, w, c = px.shape
+    th, tw = h // f, w // f
+    cropped = px[: th * f, : tw * f].astype(np.uint32)
+    return (
+        cropped.reshape(th, f, tw, f, c).sum(axis=(1, 3)) // (f * f)
+    ).astype(np.uint8)
+
+
+_THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("thumb_px_md5", T.StringType()),
+        T.StructField("thumb_mean", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "m05_thumbnail",
+    late=True,
+    oracle=None,  # python codec — rows-only driver check; the resize
+    # is verified pixel-exact against an independent recompute in
+    # tests/test_multimodal_codec.py
+    doc="Thumbnail stage over the real PNG codec: decode payload to "
+    "pixels, 2x2 box-mean downsample (exact integer arithmetic), "
+    "fingerprint the thumb pixel buffer — the resize/feature step of "
+    "a media ingest pipeline. Same mapInPandas shape as m02: Arrow-"
+    "batched, map-only, no shuffle; the per-item codec+resize call "
+    "inside the batch loop is where PIL.Image.thumbnail would slot "
+    "in. thumb_px_md5 is over raw pixel bytes (not the re-encoded "
+    "container), so verification is independent of compressor "
+    "determinism.",
+)
+def m05_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_png_payload(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_png_pixels(payload)
+                th = box_downsample(px)
+                rows.append(
+                    (
+                        doc_id,
+                        px.shape[1],
+                        px.shape[0],
+                        th.shape[1],
+                        th.shape[0],
+                        _hl.md5(th.tobytes()).hexdigest(),
+                        float(th.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "thumb_w",
+                    "thumb_h",
+                    "thumb_px_md5",
+                    "thumb_mean",
+                ],
+            )
+
+    feats = payloads.mapInPandas(run, schema=_THUMB_SCHEMA)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "thumb_w",
+        "thumb_h",
+        "thumb_px_md5",
+        F.round("thumb_mean", 4).alias("thumb_mean"),
     )
