@@ -1002,3 +1002,82 @@ def d09_fuzzy_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a_id", "b_id", "n_shared", dist.alias("dist"))
     )
+
+
+# --------------------------------------------------------------------------
+# d10 — cross-document exact-substring dedup (fixed-width token spans)
+# --------------------------------------------------------------------------
+
+_D10_W = 16  # span width in tokens (Lee et al. use 50 BPE tokens; 16
+# whitespace tokens is the same order of text on this corpus)
+
+
+@register(
+    "d10_exact_substring",
+    late=True,
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), sp AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(ws) - {_D10_W - 1}, 0)),
+                    i -> md5(array_to_string(ws[i:i+{_D10_W - 1}], ' ')))) AS span_md5
+      FROM w
+    ), per_doc AS (
+      SELECT span_md5, doc_id, count(*) AS c FROM sp GROUP BY 1, 2
+    )
+    SELECT span_md5,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(c) AS BIGINT) AS n_occ,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id
+    FROM per_doc
+    GROUP BY span_md5
+    HAVING count(*) > 1
+    """,
+    doc="Cross-document EXACT-SUBSTRING dedup (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better' — "
+    "the ExactSubstr variant, on fixed-width token spans instead of "
+    "a suffix array): every "
+    f"{_D10_W}-token window is fingerprinted (md5 of the joined "
+    "span — engine-portable), and spans occurring in MORE THAN ONE "
+    "document are reported with doc count, occurrence count and the "
+    "keeper (min doc_id). The plan is explode + two distributive "
+    "aggregations: (span, doc) partial-count first — map-side "
+    "combine collapses within-doc repeats BEFORE the shuffle — then "
+    "per-span counts. No count(DISTINCT) expand, no join, no pair "
+    "space at all: a span shared by a million docs is one reducer "
+    "GROUP (partial-agg friendly), not a million-squared candidate "
+    "set. Row volume is tokens-per-doc x docs — linear; at 100 TB "
+    "this is the one-pass span-inventory sweep that feeds span "
+    "excision.",
+)
+def d10_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    span = F.md5(F.array_join(F.slice(F.col("_ws"), F.col("i"), _D10_W), " "))
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
+    # generate_series(1, 0) is empty — gate short docs out before the
+    # explode instead of clamping the upper bound
+    sp = (
+        docs.select("doc_id", ws.alias("_ws"))
+        .filter(F.size("_ws") >= _D10_W)
+        .select(
+            "doc_id",
+            "_ws",
+            F.explode(
+                F.sequence(F.lit(1), F.size(F.col("_ws")) - F.lit(_D10_W - 1))
+            ).alias("i"),
+        )
+        .select("doc_id", span.alias("span_md5"))
+    )
+    per_doc = sp.groupBy("span_md5", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_doc.groupBy("span_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").alias("n_occ"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
