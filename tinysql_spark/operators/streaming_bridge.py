@@ -153,7 +153,7 @@ def st03_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def _stage_events_with_sentinels(sf_dir: str) -> str:
+def _stage_events_with_sentinels(sf_dir: str, n_sentinels: int = 2) -> str:
     """Stage events plus two far-future watermark-sentinel files with
     strictly increasing mtimes. Append-mode sinks only emit a window
     after the watermark passes its end, and the watermark used by
@@ -172,7 +172,8 @@ def _stage_events_with_sentinels(sf_dir: str) -> str:
     d = _stage_events(sf_dir)
     layout = ts_layout(os.path.join(d, "0000.parquet"))
     base = os.path.getmtime(os.path.join(d, "0000.parquet"))
-    for i, iso in enumerate(("2030-01-01T00:00:00", "2030-01-01T12:00:00"), start=1):
+    isos = tuple(f"2030-01-0{k}T00:00:00" for k in range(1, n_sentinels + 1))
+    for i, iso in enumerate(isos, start=1):
         sec = int(time.mktime(time.strptime(iso, "%Y-%m-%dT%H:%M:%S")))
         # the sentinel file must share the source's ts physical layout
         # or the fixed-schema stream read breaks on the mixed directory
@@ -487,3 +488,79 @@ def st07_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sum_value", 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "st08_stream_left_join",
+    late=True,
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id,
+           round(p.value, 2) AS purchase_value
+    FROM events v LEFT JOIN events p
+      ON v.user_id = p.user_id AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view'
+    """,
+    doc="Stream-stream LEFT OUTER interval join — st03's attribution "
+    "with the semantics a funnel report actually needs: every view "
+    "emits, unmatched ones with NULL purchase columns. The outer side "
+    "cannot emit a null row until the state store is CERTAIN no match "
+    "can still arrive, i.e. when the watermark passes view_ts + 30 "
+    "min + delay — so null emission is watermark-DRIVEN, and the "
+    "finite replay stages the two far-future sentinel files (st04's "
+    "discipline) to flush the held unmatched views. Sentinels carry "
+    "event_type '__wm__' and are filtered from both sides — they "
+    "advance event time, never the data. State is bounded exactly as "
+    "st03 (range-condition eviction), hash-partitioned by user key; "
+    "the oracle is the batch LEFT JOIN over the same events.",
+)
+def st08_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _stage_events_with_sentinels(sf_dir, n_sentinels=3)
+    # Watermarks advance only from rows that REACH the
+    # EventTimeWatermark operator, and Catalyst pushes deterministic
+    # filters BELOW it — so a filter that excludes the '__wm__'
+    # sentinels pins the global watermark (min over both sides) at
+    # the data's tail and holds every unmatched view's null row
+    # forever. The sentinels therefore PASS both side filters (they
+    # carry user_id -1 and event_id < 0, so they never join real
+    # rows) and are stripped from the drained batch result below.
+    views = (
+        read_event_stream(spark, src)
+        .filter(F.col("event_type").isin("view", "__wm__"))
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        read_event_stream(spark, src)
+        .filter(F.col("event_type").isin("purchase", "__wm__"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = user_id AND p_ts >= view_ts "
+            "AND p_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+        "leftOuter",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        F.round("p_value", 2).alias("purchase_value"),
+    )
+    name = "st08_leftjoin_" + uuid.uuid4().hex[:8]
+    run_to_memory(joined, name, output_mode="append")
+    # strip the watermark scaffolding (sentinel views join sentinel
+    # purchases at the same instant; both carry negative ids)
+    return spark.table(name).filter(F.col("view_id") >= 0)
