@@ -61,3 +61,55 @@ def test_s07_pq_recall(spark, sf_dir):
     assert exact
     recall = len(exact & got) / len(exact)
     assert recall >= 0.8, f"s07 recall {recall:.3f} < 0.8 (measured 1.0)"
+
+
+def test_s08_mmr_diversity_vs_topk(spark, sf_dir):
+    """s08 has no SQL oracle (greedy sequential selection), so its
+    evidence is the MMR contract, measured: (1) rank-1 equals the
+    relevance top-1 (lambda*rel dominates an empty picked set);
+    (2) the selected set's mean pairwise similarity is <= plain
+    top-k's (diversity improved or equal, per query on average);
+    (3) deterministic across two runs."""
+    import numpy as np
+
+    from tinysql_spark.operators.similarity import (
+        s01_ann_brute_topk,
+        s08_ann_mmr,
+    )
+
+    got = s08_ann_mmr(spark, sf_dir).collect()
+    assert got
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    exact = {}
+    for r in s01_ann_brute_topk(spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], []).append(r)
+
+    emb = {
+        r["vec_id"]: np.asarray(r["e"])
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .selectExpr(
+            "vec_id",
+            "transform(cast(embedding as array<double>), x -> x / sqrt(aggregate(cast(embedding as array<double>), 0D, (a, y) -> a + y * y))) AS e",
+        )
+        .collect()
+    }
+
+    def mean_pairwise(ids):
+        m = np.stack([emb[i] for i in ids])
+        s = m @ m.T
+        n = len(ids)
+        return (s.sum() - np.trace(s)) / (n * (n - 1))
+
+    mmr_div, topk_div = [], []
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        top1_exact = max(exact[q], key=lambda r: (round(r["cos_sim"], 6), -r["neighbor_id"]))
+        assert rows[0]["neighbor_id"] == top1_exact["neighbor_id"], q
+        mmr_div.append(mean_pairwise([r["neighbor_id"] for r in rows]))
+        topk_div.append(mean_pairwise([r["neighbor_id"] for r in exact[q]]))
+    assert np.mean(mmr_div) <= np.mean(topk_div) + 1e-9, (np.mean(mmr_div), np.mean(topk_div))
+
+    again = s08_ann_mmr(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

@@ -613,3 +613,82 @@ def s07_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rx") <= _TOP_K)
         .select("query_id", "neighbor_id", F.round(exact, 4).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# s08 — MMR diversity re-rank (grouped applyInPandas custom operator)
+# --------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 30  # candidate pool per query fed to the greedy selector
+
+
+@register(
+    "s08_ann_mmr",
+    late=True,
+    oracle=None,  # greedy sequential selection — not SQL-expressible;
+    # diversity-vs-relevance is measured in tests/test_similarity_quality.py
+    doc="Maximal-marginal-relevance re-rank (Carbonell & Goldstein "
+    "1998): from each query's top-30 relevance pool, greedily pick k "
+    "items maximizing lambda*sim(q,c) - (1-lambda)*max_sim(c, "
+    "already-picked) — the dedup-aware retrieval step a RAG/training "
+    "pipeline runs so the k results aren't five copies of the same "
+    "document. Pool generation is s01's broadcast-queries x "
+    "partitioned-corpus plan + per-query window top-30; the greedy "
+    "selection is inherently sequential PER QUERY, so it runs as ONE "
+    "grouped applyInPandas over query_id — the (c)-tier custom-"
+    "operator pattern: state never leaves the group, groups "
+    "hash-partition across executors, and the Python step touches "
+    "30 rows per query, never the corpus. Ties break toward the "
+    "lower neighbor_id (deterministic).",
+)
+def s08_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", unit_vec(F.col("embedding")).alias("e"))
+    queries = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("q_emb")
+    )
+    corpus = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("c_emb"))
+    sim = dot(F.col("q_emb"), F.col("c_emb"))
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "c_emb", sim.alias("rel"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round("rel", 6).desc(), F.col("neighbor_id"))
+    pool = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _MMR_POOL)
+
+    out_schema = "query_id long, neighbor_id long, rank int, mmr_score double"
+
+    def select_mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        # stable candidate order: relevance desc, id asc (matches the
+        # window above) so argmax ties resolve identically everywhere
+        pdf = pdf.sort_values(["rn"]).reset_index(drop=True)
+        embs = np.stack(pdf["c_emb"].to_numpy())
+        rel = pdf["rel"].to_numpy()
+        n = len(pdf)
+        k = min(_TOP_K, n)
+        picked: list[int] = []
+        scores: list[float] = []
+        cand = list(range(n))
+        while len(picked) < k:
+            if picked:
+                max_sim = (embs[cand] @ embs[picked].T).max(axis=1)
+            else:
+                max_sim = np.zeros(len(cand))
+            mmr = _MMR_LAMBDA * rel[cand] - (1.0 - _MMR_LAMBDA) * max_sim
+            j = int(np.argmax(mmr))  # first max -> lowest rn wins ties
+            picked.append(cand[j])
+            scores.append(float(mmr[j]))
+            cand.pop(j)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[picked].to_numpy(),
+                "neighbor_id": pdf["neighbor_id"].iloc[picked].to_numpy(),
+                "rank": np.arange(1, len(picked) + 1, dtype="int32"),
+                "mmr_score": np.round(scores, 4),
+            }
+        )
+
+    return pool.groupBy("query_id").applyInPandas(select_mmr, schema=out_schema)
