@@ -479,3 +479,106 @@ def p07_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return ordered.mapInPandas(assign, schema=schema)
+
+
+@register(
+    "p08_training_export",
+    late=True,
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             CASE
+               WHEN contains(' ' || text || ' ', ' the ') OR contains(' ' || text || ' ', ' and ')
+                    OR contains(' ' || text || ' ', ' of ') THEN 'en'
+               WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' und ')
+                    OR contains(' ' || text || ' ', ' die ') THEN 'de'
+               WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' et ')
+                    OR contains(' ' || text || ' ', ' la ') THEN 'fr'
+               WHEN contains(' ' || text || ' ', ' el ') OR contains(' ' || text || ' ', ' y ')
+                    OR contains(' ' || text || ' ', ' los ') THEN 'es'
+               WHEN contains(' ' || text || ' ', '的') OR contains(' ' || text || ' ', '是') THEN 'zh'
+               ELSE 'unknown'
+             END AS pred_lang,
+             length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok_cnt
+      FROM documents
+    ), gated AS (
+      SELECT * FROM scored
+      WHERE pred_lang <> 'unknown' AND alpha_ratio >= 0.5
+        AND length(text) BETWEEN 100 AND 2000
+    ), deduped AS (
+      SELECT * FROM gated
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ), split AS (
+      SELECT doc_id, source, pred_lang, tok_cnt,
+             CASE WHEN ((((doc_id * 2654435761 + 1013904223) % 4294967296)
+                          * 69069 + 12345) % 4294967296) % 100 < 90
+                  THEN 'train' ELSE 'valid' END AS split
+      FROM deduped
+    ), packed AS (
+      SELECT doc_id, source, pred_lang, split,
+             sum(tok_cnt) OVER (
+               PARTITION BY split, source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             tok_cnt
+      FROM split
+    )
+    SELECT doc_id, source, pred_lang, split,
+           CAST((cum - tok_cnt) // {_PACK_BUDGET} AS BIGINT) AS bin_id
+    FROM packed
+    """,
+    doc="END-TO-END training-data export manifest, composed as ONE "
+    "declarative plan: language gate + quality gates (scan-fused "
+    "predicates, zero shuffles) -> exact-dedup keep-first (one window "
+    "shuffle on the content fingerprint) -> deterministic 90/10 "
+    "train/valid split (map-only LCG, p02's hash) -> per-(split, "
+    "source) sequence packing into 2048-token bins (one window "
+    "shuffle). Each row of the output is a doc's training assignment "
+    "(split + bin) — the manifest a data loader consumes. THREE "
+    "shuffles total at any corpus size, every stage reused from "
+    "t02/t03/d01/p02/p05 — the compositionality argument: operators "
+    "are Column-algebra building blocks Catalyst fuses, not opaque "
+    "passes.",
+)
+def p08_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        lang_pred(F.col("text")).alias("pred_lang"),
+        (F.length(F.regexp_replace("text", "[^a-z]", "")) / F.length("text")).alias("alpha_ratio"),
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(tokens(F.col("text"))).cast("long").alias("tok_cnt"),
+    )
+    gated = scored.filter(
+        (F.col("pred_lang") != "unknown")
+        & (F.col("alpha_ratio") >= 0.5)
+        & (F.length("text") >= 100)
+        & (F.length("text") <= 2000)
+    )
+    wd = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") == 1)
+    h1 = (F.col("doc_id") * F.lit(2654435761) + F.lit(1013904223)) % F.lit(_M32)
+    h2 = (h1 * F.lit(69069) + F.lit(12345)) % F.lit(_M32)
+    split = deduped.select(
+        "doc_id",
+        "source",
+        "pred_lang",
+        "tok_cnt",
+        F.when(h2 % 100 < 90, F.lit("train")).otherwise(F.lit("valid")).alias("split"),
+    )
+    wp = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = split.withColumn("cum", F.sum("tok_cnt").over(wp))
+    return packed.select(
+        "doc_id",
+        "source",
+        "pred_lang",
+        "split",
+        F.floor((F.col("cum") - F.col("tok_cnt")) / _PACK_BUDGET).cast("long").alias("bin_id"),
+    )
