@@ -541,3 +541,24 @@ def test_t09_map_only_no_shuffle(q):
 
     p = plan_string(q("t09_gopher_gates"), mode="simple")
     assert "Exchange" not in p, p
+
+
+def test_q52_dims_broadcast_single_big_shuffle(q):
+    """Q7-shape: nation (twice), supplier, customer must all
+    broadcast; the only shuffled join is lineitem-orders."""
+    df = q("q52_nation_volume_shipping")
+    strategies = join_strategies(df)
+    assert sum("Broadcast" in s for s in strategies) >= 4, strategies
+    assert sum("SortMerge" in s or "ShuffledHash" in s for s in strategies) <= 1, strategies
+    assert has_partial_aggregate(df)
+
+
+def test_p08_three_shuffles_total(q):
+    """The end-to-end export composition must stay at three
+    exchanges: fingerprint-dedup window, (split, source) packing
+    window, and nothing else — gates and the split hash fuse into
+    the scan-side stage."""
+    from tinysql_spark.plans import plan_string
+
+    p = plan_string(q("p08_training_export"), mode="simple")
+    assert p.count("Exchange") <= 3, p
