@@ -178,6 +178,36 @@ def shingles(col: Column, w: int = _SHINGLE_W) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, w))))
 
 
+def _py_shingles(t: str | None, w: int = _SHINGLE_W) -> list[str]:
+    """Python twin of :func:`shingles` — identical token stream
+    (whitespace-run split of the trimmed text, [''] for empty) and
+    identical distinct w-token windows with end truncation. Kept in
+    lock-step so Arrow-side signature/hash stages see the same
+    shingle SET the Column version (and the SQL oracles) see."""
+    ws = (t or "").strip().split() or [""]
+    n = len(ws)
+    return list({" ".join(ws[i : i + w]) for i in range(max(n - (w - 1), 1))})
+
+
+def _shingle_hash_batch(texts: "pd.Series") -> "pd.Series":
+    """text -> array<int64> of distinct-shingle hashes in one Arrow
+    batch: pandas hash_array (C-vectorized siphash, fixed key — the
+    d03 signature hash) over the Python shingle set. Replaces the
+    transform(shingles(...), xxhash64) Column pipeline, whose
+    higher-order lambdas are interpreted per element (~10x slower,
+    the t09 lesson). Any deterministic 64-bit hash works here: the
+    hash is only a join/blocking key, the oracles join on the
+    shingle STRINGS."""
+    import numpy as np
+
+    return pd.Series(
+        [
+            pd.util.hash_array(np.asarray(_py_shingles(t), dtype=object)).astype("int64")
+            for t in texts
+        ]
+    )
+
+
 def _minhash_batch(arrs: "pd.Series") -> "pd.Series":
     """k=16 minhash signatures per shingle-array, one Arrow batch at a
     time: pandas hash_array (C-vectorized siphash, fixed key — stable
@@ -201,14 +231,19 @@ def _minhash_batch(arrs: "pd.Series") -> "pd.Series":
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, sigs array<long>[16]) — map-only: shingling stays
-    JVM-side, signatures come from one Arrow-batched pandas_udf; no
-    shingle-explode shuffle (the groupBy formulation ships
-    shingles x k through an exchange)."""
+    """(doc_id, sigs array<long>[16]) — map-only: shingling AND
+    signatures run inside one Arrow-batched pandas_udf straight off
+    the text column (HOF shingle construction was the hidden cost —
+    interpreted lambdas, the t09 lesson); no shingle-explode shuffle
+    (the groupBy formulation ships shingles x k through an
+    exchange)."""
     from pyspark.sql import types as T
 
-    udf = F.pandas_udf(_minhash_batch, T.ArrayType(T.LongType())).asNondeterministic()
-    return docs.select("doc_id", udf(shingles(F.col(text_col))).alias("sigs"))
+    def batch(texts: "pd.Series") -> "pd.Series":
+        return _minhash_batch(pd.Series([_py_shingles(t) for t in texts]))
+
+    udf = F.pandas_udf(batch, T.ArrayType(T.LongType())).asNondeterministic()
+    return docs.select("doc_id", udf(F.col(text_col)).alias("sigs"))
 
 
 def lsh_bands(sigs: DataFrame) -> DataFrame:
@@ -944,14 +979,15 @@ def d09_fuzzy_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction (the most expensive map stage) runs 3x from the
     # scan; keyed so the next invocation releases the cache (d06's
     # discipline)
+    from pyspark.sql import types as T
+
+    sh_udf = F.pandas_udf(_shingle_hash_batch, T.ArrayType(T.LongType())).asNondeterministic()
     sh = _keyed_persist(
         "d09.sh",
         docs.select(
             "doc_id",
             F.substring(F.trim(F.col("text")), 1, _D08_HEAD).alias("head"),
-            F.explode(
-                F.transform(shingles(F.col("text")), lambda s: F.xxhash64(s))
-            ).alias("sh"),
+            F.explode(sh_udf(F.col("text"))).alias("sh"),
         ),
     )
     # stop-shingle cap, computed distributively (broadcast 1-row agg,
