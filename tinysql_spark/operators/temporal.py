@@ -201,3 +201,93 @@ def q41_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+@register(
+    "q53_funnel_depth",
+    late=True,
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), s AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), v AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s.t GROUP BY e.user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CASE WHEN p.t IS NOT NULL THEN 4
+                WHEN c.t IS NOT NULL THEN 3
+                WHEN v.t IS NOT NULL THEN 2
+                WHEN s.t IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_depth
+    FROM u
+      LEFT JOIN s USING (user_id)
+      LEFT JOIN v USING (user_id)
+      LEFT JOIN c USING (user_id)
+      LEFT JOIN p USING (user_id)
+    """,
+    doc="Ordered funnel analysis (signup -> view -> click -> "
+    "purchase): each user's depth is the longest STRICTLY ORDERED "
+    "first-occurrence chain — the next stage's event must come after "
+    "the previous stage's first occurrence, which a flat per-type "
+    "min() cannot express (a view before signup must not count). "
+    "Four staged conditional aggregations, each joined back on "
+    "user_id; stage tables shrink monotonically (user cardinality, "
+    "then funnel attrition), so at scale every stage join after the "
+    "first is a broadcast of survivors against the partitioned fact "
+    "scan, and Spark reuses the one hash partitioning on user_id "
+    "across the chain — the analytics-funnel idiom ClickHouse ships "
+    "as windowFunnel(), expressed relationally.",
+)
+def q53_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_s"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    return (
+        u.join(s, "user_id", "left")
+        .join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t_p").isNotNull(), 4)
+            .when(F.col("t_c").isNotNull(), 3)
+            .when(F.col("t_v").isNotNull(), 2)
+            .when(F.col("t_s").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_depth"),
+        )
+    )

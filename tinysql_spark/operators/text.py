@@ -409,3 +409,41 @@ def t09_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("gopher_pass"),
     )
+
+
+@register(
+    "t10_vocab_coverage",
+    late=True,
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_tokens,
+           count(DISTINCT w) AS n_types,
+           count(DISTINCT w) * 1.0 / count(*) AS ttr
+    FROM tok
+    GROUP BY source
+    """,
+    doc="Per-source vocabulary coverage: token count, type (distinct "
+    "token) count and the type-token ratio — the lexical-diversity "
+    "signal a corpus curator uses to spot template-generated or "
+    "low-entropy sources before mixing. Explode -> one hash agg with "
+    "count(DISTINCT): Spark plans the exact-distinct as the two-"
+    "phase Expand + partial/final split, so the shuffle carries one "
+    "row per (source, distinct word) per map partition, never the "
+    "raw token stream. ttr is a single integer division — "
+    "bit-identical across engines, unrounded.",
+)
+def t10_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("w").alias("n_types"),
+            (F.countDistinct("w") * F.lit(1.0) / F.count(F.lit(1))).alias("ttr"),
+        )
+    )
