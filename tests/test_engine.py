@@ -1118,3 +1118,66 @@ def test_show_columns_is_describe(eng):
     want = rows(eng.sql("DESCRIBE sc"))
     assert rows(eng.sql("SHOW COLUMNS FROM sc")) == want
     assert rows(eng.sql("SHOW FULL FIELDS IN sc")) == want
+
+
+def test_second_engine_preserves_live_txn_staging(eng, spark):
+    """Review r04 finding 2: constructing another Engine over the same
+    warehouse must NOT destroy a live session's open-transaction
+    staging (the PID liveness marker gates startup cleanup); the
+    first session's COMMIT still publishes its buffered writes."""
+    import os
+
+    from tinysql_spark.engine import Engine
+
+    eng.sql("CREATE TABLE lv (a int)")
+    eng.sql("INSERT INTO lv VALUES (1)")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO lv VALUES (2)")
+    staging = eng.txn.dir
+    assert os.path.isdir(staging)
+    Engine(spark, eng.catalog.warehouse)  # same warehouse, same process
+    assert os.path.isdir(staging), "live txn staging was destroyed"
+    eng.sql("COMMIT")
+    assert sorted(rows(eng.sql("SELECT a FROM lv"))) == [(1,), (2,)]
+    # a genuinely dead txn dir (no live PID) IS cleaned on startup
+    dead = os.path.join(eng.catalog.warehouse, ".txn-deadbeef")
+    os.makedirs(dead, exist_ok=True)
+    with open(os.path.join(dead, "PID"), "w") as f:
+        f.write("999999999")
+    Engine(spark, eng.catalog.warehouse)
+    assert not os.path.exists(dead)
+
+
+def test_txn_nondeterministic_delete_count_matches_staged(eng):
+    """Review r04 finding 4: the reported rows_affected of an in-txn
+    DELETE must equal the rows actually staged/removed even when the
+    predicate is nondeterministic (single plan execution)."""
+    eng.sql("CREATE TABLE nd (a int)")
+    eng.sql("INSERT INTO nd VALUES " + ", ".join(f"({i})" for i in range(200)))
+    eng.sql("BEGIN")
+    n_del = eng.sql("DELETE FROM nd WHERE rand() < 0.5").rows_affected
+    remaining = rows(eng.sql("SELECT a FROM nd"))
+    assert len(remaining) == 200 - n_del
+    eng.sql("COMMIT")
+    assert len(rows(eng.sql("SELECT a FROM nd"))) == 200 - n_del
+
+
+def test_txn_commit_appends_publish_as_renames(eng, spark):
+    """Review r04 finding 1: add-only commit publishing must be
+    rename-only — the prepared part files land in the data dir with
+    no phase-2 Spark write job (assert via the staged tmp dir being
+    consumed and the rows arriving)."""
+    eng.sql("CREATE TABLE ap (a int)")
+    eng.sql("INSERT INTO ap VALUES (1)")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO ap VALUES (2), (3)")
+    eng.sql("COMMIT")
+    assert sorted(rows(eng.sql("SELECT a FROM ap"))) == [(1,), (2,), (3,)]
+    import os
+
+    leftovers = [
+        d
+        for d in os.listdir(eng.catalog.warehouse)
+        if d.startswith(".txn-") or ".append-" in d or ".tmp-" in d
+    ]
+    assert leftovers == [], leftovers

@@ -167,3 +167,17 @@ def test_m05_thumbnail_pixel_exact(spark, sf_dir):
         assert (g["height"], g["width"]) == px.shape[:2]
         assert (g["thumb_h"], g["thumb_w"]) == th.shape[:2]
         assert g["thumb_px_md5"] == hashlib.md5(th.tobytes()).hexdigest()
+
+
+def test_decode_images_null_payload_row(spark):
+    """Review r04 finding 5: a NULL payload row must yield a
+    null-stats row, not crash the Arrow stage."""
+    from tinysql_spark.operators.multimodal import decode_images, synth_png_bytes
+
+    df = spark.createDataFrame(
+        [(1, synth_png_bytes("hello world")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_images(df).collect()}
+    assert got[1]["width"] is not None
+    assert got[2]["width"] is None and got[2]["n_bytes"] == 0

@@ -314,3 +314,17 @@ def test_st06_upsert_crash_window_replay(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(replayed).collect()
     }
     assert after == before, "at-least-once replay must be idempotent"
+
+
+def test_stage_events_handles_relative_sf_dir(tmp_path):
+    """Review r04 finding 3: a relative sf_dir must still produce a
+    resolvable symlink (targets resolve against the LINK's directory
+    at read time, so the staged link must be absolute)."""
+    import os
+
+    from tinysql_spark.operators.streaming_bridge import _stage_events
+
+    rel = os.path.relpath("/root/testdata/sf0.001", os.getcwd())
+    d = _stage_events(rel)
+    link = os.path.join(d, "0000.parquet")
+    assert os.path.exists(link), os.readlink(link)

@@ -88,11 +88,22 @@ class Engine:
         self.table_stats: dict[tuple[str, str], dict] = {}
         self.ddl_jobs: list[dict] = []
         self.txn: _Txn | None = None
-        # stale staging from a crashed session: committed data is never
-        # under .txn-*, so removal == rollback of the dead transaction
+        # stale staging from a CRASHED session: committed data is never
+        # under .txn-*, so removal == rollback of the dead transaction.
+        # Each staging dir carries its owner's PID — a dir whose owner
+        # is still alive belongs to a live session over the same
+        # warehouse and must not be destroyed (a second Engine would
+        # otherwise silently roll back the first one's open txn).
         for leftover in os.listdir(warehouse):
             if leftover.startswith(".txn-"):
-                shutil.rmtree(os.path.join(warehouse, leftover), ignore_errors=True)
+                path = os.path.join(warehouse, leftover)
+                try:
+                    pid = int(open(os.path.join(path, "PID")).read().strip())
+                    os.kill(pid, 0)  # raises if the owner is gone
+                    continue  # live owner — leave the staging alone
+                except (OSError, ValueError):
+                    pass
+                shutil.rmtree(path, ignore_errors=True)
         self._register_all()
 
     # ------------------------------------------------------------------
@@ -1209,11 +1220,11 @@ class Engine:
             if limit:
                 q += f" LIMIT {limit}"
             doomed = self.spark.sql(q)
-            n_del = doomed.count()
             if in_txn:
-                self._txn_stage_del(db, t, doomed)
+                n_del = self._txn_stage_del(db, t, doomed)
                 self.spark.catalog.dropTempView(view)
                 return Result(rows_affected=n_del, message=f"{n_del} rows deleted")
+            n_del = doomed.count()
             # broadcast only the LIMIT-bounded set; ORDER BY alone can
             # match the whole table and a forced broadcast would OOM
             if limit:
@@ -1223,26 +1234,26 @@ class Engine:
             self.spark.catalog.dropTempView(view)
             return Result(rows_affected=n_del, message=f"{n_del} rows deleted")
         if cond is None:
-            n = raw.count()
             if in_txn:
-                self._txn_stage_del(db, t, raw.select(ROWID))
+                n = self._txn_stage_del(db, t, raw.select(ROWID))
                 return Result(rows_affected=n, message=f"{n} rows deleted")
+            n = raw.count()
             empty = self.spark.createDataFrame([], info.full_schema())
             self._write_swap(db, t, empty)
             return Result(rows_affected=n, message=f"{n} rows deleted")
         view = f"__del_{t}_{uuid.uuid4().hex[:6]}"
         raw.createOrReplaceTempView(view)
         cond_sql = self._rewrite(cond)
-        n_del = self.spark.sql(
-            f"SELECT count(*) FROM {view} WHERE coalesce(({cond_sql}), false)"
-        ).collect()[0][0]
         if in_txn:
             doomed = self.spark.sql(
                 f"SELECT {ROWID} FROM {view} WHERE coalesce(({cond_sql}), false)"
             )
-            self._txn_stage_del(db, t, doomed)
+            n_del = self._txn_stage_del(db, t, doomed)
             self.spark.catalog.dropTempView(view)
             return Result(rows_affected=n_del, message=f"{n_del} rows deleted")
+        n_del = self.spark.sql(
+            f"SELECT count(*) FROM {view} WHERE coalesce(({cond_sql}), false)"
+        ).collect()[0][0]
         # delete WHERE cond is TRUE; keep FALSE and NULL (3VL)
         keep = self.spark.sql(
             f"SELECT * FROM {view} WHERE NOT coalesce(({cond_sql}), false)"
@@ -1646,6 +1657,9 @@ class Engine:
                 dir=os.path.join(self.catalog.warehouse, f".txn-{uuid.uuid4().hex[:8]}"),
                 tables={},
             )
+            os.makedirs(self.txn.dir, exist_ok=True)
+            with open(os.path.join(self.txn.dir, "PID"), "w") as f:
+                f.write(str(os.getpid()))  # liveness marker for cleanup
             return Result(message="transaction started")
         if word == "commit":
             return self._txn_commit()
@@ -1752,33 +1766,79 @@ class Engine:
         self.spark.catalog.refreshByPath(buf.add_dir)
         self._txn_view(db, t)
 
-    def _txn_stage_del(self, db: str, t: str, doomed: DataFrame) -> None:
+    def _txn_stage_del(self, db: str, t: str, doomed: DataFrame) -> int:
+        """Stage doomed rowids; returns the staged COUNT so callers
+        report exactly what was buffered — counting the checkpointed
+        frame is one execution of the predicate, where a separate
+        count job could re-evaluate a nondeterministic WHERE (or an
+        ORDER BY-less LIMIT) against different rows."""
         buf = self._txn_buffer(db, t)
         out = doomed.select(F.col(ROWID).cast("long"))
         # materialize: the doomed set is computed over the overlay,
         # which reads the del dir this write appends to
-        out.localCheckpoint().write.mode("append").parquet(buf.del_dir)
+        staged = out.localCheckpoint()
+        staged.write.mode("append").parquet(buf.del_dir)
         buf.has_dels = True
         self.spark.catalog.refreshByPath(buf.del_dir)
         self._txn_view(db, t)
+        return staged.count()
 
     def _txn_restore_registration(self, db: str, t: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self._spark_name(db, t + '__txnbase')}")
         self._register_table(db, t)
 
+    def _prepare_append(self, db: str, table: str, df: DataFrame) -> str:
+        """Write an append batch's physical files to a tmp dir in the
+        table's declared layout — the PREPARE half for add-only commit
+        publishing. Publishing is then per-file renames
+        (_publish_append), so no data write remains in phase 2."""
+        info = self.catalog.get_table(db, table)
+        tmp = self.catalog.data_dir(db, table) + f".append-{uuid.uuid4().hex[:8]}"
+        cols = [F.col(ROWID).cast("long")] + [
+            F.col(c.name).cast(c.spark_type()) for c in info.columns
+        ]
+        out = df.select(*cols)
+        if info.bucket:
+            self._write_bucket_files(out, info, tmp)
+        else:
+            w = self._to_physical(self._layout(out, info), info).write.mode("overwrite")
+            if info.partition_by:
+                phys = {c.name: c.file_name for c in info.columns}
+                w = w.partitionBy(*[phys.get(c, c) for c in info.partition_by])
+            w.parquet(tmp)
+        return tmp
+
+    def _publish_append(self, db: str, table: str, tmp: str) -> None:
+        """Move a prepared append batch's part files into the table's
+        data dir (partition subdirs included) — renames only; Spark
+        part-file names carry a task UUID so collisions cannot occur."""
+        data = self.catalog.data_dir(db, table)
+        os.makedirs(data, exist_ok=True)
+        for root, _dirs, files in os.walk(tmp):
+            rel = os.path.relpath(root, tmp)
+            dest = data if rel == "." else os.path.join(data, rel)
+            for fname in files:
+                if not fname.startswith("part-"):
+                    continue
+                os.makedirs(dest, exist_ok=True)
+                shutil.move(os.path.join(root, fname), os.path.join(dest, fname))
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._refresh_table(db, table)
+
     def _txn_commit(self) -> Result:
-        """Publish the transaction: phase 1 PREPARES (writes every
-        delete-touched table's final contents to a tmp dir — the
-        expensive, failure-prone half; a failure here leaves the txn
-        open and committed data untouched); phase 2 publishes via
-        per-table metadata renames + buffered-add appends. The
-        rename window is the 2PC-commit analog — metadata-only, not
-        data-proportional."""
+        """Publish the transaction: phase 1 PREPARES every touched
+        table — delete-touched tables write their final contents to a
+        tmp dir, add-only tables write their append batch's part
+        files to a tmp dir — ALL data writes, the failure-prone half;
+        a failure here leaves the txn open and committed data
+        untouched. Phase 2 publishes via per-table metadata renames
+        (dir swap / part-file moves) — the 2PC-commit analog,
+        metadata-only, never data-proportional."""
         txn = self.txn
         if txn is None:
             return Result(message="commit: no active transaction")
         prepared: list[tuple[str, str, str]] = []
-        appends: list[tuple[str, str, _TxnTable]] = []
+        prepared_adds: list[tuple[str, str, str]] = []
         try:
             for (db, t), buf in txn.tables.items():
                 if buf.has_dels:
@@ -1786,9 +1846,13 @@ class Engine:
                         (db, t, self._prepare_swap(db, t, self._overlay_raw(db, t)))
                     )
                 elif buf.has_adds:
-                    appends.append((db, t, buf))
+                    info = self.catalog.get_table(db, t)
+                    add = self.spark.read.schema(info.physical_schema()).parquet(
+                        buf.add_dir
+                    ).toDF(ROWID, *[c.name for c in info.columns])
+                    prepared_adds.append((db, t, self._prepare_append(db, t, add)))
         except BaseException:
-            for _, _, tmp in prepared:
+            for _, _, tmp in prepared + prepared_adds:
                 shutil.rmtree(tmp, ignore_errors=True)
             raise  # txn stays open; the session may ROLLBACK
         self.txn = None
@@ -1797,12 +1861,8 @@ class Engine:
         for db, t, tmp in prepared:
             self.catalog.swap_data_dir(db, t, tmp)
             self._refresh_table(db, t)
-        for db, t, buf in appends:
-            info = self.catalog.get_table(db, t)
-            add = self.spark.read.schema(info.physical_schema()).parquet(
-                buf.add_dir
-            ).toDF(ROWID, *[c.name for c in info.columns])
-            self._append(db, t, add)
+        for db, t, tmp in prepared_adds:
+            self._publish_append(db, t, tmp)
         shutil.rmtree(txn.dir, ignore_errors=True)
         self.catalog.update()
         return Result(message=f"commit: {len(txn.tables)} table(s) published")

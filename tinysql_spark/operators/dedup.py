@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import register
-from .text import distinct_tokens, fingerprint, tokens
+from .text import distinct_tokens, fingerprint, py_tokens, tokens
 
 # ---------------------------------------------------------------------------
 # cache bookkeeping: iterative operators (d03, d06) persist an
@@ -179,12 +179,11 @@ def shingles(col: Column, w: int = _SHINGLE_W) -> Column:
 
 
 def _py_shingles(t: str | None, w: int = _SHINGLE_W) -> list[str]:
-    """Python twin of :func:`shingles` — identical token stream
-    (whitespace-run split of the trimmed text, [''] for empty) and
-    identical distinct w-token windows with end truncation. Kept in
-    lock-step so Arrow-side signature/hash stages see the same
+    """Python twin of :func:`shingles` — py_tokens' faithful ASCII
+    token stream and identical distinct w-token windows with end
+    truncation, so Arrow-side signature/hash stages see the same
     shingle SET the Column version (and the SQL oracles) see."""
-    ws = (t or "").strip().split() or [""]
+    ws = py_tokens(t)
     n = len(ws)
     return list({" ".join(ws[i : i + w]) for i in range(max(n - (w - 1), 1))})
 

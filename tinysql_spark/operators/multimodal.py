@@ -227,11 +227,16 @@ def decode_images(payloads: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [decode_png(p) for p in pdf["payload"]]
+            # null media bytes are routine in a real ingest: emit a
+            # null-stats row rather than failing the whole stage
+            decoded = [
+                decode_png(p) if p is not None else (None, None, None, [None, None, None])
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["payload"].map(len),
+                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "channels": [d[2] for d in decoded],

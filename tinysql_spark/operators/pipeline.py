@@ -441,14 +441,20 @@ def p07_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         ((F.col("doc_id") * F.lit(2654435761) + F.lit(88172645)) % F.lit(_M32)).alias("shuf"),
     )
-    ordered = (
+    from .dedup import _keyed_persist
+
+    ordered = _keyed_persist(
+        "p07.ordered",
         keyed.repartitionByRange(_P07_PARTS, "shuf", "doc_id")
         .sortWithinPartitions("shuf", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
+        .withColumn("pid", F.spark_partition_id()),
     )
     # partition histogram: #partitions rows — the scalar-side collect
     # every zipWithIndex implementation does (Spark's RDD.zipWithIndex
-    # runs the same count job)
+    # counts the already-materialized RDD). The persist above is what
+    # makes that true here too: without it the histogram job and the
+    # output job each run the full range shuffle + sort, and the two
+    # executions would also have to partition identically
     sizes = {r["pid"]: r["n"] for r in ordered.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
     offsets = {}
     acc = 0
@@ -478,6 +484,9 @@ def p07_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             seen += len(pdf)
             yield out
 
+    # cache released by the NEXT p07 invocation (_keyed_persist — the
+    # returned frame is lazy, so an eager unpersist here would force
+    # the output job back through a second full shuffle+sort)
     return ordered.mapInPandas(assign, schema=schema)
 
 

@@ -1505,6 +1505,10 @@ def q48_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cost-based planner wants: one shuffle on the correlation key, no "
     "per-row subplan, no second scan of the offers relation; the "
     "oracle keeps the textbook correlated form to pin equivalence). "
+    "Only the FIXED-cardinality dims (nation/region) carry broadcast "
+    "hints; supplier scales with SF, so its strategy is left to "
+    "size-estimate/AQE — a forced broadcast would collect an "
+    "SF-scaled relation to the driver at 100 TB. "
     "The min comparison is on the UNROUNDED double — both engines "
     "compute the identical IEEE division, so equality is exact; only "
     "display columns are rounded. Region/nation/supplier dims "
@@ -1525,7 +1529,7 @@ def q49_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     regional = (
-        offers.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        offers.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
@@ -1561,8 +1565,11 @@ def q49_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders, where 'unusually small' is a correlated aggregate over "
     "the SAME fact table (per-part average quantity). Spark side "
     "decorrelates to one per-part aggregate joined back to the fact "
-    "scan — the agg output is part-sized (small), so it BROADCASTS "
-    "and the fact table is shuffled zero times; the quantity "
+    "scan. The agg output is part-dimension-sized — SMALL at bench "
+    "scale (Catalyst's size estimate picks broadcast on its own) but "
+    "SF-SCALED, so no broadcast is FORCED: at 100 TB the correct "
+    "plan is a shuffle join on partkey, and hard-coding broadcast() "
+    "would collect billions of keys to the driver. The quantity "
     "threshold comparison is per-row unrounded double arithmetic "
     "(identical IEEE mul of avg), only the final aggregate rounds. "
     "Three brands instead of Q17's one so the result is a stable "
@@ -1577,8 +1584,8 @@ def q50_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * F.avg("l_quantity")).alias("qty_cut")
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(per_part), F.col("t_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("t_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .groupBy("p_brand")
         .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
@@ -1665,8 +1672,10 @@ def q51_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trade revenue by ship year — a five-way join where the SAME "
     "dimension (nation) joins twice under different roles with a "
     "disjunctive cross-role predicate. Plan discipline: both nation "
-    "sides and supplier/customer broadcast (dims), lineitem |><| "
-    "orders is the only big shuffle, and the OR predicate sits above "
+    "sides carry broadcast hints (25 rows at ANY scale factor); "
+    "supplier/customer are SF-scaled, so their strategy is left to "
+    "size estimates (broadcast at bench scale, shuffle at 100 TB), "
+    "and the OR predicate sits above "
     "the two nation joins where Catalyst can still prune each "
     "nation scan to the two named rows (in-filter pushdown). "
     "Reference parity: multi-role dimension reuse is the alias path "
@@ -1684,9 +1693,9 @@ def q52_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supp_nation") == "NATION_2"
     ) & (F.col("cust_nation") == "NATION_1")
     return (
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)

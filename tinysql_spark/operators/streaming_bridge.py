@@ -38,8 +38,12 @@ def _stage_events(sf_dir: str) -> str:
     stands in for a dedicated ingest directory). O(1) metadata op —
     the data itself never moves through the driver."""
     d = tempfile.mkdtemp(prefix="tinysql_stream_")
+    # abspath: a relative sf_dir would otherwise resolve relative to
+    # the tmp dir (symlink targets resolve at READ time, against the
+    # link's own directory) and every stream would 404
     os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "0000.parquet")
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(d, "0000.parquet"),
     )
     return d
 

@@ -22,6 +22,20 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), _WS)
 
 
+def py_tokens(t: str | None) -> list[str]:
+    """Python twin of :func:`tokens`, kept faithful to the JVM/RE2
+    semantics the oracles use: trim() strips SPACES only, and \s in
+    Java regex / RE2 is the ASCII class [ \t\n\x0b\f\r] — Python's
+    str.split() would instead strip/split on ALL Unicode whitespace
+    (NBSP, U+2028, ...) and silently diverge. Single definition so
+    every Arrow-side operator (t08/t09 counting, shingle hashing)
+    tokenizes identically."""
+    import re
+
+    t = (t or "").strip(" ")
+    return re.split("[ \t\n\x0b\f\r]+", t) if t else [""]
+
+
 def distinct_tokens(col: Column) -> Column:
     return F.array_distinct(tokens(col))
 
@@ -301,7 +315,7 @@ def t08_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rep(texts):
         ns, rs = [], []
         for t in texts:
-            ws = (t or "").strip().split() or [""]
+            ws = py_tokens(t)
             if len(ws) >= 3:
                 gs = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
                 ns.append(len(gs))
@@ -381,9 +395,7 @@ def t09_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         tw, tg = [], []
         for t in texts:
-            # whitespace-run split of the trimmed text — same token
-            # stream as split(trim(text), '\\s+') on the oracle side
-            ws = (t or "").strip().split() or [""]
+            ws = py_tokens(t)
             tw.append(max(Counter(ws).values()) / len(ws))
             if len(ws) >= 2:
                 gs = [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
