@@ -591,3 +591,56 @@ def p08_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         F.floor((F.col("cum") - F.col("tok_cnt")) / _PACK_BUDGET).cast("long").alias("bin_id"),
     )
+
+
+@register(
+    "p09_dataset_card",
+    late=True,
+    oracle="""
+    WITH sig AS (
+      SELECT source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+             length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text) AS alpha,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END AS len_ok
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(avg(alpha), 4) AS mean_alpha,
+           sum(len_ok) * 1.0 / count(*) AS len_ok_rate,
+           1.0 - count(DISTINCT fp) * 1.0 / count(*) AS dup_rate
+    FROM sig
+    GROUP BY source
+    """,
+    doc="Per-source DATASET CARD: the one-pass summary a training-"
+    "data curator publishes next to a corpus release — doc/token "
+    "volume, mean alpha quality, length-gate pass rate, and the "
+    "exact-duplicate rate (1 - distinct fingerprints / docs). All "
+    "signals reuse the t03/d01 column definitions, composed into a "
+    "SINGLE aggregation: the map side computes every per-doc signal "
+    "fused into the scan stage, and the one shuffle carries "
+    "(source, partial aggregates) plus the fingerprint-distinct "
+    "expand — at 100 TB this is one pass over the corpus, full "
+    "stop. Ratios of integer counts are exact; the double mean "
+    "rounds to 4 (sum order varies across engines).",
+)
+def p09_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        (F.length(F.regexp_replace("text", "[^a-z]", "")) / F.length("text")).alias("alpha"),
+        fingerprint(F.col("text")).alias("fp"),
+        F.when((F.length("text") >= 100) & (F.length("text") <= 2000), 1)
+        .otherwise(0)
+        .alias("len_ok"),
+    )
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.round(F.avg("alpha"), 4).alias("mean_alpha"),
+        (F.sum("len_ok") * F.lit(1.0) / F.count(F.lit(1))).alias("len_ok_rate"),
+        (F.lit(1.0) - F.countDistinct("fp") * F.lit(1.0) / F.count(F.lit(1))).alias("dup_rate"),
+    )
