@@ -1116,3 +1116,106 @@ def d10_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# d11 — fuzzy-dedup clusters: connected components over d09's verified
+# pairs (the keeper-assignment step of the fuzzy pipeline)
+# --------------------------------------------------------------------------
+
+
+def _oracle_d11() -> str:
+    return f"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, substring(trim(text), 1, {_D08_HEAD}) AS head,
+             string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id, head,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> array_to_string(ws[i:i+2], ' ')))) AS sh
+      FROM w
+    ), nd AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), rare AS (
+      SELECT sh FROM g, nd
+      GROUP BY sh, n_docs
+      HAVING count(*) <= greatest(25, CAST({_D09_STOP_FRAC} * n_docs AS BIGINT))
+    ), k AS (
+      SELECT g.* FROM g JOIN rare USING (sh)
+    ), cand AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.head AS a_head, b.head AS b_head,
+             count(*) AS n_shared
+      FROM k a JOIN k b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING count(*) >= {_D09_MIN_SHARED}
+    ), pr AS (
+      SELECT a_id, b_id FROM cand
+      WHERE abs(length(a_head) - length(b_head)) <= {_D08_K}
+        AND levenshtein(a_head, b_head) <= {_D08_K}
+    ),
+    edges AS (SELECT a_id AS s, b_id AS d FROM pr
+              UNION ALL SELECT b_id AS s, a_id AS d FROM pr),
+    reach(doc_id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.d
+    )
+    SELECT doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc_id
+    """
+
+
+@register(
+    "d11_fuzzy_clusters",
+    late=True,
+    oracle=_oracle_d11(),
+    doc="Fuzzy-dedup CLUSTERS — the keeper-assignment step that "
+    "completes the candidate->verify->cluster pipeline: d09's "
+    "oracle-verified near-dup pairs become a symmetric edge list and "
+    "collapse to one (doc_id, cluster_id) row per document via the "
+    "shared _d07_converge kernel (min-label propagation to "
+    "convergence, pointer halving, per-round localCheckpoint, "
+    "AQE-off iteration — d03/d07's discipline). Keeper = cluster_id "
+    "(the min reachable doc_id); singleton docs are their own "
+    "cluster. Output is LINEAR in corpus size where pair output is "
+    "quadratic in clique size — at 100 TB this row set is what a "
+    "cleanse job anti-joins against. Oracle: d09's pair SQL feeding "
+    "a recursive-CTE connected-components minimum — the full "
+    "pipeline is hash-verified end to end.",
+)
+def d11_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = d09_fuzzy_dedup_scaled(spark, sf_dir).select("a_id", "b_id")
+    edges = _keyed_persist(
+        "d11.edges",
+        pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d")).union(
+            pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d"))
+        ),
+    )
+    labels = (
+        edges.select(F.col("s").alias("vec_id"))
+        .distinct()
+        .withColumn("lbl", F.col("vec_id"))
+        .persist()
+    )
+    spark_ = docs.sparkSession
+    n_edges = edges.count()
+    labels.count()
+    iter_parts = str(min(2000, max(8, n_edges // 1_000_000 + 8)))
+    prev_aqe = spark_.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark_.conf.get("spark.sql.shuffle.partitions")
+    spark_.conf.set("spark.sql.adaptive.enabled", "false")
+    spark_.conf.set("spark.sql.shuffle.partitions", iter_parts)
+    try:
+        labels = _d07_converge(edges, labels)
+    finally:
+        spark_.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark_.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return (
+        docs.select("doc_id")
+        .join(labels.select(F.col("vec_id").alias("doc_id"), "lbl"), "doc_id", "left")
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("cluster_id"))
+    )
