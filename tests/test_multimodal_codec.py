@@ -181,3 +181,33 @@ def test_decode_images_null_payload_row(spark):
     got = {r["doc_id"]: r for r in decode_images(df).collect()}
     assert got[1]["width"] is not None
     assert got[2]["width"] is None and got[2]["n_bytes"] == 0
+
+
+def test_m06_container_meta_roundtrip(spark, sf_dir):
+    """m06 is rows-only, so its evidence is the metadata round trip:
+    every doc's tEXt lang/source must equal the table's columns, the
+    chunk directory must be IHDR,tEXt,tEXt,IDAT,IEND with valid
+    CRCs, and a corrupted byte must flip crc_ok."""
+    from tinysql_spark.operators.multimodal import (
+        m06_container_meta,
+        png_chunk_inventory,
+        synth_png_bytes,
+    )
+
+    got = {r["doc_id"]: r for r in m06_container_meta(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    ).collect()
+    assert len(got) == len(docs) and docs
+    for r in docs:
+        g = got[r["doc_id"]]
+        assert g["meta_lang"] == str(r["lang"]) and g["meta_source"] == str(r["source"])
+        assert g["chunk_tags"] == "IHDR,tEXt,tEXt,IDAT,IEND"
+        assert g["crc_ok"] and g["idat_bytes"] > 0
+
+    # corruption detection: flip one IDAT byte -> crc_ok False
+    good = synth_png_bytes("hello", meta={"lang": "en"})
+    bad = bytearray(good)
+    bad[-20] ^= 0xFF
+    chunks, _ = png_chunk_inventory(bytes(bad))
+    assert not all(c[2] for c in chunks)

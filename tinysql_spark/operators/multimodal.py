@@ -94,20 +94,53 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def synth_png_bytes(text: str) -> bytes:
+def synth_png_bytes(text: str, meta: dict[str, str] | None = None) -> bytes:
     """Encode the document's generated pixels as a spec-valid 8-bit
     RGB PNG (IHDR + zlib IDAT with filter-0 scanlines + IEND, CRCs
-    included) — real container bytes, decodable by any PNG reader."""
+    included) — real container bytes, decodable by any PNG reader.
+    ``meta`` adds one spec-valid tEXt chunk per key (keyword NUL
+    text, Latin-1 — the PNG metadata mechanism, the EXIF analog)."""
     px = png_pixels(text)
     h, w, _ = px.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
     raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    texts = b"".join(
+        _png_chunk(b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
+        for k, v in (meta or {}).items()
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + texts
         + _png_chunk(b"IDAT", zlib.compress(raw, 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def png_chunk_inventory(data: bytes) -> tuple[list[tuple[str, int, bool]], dict[str, str]]:
+    """Walk the container's chunk directory WITHOUT decoding pixels:
+    (tag, payload length, crc_ok) per chunk plus the parsed tEXt
+    key->value metadata — the cheap metadata pass an ingest pipeline
+    runs before deciding whether to decode at all."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    chunks: list[tuple[str, int, bool]] = []
+    meta: dict[str, str] = {}
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        ok = binascii.crc32(tag + payload) & 0xFFFFFFFF == crc
+        chunks.append((tag.decode("latin-1"), length, ok))
+        if tag == b"tEXt" and ok and b"\x00" in payload:
+            k, v = payload.split(b"\x00", 1)
+            meta[k.decode("latin-1")] = v.decode("latin-1")
+        if tag == b"IEND":
+            break
+        pos += 12 + length
+    return chunks, meta
 
 
 def decode_png_pixels(data: bytes) -> np.ndarray:
@@ -475,3 +508,83 @@ def m05_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "thumb_px_md5",
         F.round("thumb_mean", 4).alias("thumb_mean"),
     )
+
+
+_M06_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_chunks", T.IntegerType()),
+        T.StructField("chunk_tags", T.StringType()),
+        T.StructField("crc_ok", T.BooleanType()),
+        T.StructField("idat_bytes", T.LongType()),
+        T.StructField("meta_lang", T.StringType()),
+        T.StructField("meta_source", T.StringType()),
+    ]
+)
+
+
+@register(
+    "m06_container_meta",
+    late=True,
+    oracle=None,  # python codec — rows-only; the chunk walk is
+    # verified against the generator in tests/test_multimodal_codec.py
+    doc="Container-metadata pass over the real codec (the EXIF "
+    "analog): payloads carry spec-valid tEXt chunks (keyword NUL "
+    "text) with the document's lang/source, and the operator walks "
+    "the CHUNK DIRECTORY ONLY — tags, payload lengths, CRC "
+    "validity, embedded metadata — without inflating a single IDAT "
+    "byte. This is the triage step a media ingest runs first at "
+    "100 TB: chunk walking is O(header bytes) per file vs O(pixels) "
+    "for decode, so corrupt/mislabeled media is quarantined before "
+    "any decompression cost. Same Arrow mapInPandas shape as "
+    "m02/m05, map-only, no shuffle.",
+)
+def m06_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    @F.pandas_udf(T.BinaryType())
+    def make(texts: pd.Series, langs: pd.Series, sources: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                synth_png_bytes(
+                    t if isinstance(t, str) else "",
+                    meta={"lang": str(lg), "source": str(sr)},
+                )
+                for t, lg, sr in zip(texts, langs, sources)
+            ]
+        )
+
+    payloads = docs.select(
+        "doc_id", make("text", "lang", "source").alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                chunks, meta = png_chunk_inventory(payload)
+                rows.append(
+                    (
+                        doc_id,
+                        len(chunks),
+                        ",".join(c[0] for c in chunks),
+                        all(c[2] for c in chunks),
+                        sum(c[1] for c in chunks if c[0] == "IDAT"),
+                        meta.get("lang"),
+                        meta.get("source"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_chunks",
+                    "chunk_tags",
+                    "crc_ok",
+                    "idat_bytes",
+                    "meta_lang",
+                    "meta_source",
+                ],
+            )
+
+    return payloads.mapInPandas(run, schema=_M06_SCHEMA)
