@@ -291,3 +291,54 @@ def q53_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_depth"),
         )
     )
+
+
+@register(
+    "q54_retention_cohorts",
+    late=True,
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(floor(date_diff('day', cohort, wk) / 7) AS BIGINT) AS week_offset,
+           count(*) AS n_active
+    FROM activity JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Weekly retention-cohort matrix: users grouped by first-seen "
+    "week, counted in every subsequent week they were active — the "
+    "growth-analytics staple. Two aggregations plus one join, all "
+    "keyed on user_id, so Spark REUSES a single hash partitioning "
+    "across first-seen, distinct-activity and the join (zero extra "
+    "shuffles; the final cohort-cell aggregation is the only new "
+    "exchange, and its cardinality is cohorts x offsets — tiny). "
+    "Week offsets are exact integer arithmetic: both engines "
+    "truncate weeks to Monday, so the day difference is always a "
+    "multiple of 7 (a raw date_diff('week') would count boundary "
+    "crossings and diverge).",
+)
+def q54_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("wk").cast("date"), F.col("cohort").cast("date")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
