@@ -230,6 +230,7 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
             if name.startswith("st") or name in (
                 "d07_embedding_cluster",
                 "d03_minhash_lsh",
+                "d11_fuzzy_clusters",  # convergence loop over d09 (same class)
                 "p07_training_order",
             ):
                 continue
