@@ -1711,3 +1711,51 @@ def q52_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "q55_market_share",
+    late=True,
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           round(sum(CASE WHEN n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+           count(*) AS n_items
+    FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q8 shape (national market share): one nation's revenue "
+    "fraction of total per order year — the conditional-aggregate "
+    "ratio pattern (sum(CASE)/sum) that computes a share WITHOUT a "
+    "second scan or a join back to a total: both numerator and "
+    "denominator ride the same partial aggregation, so the plan is "
+    "the plain joins + ONE agg. The nation dim broadcasts (25 rows "
+    "at any SF); supplier's strategy is left to size estimates. The "
+    "share divides two same-order partial sums accumulated by the "
+    "same engine pass and is rounded to 6 (double sum order differs "
+    "across engines).",
+)
+def q55_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -459,3 +459,46 @@ def t10_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("w") * F.lit(1.0) / F.count(F.lit(1))).alias("ttr"),
         )
     )
+
+
+@register(
+    "t11_source_entropy",
+    late=True,
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ), freq AS (
+      SELECT source, w, count(*) AS c FROM tok GROUP BY source, w
+    ), tot AS (
+      SELECT source, sum(c) AS n FROM freq GROUP BY source
+    )
+    SELECT source,
+           round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 4) AS entropy_nats
+    FROM freq JOIN tot USING (source)
+    GROUP BY source
+    """,
+    doc="Per-source unigram Shannon entropy (nats) — the information-"
+    "density signal that separates template/boilerplate sources "
+    "(low entropy) from natural text during corpus curation. Two "
+    "aggregations on the SAME source-keyed partitioning (word "
+    "frequencies, then the entropy sum) plus a broadcast-sized "
+    "per-source total join — the token explode shuffles once, "
+    "carrying one row per (source, distinct word) per map partition "
+    "after the partial agg. The final sum of p*ln(p) terms rounds "
+    "to 4 (float accumulation order differs across engines).",
+)
+def t11_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = freq.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    return (
+        freq.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"))
+    )
