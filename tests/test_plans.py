@@ -563,3 +563,14 @@ def test_p08_three_shuffles_total(q):
 
     p = plan_string(q("p08_training_export"), mode="simple")
     assert p.count("Exchange") <= 3, p
+
+
+def test_s09_filter_is_the_join_key(q):
+    """Filtered ANN must plan the label predicate as an equi-join
+    key (hash-partitioned candidates), never a cross product with a
+    post-filter."""
+    from tinysql_spark.plans import plan_string
+
+    df = q("s09_ann_filtered")
+    p = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p

@@ -692,3 +692,69 @@ def s08_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return pool.groupBy("query_id").applyInPandas(select_mmr, schema=out_schema)
+
+
+@register(
+    "s09_ann_filtered",
+    late=True,
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) AS e
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.e, c.e) AS sim
+      FROM u q JOIN u c
+        ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+       AND q.label = c.label
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 6) DESC, neighbor_id)
+            <= {_TOP_K}
+    """,
+    doc="FILTERED vector search: top-k restricted to candidates "
+    "sharing the query's label — the predicate+ANN composition "
+    "(metadata filter AND vector similarity) that trips naive "
+    "vector indexes (post-filtering an unfiltered top-k loses "
+    "recall when the filter is selective; pre-filtering is exact). "
+    "Expressed relationally the problem dissolves: the label "
+    "equality is ONE MORE JOIN CONJUNCT, so Catalyst plans a "
+    "hash-partitioned equi-join on label instead of the broadcast "
+    "cross-product — the filter IS the blocking key, candidates "
+    "per query drop from the corpus to one label partition, and "
+    "pushdown reaches the parquet scan. At 100 TB: this is why the "
+    "engine formulation beats bolting a vector index onto a "
+    "post-filter.",
+)
+def s09_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", "label", unit_vec(F.col("embedding")).alias("e"))
+    queries = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("e").alias("q_emb"),
+    )
+    corpus = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("e").alias("c_emb"),
+    )
+    sim = dot(F.col("q_emb"), F.col("c_emb"))
+    scored = (
+        queries.join(
+            corpus,
+            (F.col("q_label") == F.col("label"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round("sim", 6).desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
+    )

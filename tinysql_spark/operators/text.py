@@ -502,3 +502,50 @@ def t11_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"))
     )
+
+
+@register(
+    "t12_langid_eval",
+    late=True,
+    oracle="""
+    WITH pred AS (
+      SELECT lang,
+             CASE
+               WHEN contains(' ' || text || ' ', ' the ') OR contains(' ' || text || ' ', ' and ')
+                    OR contains(' ' || text || ' ', ' of ') THEN 'en'
+               WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' und ')
+                    OR contains(' ' || text || ' ', ' die ') THEN 'de'
+               WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' et ')
+                    OR contains(' ' || text || ' ', ' la ') THEN 'fr'
+               WHEN contains(' ' || text || ' ', ' el ') OR contains(' ' || text || ' ', ' y ')
+                    OR contains(' ' || text || ' ', ' los ') THEN 'es'
+               WHEN contains(' ' || text || ' ', '的') OR contains(' ' || text || ' ', '是') THEN 'zh'
+               ELSE 'unknown'
+             END AS pred_lang
+      FROM documents
+    )
+    SELECT lang, pred_lang, count(*) AS n,
+           sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS n_correct
+    FROM pred
+    GROUP BY lang, pred_lang
+    """,
+    doc="Language-ID CONFUSION MATRIX: t02's stopword-marker "
+    "predictor evaluated against the table's ground-truth lang "
+    "column, one cell per (actual, predicted) pair — the closed "
+    "evaluation loop a curator runs before trusting a classifier "
+    "gate at corpus scale. Map-only predicate + one tiny "
+    "aggregation (cells = langs²); the same pattern evaluates any "
+    "per-doc classifier against labels without leaving the engine.",
+)
+def t12_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_pred(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("lang") == F.col("pred_lang"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+    )
