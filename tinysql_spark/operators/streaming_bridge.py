@@ -512,7 +512,7 @@ def st07_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cannot emit a null row until the state store is CERTAIN no match "
     "can still arrive, i.e. when the watermark passes view_ts + 30 "
     "min + delay — so null emission is watermark-DRIVEN, and the "
-    "finite replay stages the two far-future sentinel files (st04's "
+    "finite replay stages two far-future sentinel files (st04's "
     "discipline) to flush the held unmatched views. Sentinels carry "
     "event_type '__wm__' and are filtered from both sides — they "
     "advance event time, never the data. State is bounded exactly as "
@@ -520,7 +520,7 @@ def st07_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the oracle is the batch LEFT JOIN over the same events.",
 )
 def st08_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = _stage_events_with_sentinels(sf_dir, n_sentinels=3)
+    src = _stage_events_with_sentinels(sf_dir, n_sentinels=2)
     # Watermarks advance only from rows that REACH the
     # EventTimeWatermark operator, and Catalyst pushes deterministic
     # filters BELOW it — so a filter that excludes the '__wm__'
