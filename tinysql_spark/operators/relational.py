@@ -1759,3 +1759,44 @@ def q55_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "q56_promo_revenue",
+    late=True,
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q14 shape (promotion effect): promo-part revenue as a "
+    "percentage of total per ship month — q55's conditional-"
+    "aggregate ratio pattern with a dimension-attribute predicate "
+    "riding the join instead of a second scan. The part dimension "
+    "is SF-scaled, so no broadcast is forced (size estimates pick "
+    "it at bench scale; shuffle join at 100 TB); the month "
+    "grouping keys on a date_trunc both engines compute "
+    "identically, and the share rounds to 4 (double sum order).",
+)
+def q56_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
