@@ -211,3 +211,27 @@ def test_m06_container_meta_roundtrip(spark, sf_dir):
     bad[-20] ^= 0xFF
     chunks, _ = png_chunk_inventory(bytes(bad))
     assert not all(c[2] for c in chunks)
+
+
+def test_m06_inventory_survives_truncation():
+    """Triage must not crash on corrupt containers: a truncated
+    payload and a bogus chunk length both yield a final
+    crc_ok=False entry instead of a struct.error (the quarantine
+    path m06 exists for)."""
+    from tinysql_spark.operators.multimodal import (
+        png_chunk_inventory,
+        synth_png_bytes,
+    )
+
+    good = synth_png_bytes("hello", meta={"lang": "en"})
+    # cut mid-IDAT: the partial chunk must report crc_ok=False
+    chunks, _ = png_chunk_inventory(good[: len(good) - 30])
+    assert chunks and chunks[-1][2] is False
+    # cut inside a chunk header (fewer than 8 bytes left)
+    chunks, _ = png_chunk_inventory(good[:10])
+    assert chunks == [("", 2, False)]
+    # bogus length field pointing past the end of the payload
+    bad = bytearray(good)
+    bad[8:12] = (2**31 - 1).to_bytes(4, "big")  # IHDR length -> huge
+    chunks, _ = png_chunk_inventory(bytes(bad))
+    assert chunks[0][0] == "IHDR" and chunks[0][2] is False

@@ -94,17 +94,65 @@ class Engine:
         # is still alive belongs to a live session over the same
         # warehouse and must not be destroyed (a second Engine would
         # otherwise silently roll back the first one's open txn).
+        # Liveness test: only ESRCH (ProcessLookupError) proves the
+        # owner is gone; EPERM means the PID is ALIVE under another OS
+        # user and the staging must survive. PID reuse by an unrelated
+        # process keeps dead staging around until that PID exits —
+        # conservative in the right direction (never destroys a live
+        # txn; a leaked dir costs disk, not correctness).
         for leftover in os.listdir(warehouse):
             if leftover.startswith(".txn-"):
                 path = os.path.join(warehouse, leftover)
                 try:
-                    pid = int(open(os.path.join(path, "PID")).read().strip())
-                    os.kill(pid, 0)  # raises if the owner is gone
-                    continue  # live owner — leave the staging alone
+                    with open(os.path.join(path, "PID")) as f:
+                        pid = int(f.read().strip())
                 except (OSError, ValueError):
-                    pass
+                    pid = None  # unreadable marker: crashed mid-create
+                if pid is not None:
+                    try:
+                        os.kill(pid, 0)
+                        continue  # signal delivered — owner alive
+                    except ProcessLookupError:
+                        pass  # ESRCH: owner is gone — dead staging
+                    except PermissionError:
+                        continue  # EPERM: alive under another user
+                    except OSError:
+                        continue  # unknown state — do not destroy
                 shutil.rmtree(path, ignore_errors=True)
+        # orphaned prepare dirs: _prepare_swap/_prepare_append clean
+        # their own tmp on failure, but a hard crash mid-write leaves
+        # <data_dir>.tmp-*/.append-* behind with no live owner record;
+        # they are never referenced once the owning process dies.
+        self._sweep_orphan_prepare_dirs()
         self._register_all()
+
+    def _sweep_orphan_prepare_dirs(self) -> None:
+        """Remove crash leftovers next to table data dirs: `data.trash-*`
+        (always dead — the swap that created it succeeded) immediately,
+        and `data.tmp-*` / `data.append-*` only when old enough (1 h)
+        that no live commit can still be writing them — prepare dirs
+        are sub-commit-lived, so age is a safe liveness proxy where a
+        PID marker would race the Spark write that creates the dir."""
+        import time
+
+        cutoff = time.time() - 3600
+        for db, tables in self.catalog.dbs.items():
+            for t in tables:
+                tdir = self.catalog.table_dir(db, t)
+                try:
+                    entries = os.listdir(tdir)
+                except OSError:
+                    continue
+                for e in entries:
+                    path = os.path.join(tdir, e)
+                    if e.startswith("data.trash-"):
+                        shutil.rmtree(path, ignore_errors=True)
+                    elif e.startswith(("data.tmp-", "data.append-")):
+                        try:
+                            if os.path.getmtime(path) < cutoff:
+                                shutil.rmtree(path, ignore_errors=True)
+                        except OSError:
+                            pass
 
     # ------------------------------------------------------------------
     # public API
@@ -388,18 +436,26 @@ class Engine:
         every table before publishing any of them."""
         info = self.catalog.get_table(db, table)
         tmp = self.catalog.data_dir(db, table) + f".tmp-{uuid.uuid4().hex[:8]}"
-        cols = [F.col(ROWID).cast("long")] + [
-            F.col(c.name).cast(c.spark_type()) for c in info.columns
-        ]
-        out = df.select(*cols)
-        if info.bucket:
-            self._write_bucket_files(out, info, tmp)
-        else:
-            w = self._to_physical(self._layout(out, info), info).write.mode("overwrite")
-            if info.partition_by:
-                phys = {c.name: c.file_name for c in info.columns}
-                w = w.partitionBy(*[phys.get(c, c) for c in info.partition_by])
-            w.parquet(tmp)
+        try:
+            cols = [F.col(ROWID).cast("long")] + [
+                F.col(c.name).cast(c.spark_type()) for c in info.columns
+            ]
+            out = df.select(*cols)
+            if info.bucket:
+                self._write_bucket_files(out, info, tmp)
+            else:
+                w = self._to_physical(self._layout(out, info), info).write.mode(
+                    "overwrite"
+                )
+                if info.partition_by:
+                    phys = {c.name: c.file_name for c in info.columns}
+                    w = w.partitionBy(*[phys.get(c, c) for c in info.partition_by])
+                w.parquet(tmp)
+        except BaseException:
+            # a half-written tmp dir is unreachable by any reader and
+            # would otherwise leak forever next to the data dir
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         return tmp
 
     def _write_swap(self, db: str, table: str, df: DataFrame) -> None:
@@ -1794,18 +1850,24 @@ class Engine:
         (_publish_append), so no data write remains in phase 2."""
         info = self.catalog.get_table(db, table)
         tmp = self.catalog.data_dir(db, table) + f".append-{uuid.uuid4().hex[:8]}"
-        cols = [F.col(ROWID).cast("long")] + [
-            F.col(c.name).cast(c.spark_type()) for c in info.columns
-        ]
-        out = df.select(*cols)
-        if info.bucket:
-            self._write_bucket_files(out, info, tmp)
-        else:
-            w = self._to_physical(self._layout(out, info), info).write.mode("overwrite")
-            if info.partition_by:
-                phys = {c.name: c.file_name for c in info.columns}
-                w = w.partitionBy(*[phys.get(c, c) for c in info.partition_by])
-            w.parquet(tmp)
+        try:
+            cols = [F.col(ROWID).cast("long")] + [
+                F.col(c.name).cast(c.spark_type()) for c in info.columns
+            ]
+            out = df.select(*cols)
+            if info.bucket:
+                self._write_bucket_files(out, info, tmp)
+            else:
+                w = self._to_physical(self._layout(out, info), info).write.mode(
+                    "overwrite"
+                )
+                if info.partition_by:
+                    phys = {c.name: c.file_name for c in info.columns}
+                    w = w.partitionBy(*[phys.get(c, c) for c in info.partition_by])
+                w.parquet(tmp)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         return tmp
 
     def _publish_append(self, db: str, table: str, tmp: str) -> None:

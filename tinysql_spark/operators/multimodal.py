@@ -128,12 +128,22 @@ def png_chunk_inventory(data: bytes) -> tuple[list[tuple[str, int, bool]], dict[
     chunks: list[tuple[str, int, bool]] = []
     meta: dict[str, str] = {}
     while pos < len(data):
+        # truncated/bogus-length chunks must yield a crc_ok=False row,
+        # not a struct.error — m06's whole purpose is quarantining
+        # corrupt payloads BEFORE decode, so the walk itself cannot
+        # crash the Arrow batch on a short read
+        if pos + 8 > len(data):
+            chunks.append(("", max(0, len(data) - pos), False))
+            break
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            chunks.append((tag.decode("latin-1", "replace"), length, False))
+            break
         payload = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         ok = binascii.crc32(tag + payload) & 0xFFFFFFFF == crc
-        chunks.append((tag.decode("latin-1"), length, ok))
+        chunks.append((tag.decode("latin-1", "replace"), length, ok))
         if tag == b"tEXt" and ok and b"\x00" in payload:
             k, v = payload.split(b"\x00", 1)
             meta[k.decode("latin-1")] = v.decode("latin-1")

@@ -1612,12 +1612,13 @@ def q50_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q18 shape (large-volume customers): IN over a "
     "grouped-HAVING subquery on the fact table, then a three-way "
     "join re-aggregated per order. Spark side plans the IN as a "
-    "LEFT SEMI join against the HAVING aggregate — the semi join's "
-    "build side is the qualifying-order list (tiny at any scale: "
-    "99th-percentile order qty is ~261, threshold 200), so it "
-    "broadcasts, and the lineitem scan is filtered before the "
-    "customer/orders joins. o_orderdate is a DATE group key — "
-    "exactness across engines is free (no float drift on keys).",
+    "LEFT SEMI join against the HAVING aggregate. The qualifying-"
+    "order list is SF-SCALED (threshold 200 sits below the ~261 "
+    "99th-percentile order qty, so >1% of all orders qualify) — no "
+    "forced broadcast: size estimates / AQE pick broadcast at bench "
+    "scale and a shuffled semi join at 100 TB, same discipline as "
+    "q49/q50/q56. o_orderdate is a DATE group key — exactness "
+    "across engines is free (no float drift on keys).",
 )
 def q51_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -1630,7 +1631,7 @@ def q51_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        li.join(big, "l_orderkey", "left_semi")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")

@@ -176,7 +176,9 @@ def _stage_events_with_sentinels(sf_dir: str, n_sentinels: int = 2) -> str:
     d = _stage_events(sf_dir)
     layout = ts_layout(os.path.join(d, "0000.parquet"))
     base = os.path.getmtime(os.path.join(d, "0000.parquet"))
-    isos = tuple(f"2030-01-0{k}T00:00:00" for k in range(1, n_sentinels + 1))
+    if not 1 <= n_sentinels <= 28:
+        raise ValueError(f"n_sentinels must be in [1, 28], got {n_sentinels}")
+    isos = tuple(f"2030-01-{k:02d}T00:00:00" for k in range(1, n_sentinels + 1))
     for i, iso in enumerate(isos, start=1):
         sec = int(time.mktime(time.strptime(iso, "%Y-%m-%dT%H:%M:%S")))
         # the sentinel file must share the source's ts physical layout

@@ -23,7 +23,7 @@ def tokens(col: Column) -> Column:
 
 
 def py_tokens(t: str | None) -> list[str]:
-    """Python twin of :func:`tokens`, kept faithful to the JVM/RE2
+    r"""Python twin of :func:`tokens`, kept faithful to the JVM/RE2
     semantics the oracles use: trim() strips SPACES only, and \s in
     Java regex / RE2 is the ASCII class [ \t\n\x0b\f\r] — Python's
     str.split() would instead strip/split on ALL Unicode whitespace
