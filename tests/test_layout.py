@@ -134,7 +134,7 @@ def test_ddl_bucketed_join_no_shuffle(spark, bkeng):
     the join and the aggregation."""
     eng, _ = bkeng
     _load_bucketed(eng)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    eng.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = eng.sql(
             "EXPLAIN FORMATTED SELECT f.k, sum(f.v) AS s, max(d.name) AS nm "
@@ -151,7 +151,7 @@ def test_ddl_bucketed_join_no_shuffle(spark, bkeng):
         assert len(rows) == 50
         assert rows[0][1] == sum(i * 1.5 for i in range(1000) if i % 50 == 0)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        eng.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
 def test_ddl_bucketed_append_delete_layout(spark, bkeng):
@@ -217,7 +217,8 @@ def test_optimize_table_compacts(spark, bkeng):
     assert n_after <= 8 < n_before
     assert eng.sql("SELECT count(*) AS n FROM fact").df.collect()[0][0] == 1005
     # still a valid bucketed table: co-bucketed join stays shuffle-free
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # (engine queries plan on the engine's private session)
+    eng.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         import re as _re
 
@@ -227,4 +228,4 @@ def test_optimize_table_compacts(spark, bkeng):
         ).df.collect()[0][0]
         assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 0
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        eng.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

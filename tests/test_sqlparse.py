@@ -83,3 +83,44 @@ class TestStrcmp:
 class TestSplit:
     def test_semicolon_in_string(self):
         assert split_statements("SELECT ';'; SELECT 1") == ["SELECT ';'", "SELECT 1"]
+
+
+class TestDbQualifierRewrite:
+    def setup_method(self):
+        from tinysql_spark.sqlparse import rewrite_db_qualifiers
+
+        self.rw = rewrite_db_qualifiers
+        self.m = {"default": "default__abc", "db2": "db2__abc"}
+
+    def test_bare_and_backticked(self):
+        assert (
+            self.rw("SELECT a FROM default.tx", self.m)
+            == "SELECT a FROM `default__abc`.tx"
+        )
+        assert (
+            self.rw("SELECT a FROM `default`.`tx`", self.m)
+            == "SELECT a FROM `default__abc`.`tx`"
+        )
+
+    def test_string_literals_untouched(self):
+        sql = "SELECT 'default.tx' AS s FROM default.tx"
+        assert self.rw(sql, self.m) == "SELECT 'default.tx' AS s FROM `default__abc`.tx"
+
+    def test_non_db_words_untouched(self):
+        assert self.rw("SELECT t.a FROM tx t", self.m) == "SELECT t.a FROM tx t"
+        assert self.rw("SELECT 1.5 + x.y FROM tx x", self.m) == "SELECT 1.5 + x.y FROM tx x"
+
+    def test_three_part_middle_not_remapped(self):
+        # x.default.y: 'default' is preceded by '.', so it is a table
+        # named default under db x — not a db qualifier
+        assert self.rw("SELECT * FROM x.default.y", self.m) == "SELECT * FROM x.default.y"
+
+    def test_word_without_dot_untouched(self):
+        assert self.rw("SELECT `default` FROM tx", self.m) == "SELECT `default` FROM tx"
+
+    def test_multiple_and_case_insensitive(self):
+        out = self.rw("SELECT * FROM DEFAULT.a JOIN db2.b ON default.a.k = db2.b.k", self.m)
+        assert out == (
+            "SELECT * FROM `default__abc`.a JOIN `db2__abc`.b "
+            "ON `default__abc`.a.k = `db2__abc`.b.k"
+        )

@@ -130,11 +130,13 @@ def test_analyze_stats_flip_join_strategy(spark, tmp_path):
     eng.sql("INSERT INTO fact SELECT CAST(id % 2000 AS INT), CAST(id AS INT) FROM range(4000)")
     q = "SELECT fact.k AS k, x, v FROM fact JOIN dim ON fact.k = dim.k WHERE dim.v = 7"
 
-    old_cbo = spark.conf.get("spark.sql.cbo.enabled")
-    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # Catalyst knobs for ENGINE queries live on the engine's private
+    # session (session isolation), not the shared fixture session
+    old_cbo = eng.spark.conf.get("spark.sql.cbo.enabled")
+    old_thresh = eng.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        spark.conf.set("spark.sql.cbo.enabled", "true")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        eng.spark.conf.set("spark.sql.cbo.enabled", "true")
+        eng.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
 
         before = join_strategies(eng.sql(q).df)
         assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before
@@ -148,5 +150,5 @@ def test_analyze_stats_flip_join_strategy(spark, tmp_path):
         # stats are visible to the cost model (EXPLAIN COST rowCount)
         assert "rowCount" in plan_string(df, "cost")
     finally:
-        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        eng.spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+        eng.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)

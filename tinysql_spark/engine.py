@@ -76,10 +76,22 @@ class Result:
 
 class Engine:
     def __init__(self, spark: SparkSession, warehouse: str):
-        self.spark = spark
+        # Session isolation (reference: every connection owns its own
+        # session context and txn buffer — session/session.go:562,
+        # kv/kv.go:139 MemBuffer): the Engine IS the session, so it
+        # takes a PRIVATE Spark session (own temp views, SQLConf and
+        # current database over the shared SparkContext) and registers
+        # its catalog under a per-engine database namespace
+        # `{db}__{sid}` in the shared metastore. Two Engines over one
+        # SparkSession/warehouse therefore cannot re-point each
+        # other's views — a second engine's _register_all can no
+        # longer clobber the first one's live transaction overlay.
+        self.shared_spark = spark
+        self.spark = spark.newSession()
+        self.sid = uuid.uuid4().hex[:8]
         # MySQL evaluation semantics: div-by-zero -> NULL, silent
         # overflow-free casts (reference: expression/builtin_arithmetic.go)
-        spark.conf.set("spark.sql.ansi.enabled", "false")
+        self.spark.conf.set("spark.sql.ansi.enabled", "false")
         self.catalog = Catalog(warehouse)
         self.current_db = "default"
         self.user_vars: dict[str, object] = {}
@@ -157,6 +169,22 @@ class Engine:
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
+
+    def close(self) -> None:
+        """End the session: roll back any open transaction and release
+        the engine's private Spark-catalog namespace. Table data and
+        the on-disk engine catalog are untouched (all Spark entries
+        are external LOCATION tables / views — metadata only); a new
+        Engine over the same warehouse re-registers everything."""
+        if self.txn is not None:
+            self._txn_rollback()
+        for db in list(self.catalog.dbs):
+            try:
+                self.spark.sql(
+                    f"DROP DATABASE IF EXISTS `{self._spark_db(db)}` CASCADE"
+                )
+            except Exception:
+                pass
 
     def execute(self, sql: str) -> list[Result]:
         return [self._execute_one(s) for s in P.split_statements(sql)]
@@ -271,15 +299,22 @@ class Engine:
             raise ValueError(f"table {t!r} is a read-only external table")
         return self.current_db, t
 
+    def _spark_db(self, db: str) -> str:
+        """The engine's PRIVATE Spark-catalog namespace for an engine
+        database — `{db}__{sid}`. The shared metastore is global
+        across Spark sessions, so the per-engine suffix is what makes
+        registrations (and txn overlay views) engine-local."""
+        return f"{db}__{self.sid}"
+
     def _spark_name(self, db: str, table: str) -> str:
-        return f"`{db}`.`{table}`"
+        return f"`{self._spark_db(db)}`.`{table}`"
 
     def _register_all(self) -> None:
         for db in self.catalog.dbs:
-            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{self._spark_db(db)}`")
             for t in self.catalog.tables(db):
                 self._register_table(db, t)
-        self.spark.catalog.setCurrentDatabase(self.current_db)
+        self.spark.catalog.setCurrentDatabase(self._spark_db(self.current_db))
 
     def _drop_spark_entry(self, name: str) -> None:
         """Drop a Spark-catalog entry that may be a view or a table —
@@ -492,7 +527,12 @@ class Engine:
         self._refresh_table(db, table)
 
     def _rewrite(self, sql: str) -> str:
-        return P.rewrite_select(sql, self.user_vars)
+        sql = P.rewrite_select(sql, self.user_vars)
+        # qualified db.table references must land in THIS engine's
+        # private Spark namespace (session isolation)
+        return P.rewrite_db_qualifiers(
+            sql, {db: self._spark_db(db) for db in self.catalog.dbs}
+        )
 
     # ------------------------------------------------------------------
     # SELECT / EXPLAIN
@@ -571,7 +611,7 @@ class Engine:
             raise ValueError(f"cannot parse CREATE DATABASE: {stmt[:60]}")
         db = P.unquote_ident(m.group(2))
         self.catalog.create_database(db, if_not_exists=bool(m.group(1)))
-        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{self._spark_db(db)}`")
         return Result(message=f"database {db} created")
 
     def _exec_drop_database(self, stmt: str) -> Result:
@@ -580,7 +620,7 @@ class Engine:
             raise ValueError(f"cannot parse DROP DATABASE: {stmt[:60]}")
         db = P.unquote_ident(m.group(2))
         self.catalog.drop_database(db, if_exists=bool(m.group(1)))
-        self.spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
+        self.spark.sql(f"DROP DATABASE IF EXISTS `{self._spark_db(db)}` CASCADE")
         return Result(message=f"database {db} dropped")
 
     def _exec_use(self, stmt: str) -> Result:
@@ -589,7 +629,7 @@ class Engine:
         if not self.catalog.has_database(db):
             raise ValueError(f"database {db!r} does not exist")
         self.current_db = db
-        self.spark.catalog.setCurrentDatabase(db)
+        self.spark.catalog.setCurrentDatabase(self._spark_db(db))
         return Result(message=f"database changed to {db}")
 
     _CTAS_RE = re.compile(

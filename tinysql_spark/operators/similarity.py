@@ -35,6 +35,18 @@ _TOP_K = 5
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 
 
+def _unit_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one frame every ANN operator starts from: vec_id, the raw
+    embedding (UDF inputs — bucket/centroid assignment stays
+    bit-identical to the standalone operators) and the unit-normalized
+    vector `e` (all dot-product scoring). s04 persists THIS once and
+    shares it across s01/s02/s03 instead of re-reading and
+    re-normalizing the corpus three times (VERDICT r04 item 3)."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", unit_vec(F.col("embedding")).alias("e")
+    )
+
+
 @register(
     "s01_ann_brute_topk",
     oracle=f"""
@@ -59,10 +71,10 @@ _N_QUERIES = 5  # vec_id < 5 are the query vectors
     "top-k via window row_number. At scale the corpus side stays "
     "partitioned, queries broadcast.",
 )
-def s01_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", unit_vec(F.col("embedding")).alias("e")
-    )
+def s01_ann_brute_topk(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
+    emb = (emb if emb is not None else _unit_emb(spark, sf_dir)).select("vec_id", "e")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("q_emb")
     )
@@ -123,11 +135,11 @@ lsh_bucket = F.pandas_udf(_lsh_bucket_batch, T.LongType()).asNondeterministic()
     "bucket equi-join, exact cosine re-rank top-k. Candidate "
     "generation stays a linear equi-join; recall measured by s04.",
 )
-def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        unit_vec(F.col("embedding")).alias("e"),
-        lsh_bucket(F.col("embedding")).alias("bucket"),
+def s02_ann_lsh(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
+    emb = (emb if emb is not None else _unit_emb(spark, sf_dir)).select(
+        "vec_id", "e", lsh_bucket(F.col("embedding")).alias("bucket")
     )
     masks = [0] + [1 << i for i in range(_N_PLANES)] + [
         (1 << i) | (1 << j) for i in range(_N_PLANES) for j in range(i + 1, _N_PLANES)
@@ -223,10 +235,22 @@ def _make_nearest_centroids(nprobe: int, centroids: list[list[float]]):
     "(query_id, neighbor_id).",
 )
 def s04_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = s01_ann_brute_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    from .dedup import _keyed_persist
+
+    # one scan + one normalization, shared by all three ANN plans —
+    # without this each component re-reads and re-normalizes the
+    # corpus (was the slowest non-streaming bench entry)
+    emb = _keyed_persist(f"s04.unit_emb.{sf_dir}", _unit_emb(spark, sf_dir))
+    # the exact baseline feeds three consumers (two semi joins + the
+    # per-query denominator) — persist it or the brute-force cross
+    # join runs three times
+    exact = _keyed_persist(
+        f"s04.exact.{sf_dir}",
+        s01_ann_brute_topk(spark, sf_dir, emb=emb).select("query_id", "neighbor_id"),
+    )
     hits_lsh = (
         exact.join(
-            s02_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id"),
+            s02_ann_lsh(spark, sf_dir, emb=emb).select("query_id", "neighbor_id"),
             ["query_id", "neighbor_id"],
             "left_semi",
         )
@@ -235,7 +259,7 @@ def s04_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits_ivf = (
         exact.join(
-            s03_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id"),
+            s03_ann_ivf(spark, sf_dir, emb=emb).select("query_id", "neighbor_id"),
             ["query_id", "neighbor_id"],
             "left_semi",
         )
@@ -264,19 +288,22 @@ def s04_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cost ~ nprobe/K of the corpus; lists are disjoint so the shuffle "
     "is one equi-join, never all-pairs.",
 )
-def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+def s03_ann_ivf(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
+    if emb is None:
+        emb = _unit_emb(spark, sf_dir)
     nearest = _make_nearest_centroids(_IVF_NPROBE, _trained_centroids(spark, sf_dir))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
-        unit_vec(F.col("embedding")).alias("c_emb"),
+        F.col("e").alias("c_emb"),
         F.element_at(nearest(F.col("embedding")), 1).alias("cid"),
     )
     queries = (
         emb.filter(F.col("vec_id") < _N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
-            unit_vec(F.col("embedding")).alias("q_emb"),
+            F.col("e").alias("q_emb"),
             # separate Project: a nondeterministic expression is not
             # allowed inside the Generate node explode() produces
             nearest(F.col("embedding")).alias("cids"),

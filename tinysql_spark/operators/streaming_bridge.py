@@ -31,21 +31,45 @@ from ..streaming.pipeline import hourly_counts, read_event_stream, run_to_memory
 from .registry import register
 
 
+# Staged-source cache (VERDICT r04 item 4): the staging content is a
+# pure function of (kind, sf_dir, params) — symlinks, sentinel files,
+# split files — so one staging dir per key serves every st-entry and
+# every repeat run in the process. Concurrent readers are safe (each
+# stream keeps its own checkpoint/state); only the source dir is
+# shared. Keyed on the ABSOLUTE sf_dir so relative/absolute spellings
+# hit the same entry.
+_STAGE_CACHE: dict[tuple, str] = {}
+
+
+def _stage_cached(key: tuple, build) -> str:
+    d = _STAGE_CACHE.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    d = build()
+    _STAGE_CACHE[key] = d
+    return d
+
+
 def _stage_events(sf_dir: str) -> str:
     """Source-view directory for the events stream: a symlink to the
     source parquet, read in place (the file source needs a directory
     and ``sf_dir`` mixes every table's files, so an isolating view dir
     stands in for a dedicated ingest directory). O(1) metadata op —
-    the data itself never moves through the driver."""
-    d = tempfile.mkdtemp(prefix="tinysql_stream_")
-    # abspath: a relative sf_dir would otherwise resolve relative to
-    # the tmp dir (symlink targets resolve at READ time, against the
-    # link's own directory) and every stream would 404
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(d, "0000.parquet"),
-    )
-    return d
+    the data itself never moves through the driver. Cached per
+    sf_dir."""
+
+    def build() -> str:
+        d = tempfile.mkdtemp(prefix="tinysql_stream_")
+        # abspath: a relative sf_dir would otherwise resolve relative to
+        # the tmp dir (symlink targets resolve at READ time, against the
+        # link's own directory) and every stream would 404
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+            os.path.join(d, "0000.parquet"),
+        )
+        return d
+
+    return _stage_cached(("plain", os.path.abspath(sf_dir)), build)
 
 
 @register(
@@ -173,36 +197,48 @@ def _stage_events_with_sentinels(sf_dir: str, n_sentinels: int = 2) -> str:
 
     from ..streaming.pipeline import ts_layout
 
-    d = _stage_events(sf_dir)
-    layout = ts_layout(os.path.join(d, "0000.parquet"))
-    base = os.path.getmtime(os.path.join(d, "0000.parquet"))
     if not 1 <= n_sentinels <= 28:
         raise ValueError(f"n_sentinels must be in [1, 28], got {n_sentinels}")
-    isos = tuple(f"2030-01-{k:02d}T00:00:00" for k in range(1, n_sentinels + 1))
-    for i, iso in enumerate(isos, start=1):
-        sec = int(time.mktime(time.strptime(iso, "%Y-%m-%dT%H:%M:%S")))
-        # the sentinel file must share the source's ts physical layout
-        # or the fixed-schema stream read breaks on the mixed directory
-        if layout == "micros":
-            ts_arr = pa.array([sec * 10**6], pa.timestamp("us"))
-        elif layout == "nanos":
-            ts_arr = pa.array([sec * 10**9], pa.timestamp("ns"))
-        else:
-            ts_arr = pa.array([sec * 10**9], pa.int64())
-        tbl = pa.table(
-            {
-                "event_id": pa.array([-i], pa.int64()),
-                "ts": ts_arr,
-                "user_id": pa.array([-1], pa.int64()),
-                "event_type": pa.array(["__wm__"], pa.string()),
-                "value": pa.array([0.0], pa.float64()),
-                "props": pa.array(["{}"], pa.string()),
-            }
-        )
-        path = os.path.join(d, f"{i:04d}.parquet")
-        pq.write_table(tbl, path)
-        os.utime(path, (base + i, base + i))
-    return d
+
+    def build() -> str:
+        # own dir, NOT the plain _stage_events cache entry — adding
+        # sentinel files to the shared plain dir would corrupt every
+        # st-entry that expects sentinel-free input
+        d = tempfile.mkdtemp(prefix="tinysql_stream_wm_")
+        src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+        link = os.path.join(d, "0000.parquet")
+        os.symlink(src, link)
+        layout = ts_layout(link)
+        base = os.path.getmtime(link)
+        isos = tuple(f"2030-01-{k:02d}T00:00:00" for k in range(1, n_sentinels + 1))
+        for i, iso in enumerate(isos, start=1):
+            sec = int(time.mktime(time.strptime(iso, "%Y-%m-%dT%H:%M:%S")))
+            # the sentinel file must share the source's ts physical layout
+            # or the fixed-schema stream read breaks on the mixed directory
+            if layout == "micros":
+                ts_arr = pa.array([sec * 10**6], pa.timestamp("us"))
+            elif layout == "nanos":
+                ts_arr = pa.array([sec * 10**9], pa.timestamp("ns"))
+            else:
+                ts_arr = pa.array([sec * 10**9], pa.int64())
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([-i], pa.int64()),
+                    "ts": ts_arr,
+                    "user_id": pa.array([-1], pa.int64()),
+                    "event_type": pa.array(["__wm__"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }
+            )
+            path = os.path.join(d, f"{i:04d}.parquet")
+            pq.write_table(tbl, path)
+            os.utime(path, (base + i, base + i))
+        return d
+
+    return _stage_cached(
+        ("sentinels", os.path.abspath(sf_dir), n_sentinels), build
+    )
 
 
 @register(
@@ -304,17 +340,20 @@ def _stage_events_split(sf_dir: str, n: int = 3) -> str:
     the multi-batch arrival pattern an upsert sink exists for."""
     import pyarrow.parquet as pq
 
-    d = tempfile.mkdtemp(prefix="tinysql_st06_")
-    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    step = (tbl.num_rows + n - 1) // n
-    base = None
-    for i in range(n):
-        path = os.path.join(d, f"{i:04d}.parquet")
-        pq.write_table(tbl.slice(i * step, step), path)
-        if base is None:
-            base = os.path.getmtime(path)
-        os.utime(path, (base + i, base + i))
-    return d
+    def build() -> str:
+        d = tempfile.mkdtemp(prefix="tinysql_st06_")
+        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        step = (tbl.num_rows + n - 1) // n
+        base = None
+        for i in range(n):
+            path = os.path.join(d, f"{i:04d}.parquet")
+            pq.write_table(tbl.slice(i * step, step), path)
+            if base is None:
+                base = os.path.getmtime(path)
+            os.utime(path, (base + i, base + i))
+        return d
+
+    return _stage_cached(("split", os.path.abspath(sf_dir), n), build)
 
 
 def _upsert_latest(base: str) -> str | None:

@@ -613,6 +613,75 @@ def substitute_user_vars(sql: str, user_vars: dict[str, object]) -> str:
     return "".join(out) if changed else sql
 
 
+def rewrite_db_qualifiers(sql: str, mapping: dict[str, str]) -> str:
+    """Rewrite ``db.x`` / ```db`.x`` qualifiers whose db part names an
+    engine database into the engine's PRIVATE Spark-catalog namespace
+    for that database (session isolation — reference analog: every
+    session owns its context, session/session.go:562).
+
+    Quote-aware: a matching word inside a string literal is data and
+    passes through. Only a token immediately followed by ``.`` and an
+    identifier start is a qualifier; a token already preceded by ``.``
+    (the middle of ``db.table.col``) is never re-mapped. Known
+    ambiguity (inherited from SQL itself): a table alias spelled
+    exactly like an engine database name and used as ``alias.col``
+    would be rewritten — don't alias tables with database names.
+    """
+    if not mapping:
+        return sql
+    low = {k.lower(): v for k, v in mapping.items()}
+    out: list[str] = []
+    i, n = 0, len(sql)
+    changed = False
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            q = ch
+            out.append(ch)
+            i += 1
+            while i < n:
+                out.append(sql[i])
+                if sql[i] == "\\" and q != "`" and i + 1 < n:
+                    out.append(sql[i + 1])
+                    i += 2
+                    continue
+                if sql[i] == q:
+                    i += 1
+                    break
+                i += 1
+            continue
+        if ch == "`" or ch.isalpha() or ch == "_":
+            if ch == "`":
+                j = sql.find("`", i + 1)
+                if j == -1:
+                    out.append(sql[i:])
+                    break
+                name, end = sql[i + 1 : j], j + 1
+            else:
+                j = i
+                while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                    j += 1
+                name, end = sql[i:j], j
+            target = low.get(name.lower())
+            qualifier = (
+                target is not None
+                and end + 1 < n
+                and sql[end] == "."
+                and (sql[end + 1] == "`" or sql[end + 1].isalnum() or sql[end + 1] == "_")
+            )
+            prev = out[-1][-1] if out and out[-1] else ""
+            if qualifier and prev != ".":
+                out.append(f"`{target}`")
+                changed = True
+            else:
+                out.append(sql[i:end])
+            i = end
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out) if changed else sql
+
+
 def render_literal(v: object) -> str:
     if v is None:
         return "NULL"

@@ -40,25 +40,32 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+_TS_LAYOUT_CACHE: dict[str, str] = {}
+
+
 def ts_layout(events_path: str) -> str:
     """Physical layout of the events `ts` column, read from the parquet
     footer of the first file: 'nanos' (TIMESTAMP(NANOS) — Spark reads
     it as long under nanosAsLong), 'long' (plain int64 nanoseconds),
     or 'micros' (TIMESTAMP(MICROS) — a plain Spark timestamp). The
     driver has shipped both nanos (rounds 1-2) and micros (round 3)
-    layouts, so the streaming source detects instead of assuming."""
+    layouts, so the streaming source detects instead of assuming.
+    Footer probes are cached per resolved file path — the layout is a
+    property of the file, and every st-entry probes the same staged
+    source."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
     files = sorted(glob.glob(os.path.join(events_path, "*.parquet"))) or [events_path]
-    t = str(pq.read_schema(files[0]).field("ts").type)
-    if t == "timestamp[ns]":
-        return "nanos"
-    if t == "int64":
-        return "long"
-    return "micros"
+    key = os.path.realpath(files[0])
+    got = _TS_LAYOUT_CACHE.get(key)
+    if got is None:
+        t = str(pq.read_schema(files[0]).field("ts").type)
+        got = "nanos" if t == "timestamp[ns]" else ("long" if t == "int64" else "micros")
+        _TS_LAYOUT_CACHE[key] = got
+    return got
 
 
 def read_event_stream(
