@@ -1248,3 +1248,60 @@ def test_engine_session_temp_views_isolated(eng, spark, tmp_path):
         assert rows(b.sql("SELECT v FROM ext")) == [(2,)]
     finally:
         b.close()
+
+
+def test_explain_analyze_runtime_metrics(eng):
+    """EXPLAIN ANALYZE executes the SELECT and returns one row per
+    physical operator with actual row counts + runtime metric summary
+    (VERDICT r04 item 6; TiDB's EXPLAIN ANALYZE surface)."""
+    eng.sql("CREATE TABLE ea (k int, v double)")
+    eng.sql(
+        "INSERT INTO ea SELECT CAST(id % 7 AS INT), CAST(id AS DOUBLE) FROM range(100)"
+    )
+    r = eng.sql("EXPLAIN ANALYZE SELECT k, sum(v) AS s FROM ea GROUP BY k")
+    got = r.df.collect()
+    assert [f.name for f in r.df.schema.fields] == ["id", "actRows", "execution_info"]
+    ops = [row["id"].strip() for row in got]
+    # the executed tree contains a scan and an aggregate
+    assert any("Scan" in o for o in ops), ops
+    assert any("HashAggregate" in o for o in ops), ops
+    # actual runtime row counts are populated: the scan saw 100 rows,
+    # the final aggregate emitted 7 groups
+    by_op = {row["id"].strip(): row for row in got}
+    scan = next(row for op, row in by_op.items() if "Scan" in op)
+    assert scan["actRows"] == 100
+    assert any(row["actRows"] == 7 for row in got if "HashAggregate" in row["id"])
+    # metric summaries carry real counters (time/memory/shuffle)
+    assert any(row["execution_info"] for row in got)
+
+    # DML is refused loudly — EXPLAIN ANALYZE must not execute writes
+    with pytest.raises(ValueError, match="SELECT only"):
+        eng.sql("EXPLAIN ANALYZE INSERT INTO ea VALUES (1, 1.0)")
+    # and nothing was written by the refused statement
+    assert rows(eng.sql("SELECT count(*) AS c FROM ea")) == [(100,)]
+
+
+def test_ctas_failure_mid_append_leaves_no_orphan_dir(eng, monkeypatch):
+    """VERDICT r04 item 10: a failure DURING _append (after data files
+    are already on disk) must drop the catalog entry AND the on-disk
+    table dir — no orphan directory next to the warehouse data."""
+    import os
+
+    from tinysql_spark.engine import Engine
+
+    real_append = Engine._append
+
+    def partial_then_boom(self, db, t, df):
+        real_append(self, db, t, df)  # files land in data/
+        raise RuntimeError("simulated post-write failure")
+
+    monkeypatch.setattr(Engine, "_append", partial_then_boom)
+    with pytest.raises(RuntimeError, match="post-write"):
+        eng.sql("CREATE TABLE orphan AS SELECT 1 AS x")
+    assert not eng.catalog.has_table("default", "orphan")
+    tdir = os.path.join(eng.catalog.warehouse, "default", "orphan")
+    assert not os.path.exists(tdir), "orphan table dir left on disk"
+    monkeypatch.undo()
+    r = eng.sql("CREATE TABLE orphan AS SELECT 1 AS x")
+    assert r.rows_affected == 1
+    assert rows(eng.sql("SELECT x FROM orphan")) == [(1,)]

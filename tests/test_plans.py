@@ -574,3 +574,21 @@ def test_s09_filter_is_the_join_key(q):
     df = q("s09_ann_filtered")
     p = plan_string(df, mode="simple")
     assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["s01_ann_brute_topk", "s05_ann_scalar_quant", "s07_ann_pq"],
+)
+def test_ann_topk_uses_window_group_limit(q, name):
+    """The brute-force/quantized ANN top-k paths end in
+    `row_number() <= k` — Spark must plan that as WindowGroupLimit
+    (map-side per-group rank pruning), the same protection pinned for
+    q45: without it every (query, corpus) score row survives to the
+    final window sort, which at corpus scale means shuffling the
+    entire scored cross product instead of k rows per query and
+    partition (VERDICT r04 item 7)."""
+    from tinysql_spark.plans import plan_string
+
+    plan = plan_string(q(name))
+    assert "WindowGroupLimit" in plan, f"{name} lost map-side top-k pruning"

@@ -543,6 +543,9 @@ class Engine:
 
     def _exec_explain(self, stmt: str) -> Result:
         body = re.sub(r"^\s*(EXPLAIN|DESCRIBE|DESC)\s+", "", stmt.strip(), flags=re.I)
+        m = re.match(r"^ANALYZE\s+", body, re.I)
+        if m:
+            return self._explain_analyze(body[m.end() :])
         # FORMAT = 'row'|'dot' (parser.y:2139-2153): both render as
         # Spark's formatted plan text — "dot" has no Spark analog and
         # maps to the same tree, documented substitution
@@ -563,6 +566,32 @@ class Engine:
         if kind == "delete":
             return self._explain_delete(body, mode)
         return Result(df=self.spark.sql(f"EXPLAIN {mode} {self._rewrite(body)}"))
+
+    def _explain_analyze(self, body: str) -> Result:
+        """EXPLAIN ANALYZE <select>: execute the plan and render one
+        row per physical operator with its RUNTIME metrics (actual
+        output rows + time/memory/shuffle counters) — TiDB's EXPLAIN
+        ANALYZE surface (this engine's extension; the reference
+        renders estimates only, executor/explain.go:25). Execution is
+        distributed (final-RDD count, no driver collect), and the
+        rendered tree is the post-AQE plan that actually ran. SELECT
+        only: EXPLAIN ANALYZE on DML would execute the write — a
+        side-effecting "explain" is a footgun we refuse loudly."""
+        kind = P.statement_kind(body)
+        if kind != "select":
+            raise ValueError(
+                "EXPLAIN ANALYZE supports SELECT only (analyzing DML would "
+                f"execute the {kind.upper()} — run EXPLAIN {kind.upper()} for "
+                "the plan without side effects)"
+            )
+        from .plans.inspect import executed_metrics
+
+        rows = executed_metrics(self.spark.sql(self._rewrite(body)))
+        df = self.spark.createDataFrame(
+            [(op, act, mets) for op, act, mets in rows],
+            "id string, actRows bigint, execution_info string",
+        )
+        return Result(df=df)
 
     def _plan_text_df(self, header: str, df: DataFrame, mode: str):
         from .plans.inspect import plan_string

@@ -70,3 +70,72 @@ def has_top_n(df: DataFrame) -> bool:
     """Catalyst plans ORDER BY+LIMIT as TakeOrderedAndProject — the
     engine-side TopN (reference: executor/sort.go:148 TopNExec)."""
     return "TakeOrderedAndProject" in plan_string(df)
+
+
+def executed_metrics(df: DataFrame) -> list[tuple[str, int | None, str]]:
+    """EXECUTE the DataFrame's physical plan and return per-operator
+    runtime metrics, depth-first: (tree-indented operator name,
+    actual output rows, metric summary).
+
+    The EXPLAIN ANALYZE backbone (reference analog: ExplainExec +
+    runtime stats, executor/explain.go:25,
+    planner/core/common_plans.go:156 — TinySQL renders estimates only;
+    executed metrics are TiDB's EXPLAIN ANALYZE, added here as a
+    natural engine extension). Execution runs distributed —
+    ``plan.execute().count()`` drives the final RDD without funneling
+    result rows through the driver, so analyzing a huge SELECT costs
+    the query, not the query plus a collect.
+
+    AQE wrappers (AdaptiveSparkPlan, *QueryStage) are traversed into
+    their FINAL materialized plans, so the rendered tree is the plan
+    that actually ran, with runtime-coalesced/skew-split exchanges.
+    """
+    jdf = df._jdf  # type: ignore[attr-defined]
+    qe = jdf.queryExecution()
+    plan = qe.executedPlan()
+    # run the plan to populate SQLMetrics; RDD count, no driver rows
+    plan.execute().count()
+
+    out: list[tuple[str, int | None, str]] = []
+
+    def metric_pairs(node) -> list[tuple[str, int]]:
+        pairs = []
+        try:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                pairs.append((kv._1(), int(kv._2().value())))
+        except Exception:
+            pass
+        return pairs
+
+    def walk(node, depth: int) -> None:
+        name = node.nodeName()
+        pairs = dict(metric_pairs(node))
+        act_rows = pairs.pop("numOutputRows", None)
+        # the interesting, nonzero remainder — time/memory/io first
+        keyorder = (
+            "aggTime", "pipelineTime", "shuffleWriteTime", "fetchWaitTime",
+            "peakMemory", "spillSize", "dataSize", "shuffleRecordsWritten",
+            "recordsRead", "numPartitions", "numFiles", "filesSize",
+        )
+        shown = [(k, pairs[k]) for k in keyorder if pairs.get(k)]
+        shown += [
+            (k, v) for k, v in sorted(pairs.items())
+            if v and k not in keyorder
+        ]
+        summary = ", ".join(f"{k}={v}" for k, v in shown[:6])
+        out.append(("  " * depth + name, act_rows, summary))
+        cls = node.getClass().getName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan(), depth + 1)
+            return
+        if "QueryStageExec" in cls or name.endswith("QueryStage"):
+            walk(node.plan(), depth + 1)
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), depth + 1)
+
+    walk(plan, 0)
+    return out
