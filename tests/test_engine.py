@@ -1305,3 +1305,42 @@ def test_ctas_failure_mid_append_leaves_no_orphan_dir(eng, monkeypatch):
     r = eng.sql("CREATE TABLE orphan AS SELECT 1 AS x")
     assert r.rows_affected == 1
     assert rows(eng.sql("SELECT x FROM orphan")) == [(1,)]
+
+
+def test_running_setvar_window_rewrite(eng):
+    """Row-stream SetVar running idioms (reference:
+    executor/executor.go:413-415 unBatchedNext exists for row-at-a-time
+    SetVar): `@t := @t + x ... ORDER BY k` and `@r := @r + 1` execute
+    as prefix-sum windows over the statement's ORDER BY; non-running
+    forms still fail loudly."""
+    eng.sql("CREATE TABLE rs (k int, v double)")
+    eng.sql("INSERT INTO rs VALUES (1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)")
+    eng.sql("SET @t = 0")
+    got = rows(eng.sql("SELECT k, @t := @t + v AS rt FROM rs ORDER BY k"))
+    assert got == [(1, 10.0), (2, 30.0), (3, 60.0), (4, 100.0)]
+    # non-zero initial value participates (MySQL: @t carries in)
+    eng.sql("SET @t = 5")
+    got = rows(eng.sql("SELECT k, @t := @t + v AS rt FROM rs ORDER BY k DESC"))
+    assert got == [(1, 105.0), (2, 95.0), (3, 75.0), (4, 45.0)]
+    # row counter
+    eng.sql("SET @r = 0")
+    got = rows(eng.sql("SELECT k, @r := @r + 1 AS rn FROM rs ORDER BY k"))
+    assert got == [(1, 1), (2, 2), (3, 3), (4, 4)]
+    # unset variable: NULL propagates to every row (MySQL semantics)
+    got = rows(eng.sql("SELECT k, @unset := @unset + v AS rt FROM rs ORDER BY k"))
+    assert all(r[1] is None for r in got)
+    # inside a scalar function
+    eng.sql("SET @t = 0")
+    got = rows(eng.sql("SELECT k, round(@t := @t + v, 1) AS rt FROM rs ORDER BY k"))
+    assert got == [(1, 10.0), (2, 30.0), (3, 60.0), (4, 100.0)]
+    # unsupported forms stay loud
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="row-order-dependent"):
+        eng.sql("SELECT @a := v FROM rs ORDER BY k")
+    with _pt.raises(ValueError, match="row-order-dependent"):
+        eng.sql("SELECT @t := @t + v FROM rs")  # no ORDER BY
+    with _pt.raises(ValueError, match="assigned more than once"):
+        eng.sql("SELECT @t := @t + v, @t := @t + 1 FROM rs ORDER BY k")
+    with _pt.raises(ValueError, match="read"):
+        eng.sql("SELECT @t := @t + v AS rt, @t * 2 AS x FROM rs ORDER BY k")

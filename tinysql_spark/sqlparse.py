@@ -543,6 +543,145 @@ def rewrite_strcmp(sql: str) -> str:
         out = out[: m.start()] + repl + out[args_end + 1 :]
 
 
+_SETVAR_RE = re.compile(r"@(\w+)\s*:=\s*@(\w+)\s*\+", re.S)
+_SETVAR_STOP_KW = re.compile(
+    r"(AS|FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|EXCEPT|INTERSECT)\b", re.I
+)
+
+
+def rewrite_running_setvars(sql: str, user_vars: dict[str, object]) -> str:
+    """Translate MySQL's row-stream SetVar *running-aggregate idioms*
+    into window functions — the pre-8.0 patterns users actually port
+    (reference: executor/executor.go:413-415 unBatchedNext exists
+    precisely for row-at-a-time SetVar evaluation):
+
+        SELECT @t := @t + x  ... ORDER BY k   -- running total
+        SELECT @r := @r + 1  ... ORDER BY k   -- row counter
+
+    become ``(<init> + sum(<expr>) OVER (ORDER BY k ROWS BETWEEN
+    UNBOUNDED PRECEDING AND CURRENT ROW))`` with ``<init>`` the
+    variable's current session value (NULL if unset — and NULL + x is
+    NULL on every row, exactly MySQL's propagation). A top-level ORDER
+    BY is REQUIRED: it is what gives "the previous row" a meaning in a
+    distributed scan; without one, or for any non-running form
+    (``@a := col``, mid-stream reads of the variable, a variable
+    assigned twice), the statement still fails loudly in
+    substitute_user_vars. Ties in the ORDER BY are processed in
+    arbitrary order — the same indeterminism MySQL documents. The
+    session variable is NOT updated after the query (results are lazy
+    DataFrames); MySQL leaves it at the final row's value.
+    """
+    if ":=" not in sql:
+        return sql
+    spans = {kw: (a, b) for a, b, kw in _top_level_keyword_spans(sql)}
+    if "ORDER BY" not in spans:
+        return sql  # no row order -> the loud error path
+    ob_end = spans["ORDER BY"][1]
+    order_stop = spans["LIMIT"][0] if "LIMIT" in spans else len(sql)
+    order_text = sql[ob_end:order_stop].strip()
+    if not order_text:
+        return sql
+
+    out = []
+    i, n = 0, len(sql)
+    quote = None
+    depth = 0
+    rewritten: list[str] = []
+    while i < n:
+        ch = sql[i]
+        if quote:
+            out.append(ch)
+            if ch == "\\" and quote in "'\"" and i + 1 < n:
+                out.append(sql[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "@" and sql[i + 1 : i + 2] != "@":
+            m = _SETVAR_RE.match(sql, i)
+            if m and m.group(1).lower() == m.group(2).lower():
+                name = m.group(1).lower()
+                if name in rewritten:
+                    raise ValueError(
+                        f"@{name} is assigned more than once in one statement — "
+                        "interleaved running-variable updates have no "
+                        "deterministic distributed meaning"
+                    )
+                # capture the summand: up to a comma at this depth, a
+                # close paren below this depth, or a top-level keyword
+                j = m.end()
+                d2 = depth
+                start = j
+                while j < n:
+                    c = sql[j]
+                    if quote is None and c in ("'", '"', "`"):
+                        q2 = c
+                        j += 1
+                        while j < n:
+                            if sql[j] == "\\" and q2 in "'\"":
+                                j += 2
+                                continue
+                            if sql[j] == q2:
+                                break
+                            j += 1
+                        j += 1
+                        continue
+                    if c == "(":
+                        d2 += 1
+                    elif c == ")":
+                        if d2 == depth:
+                            break
+                        d2 -= 1
+                    elif c == "," and d2 == depth:
+                        break
+                    elif (
+                        d2 == depth
+                        and c.isalpha()
+                        and not (sql[j - 1].isalnum() or sql[j - 1] in "_`@")
+                        and _SETVAR_STOP_KW.match(sql, j)
+                    ):
+                        break
+                    j += 1
+                expr = sql[start:j].strip()
+                if expr:
+                    init = render_literal(user_vars.get(name))
+                    out.append(
+                        f"({init} + sum({expr}) OVER (ORDER BY {order_text} "
+                        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+                    )
+                    rewritten.append(name)
+                    i = j
+                    continue
+        out.append(ch)
+        i += 1
+    if not rewritten:
+        return sql
+    result = "".join(out)
+    # a mid-stream READ of a rewritten variable elsewhere in the
+    # statement would see the constant initial value, not the running
+    # one — refuse instead of silently diverging from MySQL
+    for name in rewritten:
+        if re.search(rf"(?<!@)@{name}\b", result, re.I):
+            raise ValueError(
+                f"@{name} is both a running assignment target and read "
+                "elsewhere in the statement — mid-stream variable reads are "
+                "row-order dependent and unsupported; materialize the "
+                "running value once and reference its alias"
+            )
+    return result
+
+
 def substitute_user_vars(sql: str, user_vars: dict[str, object]) -> str:
     """Replace @name references with their literal values.
 
@@ -601,8 +740,10 @@ def substitute_user_vars(sql: str, user_vars: dict[str, object]) -> str:
                         raise ValueError(
                             f"row-order-dependent SetVar '@{name} := ...' inside a "
                             "query is unsupported (rows have no deterministic order "
-                            "in a distributed scan); use SET @"
-                            f"{name} = <expr> for session-scoped assignment"
+                            "in a distributed scan); supported: the running forms "
+                            f"'@{name} := @{name} + <expr>' WITH a top-level ORDER "
+                            f"BY (window rewrite), or SET @{name} = <expr> for "
+                            "session-scoped assignment"
                         )
                     out.append(render_literal(user_vars.get(name)))
                     changed = True
@@ -694,4 +835,7 @@ def render_literal(v: object) -> str:
 
 
 def rewrite_select(sql: str, user_vars: dict[str, object]) -> str:
+    # running-SetVar idioms first: what it rewrites no longer contains
+    # ':=', so the loud error below only fires for unsupported forms
+    sql = rewrite_running_setvars(sql, user_vars)
     return rewrite_strcmp(substitute_user_vars(sql, user_vars))
