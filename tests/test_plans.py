@@ -592,3 +592,28 @@ def test_ann_topk_uses_window_group_limit(q, name):
 
     plan = plan_string(q(name))
     assert "WindowGroupLimit" in plan, f"{name} lost map-side top-k pruning"
+
+
+def test_q61_disjunction_pushes_common_factors(q):
+    """The Q19-shape OR-of-conjunctions must shed per-side common
+    factors into the scans: the part scan receives a p_brand IN-list
+    (or Or-of-equals) filter and the lineitem scan a l_quantity
+    range — at 100 TB this is the difference between joining three
+    brands' rows and joining the whole fact table."""
+    from tinysql_spark.plans import plan_string, pushed_filters
+
+    df = q("q61_disjunctive_revenue")
+    pushed = " ".join(pushed_filters(df))
+    assert "p_brand" in pushed, pushed
+    assert "l_quantity" in pushed, pushed
+    # the join itself is an equi hash/merge join, never a cartesian
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q58_top20_is_take_ordered(q):
+    """The Q10-shape top-20 must plan as TakeOrderedAndProject
+    (per-partition top-k + single merge), not a global sort."""
+    from tinysql_spark.plans import has_top_n
+
+    assert has_top_n(q("q58_returned_item_customers"))

@@ -1801,3 +1801,270 @@ def q56_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "q57_order_priority_check",
+    late=True,
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking; adapted: the "
+    "commit-vs-receipt lateness predicate becomes l_returnflag='R' — "
+    "the driver schema ships no commit/receipt dates): one quarter "
+    "of orders counted per priority where ANY line was returned. "
+    "The EXISTS plans as a LEFT SEMI join on l_orderkey "
+    "(executor-side: the reference would run HashJoinExec with the "
+    "semi joiner, executor/joiner.go:84); the date range is pushed "
+    "to the orders scan and the returnflag filter to the lineitem "
+    "scan BELOW the semi join, so both inputs shrink before the "
+    "shuffle. Both sides are SF-scaled — no forced broadcast.",
+)
+def q57_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q58_returned_item_customers",
+    late=True,
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): top 20 customers "
+    "by lost revenue on returned lines in one quarter, enriched with "
+    "their nation. Only nation (25 rows at any SF) carries a "
+    "broadcast hint; customer/orders/lineitem strategies are left to "
+    "size estimates. The top-20 sorts on the ROUNDED revenue with "
+    "c_custkey as tiebreak so the cut line is deterministic across "
+    "engines (file-head convention), and plans as "
+    "TakeOrderedAndProject — per-partition top-k, never a global "
+    "sort of all customers.",
+)
+def q58_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = load_table(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(vol), 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q59_shipping_delay_classes",
+    late=True,
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60 THEN 'late'
+                WHEN date_diff('day', o_orderdate, l_shipdate) > 21 THEN 'slow'
+                ELSE 'fast' END AS delay_class,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape (adapted: the driver schema has no "
+    "l_shipmode, so the group key is a computed shipping-DELAY class "
+    "— datediff(ship, order) tiers — which also exercises grouping "
+    "on a derived expression): conditional two-way priority counts "
+    "per class over one ship year. Pure Column algebra (CASE/IN "
+    "stays in codegen); the shipdate range pushes to the lineitem "
+    "scan; both join sides SF-scaled, strategy left to estimates. "
+    "datediff on midnight-aligned timestamps counts identical day "
+    "boundaries in both engines.",
+)
+def q59_shipping_delay_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    cls = (
+        F.when(delay > 60, "late").when(delay > 21, "slow").otherwise("fast")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(cls.alias("delay_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q60_customer_order_distribution",
+    late=True,
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): LEFT "
+    "join with a predicate in the ON clause (filters the ORDERS side "
+    "only — customers with zero qualifying orders survive with "
+    "c_count=0, the outer-join ON-vs-WHERE semantics the reference's "
+    "joiner implements in executor/joiner.go:220 "
+    "onMissMatch), then a two-level aggregation: count per customer, "
+    "histogram of counts. count(o_orderkey) counts non-NULL keys "
+    "only, so unmatched customers land in the 0 bucket in both "
+    "engines. Both aggs split partial/final; the second agg's input "
+    "is one row per customer — shuffle shrinks monotonically.",
+)
+def q60_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderstatus") != "F"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q61_disjunctive_revenue",
+    late=True,
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY ALL
+    """,
+    doc="TPC-H Q19 shape (discounted revenue under disjunctive "
+    "multi-attribute predicates): three OR-blocks each constraining "
+    "part attributes AND a lineitem attribute. The plan property "
+    "that matters at 100 TB: Catalyst extracts the common factors "
+    "per side — p_brand IN (...) AND p_size <= 35 reaches the part "
+    "scan, l_quantity <= 30 the lineitem scan (PushedFilters, "
+    "plan-tested) — so the join sees pre-shrunk inputs and only the "
+    "residual cross-attribute OR evaluates post-join. Single-row "
+    "global aggregate.",
+)
+def q61_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q62_top_revenue_supplier",
+    late=True,
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier): quarterly revenue per "
+    "supplier, keep the maximum — the view + scalar-max pattern. "
+    "Spark side computes rev ONCE and broadcasts its 1-row max into "
+    "the filter (the oracle's textbook form re-states rev; DuckDB "
+    "CSE handles it). The comparison runs on the ROUNDED revenue in "
+    "BOTH engines: each engine rounds its own sum to 2dp before the "
+    "max/equality, so the selection is deterministic as long as the "
+    "sums agree to <5e-3 — double sum-order noise here is ~1e-6 "
+    "(file-head rounding convention, same discipline as q58's cut "
+    "line). Supplier dim join after the filter: one row survives.",
+)
+def q62_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    best = rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx")).select(
+        "l_suppkey", "total_revenue"
+    )
+    return best.join(sup, F.col("s_suppkey") == F.col("l_suppkey")).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
