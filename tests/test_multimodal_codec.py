@@ -235,3 +235,37 @@ def test_m06_inventory_survives_truncation():
     bad[8:12] = (2**31 - 1).to_bytes(4, "big")  # IHDR length -> huge
     chunks, _ = png_chunk_inventory(bytes(bad))
     assert chunks[0][0] == "IHDR" and chunks[0][2] is False
+
+
+def test_m07_ahash_exact_vs_driver_recompute(spark, sf_dir):
+    """m07 is rows-only; its evidence is EXACTNESS against an
+    independent driver-side recomputation: hash every doc's generated
+    pixels with ahash64 directly, enumerate ALL pairs with hamming
+    <= 3, and assert the operator's pigeonhole-blocked join returns
+    exactly that set with exactly those distances — the blocked join
+    must lose nothing (the chunk guarantee) and invent nothing."""
+    import itertools
+
+    from tinysql_spark.operators.multimodal import (
+        ahash64,
+        m07_image_ahash_neardup,
+        png_pixels,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    hashes = {
+        did: ahash64(png_pixels(t if isinstance(t, str) else ""))
+        for did, t in texts.items()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        ham = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= 3:
+            want[(a, b)] = ham
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in m07_image_ahash_neardup(spark, sf_dir).collect()
+    }
+    assert want, "no near-dup hashes at this sf — fixture assumption broken"
+    assert got == want

@@ -598,3 +598,114 @@ def m06_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(run, schema=_M06_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m07 — perceptual-hash (aHash) near-duplicate images
+# --------------------------------------------------------------------------
+
+_AHASH_CHUNKS = 4  # 16-bit chunks; hamming<=3 guarantees a chunk match
+_AHASH_HAMMING_MAX = 3
+
+
+def ahash64(px: np.ndarray) -> int:
+    """64-bit average hash of a pixel array: grayscale -> area-sample
+    onto an 8x8 grid -> bit = cell above the grid mean. The standard
+    perceptual fingerprint (pHash family's cheapest member): identical
+    images hash identically at ANY size, and small pixel noise flips
+    few bits. Exact integer/float ops only, so tests recompute it
+    independently of the operator."""
+    g = px.astype(np.float64).mean(axis=2) if px.ndim == 3 else px.astype(np.float64)
+    h, w = g.shape
+    cells = np.empty((8, 8))
+    for r in range(8):
+        y0, y1 = (r * h) // 8, max(((r + 1) * h) // 8, (r * h) // 8 + 1)
+        for c in range(8):
+            x0, x1 = (c * w) // 8, max(((c + 1) * w) // 8, (c * w) // 8 + 1)
+            cells[r, c] = g[y0:y1, x0:x1].mean()
+    bits = (cells > cells.mean()).flatten()
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return val - (1 << 64) if val >= (1 << 63) else val  # signed int64
+
+
+def image_ahashes(docs: DataFrame) -> DataFrame:
+    """payload -> decode -> aHash, one Arrow batch per crossing (the
+    m02 decode discipline); returns (doc_id, ahash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                ahash64(decode_png_pixels(bytes(p))) if p is not None else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
+
+    return with_png_payload(docs).mapInPandas(
+        run, schema="doc_id long, ahash long"
+    )
+
+
+@register(
+    "m07_image_ahash_neardup",
+    oracle=None,  # decode+perceptual hash is not SQL-expressible; exact-dup
+    # recall is asserted in tests/test_multimodal_codec.py
+    doc="Near-duplicate IMAGE detection via 64-bit average hash "
+    "(aHash) over the decoded pixels: decode -> grayscale 8x8 "
+    "area-sample -> sign bits, then the d04 pigeonhole discipline — "
+    f"{_AHASH_CHUNKS} 16-bit chunks (hamming <= {_AHASH_HAMMING_MAX} "
+    "guarantees a shared chunk), candidates from a chunk-value "
+    "equi-join, each pair verified once at its first matching chunk "
+    "(no distinct), exact bit_count hamming filter. Decode+hash is "
+    "map-only Arrow batches; candidate generation is a linear "
+    "blocked equi-join — never all-pairs over the image corpus. The "
+    "media dedup step of a multimodal ingest (byte-level dedup "
+    "misses re-encoded copies; perceptual hashes do not).",
+    late=True,
+)
+def m07_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = image_ahashes(docs).filter(F.col("ahash").isNotNull())
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("chunk_idx"),
+                F.shiftright(F.col("ahash"), ci * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+            )
+            for ci in range(_AHASH_CHUNKS)
+        ]
+    )
+    ct = sigs.select("doc_id", "ahash", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        "ahash",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_val").alias("chunk_val"),
+    )
+
+    def chunk(col, ci: int):
+        return F.shiftright(col, ci * 16).bitwiseAND(F.lit(0xFFFF))
+
+    first_match = None
+    for j in range(_AHASH_CHUNKS - 1):
+        c = (F.col("x.chunk_idx") <= j) | (
+            chunk(F.col("x.ahash"), j) != chunk(F.col("y.ahash"), j)
+        )
+        first_match = c if first_match is None else first_match & c
+    return (
+        ct.alias("x")
+        .join(
+            ct.alias("y"),
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & first_match
+            & (
+                F.bit_count(F.col("x.ahash").bitwiseXOR(F.col("y.ahash")))
+                <= _AHASH_HAMMING_MAX
+            ),
+        )
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.bit_count(F.col("x.ahash").bitwiseXOR(F.col("y.ahash"))).alias("hamming"),
+        )
+    )

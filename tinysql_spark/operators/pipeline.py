@@ -644,3 +644,44 @@ def p09_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("len_ok") * F.lit(1.0) / F.count(F.lit(1))).alias("len_ok_rate"),
         (F.lit(1.0) - F.countDistinct("fp") * F.lit(1.0) / F.count(F.lit(1))).alias("dup_rate"),
     )
+
+
+@register(
+    "p10_leakage_safe_split",
+    late=True,
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT doc_id, fp,
+           CASE WHEN substr(fp, 1, 1) <= 'd' THEN 'train'
+                WHEN substr(fp, 1, 1) = 'e' THEN 'validation'
+                ELSE 'test' END AS split
+    FROM f
+    """,
+    doc="Leakage-safe train/validation/test split: the split key is "
+    "the content-group fingerprint, NOT the doc_id — every member of "
+    "a duplicate group lands in the SAME split, so eval can never "
+    "score a near-copy of a training document (the contamination "
+    "mode a row-hash split silently permits). Assignment hashes the "
+    "group key deterministically (first md5 hex char: 0-d train "
+    "~87.5%, e validation, f test) — reshuffling data, adding docs, "
+    "or re-running never moves an existing group across splits "
+    "(stable splits are what makes eval results comparable across "
+    "dataset versions). Map-only: one fingerprint projection, no "
+    "shuffle, no randomness. Swap the fp for d07/d11 cluster ids to "
+    "extend the guarantee from exact to fuzzy/semantic duplicates — "
+    "same one-line change, same plan shape.",
+)
+def p10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    first = F.substring(fp, 1, 1)
+    split = (
+        F.when(first <= "d", "train")
+        .when(first == "e", "validation")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", fp.alias("fp"), split.alias("split"))
