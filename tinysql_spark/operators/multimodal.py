@@ -617,12 +617,15 @@ def ahash64(px: np.ndarray) -> int:
     independently of the operator."""
     g = px.astype(np.float64).mean(axis=2) if px.ndim == 3 else px.astype(np.float64)
     h, w = g.shape
-    cells = np.empty((8, 8))
-    for r in range(8):
-        y0, y1 = (r * h) // 8, max(((r + 1) * h) // 8, (r * h) // 8 + 1)
-        for c in range(8):
-            x0, x1 = (c * w) // 8, max(((c + 1) * w) // 8, (c * w) // 8 + 1)
-            cells[r, c] = g[y0:y1, x0:x1].mean()
+    # vectorized area-sample: two reduceat passes (rows, then cols)
+    # over the grid boundaries — no per-cell Python loop (64 slice
+    # ops per image dominated the Arrow batch at corpus scale)
+    yb = np.minimum((np.arange(8) * h) // 8, h - 1)
+    xb = np.minimum((np.arange(8) * w) // 8, w - 1)
+    ycnt = np.diff(np.append(yb, h))
+    xcnt = np.diff(np.append(xb, w))
+    rows = np.add.reduceat(g, yb, axis=0)
+    cells = np.add.reduceat(rows, xb, axis=1) / np.outer(ycnt, xcnt)
     bits = (cells > cells.mean()).flatten()
     val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return val - (1 << 64) if val >= (1 << 63) else val  # signed int64
@@ -663,8 +666,16 @@ def image_ahashes(docs: DataFrame) -> DataFrame:
     late=True,
 )
 def m07_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _keyed_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    sigs = image_ahashes(docs).filter(F.col("ahash").isNotNull())
+    # persist: the signature frame feeds BOTH sides of the self-join —
+    # without a cache barrier the decode+hash Arrow stage (the
+    # expensive part) executes twice per run
+    sigs = _keyed_persist(
+        f"m07.sigs.{sf_dir}",
+        image_ahashes(docs).filter(F.col("ahash").isNotNull()),
+    )
     chunks = F.array(
         *[
             F.struct(
