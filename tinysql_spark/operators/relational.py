@@ -2068,3 +2068,111 @@ def q62_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.join(sup, F.col("s_suppkey") == F.col("l_suppkey")).select(
         "s_suppkey", "s_name", "total_revenue"
     )
+
+
+@register(
+    "q63_product_type_profit",
+    late=True,
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit,
+           count(*) AS n_lines
+    FROM (
+      SELECT n_name AS nation,
+             year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%bolt%'
+    )
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape (product-type profit; adapted: "
+    "0.6*p_retailprice stands in for ps_supplycost — the driver "
+    "schema has no partsupp): per supplier-nation per order-year "
+    "profit over parts matching a name substring. Five-way join "
+    "where the selective LIKE predicate must reach the part scan "
+    "FIRST (Catalyst pushes it below all four joins) so the join "
+    "tree grows from the filtered dimension outward — at 100 TB the "
+    "difference between joining ~10% of parts and all of them. Only "
+    "nation carries a broadcast hint; the amount expression is "
+    "identical IEEE arithmetic in both engines and only the SUM is "
+    "rounded.",
+)
+def q63_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(amount), 2).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q64_excess_volume_suppliers",
+    late=True,
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%bolt%'
+        AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM shipped
+      WHERE qty > (SELECT 1.2 * avg(qty) FROM shipped)
+    )
+    """,
+    doc="TPC-H Q20 shape (excess-volume suppliers; adapted: the "
+    "availqty>half-shipped test becomes shipped-volume > 1.2x the "
+    "all-supplier average — partsupp does not exist): a nested "
+    "aggregate-over-aggregate (per-supplier sums, then their global "
+    "average) gating an IN subquery that drives a semi join against "
+    "the supplier dim. The shipped CTE is computed once and feeds "
+    "both its own average (broadcast 1-row) and the qualifying "
+    "list; the LIKE + shipdate filters push to the scans below the "
+    "first aggregation. Threshold comparison happens on UNROUNDED "
+    "doubles derived from identical per-group sums — quantities are "
+    "small exact integers stored as doubles, so the sums are exact "
+    "in both engines.",
+)
+def q64_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thresh = shipped.agg((F.lit(1.2) * F.avg("qty")).alias("t"))
+    qual = shipped.join(F.broadcast(thresh), F.col("qty") > F.col("t")).select(
+        "l_suppkey"
+    )
+    return sup.join(
+        qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
