@@ -1344,3 +1344,39 @@ def test_running_setvar_window_rewrite(eng):
         eng.sql("SELECT @t := @t + v, @t := @t + 1 FROM rs ORDER BY k")
     with _pt.raises(ValueError, match="read"):
         eng.sql("SELECT @t := @t + v AS rt, @t * 2 AS x FROM rs ORDER BY k")
+
+
+def test_engine_reload_sees_other_sessions_ddl(eng, spark):
+    """Engine.reload() — the schema-reload analog
+    (domain/domain.go:66): another session's committed DDL and data
+    become visible; dropped tables disappear; reload under an open
+    txn is refused."""
+    from tinysql_spark.engine import Engine
+
+    b = Engine(spark, eng.catalog.warehouse)
+    try:
+        b.sql("CREATE TABLE shared (a int)")
+        b.sql("INSERT INTO shared VALUES (1), (2)")
+        # A's catalog snapshot predates the table (Spark analysis
+        # error: the name is absent from A's private namespace)
+        with pytest.raises(Exception):
+            eng.sql("SELECT a FROM shared").df.collect()
+        eng.reload()
+        assert sorted(rows(eng.sql("SELECT a FROM shared"))) == [(1,), (2,)]
+        # data-only change by B, visible after reload (fresh listing)
+        b.sql("INSERT INTO shared VALUES (3)")
+        eng.reload()
+        assert sorted(rows(eng.sql("SELECT a FROM shared"))) == [(1,), (2,), (3,)]
+        # drop by B
+        b.sql("DROP TABLE shared")
+        eng.reload()
+        with pytest.raises(Exception):
+            eng.sql("SELECT a FROM shared").df.collect()
+        # refused mid-txn
+        eng.sql("CREATE TABLE own (x int)")
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="open transaction"):
+            eng.reload()
+        eng.sql("ROLLBACK")
+    finally:
+        b.close()

@@ -170,6 +170,28 @@ class Engine:
     # public API
     # ------------------------------------------------------------------
 
+    def reload(self) -> None:
+        """Re-sync this session with the on-disk catalog — the
+        reference's schema-reload analog (domain/domain.go:66
+        loadInfoSchema: every node reloads the schema to see other
+        nodes' committed DDL). Another engine's committed CREATE/DROP/
+        ALTER/INSERT becomes visible here: the engine's private Spark
+        namespace is rebuilt from the current catalog.json, which also
+        refreshes every table's cached file listing. Refused inside an
+        open transaction (MySQL: metadata changes under a txn are
+        undefined; COMMIT or ROLLBACK first)."""
+        if self.txn is not None:
+            raise ValueError(
+                "cannot reload during an open transaction — COMMIT or ROLLBACK first"
+            )
+        old_dbs = set(self.catalog.dbs)
+        self.catalog = Catalog(self.catalog.warehouse)
+        for db in old_dbs:
+            self.spark.sql(f"DROP DATABASE IF EXISTS `{self._spark_db(db)}` CASCADE")
+        if self.current_db not in self.catalog.dbs:
+            self.current_db = "default"
+        self._register_all()
+
     def close(self) -> None:
         """End the session: roll back any open transaction and release
         the engine's private Spark-catalog namespace. Table data and
