@@ -2176,3 +2176,41 @@ def q64_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.join(
         qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+
+
+@register(
+    "q65_forecast_revenue_change",
+    late=True,
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    GROUP BY ALL
+    """,
+    doc="TPC-H Q6 (forecasting revenue change): the pure "
+    "scan-filter-aggregate — all three predicates (date range, "
+    "discount band, quantity cap) must land in PushedFilters so the "
+    "scan itself skips row groups via parquet min/max stats; no "
+    "join, no shuffle beyond the single partial->final global agg. "
+    "With q65 the suite covers 21 of 22 TPC-H query shapes (Q11 is "
+    "partsupp-only; Q20 runs adapted as q64).",
+)
+def q65_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

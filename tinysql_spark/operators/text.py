@@ -549,3 +549,52 @@ def t12_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_correct"),
         )
     )
+
+
+@register(
+    "t13_unigram_nll",
+    late=True,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+      WHERE length(trim(text)) > 0
+    ), counts AS (
+      SELECT w, count(*) AS c FROM toks GROUP BY w
+    ), tot AS (
+      SELECT sum(c) AS t FROM counts
+    )
+    SELECT doc_id,
+           round(avg(-ln(c / t)), 4) AS mean_nll,
+           count(*) AS n_tok
+    FROM toks JOIN counts USING (w), tot
+    GROUP BY doc_id
+    """,
+    doc="Perplexity-proxy quality scoring (the CCNet/Gopher LM-filter "
+    "step with the corpus itself as the unigram LM): score every doc "
+    "by the mean negative log-likelihood of its tokens under the "
+    "corpus unigram distribution — high-NLL docs are rare-token "
+    "outliers (boilerplate, encoding junk), low-NLL are stopword "
+    "soup; both tails get dropped by a training filter. Two-pass "
+    "plan: explode tokens, corpus counts (partial->final agg), "
+    "token-count equi-join back, per-doc mean. Every stage is linear "
+    "and hash-partitioned; at 100 TB the count table shards with the "
+    "join — nothing is collected, and a real KenLM swap changes only "
+    "the scoring join's right side.",
+)
+def t13_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(counts, "w")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4).alias("mean_nll"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
