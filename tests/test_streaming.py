@@ -328,3 +328,33 @@ def test_stage_events_handles_relative_sf_dir(tmp_path):
     d = _stage_events(rel)
     link = os.path.join(d, "0000.parquet")
     assert os.path.exists(link), os.readlink(link)
+
+
+def test_st09_stream_index_equals_batch_assignment(spark, sf_dir):
+    """The streamed inverted-list index must contain EXACTLY the
+    batch path's centroid assignment: same (cid, count) manifest as
+    assigning the whole corpus in one batch job with the same
+    trained centroids."""
+    from pyspark.sql import functions as F
+
+    from tinysql_spark.operators.similarity import (
+        _make_nearest_centroids,
+        _trained_centroids,
+    )
+    from tinysql_spark.operators.streaming_bridge import st09_stream_index_build
+    from tinysql_spark.sources.tables import load_table
+
+    got = {
+        r["cid"]: r["n_vectors"]
+        for r in st09_stream_index_build(spark, sf_dir).collect()
+    }
+    nearest = _make_nearest_centroids(1, _trained_centroids(spark, sf_dir))
+    want = {
+        r["cid"]: r["n"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select(F.element_at(nearest(F.col("embedding")), 1).alias("cid"))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and sum(got.values()) > 0

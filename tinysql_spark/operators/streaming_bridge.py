@@ -609,3 +609,77 @@ def st08_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strip the watermark scaffolding (sentinel views join sentinel
     # purchases at the same instant; both carry negative ids)
     return spark.table(name).filter(F.col("view_id") >= 0)
+
+
+def _stage_embeddings(sf_dir: str) -> str:
+    """Symlink source-view dir for the embeddings stream (same O(1)
+    staging discipline as _stage_events), cached per sf_dir."""
+
+    def build() -> str:
+        d = tempfile.mkdtemp(prefix="tinysql_stream_emb_")
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "embeddings.parquet")),
+            os.path.join(d, "0000.parquet"),
+        )
+        return d
+
+    return _stage_cached(("embeddings", os.path.abspath(sf_dir)), build)
+
+
+@register(
+    "st09_stream_index_build",
+    late=True,
+    oracle=None,  # centroid literals — rows-only; exactness vs the batch
+    # assignment is asserted in tests/test_streaming.py
+    doc="STREAMING ANN index build: embedding vectors arrive as a "
+    "stream, each micro-batch is assigned to its nearest k-means "
+    "centroid (the same Arrow-batched matmul the batch IVF path "
+    "uses) and appended to a partitioned inverted-list parquet "
+    "index via foreachBatch — the incremental index-maintenance "
+    "path a 24/7 ingest runs so ANN search never needs a full "
+    "rebuild. Centroids are batch-trained once (capped sample) and "
+    "broadcast into the UDF closure; a batch's append is atomic at "
+    "the file level and replay-safe at the vec_id level (re-derived "
+    "rows are identical, dedup on read). Returns the inverted-list "
+    "manifest (cid, n_vectors) — identical to what the batch "
+    "assignment produces over the same corpus (asserted exactly in "
+    "the test).",
+)
+def st09_stream_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _make_nearest_centroids, _trained_centroids
+
+    nearest = _make_nearest_centroids(1, _trained_centroids(spark, sf_dir))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_embeddings(sf_dir))
+    )
+    index_dir = tempfile.mkdtemp(prefix="tinysql_st09_index_")
+    ck_dir = tempfile.mkdtemp(prefix="tinysql_st09_ck_")
+
+    def merge(batch: DataFrame, _bid: int) -> None:
+        (
+            batch.select(
+                F.element_at(nearest(F.col("embedding")), 1).alias("cid"),
+                "vec_id",
+            )
+            .write.mode("append")
+            .partitionBy("cid")
+            .parquet(index_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # manifest over the built index: the partitioned layout IS the
+    # inverted list — a probe for centroid c reads only cid=c files
+    return (
+        spark.read.parquet(index_dir)
+        .dropDuplicates(["vec_id"])  # replay-safe read
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
