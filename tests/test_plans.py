@@ -578,7 +578,7 @@ def test_s09_filter_is_the_join_key(q):
 
 @pytest.mark.parametrize(
     "name",
-    ["s01_ann_brute_topk", "s05_ann_scalar_quant", "s07_ann_pq"],
+    ["s01_ann_brute_topk", "s05_ann_scalar_quant", "s07_ann_pq", "s11_hybrid_search"],
 )
 def test_ann_topk_uses_window_group_limit(q, name):
     """The brute-force/quantized ANN top-k paths end in

@@ -785,3 +785,187 @@ def s09_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# s11 — hybrid search: BM25 lexical + vector cosine, RRF fusion
+# --------------------------------------------------------------------------
+
+_HS_K1, _HS_B = 1.2, 0.75  # BM25 shape parameters (standard defaults)
+_HS_RRF_K = 60  # reciprocal-rank-fusion constant (Cormack et al.)
+_HS_NQ = 3  # doc_id < 3 are the query documents
+_HS_TOPC = 20  # per-modality candidate depth
+_HS_TOPK = 10  # fused results per query
+
+
+@register(
+    "s11_hybrid_search",
+    late=True,
+    oracle=f"""
+    WITH corpus AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      WHERE d.doc_id >= {_HS_NQ}
+    ), toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM corpus
+    ), postings AS (
+      SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl
+    ), dfreq AS (
+      SELECT w, count(*) AS df FROM postings GROUP BY w
+    ), qt AS (
+      SELECT doc_id AS query_id,
+             unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w
+      FROM documents WHERE doc_id < {_HS_NQ}
+    ), lex AS (
+      SELECT query_id, p.doc_id,
+             round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * tf * ({_HS_K1} + 1)
+               / (tf + {_HS_K1} * (1 - {_HS_B} + {_HS_B} * dl.dl / avgdl))
+             ), 4) AS lex_score
+      FROM qt
+        JOIN postings p USING (w)
+        JOIN dfreq USING (w)
+        JOIN dl ON dl.doc_id = p.doc_id
+        CROSS JOIN stats
+      GROUP BY query_id, p.doc_id
+    ), lex_ranked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY lex_score DESC, doc_id) AS lex_rank
+      FROM lex
+      QUALIFY lex_rank <= {_HS_TOPC}
+    ), u AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) AS e
+      FROM embeddings
+    ), sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             round(list_dot_product(q.e, c.e), 6) AS sim
+      FROM u q JOIN u c ON q.vec_id < {_HS_NQ} AND c.vec_id >= {_HS_NQ}
+    ), vec_ranked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, doc_id) AS vec_rank
+      FROM sims
+      QUALIFY vec_rank <= {_HS_TOPC}
+    ), fused AS (
+      SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             coalesce(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             round(coalesce(1.0 / ({_HS_RRF_K} + l.lex_rank), 0)
+                   + coalesce(1.0 / ({_HS_RRF_K} + v.vec_rank), 0), 6) AS rrf_score
+      FROM lex_ranked l
+      FULL OUTER JOIN vec_ranked v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, lex_rank, vec_rank
+    FROM fused
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) <= {_HS_TOPK}
+    """,
+    doc="HYBRID retrieval — the modern search stack in one plan: BM25 "
+    "lexical scoring (corpus statistics computed in-plan: postings, "
+    "doc lengths, idf) and dense cosine retrieval over the embedding "
+    "column, fused by reciprocal-rank fusion (k=60). Every stage is "
+    "a linear equi-join or aggregation: the lexical candidates come "
+    "from a token-postings join (never doc x doc), the vector side "
+    "broadcasts the tiny query set, and both per-modality rankings "
+    "prune to top-20 with WindowGroupLimit before the fusion outer "
+    "join. Scores are rounded before ranking on BOTH engines so the "
+    "rank — and therefore the fusion — is deterministic. The "
+    "curation use: hybrid retrieval is how eval-set contamination "
+    "and near-duplicate hunting catch paraphrases that lexical-only "
+    "dedup misses.",
+)
+def s11_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import distinct_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    ).filter(F.col("doc_id") >= _HS_NQ)
+    toks = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    postings = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs"))
+    dfreq = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    qt = docs.filter(F.col("doc_id") < _HS_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(distinct_tokens(F.col("text"))).alias("w"),
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    contrib = (
+        idf
+        * F.col("tf")
+        * (_HS_K1 + 1)
+        / (
+            F.col("tf")
+            + _HS_K1 * (1 - _HS_B + _HS_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    lex = (
+        qt.join(postings, "w")
+        .join(dfreq, "w")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("lex_score"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("lex_score").desc(), F.col("doc_id")
+    )
+    lex_ranked = (
+        lex.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= _HS_TOPC)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    u = emb.select("vec_id", unit_vec(F.col("embedding")).alias("e"))
+    qv = u.filter(F.col("vec_id") < _HS_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("q_e")
+    )
+    cv = u.filter(F.col("vec_id") >= _HS_NQ).select(
+        F.col("vec_id").alias("doc_id"), F.col("e").alias("c_e")
+    )
+    sims = (
+        F.broadcast(qv)
+        .crossJoin(cv)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(dot(F.col("q_e"), F.col("c_e")), 6).alias("sim"),
+        )
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("doc_id"))
+    vec_ranked = (
+        sims.withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= _HS_TOPC)
+        .select("query_id", "doc_id", "vec_rank")
+    )
+    fused = lex_ranked.join(vec_ranked, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(F.lit(1.0) / (_HS_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (_HS_RRF_K + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _HS_TOPK)
+        .select("query_id", "doc_id", "rrf_score", "lex_rank", "vec_rank")
+    )
