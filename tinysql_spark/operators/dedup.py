@@ -822,7 +822,21 @@ def _d07_converge(edges: DataFrame, labels: DataFrame) -> DataFrame:
     localCheckpoint (the count action materializes the checkpoint —
     one job, where eager ran a checkpoint job AND a count job), the
     per-convergence driver round-trips drop ~4x vs
-    probe-every-hop/eager."""
+    probe-every-hop/eager.
+
+    The edge list is re-partitioned ONCE on the join key `d` with the
+    loop's shuffle-partition count and cached: every hop's edge⋈label
+    join then reuses the cached HashPartitioning and only the (small)
+    label side shuffles — one upfront shuffle instead of an exchange
+    of the edge side per hop. Honest measurement: at bench sf the
+    interleaved A/B is a WASH (12.3 vs 12.5 s warm min — local edges
+    are tiny, their exchange costs ~nothing); the change is kept for
+    the 100 TB shape, where the per-hop saving scales with
+    |E| x rounds (GraphX partitions its edge RDD once for exactly
+    this reason). The caller's persisted edge frame is untouched."""
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.repartition(nparts, "d").persist()
+    edges.count()  # materialize the partitioned cache before the loop
     rnd = 0
     while rnd < _EMB_MAX_ROUNDS:
         steps = min(_PROBE_EVERY, _EMB_MAX_ROUNDS - rnd)
@@ -853,6 +867,7 @@ def _d07_converge(edges: DataFrame, labels: DataFrame) -> DataFrame:
         rnd += steps
         if n_changed == 0:
             break
+    edges.unpersist(blocking=False)
     return labels
 
 
