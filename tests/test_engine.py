@@ -1347,36 +1347,42 @@ def test_running_setvar_window_rewrite(eng):
 
 
 def test_engine_reload_sees_other_sessions_ddl(eng, spark):
-    """Engine.reload() — the schema-reload analog
-    (domain/domain.go:66): another session's committed DDL and data
-    become visible; dropped tables disappear; reload under an open
-    txn is refused."""
+    """Cross-session schema visibility (schema-reload analog,
+    domain/domain.go:66): the per-statement catalog stamp AUTO-reloads
+    another session's committed DDL and data — create, insert, and
+    drop become visible with no explicit call; inside an open txn the
+    snapshot is kept (no reload) and explicit reload is refused."""
     from tinysql_spark.engine import Engine
 
     b = Engine(spark, eng.catalog.warehouse)
     try:
         b.sql("CREATE TABLE shared (a int)")
         b.sql("INSERT INTO shared VALUES (1), (2)")
-        # A's catalog snapshot predates the table (Spark analysis
-        # error: the name is absent from A's private namespace)
-        with pytest.raises(Exception):
-            eng.sql("SELECT a FROM shared").df.collect()
-        eng.reload()
+        # auto-reload: A's next statement picks up B's table
         assert sorted(rows(eng.sql("SELECT a FROM shared"))) == [(1,), (2,)]
-        # data-only change by B, visible after reload (fresh listing)
+        # data-only change by B, visible automatically (fresh listing)
         b.sql("INSERT INTO shared VALUES (3)")
-        eng.reload()
         assert sorted(rows(eng.sql("SELECT a FROM shared"))) == [(1,), (2,), (3,)]
         # drop by B
         b.sql("DROP TABLE shared")
-        eng.reload()
         with pytest.raises(Exception):
             eng.sql("SELECT a FROM shared").df.collect()
-        # refused mid-txn
+        # inside a txn: A keeps its snapshot (no auto reload) and
+        # explicit reload is refused
         eng.sql("CREATE TABLE own (x int)")
+        eng.sql("INSERT INTO own VALUES (1)")
         eng.sql("BEGIN")
+        eng.sql("INSERT INTO own VALUES (2)")
+        assert sorted(rows(eng.sql("SELECT x FROM own"))) == [(1,), (2,)]
         with pytest.raises(ValueError, match="open transaction"):
             eng.reload()
-        eng.sql("ROLLBACK")
+        eng.sql("COMMIT")
+        assert sorted(rows(eng.sql("SELECT x FROM own"))) == [(1,), (2,)]
+        # B's DDL AFTER A's commit: A's next statement auto-reloads it.
+        # (Concurrent DDL *during* A's txn is the documented
+        # last-write-wins race on catalog.json — SURVEY §7.12 item 3 —
+        # so the deterministic contract is post-commit visibility.)
+        b.sql("CREATE TABLE b_side (y int)")  # B auto-reloads past A's commit first
+        assert rows(eng.sql("SELECT count(*) AS c FROM b_side")) == [(0,)]
     finally:
         b.close()

@@ -137,6 +137,7 @@ class Engine:
         # they are never referenced once the owning process dies.
         self._sweep_orphan_prepare_dirs()
         self._register_all()
+        self._cat_stamp = self._catalog_stamp()
 
     def _sweep_orphan_prepare_dirs(self) -> None:
         """Remove crash leftovers next to table data dirs: `data.trash-*`
@@ -191,6 +192,7 @@ class Engine:
         if self.current_db not in self.catalog.dbs:
             self.current_db = "default"
         self._register_all()
+        self._cat_stamp = self._catalog_stamp()
 
     def close(self) -> None:
         """End the session: roll back any open transaction and release
@@ -294,17 +296,43 @@ class Engine:
     # back and end the transaction before executing)
     _IMPLICIT_COMMIT_KINDS = _DDL_KINDS | {"optimize", "analyze"}
 
+    def _catalog_stamp(self) -> tuple | None:
+        """Cheap change stamp of the on-disk catalog (mtime_ns, size,
+        inode) — the schema-version probe (reference: every statement
+        runs against a leased schema version, domain/domain.go)."""
+        try:
+            st = os.stat(self.catalog.path)
+            return (st.st_mtime_ns, st.st_size, st.st_ino)
+        except OSError:
+            return None
+
     def _execute_one(self, stmt: str) -> Result:
         kind = P.statement_kind(stmt)
         handler = getattr(self, f"_exec_{kind}", None)
         if handler is None:
             raise ValueError(f"unsupported statement kind: {kind}")
+        # auto-reload: another session's committed DDL/DML changes
+        # catalog.json; pick it up before planning this statement.
+        # Never mid-transaction (the txn keeps its snapshot). The
+        # stamp is refreshed at statement end ONLY when the statement
+        # began in sync outside a txn — a statement that ran under (or
+        # ended) a txn skipped the check, so absorbing the current
+        # stamp there would mask external changes made during the txn;
+        # leaving it stale instead costs at most one spurious reload
+        # on the next statement.
+        synced = False
+        if self.txn is None:
+            if self._catalog_stamp() != self._cat_stamp:
+                self.reload()
+            synced = True
         if self.txn is not None and kind in self._IMPLICIT_COMMIT_KINDS:
             self._txn_commit()
         result = handler(stmt)
         if kind in self._DDL_KINDS:
             m = P.re.search(r"(?:TABLE|DATABASE|SCHEMA|INDEX)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?([`\w.]+)", stmt, P.re.I)
             self._log_ddl(kind, P.unquote_ident(m.group(1)) if m else "", stmt)
+        if synced and self.txn is None:
+            self._cat_stamp = self._catalog_stamp()
         return result
 
     # ------------------------------------------------------------------
