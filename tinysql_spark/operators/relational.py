@@ -2214,3 +2214,50 @@ def q65_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q66_bag_set_ops",
+    late=True,
+    oracle="""
+    SELECT 'inter_all' AS tag, k, count(*) AS n FROM (
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS k FROM supplier
+    ) GROUP BY k
+    UNION ALL
+    SELECT 'except_all' AS tag, k, count(*) AS n FROM (
+      SELECT c_nationkey AS k FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS k FROM supplier
+    ) GROUP BY k
+    """,
+    doc="Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL — "
+    "the multiplicity-preserving forms q31's distinct variants do "
+    "not cover): per key, INTERSECT ALL keeps min(multiplicity) "
+    "copies and EXCEPT ALL keeps the surplus. Both engines implement "
+    "the SQL-standard bag semantics natively; results are compared "
+    "as (key, count) so ordering is irrelevant. Spark plans these as "
+    "aggregate+generate (no join explosion); one shuffle per "
+    "operand pair.",
+)
+def q66_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    )
+    inter = (
+        cust.intersectAll(sup)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("inter_all").alias("tag"), "k", "n")
+    )
+    exc = (
+        cust.exceptAll(sup)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("tag"), "k", "n")
+    )
+    return inter.unionByName(exc)
