@@ -1386,3 +1386,43 @@ def test_engine_reload_sees_other_sessions_ddl(eng, spark):
         assert rows(eng.sql("SELECT count(*) AS c FROM b_side")) == [(0,)]
     finally:
         b.close()
+
+
+def test_concurrent_writers_merge_not_clobber(eng, spark):
+    """The cross-process catalog write lock (flock + under-lock
+    stamp-reload): two engines WRITING concurrently from two threads
+    must merge their catalog mutations — before the lock, the
+    read-modify-write race could silently drop one engine's tables
+    from catalog.json. Afterward both engines see both tables with
+    the right contents."""
+    import threading
+
+    from tinysql_spark.engine import Engine
+
+    b = Engine(spark, eng.catalog.warehouse)
+    errors: list[Exception] = []
+
+    def work(engine, name):
+        try:
+            engine.sql(f"CREATE TABLE {name} (v int)")
+            for i in range(5):
+                engine.sql(f"INSERT INTO {name} VALUES ({i})")
+        except Exception as ex:  # surfaced after join
+            errors.append(ex)
+
+    try:
+        ta = threading.Thread(target=work, args=(eng, "cw_a"))
+        tb = threading.Thread(target=work, args=(b, "cw_b"))
+        ta.start(); tb.start(); ta.join(); tb.join()
+        assert not errors, errors
+        # both tables survived in the shared catalog, visible to BOTH
+        # engines (auto-reload), with all rows
+        for engine in (eng, b):
+            assert rows(engine.sql("SELECT count(*) AS c FROM cw_a")) == [(5,)]
+            assert rows(engine.sql("SELECT count(*) AS c FROM cw_b")) == [(5,)]
+        from tinysql_spark.catalog import Catalog
+
+        disk = Catalog(eng.catalog.warehouse)
+        assert disk.has_table("default", "cw_a") and disk.has_table("default", "cw_b")
+    finally:
+        b.close()

@@ -27,6 +27,7 @@ REPLACE as anti-join + atomic swap.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 import re
@@ -296,6 +297,34 @@ class Engine:
     # back and end the transaction before executing)
     _IMPLICIT_COMMIT_KINDS = _DDL_KINDS | {"optimize", "analyze"}
 
+    # statements that may MUTATE the shared on-disk catalog — executed
+    # under the cross-process write lock
+    _WRITER_KINDS = _DDL_KINDS | {"optimize", "analyze", "insert", "replace", "delete", "txn"}
+
+    @contextlib.contextmanager
+    def _catalog_write_lock(self):
+        """Cross-process exclusive lock serializing catalog-mutating
+        statements over one warehouse (flock on a sibling lockfile —
+        the reference serializes DDL through the owner's job queue,
+        ddl/ddl_worker.go). Combined with the stamp-check-and-reload
+        that runs UNDER the lock, two sessions' interleaved writes
+        merge instead of last-write-wins clobbering catalog.json.
+        Coarse by design (held for the statement, Spark jobs
+        included): writer throughput is not the contended resource at
+        this layer. Known residue: a transaction COMMIT applies its
+        buffers onto the catalog state snapshotted at its own
+        statements' time — concurrent DDL *during* someone else's
+        open txn remains out of contract (SURVEY §7.12)."""
+        import fcntl
+
+        path = os.path.join(self.catalog.warehouse, ".catalog.lock")
+        with open(path, "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
     def _catalog_stamp(self) -> tuple | None:
         """Cheap change stamp of the on-disk catalog (mtime_ns, size,
         inode) — the schema-version probe (reference: every statement
@@ -320,19 +349,25 @@ class Engine:
         # stamp there would mask external changes made during the txn;
         # leaving it stale instead costs at most one spurious reload
         # on the next statement.
-        synced = False
-        if self.txn is None:
-            if self._catalog_stamp() != self._cat_stamp:
-                self.reload()
-            synced = True
-        if self.txn is not None and kind in self._IMPLICIT_COMMIT_KINDS:
-            self._txn_commit()
-        result = handler(stmt)
-        if kind in self._DDL_KINDS:
-            m = P.re.search(r"(?:TABLE|DATABASE|SCHEMA|INDEX)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?([`\w.]+)", stmt, P.re.I)
-            self._log_ddl(kind, P.unquote_ident(m.group(1)) if m else "", stmt)
-        if synced and self.txn is None:
-            self._cat_stamp = self._catalog_stamp()
+        lock = (
+            self._catalog_write_lock()
+            if kind in self._WRITER_KINDS
+            else contextlib.nullcontext()
+        )
+        with lock:
+            synced = False
+            if self.txn is None:
+                if self._catalog_stamp() != self._cat_stamp:
+                    self.reload()
+                synced = True
+            if self.txn is not None and kind in self._IMPLICIT_COMMIT_KINDS:
+                self._txn_commit()
+            result = handler(stmt)
+            if kind in self._DDL_KINDS:
+                m = P.re.search(r"(?:TABLE|DATABASE|SCHEMA|INDEX)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?([`\w.]+)", stmt, P.re.I)
+                self._log_ddl(kind, P.unquote_ident(m.group(1)) if m else "", stmt)
+            if synced and self.txn is None:
+                self._cat_stamp = self._catalog_stamp()
         return result
 
     # ------------------------------------------------------------------
