@@ -342,3 +342,53 @@ def q54_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "q67_ohlc_bars",
+    late=True,
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+           event_type,
+           round(arg_min(value, printf('%020d-%010d', epoch_us(ts), event_id)), 2) AS open_v,
+           round(max(value), 2) AS high_v,
+           round(min(value), 2) AS low_v,
+           round(arg_max(value, printf('%020d-%010d', epoch_us(ts), event_id)), 2) AS close_v,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="OHLC time-bucket bars (the TimescaleDB/kdb financial-rollup "
+    "staple): per hour per event_type, the FIRST and LAST value in "
+    "event-time order (open/close) plus the extrema (high/low). "
+    "Open/close are min_by/max_by over a composite (epoch_us, "
+    "event_id) string key — the event_id tiebreak makes "
+    "equal-timestamp rows deterministic across engines AND across "
+    "partitionings (a bare min_by(ts) would be nondeterministic "
+    "under ties). One hash aggregation, partial->final split, no "
+    "window, no sort — the scan streams straight into map-side "
+    "combine at any scale. Values are per-row doubles (no sums), so "
+    "only display rounding is applied.",
+)
+def q67_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d-%010d",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("event_id"),
+    )
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.round(F.min_by("value", key), 2).alias("open_v"),
+            F.round(F.max("value"), 2).alias("high_v"),
+            F.round(F.min("value"), 2).alias("low_v"),
+            F.round(F.max_by("value", key), 2).alias("close_v"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
