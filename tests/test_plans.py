@@ -617,3 +617,44 @@ def test_q58_top20_is_take_ordered(q):
     from tinysql_spark.plans import has_top_n
 
     assert has_top_n(q("q58_returned_item_customers"))
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
+    """100 TB evidence: Spark's runtime row-level bloom filter
+    (InjectRuntimeFilter) pushes a might_contain(<join keys from the
+    selective side>) predicate into the FACT scan of a shuffled join —
+    at production scale this skips most of the big side's rows before
+    the shuffle. The injection is gated on scan-size thresholds
+    (application side >= 10 GB by default — correctly absent at bench
+    scale, where the filter would cost more than it saves); the test
+    lowers the gates to pin that the capability is live in this
+    session's config (bloomFilter.enabled=true in session.py
+    defaults)."""
+    from pyspark.sql import functions as F
+
+    from tinysql_spark.plans import plan_string
+    from tinysql_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = plan_string(j)
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
