@@ -685,3 +685,114 @@ def p10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return docs.select("doc_id", fp.alias("fp"), split.alias("split"))
+
+
+@register(
+    "p11_data_quality_checks",
+    late=True,
+    oracle="""
+    SELECT 'doc_text_completeness' AS check_name,
+           (SELECT count(*) FILTER (WHERE text IS NOT NULL AND length(trim(text)) > 0)
+                  * 1.0 / count(*) FROM documents) AS metric,
+           CASE WHEN (SELECT count(*) FILTER (WHERE text IS NOT NULL AND length(trim(text)) > 0)
+                             * 1.0 / count(*) FROM documents) >= 0.99
+                THEN 1 ELSE 0 END AS passed
+    UNION ALL
+    SELECT 'doc_id_uniqueness',
+           (SELECT count(DISTINCT doc_id) * 1.0 / count(*) FROM documents),
+           CASE WHEN (SELECT count(DISTINCT doc_id) * 1.0 / count(*) FROM documents) = 1.0
+                THEN 1 ELSE 0 END
+    UNION ALL
+    SELECT 'doc_lang_in_domain',
+           (SELECT count(*) FILTER (WHERE lang IN ('en','de','fr','es','zh'))
+                  * 1.0 / count(*) FROM documents),
+           CASE WHEN (SELECT count(*) FILTER (WHERE lang IN ('en','de','fr','es','zh'))
+                             * 1.0 / count(*) FROM documents) >= 0.95
+                THEN 1 ELSE 0 END
+    UNION ALL
+    SELECT 'doc_n_chars_consistent',
+           (SELECT count(*) FILTER (WHERE n_chars = length(text))
+                  * 1.0 / count(*) FROM documents),
+           CASE WHEN (SELECT count(*) FILTER (WHERE n_chars = length(text))
+                             * 1.0 / count(*) FROM documents) = 1.0
+                THEN 1 ELSE 0 END
+    UNION ALL
+    SELECT 'orders_custkey_referential',
+           (SELECT count(*) * 1.0 FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+           CASE WHEN (SELECT count(*) FROM orders o
+                      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                        WHERE c.c_custkey = o.o_custkey)) = 0
+                THEN 1 ELSE 0 END
+    """,
+    doc="Declarative data-quality constraint suite (the Deequ / "
+    "Great-Expectations component of a training pipeline): one "
+    "report row per check — text completeness >= 99%, doc_id "
+    "uniqueness, lang-domain membership >= 95%, n_chars/text "
+    "consistency, and orders->customer referential integrity as an "
+    "anti-join violation count. Each check is a single aggregation "
+    "(conditional count ratios — exact integer counts, so the "
+    "ratios are identical IEEE divisions in both engines); the "
+    "referential check is a left-anti join that shuffles on the key "
+    "and scales linearly. Checks compute in parallel branches of "
+    "one plan and union into the report — the gate a pipeline runs "
+    "before promoting a snapshot to training.",
+)
+def p11_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def ratio_check(name: str, cond, threshold: float, exact: bool = False):
+        agg = docs.agg(
+            (
+                F.sum(F.when(cond, 1).otherwise(0)) * F.lit(1.0) / F.count(F.lit(1))
+            ).alias("metric")
+        )
+        passed = (
+            (F.col("metric") == threshold) if exact else (F.col("metric") >= threshold)
+        )
+        return agg.select(
+            F.lit(name).alias("check_name"),
+            "metric",
+            passed.cast("int").alias("passed"),
+        )
+
+    completeness = ratio_check(
+        "doc_text_completeness",
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0),
+        0.99,
+    )
+    uniqueness = docs.agg(
+        (F.countDistinct("doc_id") * F.lit(1.0) / F.count(F.lit(1))).alias("metric")
+    ).select(
+        F.lit("doc_id_uniqueness").alias("check_name"),
+        "metric",
+        (F.col("metric") == 1.0).cast("int").alias("passed"),
+    )
+    lang_domain = ratio_check(
+        "doc_lang_in_domain",
+        F.col("lang").isin("en", "de", "fr", "es", "zh"),
+        0.95,
+    )
+    consistent = ratio_check(
+        "doc_n_chars_consistent",
+        F.col("n_chars") == F.length("text"),
+        1.0,
+        exact=True,
+    )
+    violations = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("double").alias("metric"))
+        .select(
+            F.lit("orders_custkey_referential").alias("check_name"),
+            "metric",
+            (F.col("metric") == 0.0).cast("int").alias("passed"),
+        )
+    )
+    return (
+        completeness.unionByName(uniqueness)
+        .unionByName(lang_domain)
+        .unionByName(consistent)
+        .unionByName(violations)
+    )
