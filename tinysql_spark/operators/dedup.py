@@ -1266,3 +1266,100 @@ def d11_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(labels.select(F.col("vec_id").alias("doc_id"), "lbl"), "doc_id", "left")
         .select("doc_id", F.coalesce("lbl", "doc_id").alias("cluster_id"))
     )
+
+
+# --------------------------------------------------------------------------
+# d12 — incremental dedup: new batch vs existing corpus
+# --------------------------------------------------------------------------
+
+_D12_BOUNDARY = 400  # doc_id < 400 = existing corpus; >= 400 = incoming batch
+_D12_JACCARD = 0.5
+
+
+@register(
+    "d12_incremental_dedup",
+    late=True,
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             list_distinct(string_split_regex(trim(text), '\\s+')) AS ws
+      FROM documents
+    ), keepers AS (
+      SELECT fp, min(doc_id) AS keeper FROM f
+      WHERE doc_id < {_D12_BOUNDARY} GROUP BY fp
+    ), exact AS (
+      SELECT i.doc_id AS incoming_id, k.keeper AS match_id,
+             'exact' AS kind, 1.0 AS score
+      FROM f i JOIN keepers k USING (fp)
+      WHERE i.doc_id >= {_D12_BOUNDARY}
+    ), tok AS (
+      SELECT doc_id, source, fp, unnest(ws) AS w FROM f
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+    ), pairs AS (
+      SELECT i.doc_id AS incoming_id, e.doc_id AS match_id, count(*) AS common
+      FROM tok i JOIN tok e
+        ON i.w = e.w AND i.source = e.source AND i.fp <> e.fp
+       AND i.doc_id >= {_D12_BOUNDARY} AND e.doc_id < {_D12_BOUNDARY}
+      GROUP BY 1, 2
+    ), fuzzy AS (
+      SELECT incoming_id, match_id, 'fuzzy' AS kind,
+             round(common * 1.0 / (si.n + se.n - common), 4) AS score
+      FROM pairs
+        JOIN sizes si ON incoming_id = si.doc_id
+        JOIN sizes se ON match_id = se.doc_id
+      WHERE common * 1.0 / (si.n + se.n - common) >= {_D12_JACCARD}
+    )
+    SELECT * FROM exact UNION ALL SELECT * FROM fuzzy
+    """,
+    doc="INCREMENTAL dedup — the production mode: a daily ingest "
+    "batch checks against the EXISTING corpus instead of re-deduping "
+    "everything (full self-dedup is O(corpus) per day; incremental "
+    "is O(batch x hit-rate)). Two detectors in one plan: exact "
+    "content-fingerprint hits against the per-fp keeper table (an "
+    "equi-join on the 16-byte fp — at 100 TB the existing side is a "
+    "pre-built fp index, not a rescan), and fuzzy token-set Jaccard "
+    ">= 0.5 via the d02 discipline — source-blocked equi-join, "
+    "size-ratio prefilter ordered before the array_intersect, fp "
+    "inequality keeping exact hits out of the fuzzy branch. The "
+    "asymmetric join (batch side small) is exactly what AQE "
+    "broadcasts at real scale.",
+)
+def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        "source",
+        fingerprint(F.col("text")).alias("fp"),
+        F.array_distinct(
+            F.transform(distinct_tokens(F.col("text")), lambda w: F.xxhash64(w))
+        ).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    existing = f.filter(F.col("doc_id") < _D12_BOUNDARY)
+    incoming = f.filter(F.col("doc_id") >= _D12_BOUNDARY)
+    keepers = existing.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    exact = incoming.join(keepers, "fp").select(
+        F.col("doc_id").alias("incoming_id"),
+        F.col("keeper").alias("match_id"),
+        F.lit("exact").alias("kind"),
+        F.lit(1.0).alias("score"),
+    )
+    i = incoming.alias("i")
+    e = existing.alias("e")
+    common = F.size(F.array_intersect(F.col("i.toks"), F.col("e.toks")))
+    j = common * 1.0 / (F.col("i.n") + F.col("e.n") - common)
+    fuzzy = i.join(
+        e,
+        (F.col("i.source") == F.col("e.source"))
+        & (F.col("i.fp") != F.col("e.fp"))
+        & (F.col("i.n") * 2 >= F.col("e.n"))
+        & (F.col("e.n") * 2 >= F.col("i.n"))
+        & (j >= _D12_JACCARD),
+    ).select(
+        F.col("i.doc_id").alias("incoming_id"),
+        F.col("e.doc_id").alias("match_id"),
+        F.lit("fuzzy").alias("kind"),
+        F.round(j, 4).alias("score"),
+    )
+    return exact.unionByName(fuzzy)
