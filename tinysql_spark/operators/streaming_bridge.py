@@ -683,3 +683,63 @@ def st09_stream_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+_ST10_VALUE_CAP = 150.0
+
+
+@register(
+    "st10_stream_quality_gate",
+    late=True,
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_quarantined,
+           round(min(value), 2) AS min_v,
+           round(max(value), 2) AS max_v
+    FROM events
+    WHERE value > {_ST10_VALUE_CAP}
+    GROUP BY event_type
+    """,
+    doc="Streaming QUALITY GATE with a dead-letter split — the "
+    "validate-at-ingest topology every production pipeline runs: "
+    "each micro-batch is split by the gate predicate (value within "
+    "bounds), passing rows land in the clean sink and violations in "
+    "a quarantine sink, BOTH as parquet appends inside one "
+    "foreachBatch (no row is dropped silently — the dead-letter "
+    "store is what makes data bugs debuggable a week later). The "
+    "returned quarantine summary must equal the batch computation "
+    "of the same gate over the same events — the oracle. The gate "
+    "is pure Column algebra evaluated once per batch; both writes "
+    "are appends, so the pattern holds at any ingest rate.",
+)
+def st10_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, _stage_events(sf_dir))
+    clean_dir = tempfile.mkdtemp(prefix="tinysql_st10_clean_")
+    quar_dir = tempfile.mkdtemp(prefix="tinysql_st10_quar_")
+    ck_dir = tempfile.mkdtemp(prefix="tinysql_st10_ck_")
+    gate = F.col("value") <= _ST10_VALUE_CAP
+
+    def split(batch: DataFrame, _bid: int) -> None:
+        # persist: the batch feeds two sinks — without the barrier the
+        # source batch would be recomputed per write
+        batch = batch.persist()
+        batch.filter(gate).write.mode("append").parquet(clean_dir)
+        batch.filter(~gate).write.mode("append").parquet(quar_dir)
+        batch.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(split)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(quar_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_quarantined"),
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+        )
+    )
