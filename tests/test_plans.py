@@ -47,9 +47,33 @@ def test_q03_topn_and_join_pushdown(q):
 def test_q07_broadcasts_dimensions(q):
     df = q("q07_five_way_join")
     js = join_strategies(df)
-    # customer/nation/region are broadcast; the orders⋈lineitem side
-    # may be SMJ/SHJ — at least 3 broadcasts expected
+    # customer/nation/region still broadcast at test SF — customer via
+    # size ESTIMATE (no hint; the hint was the round-5 scale-killer),
+    # nation/region via hint. orders⋈lineitem may be SMJ/SHJ.
     assert js.count("BroadcastHashJoin") >= 3, js
+
+
+def test_no_forced_broadcast_of_sf_scaled_relations():
+    """Guard for the q51/q07/q17 anti-pattern: `F.broadcast(...)` is a
+    HARD hint that overrides size estimates — on an SF-scaled relation
+    (customer/supplier/part/orders/lineitem/documents/embeddings/
+    events) it is a driver OOM at 100 TB. Hints are allowed only on
+    fixed-cardinality dims (nation=25, region=5) and 1-row/bounded
+    aggregates. Static source scan over every operator module."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "tinysql_spark"
+    bad = re.compile(
+        r"F\.broadcast\(\s*(?:cust|supp|part|orders|li|lineitem|docs|documents|emb|embeddings|events)\b"
+    )
+    hits = [
+        f"{p.relative_to(root)}:{i + 1}: {line.strip()}"
+        for p in sorted(root.rglob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines())
+        if bad.search(line)
+    ]
+    assert not hits, "forced broadcast of SF-scaled relation:\n" + "\n".join(hits)
 
 
 def test_q08_limit_becomes_topn(q):

@@ -214,7 +214,9 @@ def q06_cartesian(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     """,
     doc="TPC-H Q5 shape: 5-way join exercising join reorder "
-    "(planner/core/rule_join_reorder.go:49) — dims broadcast in Spark.",
+    "(planner/core/rule_join_reorder.go:49). Fixed-cardinality dims "
+    "(nation/region) broadcast by hint; SF-scaled customer is left to "
+    "size estimates/AQE — broadcast while small, shuffled at scale.",
 )
 def q07_five_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
@@ -230,7 +232,11 @@ def q07_five_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is SF-scaled: no forced broadcast — size estimates /
+        # AQE pick BHJ while it fits and fall back to a shuffled join at
+        # scale; a hint here would OOM a 100 TB run. Only the
+        # fixed-cardinality dims (nation=25, region=5) keep the hint.
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(
             F.broadcast(
@@ -496,16 +502,21 @@ def q16_parts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     doc="Supplier revenue through part-filtered lineitems: fact-to-dim "
-    "joins where both dims broadcast; TopN on the aggregate.",
+    "joins where both dims are SF-scaled, so neither is hint-broadcast "
+    "— size estimates/AQE broadcast them while they fit; TopN on the "
+    "aggregate.",
 )
 def q17_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part.filter(F.col("p_retailprice") > 950)),
+        # part/supplier are SF-scaled: no forced broadcast (the q51
+        # precedent) — let size estimates/AQE choose so the plan
+        # degrades to a shuffled join instead of an OOM at 100 TB
+        li.join(part.filter(F.col("p_retailprice") > 950),
                 F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
