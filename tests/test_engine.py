@@ -1388,6 +1388,39 @@ def test_engine_reload_sees_other_sessions_ddl(eng, spark):
         b.close()
 
 
+def test_external_commit_during_reader_not_masked(eng, spark):
+    """ADVICE r5 (engine.py stamp race): a SELECT takes no flock, so
+    another session's commit can land BETWEEN A's start-of-statement
+    stamp check and statement end. The old code re-stat'ed the stamp
+    at statement end, absorbing that external commit without ever
+    reloading it — B's table stayed invisible to A indefinitely.
+    Readers must leave the stamp untouched so A's NEXT statement sees
+    the mismatch and reloads."""
+    from tinysql_spark.engine import Engine
+
+    b = Engine(spark, eng.catalog.warehouse)
+    try:
+        eng.sql("SELECT 1")  # A fully in sync
+        orig = eng._exec_select
+
+        def select_with_interleaved_commit(stmt):
+            r = orig(stmt)
+            # external commit lands mid-statement, after A's start check
+            b.sql("CREATE TABLE raced (y int)")
+            b.sql("INSERT INTO raced VALUES (7)")
+            return r
+
+        eng._exec_select = select_with_interleaved_commit
+        try:
+            eng.sql("SELECT 1")
+        finally:
+            eng._exec_select = orig
+        # A's next statement must auto-reload and see B's table
+        assert rows(eng.sql("SELECT y FROM raced")) == [(7,)]
+    finally:
+        b.close()
+
+
 def test_concurrent_writers_merge_not_clobber(eng, spark):
     """The cross-process catalog write lock (flock + under-lock
     stamp-reload): two engines WRITING concurrently from two threads

@@ -93,6 +93,16 @@ class Engine:
         # MySQL evaluation semantics: div-by-zero -> NULL, silent
         # overflow-free casts (reference: expression/builtin_arithmetic.go)
         self.spark.conf.set("spark.sql.ansi.enabled", "false")
+        # stamp BEFORE the catalog read (same discipline as reload():
+        # an external commit in between costs one spurious reload
+        # instead of a masked change)
+        self._cat_stamp = None
+        _init_stamp_path = os.path.join(warehouse, "catalog.json")
+        try:
+            _st = os.stat(_init_stamp_path)
+            self._cat_stamp = (_st.st_mtime_ns, _st.st_size, _st.st_ino)
+        except OSError:
+            pass
         self.catalog = Catalog(warehouse)
         self.current_db = "default"
         self.user_vars: dict[str, object] = {}
@@ -138,7 +148,6 @@ class Engine:
         # they are never referenced once the owning process dies.
         self._sweep_orphan_prepare_dirs()
         self._register_all()
-        self._cat_stamp = self._catalog_stamp()
 
     def _sweep_orphan_prepare_dirs(self) -> None:
         """Remove crash leftovers next to table data dirs: `data.trash-*`
@@ -187,13 +196,19 @@ class Engine:
                 "cannot reload during an open transaction — COMMIT or ROLLBACK first"
             )
         old_dbs = set(self.catalog.dbs)
+        # stamp BEFORE the catalog read: if an external commit lands
+        # between the two, the loaded catalog is NEWER than the stamp
+        # says and the next statement triggers one spurious reload —
+        # the safe direction. Stamping after the read would absorb
+        # that commit's stamp without having loaded it (masked DDL).
+        stamp = self._catalog_stamp()
         self.catalog = Catalog(self.catalog.warehouse)
         for db in old_dbs:
             self.spark.sql(f"DROP DATABASE IF EXISTS `{self._spark_db(db)}` CASCADE")
         if self.current_db not in self.catalog.dbs:
             self.current_db = "default"
         self._register_all()
-        self._cat_stamp = self._catalog_stamp()
+        self._cat_stamp = stamp
 
     def close(self) -> None:
         """End the session: roll back any open transaction and release
@@ -342,31 +357,30 @@ class Engine:
             raise ValueError(f"unsupported statement kind: {kind}")
         # auto-reload: another session's committed DDL/DML changes
         # catalog.json; pick it up before planning this statement.
-        # Never mid-transaction (the txn keeps its snapshot). The
-        # stamp is refreshed at statement end ONLY when the statement
-        # began in sync outside a txn — a statement that ran under (or
-        # ended) a txn skipped the check, so absorbing the current
-        # stamp there would mask external changes made during the txn;
-        # leaving it stale instead costs at most one spurious reload
-        # on the next statement.
+        # Never mid-transaction (the txn keeps its snapshot). Stamp
+        # discipline (ADVICE r5): a READER takes no flock, so the
+        # current on-disk stamp at statement END may belong to an
+        # external commit that landed mid-statement — absorbing it
+        # would mask that change forever. Readers therefore never
+        # refresh the stamp here (reload() itself assigns the stamp it
+        # observed BEFORE re-reading the catalog); only WRITER kinds —
+        # which hold the cross-process lock, so no external write can
+        # interleave — re-stat at the end to absorb their own write.
         lock = (
             self._catalog_write_lock()
             if kind in self._WRITER_KINDS
             else contextlib.nullcontext()
         )
         with lock:
-            synced = False
-            if self.txn is None:
-                if self._catalog_stamp() != self._cat_stamp:
-                    self.reload()
-                synced = True
+            if self.txn is None and self._catalog_stamp() != self._cat_stamp:
+                self.reload()
             if self.txn is not None and kind in self._IMPLICIT_COMMIT_KINDS:
                 self._txn_commit()
             result = handler(stmt)
             if kind in self._DDL_KINDS:
                 m = P.re.search(r"(?:TABLE|DATABASE|SCHEMA|INDEX)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?([`\w.]+)", stmt, P.re.I)
                 self._log_ddl(kind, P.unquote_ident(m.group(1)) if m else "", stmt)
-            if synced and self.txn is None:
+            if self.txn is None and kind in self._WRITER_KINDS:
                 self._cat_stamp = self._catalog_stamp()
         return result
 
