@@ -376,5 +376,30 @@ def test_st10_gate_conserves_rows(spark, sf_dir):
     n_quar = got.agg(F.sum("n_quarantined")).collect()[0][0]
     ev = load_table(spark, sf_dir, "events")
     total = ev.count()
-    want_quar = ev.filter(F.col("value") > _ST10_VALUE_CAP).count()
+    want_quar = ev.filter(
+        (F.col("value") > _ST10_VALUE_CAP) | F.col("value").isNull()
+    ).count()
     assert n_quar == want_quar and 0 < n_quar < total
+
+
+def test_st10_null_values_land_in_quarantine(spark, tmp_path):
+    """ADVICE r5: a NULL `value` fails both `gate` and `~gate` (3VL),
+    so the old split dropped NULL rows from BOTH sinks. The contract
+    is 'no row dropped silently': NULL/invalid rows must land in
+    quarantine. Drives the REAL batch-split function on a micro-batch
+    containing a NULL."""
+    from tinysql_spark.operators.streaming_bridge import (
+        _ST10_VALUE_CAP,
+        _st10_split_batch,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, float(_ST10_VALUE_CAP) - 1.0), (2, float(_ST10_VALUE_CAP) + 1.0), (3, None)],
+        "event_id bigint, value double",
+    )
+    clean, quar = str(tmp_path / "clean"), str(tmp_path / "quar")
+    _st10_split_batch(batch, clean, quar)
+    clean_ids = {r[0] for r in spark.read.parquet(clean).select("event_id").collect()}
+    quar_ids = {r[0] for r in spark.read.parquet(quar).select("event_id").collect()}
+    assert clean_ids == {1}
+    assert quar_ids == {2, 3}, "NULL row must be quarantined, not dropped"

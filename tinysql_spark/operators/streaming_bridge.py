@@ -688,6 +688,24 @@ def st09_stream_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ST10_VALUE_CAP = 150.0
 
 
+def _st10_split_batch(batch: DataFrame, clean_dir: str, quar_dir: str) -> None:
+    """One micro-batch through the gate: passing rows append to the
+    clean sink, everything else to quarantine. NULL routing (ADVICE
+    r5): for a NULL value both `gate` and `~gate` are NULL — a bare
+    `~gate` filter would drop the row from BOTH sinks, silently.
+    Invalid/NULL rows are exactly what the dead-letter store exists
+    for: the coalesce sends them to quarantine. persist: the batch
+    feeds two sinks — without the barrier the source batch would be
+    recomputed per write."""
+    gate = F.col("value") <= _ST10_VALUE_CAP
+    batch = batch.persist()
+    batch.filter(gate).write.mode("append").parquet(clean_dir)
+    batch.filter(~F.coalesce(gate, F.lit(False))).write.mode("append").parquet(
+        quar_dir
+    )
+    batch.unpersist()
+
+
 @register(
     "st10_stream_quality_gate",
     late=True,
@@ -697,7 +715,7 @@ _ST10_VALUE_CAP = 150.0
            round(min(value), 2) AS min_v,
            round(max(value), 2) AS max_v
     FROM events
-    WHERE value > {_ST10_VALUE_CAP}
+    WHERE value > {_ST10_VALUE_CAP} OR value IS NULL
     GROUP BY event_type
     """,
     doc="Streaming QUALITY GATE with a dead-letter split — the "
@@ -706,7 +724,9 @@ _ST10_VALUE_CAP = 150.0
     "bounds), passing rows land in the clean sink and violations in "
     "a quarantine sink, BOTH as parquet appends inside one "
     "foreachBatch (no row is dropped silently — the dead-letter "
-    "store is what makes data bugs debuggable a week later). The "
+    "store is what makes data bugs debuggable a week later; NULL/"
+    "invalid values fail the gate NULL-safely and land in quarantine, "
+    "never in neither sink). The "
     "returned quarantine summary must equal the batch computation "
     "of the same gate over the same events — the oracle. The gate "
     "is pure Column algebra evaluated once per batch; both writes "
@@ -717,18 +737,11 @@ def st10_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean_dir = tempfile.mkdtemp(prefix="tinysql_st10_clean_")
     quar_dir = tempfile.mkdtemp(prefix="tinysql_st10_quar_")
     ck_dir = tempfile.mkdtemp(prefix="tinysql_st10_ck_")
-    gate = F.col("value") <= _ST10_VALUE_CAP
-
-    def split(batch: DataFrame, _bid: int) -> None:
-        # persist: the batch feeds two sinks — without the barrier the
-        # source batch would be recomputed per write
-        batch = batch.persist()
-        batch.filter(gate).write.mode("append").parquet(clean_dir)
-        batch.filter(~gate).write.mode("append").parquet(quar_dir)
-        batch.unpersist()
 
     q = (
-        stream.writeStream.foreachBatch(split)
+        stream.writeStream.foreachBatch(
+            lambda batch, _bid: _st10_split_batch(batch, clean_dir, quar_dir)
+        )
         .option("checkpointLocation", ck_dir)
         .trigger(availableNow=True)
         .start()
