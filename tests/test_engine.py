@@ -317,18 +317,29 @@ def test_user_vars(eng):
     assert eng.sql("SELECT @s AS v").df.collect()[0][0] == "abc"
 
 
-def test_row_stream_setvar_loud_error(eng):
-    """`SELECT @a := col ...` is row-order dependent (reference:
-    executor/executor.go:413 unBatchedNext exists precisely for it) —
-    the engine must refuse loudly, not return a silent wrong answer.
-    `SET @a := expr` (session scope) stays supported; @ inside string
-    literals stays data."""
+def test_row_stream_setvar_capture_and_loud_error(eng):
+    """`SELECT @a := col ...` projects the assigned expression per row
+    — exactly MySQL's result set for the assignment (the variable's
+    final value is row-order dependent and NOT captured; documented).
+    Self-referencing non-running forms stay loudly refused (reference:
+    executor/executor.go:413 unBatchedNext exists precisely for
+    row-at-a-time SetVar). `SET @a := expr` (session scope) stays
+    supported; @ inside string literals stays data."""
     eng.sql("CREATE TABLE tv (a int)")
     eng.sql("INSERT INTO tv VALUES (1), (2)")
+    # plain capture: result set is the expression per row, order-free
+    assert sorted(rows(eng.sql("SELECT @r := a FROM tv"))) == [(1,), (2,)]
+    assert sorted(rows(eng.sql("SELECT @r := a * 10 AS v FROM tv"))) == [
+        (10,), (20,),
+    ]
+    # in a scalar subquery the capture is the subquery's projection
+    assert rows(eng.sql("SELECT a FROM tv WHERE a > (SELECT @x := 1)")) == [(2,)]
+    # a capture read elsewhere in the same statement is order-dependent
+    with pytest.raises(ValueError, match="read"):
+        eng.sql("SELECT @r := a, @r + 1 FROM tv")
+    # self-referencing non-running form stays loud
     with pytest.raises(ValueError, match="row-order-dependent SetVar"):
-        eng.sql("SELECT @r := a FROM tv")
-    with pytest.raises(ValueError, match="row-order-dependent SetVar"):
-        eng.sql("SELECT a FROM tv WHERE a > (SELECT @x := 1)")
+        eng.sql("SELECT @r := @r * 2 FROM tv")
     eng.sql("SET @r := 5")  # session-scoped assignment still fine
     assert rows(eng.sql("SELECT a FROM tv WHERE a < @r")) == [(1,), (2,)]
     # '@... :=' inside a string literal is data, not an assignment
@@ -1333,17 +1344,27 @@ def test_running_setvar_window_rewrite(eng):
     eng.sql("SET @t = 0")
     got = rows(eng.sql("SELECT k, round(@t := @t + v, 1) AS rt FROM rs ORDER BY k"))
     assert got == [(1, 10.0), (2, 30.0), (3, 60.0), (4, 100.0)]
+    # plain capture projects the expression per row (order irrelevant)
+    got = rows(eng.sql("SELECT k, @a := v AS cv FROM rs ORDER BY k"))
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)]
     # unsupported forms stay loud
     import pytest as _pt
 
-    with _pt.raises(ValueError, match="row-order-dependent"):
-        eng.sql("SELECT @a := v FROM rs ORDER BY k")
     with _pt.raises(ValueError, match="row-order-dependent"):
         eng.sql("SELECT @t := @t + v FROM rs")  # no ORDER BY
     with _pt.raises(ValueError, match="assigned more than once"):
         eng.sql("SELECT @t := @t + v, @t := @t + 1 FROM rs ORDER BY k")
     with _pt.raises(ValueError, match="read"):
         eng.sql("SELECT @t := @t + v AS rt, @t * 2 AS x FROM rs ORDER BY k")
+    # a capture must not read a variable assigned in the same statement
+    with _pt.raises(ValueError, match="read"):
+        eng.sql("SELECT @t := @t + v AS rt, @b := @t FROM rs ORDER BY k")
+    # ADVICE r5: ORDER BY ordinal / select-list alias would silently
+    # change meaning inside the window spec — refuse loudly
+    with _pt.raises(ValueError, match="ordinal"):
+        eng.sql("SELECT k, @t := @t + v AS rt FROM rs ORDER BY 1")
+    with _pt.raises(ValueError, match="alias"):
+        eng.sql("SELECT k AS kk, @t := @t + v AS rt FROM rs ORDER BY kk")
 
 
 def test_engine_reload_sees_other_sessions_ddl(eng, spark):

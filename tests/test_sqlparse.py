@@ -124,3 +124,26 @@ class TestDbQualifierRewrite:
             "SELECT * FROM `default__abc`.a JOIN `db2__abc`.b "
             "ON `default__abc`.a.k = `db2__abc`.b.k"
         )
+
+    def test_alias_shadowing_db_name_not_rewritten(self):
+        # ADVICE r5: a table alias spelled like an engine database must
+        # resolve the ALIAS — rewriting it breaks resolution or reads
+        # the wrong table
+        m = {"d": "d__abc"}
+        assert self.rw("SELECT d.x FROM t AS d", m) == "SELECT d.x FROM t AS d"
+        assert self.rw("SELECT d.x FROM t d WHERE d.x > 1", m) == (
+            "SELECT d.x FROM t d WHERE d.x > 1"
+        )
+        assert self.rw("SELECT d.x FROM (SELECT 1 AS x) d", m) == (
+            "SELECT d.x FROM (SELECT 1 AS x) d"
+        )
+        # the SAME db name used as a genuine qualifier (no alias def)
+        # still rewrites
+        assert self.rw("SELECT d.t.x FROM d.t", m) == (
+            "SELECT `d__abc`.t.x FROM `d__abc`.t"
+        )
+
+    def test_alias_shadowing_is_per_name(self):
+        # only the colliding name is shadowed; other dbs still rewrite
+        out = self.rw("SELECT d.x FROM default.t AS d", {"d": "d__abc", **self.m})
+        assert out == "SELECT d.x FROM `default__abc`.t AS d"

@@ -544,49 +544,110 @@ def rewrite_strcmp(sql: str) -> str:
 
 
 _SETVAR_RE = re.compile(r"@(\w+)\s*:=\s*@(\w+)\s*\+", re.S)
+_SETVAR_ASSIGN_RE = re.compile(r"@(\w+)\s*:=", re.S)
 _SETVAR_STOP_KW = re.compile(
     r"(AS|FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|EXCEPT|INTERSECT)\b", re.I
 )
 
 
+def _validate_window_order(sql: str, order_text: str) -> None:
+    """The running-SetVar rewrite copies the outer ORDER BY text
+    verbatim into an OVER(...) spec — two top-level forms change
+    meaning there (ADVICE r5): a positional ordinal (``ORDER BY 2``)
+    is positional at top level but a CONSTANT inside a window (the
+    running sum would accumulate in arbitrary partition order —
+    silently wrong), and a select-list alias does not resolve inside
+    OVER. Refuse both loudly."""
+    for item in order_text.split(","):
+        head = item.strip().split()[0] if item.strip() else ""
+        if head.isdigit():
+            raise ValueError(
+                f"running-SetVar rewrite: ORDER BY ordinal {head!r} is "
+                "positional at top level but a constant inside the window "
+                "spec the rewrite builds — spell out the column name"
+            )
+    # select-list aliases: text between SELECT and the top-level FROM
+    m = re.match(r"\s*SELECT\s+(?:DISTINCT\s+)?", sql, re.I)
+    sel_start = m.end() if m else 0
+    depth, quote, from_idx = 0, None, len(sql)
+    i = sel_start
+    while i < len(sql):
+        ch = sql[i]
+        if quote:
+            if ch == "\\" and quote in "'\"":
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch in "Ff"
+            and not (sql[i - 1].isalnum() or sql[i - 1] in "_`")
+            and re.match(r"FROM\b", sql[i:], re.I)
+        ):
+            from_idx = i
+            break
+        i += 1
+    aliases = re.findall(r"\bAS\s+`?(\w+)`?", sql[sel_start:from_idx], re.I)
+    for a in aliases:
+        if re.search(rf"(?i)(?<![\w`.@]){re.escape(a)}(?![\w`])", order_text):
+            raise ValueError(
+                f"running-SetVar rewrite: ORDER BY references select-list "
+                f"alias {a!r}, which does not resolve inside the window "
+                "spec the rewrite builds — order by the underlying "
+                "expression instead"
+            )
+
+
 def rewrite_running_setvars(sql: str, user_vars: dict[str, object]) -> str:
-    """Translate MySQL's row-stream SetVar *running-aggregate idioms*
-    into window functions — the pre-8.0 patterns users actually port
-    (reference: executor/executor.go:413-415 unBatchedNext exists
-    precisely for row-at-a-time SetVar evaluation):
+    """Translate MySQL's row-stream SetVar idioms into deterministic
+    algebra — the pre-8.0 patterns users actually port (reference:
+    executor/executor.go:413-415 unBatchedNext exists precisely for
+    row-at-a-time SetVar evaluation):
 
         SELECT @t := @t + x  ... ORDER BY k   -- running total
         SELECT @r := @r + 1  ... ORDER BY k   -- row counter
+        SELECT @a := <expr>  ...              -- plain capture
 
-    become ``(<init> + sum(<expr>) OVER (ORDER BY k ROWS BETWEEN
-    UNBOUNDED PRECEDING AND CURRENT ROW))`` with ``<init>`` the
+    Running forms become ``(<init> + sum(<expr>) OVER (ORDER BY k ROWS
+    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))`` with ``<init>`` the
     variable's current session value (NULL if unset — and NULL + x is
     NULL on every row, exactly MySQL's propagation). A top-level ORDER
-    BY is REQUIRED: it is what gives "the previous row" a meaning in a
-    distributed scan; without one, or for any non-running form
-    (``@a := col``, mid-stream reads of the variable, a variable
-    assigned twice), the statement still fails loudly in
-    substitute_user_vars. Ties in the ORDER BY are processed in
+    BY is REQUIRED for them (it is what gives "the previous row" a
+    meaning in a distributed scan), and ordinals / select-list aliases
+    in it are refused (_validate_window_order). The plain-capture form
+    ``@a := <expr>`` projects ``(<expr>)`` — exactly MySQL's result set
+    for the assignment expression, row-order free — provided the
+    variable is not read elsewhere in the statement and <expr> reads no
+    variable assigned in the same statement (those are row-order
+    dependent: loud error). Ties in a running ORDER BY are processed in
     arbitrary order — the same indeterminism MySQL documents. The
     session variable is NOT updated after the query (results are lazy
-    DataFrames); MySQL leaves it at the final row's value.
+    DataFrames); MySQL leaves it at the final row's value — documented
+    divergence, same for both forms.
     """
     if ":=" not in sql:
         return sql
     spans = {kw: (a, b) for a, b, kw in _top_level_keyword_spans(sql)}
-    if "ORDER BY" not in spans:
-        return sql  # no row order -> the loud error path
-    ob_end = spans["ORDER BY"][1]
-    order_stop = spans["LIMIT"][0] if "LIMIT" in spans else len(sql)
-    order_text = sql[ob_end:order_stop].strip()
-    if not order_text:
-        return sql
+    order_text = None
+    if "ORDER BY" in spans:
+        ob_end = spans["ORDER BY"][1]
+        order_stop = spans["LIMIT"][0] if "LIMIT" in spans else len(sql)
+        order_text = sql[ob_end:order_stop].strip() or None
+    order_validated = False
 
     out = []
     i, n = 0, len(sql)
     quote = None
     depth = 0
     rewritten: list[str] = []
+    captured: dict[str, str] = {}
     while i < n:
         ch = sql[i]
         if quote:
@@ -610,17 +671,26 @@ def rewrite_running_setvars(sql: str, user_vars: dict[str, object]) -> str:
             depth -= 1
         if ch == "@" and sql[i + 1 : i + 2] != "@":
             m = _SETVAR_RE.match(sql, i)
-            if m and m.group(1).lower() == m.group(2).lower():
-                name = m.group(1).lower()
-                if name in rewritten:
+            ma = _SETVAR_ASSIGN_RE.match(sql, i)
+            self_running = bool(m and m.group(1).lower() == m.group(2).lower())
+            # running form needs an ORDER BY to rewrite; a plain
+            # assignment (@a := expr, expr not self-referencing)
+            # rewrites order-free. Anything else falls through to the
+            # loud error in substitute_user_vars.
+            running = self_running and order_text is not None
+            capture = ma is not None and not self_running
+            if running or capture:
+                name = (m if running else ma).group(1).lower()
+                if name in rewritten or name in captured:
                     raise ValueError(
                         f"@{name} is assigned more than once in one statement — "
                         "interleaved running-variable updates have no "
                         "deterministic distributed meaning"
                     )
-                # capture the summand: up to a comma at this depth, a
-                # close paren below this depth, or a top-level keyword
-                j = m.end()
+                # capture the assigned expression: up to a comma at this
+                # depth, a close paren below this depth, or a top-level
+                # keyword
+                j = (m if running else ma).end()
                 d2 = depth
                 start = j
                 while j < n:
@@ -654,31 +724,56 @@ def rewrite_running_setvars(sql: str, user_vars: dict[str, object]) -> str:
                         break
                     j += 1
                 expr = sql[start:j].strip()
+                if capture and re.search(rf"(?<!@)@{name}\b", expr, re.I):
+                    # self-referencing non-running form (@a := @a * 2):
+                    # row-order dependent — leave for the loud error
+                    expr = ""
                 if expr:
-                    init = render_literal(user_vars.get(name))
-                    out.append(
-                        f"({init} + sum({expr}) OVER (ORDER BY {order_text} "
-                        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
-                    )
-                    rewritten.append(name)
+                    if running:
+                        if not order_validated:
+                            _validate_window_order(sql, order_text)
+                            order_validated = True
+                        init = render_literal(user_vars.get(name))
+                        out.append(
+                            f"({init} + sum({expr}) OVER (ORDER BY {order_text} "
+                            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+                        )
+                        rewritten.append(name)
+                    else:
+                        # MySQL's result set for @a := expr IS expr per
+                        # row — the projection is row-order free
+                        out.append(f"({expr}) ")
+                        captured[name] = expr
                     i = j
                     continue
         out.append(ch)
         i += 1
-    if not rewritten:
+    if not rewritten and not captured:
         return sql
     result = "".join(out)
     # a mid-stream READ of a rewritten variable elsewhere in the
     # statement would see the constant initial value, not the running
     # one — refuse instead of silently diverging from MySQL
-    for name in rewritten:
+    for name in list(rewritten) + list(captured):
         if re.search(rf"(?<!@)@{name}\b", result, re.I):
             raise ValueError(
-                f"@{name} is both a running assignment target and read "
-                "elsewhere in the statement — mid-stream variable reads are "
+                f"@{name} is both an assignment target and read elsewhere "
+                "in the statement — mid-stream variable reads are "
                 "row-order dependent and unsupported; materialize the "
-                "running value once and reference its alias"
+                "value once and reference its alias"
             )
+    # a captured expr reading a variable that is ALSO assigned in this
+    # statement would see the constant initial value — row-order
+    # dependent, refuse
+    assigned = set(rewritten) | set(captured)
+    for name, expr in captured.items():
+        for other in assigned - {name}:
+            if re.search(rf"(?<!@)@{other}\b", expr, re.I):
+                raise ValueError(
+                    f"@{name} := ... reads @{other}, which is assigned in "
+                    "the same statement — interleaved assignment/read has "
+                    "no deterministic distributed meaning"
+                )
     return result
 
 
@@ -754,6 +849,86 @@ def substitute_user_vars(sql: str, user_vars: dict[str, object]) -> str:
     return "".join(out) if changed else sql
 
 
+_ALIAS_KW = {
+    # clause keywords that can directly follow a relation in a FROM
+    # clause — never aliases
+    "on", "using", "where", "group", "order", "having", "limit", "by",
+    "join", "inner", "left", "right", "full", "cross", "natural",
+    "union", "except", "intersect", "as", "set", "values", "qualify",
+    "window", "lateral", "straight_join", "anti", "semi", "outer",
+    "offset", "for", "select", "from", "and", "or", "not", "in", "is",
+    "between", "like", "case", "when", "then", "else", "end", "asc",
+    "desc", "distinct", "all", "exists",
+}
+
+
+def _alias_definitions(sql: str) -> set[str]:
+    """Names defined as table aliases anywhere in the statement
+    (``FROM t [AS] d``, ``JOIN t d``, subquery ``(...) d``, comma
+    items ``FROM a x, b y`` — nested subqueries included). Used to
+    shadow engine-database names out of the qualifier mapping (ADVICE
+    r5): ``SELECT d.x FROM t AS d`` with a database named ``d`` must
+    resolve the alias, not the database. Over-collection is safe in
+    the right direction — a shadowed real qualifier fails loudly at
+    resolution instead of silently reading another table.
+
+    Token walk per FROM/JOIN region: after a relation token (word or
+    closing paren), a word that is not a clause keyword and is not
+    followed by ``.``/``(`` is an alias definition."""
+    aliases: set[str] = set()
+    # strip string literals so keywords/names inside them don't count
+    stripped = re.sub(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"", "''", sql)
+    toks = re.findall(r"`[^`]*`|\w+|[(),.]", stripped)
+    in_from = 0  # inside a FROM/JOIN clause at the CURRENT paren depth
+    from_stack: list[int] = []  # saved in_from per enclosing paren level
+    prev_kind = ""  # "", "rel" (word/`)` that could be a relation), "as", "dot"
+    for idx, tok in enumerate(toks):
+        t = tok.strip("`").lower()
+        nxt = toks[idx + 1] if idx + 1 < len(toks) else ""
+        if tok == "(":
+            from_stack.append(in_from)
+            in_from = 0
+            prev_kind = ""
+            continue
+        if tok == ")":
+            in_from = from_stack.pop() if from_stack else 0
+            prev_kind = "rel"
+            continue
+        if tok == ".":
+            prev_kind = "dot"
+            continue
+        if tok == ",":
+            prev_kind = ""
+            continue
+        if t in ("from", "join"):
+            in_from += 1
+            prev_kind = ""
+            continue
+        if t in ("where", "group", "having", "order", "limit", "select",
+                 "union", "except", "intersect", "qualify", "window",
+                 "on", "using"):
+            in_from = 0
+            prev_kind = ""
+            continue
+        if t == "as" and prev_kind == "rel":
+            prev_kind = "as"
+            continue
+        if (
+            in_from
+            and prev_kind in ("rel", "as")
+            and t not in _ALIAS_KW
+            and nxt not in (".", "(")
+        ):
+            aliases.add(t)
+            prev_kind = ""
+            continue
+        if prev_kind == "dot":
+            prev_kind = "rel"
+            continue
+        prev_kind = "rel" if re.match(r"[`\w]", tok) else ""
+    return aliases
+
+
 def rewrite_db_qualifiers(sql: str, mapping: dict[str, str]) -> str:
     """Rewrite ``db.x`` / ```db`.x`` qualifiers whose db part names an
     engine database into the engine's PRIVATE Spark-catalog namespace
@@ -763,14 +938,22 @@ def rewrite_db_qualifiers(sql: str, mapping: dict[str, str]) -> str:
     Quote-aware: a matching word inside a string literal is data and
     passes through. Only a token immediately followed by ``.`` and an
     identifier start is a qualifier; a token already preceded by ``.``
-    (the middle of ``db.table.col``) is never re-mapped. Known
-    ambiguity (inherited from SQL itself): a table alias spelled
-    exactly like an engine database name and used as ``alias.col``
-    would be rewritten — don't alias tables with database names.
+    (the middle of ``db.table.col``) is never re-mapped. Alias shadowing
+    (ADVICE r5): a table alias spelled exactly like an engine database
+    (``FROM t AS d`` with a database named d, then ``d.x``) must NOT be
+    rewritten — alias definitions (``FROM/JOIN <rel> [AS] <name>``,
+    including subquery aliases ``) <name>``) are detected and excluded
+    from the mapping for this statement. Residual ambiguity: a STRUCT
+    column named like a database and accessed as ``col.field`` without
+    an alias definition is still rewritten — name struct columns apart
+    from databases.
     """
     if not mapping:
         return sql
     low = {k.lower(): v for k, v in mapping.items()}
+    low = {k: v for k, v in low.items() if k not in _alias_definitions(sql)}
+    if not low:
+        return sql
     out: list[str] = []
     i, n = 0, len(sql)
     changed = False
