@@ -404,6 +404,27 @@ def test_d09_joins_on_candidate_signature(q):
     assert not any("source" in j for j in joins), joins
 
 
+def test_d12_fuzzy_pair_join_on_shingle_not_source(q):
+    """VERDICT r5 item 1: the incremental dedup's fuzzy candidates
+    must come from the shingle-blocked equi-join (linear, df-capped)
+    — the old source-only block was all-pairs within a hot source.
+    The pair join's key is `sh`; no join references `source`; nothing
+    goes cartesian."""
+    import re
+
+    from tinysql_spark.plans import plan_string
+
+    df = q("d12_incremental_dedup")
+    plan = plan_string(df)
+    js = join_strategies(df)
+    assert js and all(j != "CartesianProduct" for j in js), js
+    joins = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*", plan
+    )
+    assert any("sh" in j for j in joins), joins
+    assert not any("source" in j for j in joins), joins
+
+
 def test_aqe_skew_join_splits_partition_and_its_limits(spark):
     """AQE skew-join evidence (VERDICT r02 item 6): on a skewed
     shuffled SMJ, AQE splits the hot partition at runtime —

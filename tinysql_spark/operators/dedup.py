@@ -1281,7 +1281,7 @@ _D12_JACCARD = 0.5
     late=True,
     oracle=f"""
     WITH f AS (
-      SELECT doc_id, source,
+      SELECT doc_id,
              md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
              list_distinct(string_split_regex(trim(text), '\\s+')) AS ws
       FROM documents
@@ -1293,23 +1293,39 @@ _D12_JACCARD = 0.5
              'exact' AS kind, 1.0 AS score
       FROM f i JOIN keepers k USING (fp)
       WHERE i.doc_id >= {_D12_BOUNDARY}
-    ), tok AS (
-      SELECT doc_id, source, fp, unnest(ws) AS w FROM f
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
-    ), pairs AS (
-      SELECT i.doc_id AS incoming_id, e.doc_id AS match_id, count(*) AS common
-      FROM tok i JOIN tok e
-        ON i.w = e.w AND i.source = e.source AND i.fp <> e.fp
-       AND i.doc_id >= {_D12_BOUNDARY} AND e.doc_id < {_D12_BOUNDARY}
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(ws0) - 2, 1)),
+               i -> array_to_string(ws0[i:i+2], ' ')))) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws0
+            FROM documents)
+    ), nd AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), rare AS (
+      SELECT sh FROM g, nd
+      GROUP BY sh, n_docs
+      HAVING count(*) <= greatest(25, CAST({_D09_STOP_FRAC} * n_docs AS BIGINT))
+    ), k AS (
+      SELECT g.* FROM g JOIN rare USING (sh)
+    ), cand AS (
+      SELECT i.doc_id AS incoming_id, e.doc_id AS match_id
+      FROM k i JOIN k e ON i.sh = e.sh
+      WHERE i.doc_id >= {_D12_BOUNDARY} AND e.doc_id < {_D12_BOUNDARY}
       GROUP BY 1, 2
+      HAVING count(*) >= {_D09_MIN_SHARED}
     ), fuzzy AS (
-      SELECT incoming_id, match_id, 'fuzzy' AS kind,
-             round(common * 1.0 / (si.n + se.n - common), 4) AS score
-      FROM pairs
-        JOIN sizes si ON incoming_id = si.doc_id
-        JOIN sizes se ON match_id = se.doc_id
-      WHERE common * 1.0 / (si.n + se.n - common) >= {_D12_JACCARD}
+      SELECT c.incoming_id, c.match_id, 'fuzzy' AS kind,
+             round(len(list_intersect(fi.ws, fe.ws)) * 1.0
+                   / (len(fi.ws) + len(fe.ws)
+                      - len(list_intersect(fi.ws, fe.ws))), 4) AS score
+      FROM cand c
+        JOIN f fi ON c.incoming_id = fi.doc_id
+        JOIN f fe ON c.match_id = fe.doc_id
+      WHERE fi.fp <> fe.fp
+        AND len(list_intersect(fi.ws, fe.ws)) * 1.0
+            / (len(fi.ws) + len(fe.ws) - len(list_intersect(fi.ws, fe.ws)))
+            >= {_D12_JACCARD}
     )
     SELECT * FROM exact UNION ALL SELECT * FROM fuzzy
     """,
@@ -1320,46 +1336,102 @@ _D12_JACCARD = 0.5
     "content-fingerprint hits against the per-fp keeper table (an "
     "equi-join on the 16-byte fp — at 100 TB the existing side is a "
     "pre-built fp index, not a rescan), and fuzzy token-set Jaccard "
-    ">= 0.5 via the d02 discipline — source-blocked equi-join, "
-    "size-ratio prefilter ordered before the array_intersect, fp "
-    "inequality keeping exact hits out of the fuzzy branch. The "
-    "asymmetric join (batch side small) is exactly what AQE "
-    "broadcasts at real scale.",
+    ">= 0.5 verified over d09's SHINGLE-BLOCKED candidate generation "
+    "(VERDICT r5 item 1): incoming x existing pairs come from the "
+    "rare-shingle equi-join (stop-shingle df cap, >= 2 shared "
+    "shingles dedup the candidate stream inside one aggregation), "
+    "never from a metadata block — within one hot source the old "
+    "source-blocked join was all-pairs; the shingle key keeps the "
+    "pair space linear in (docs x shingles-per-doc) at any source "
+    "skew. The Jaccard verify joins the two token sets back by "
+    "doc_id ABOVE the candidate aggregation (the d09 push-guard "
+    "lesson), with fp inequality keeping exact hits out of the "
+    "fuzzy branch. Plan-tested: the pair join's key is the shingle "
+    "column and no join references `source`.",
 )
 def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
     docs = load_table(spark, sf_dir, "documents")
-    f = docs.select(
-        "doc_id",
-        "source",
-        fingerprint(F.col("text")).alias("fp"),
-        F.array_distinct(
-            F.transform(distinct_tokens(F.col("text")), lambda w: F.xxhash64(w))
-        ).alias("toks"),
-    ).withColumn("n", F.size("toks"))
-    existing = f.filter(F.col("doc_id") < _D12_BOUNDARY)
-    incoming = f.filter(F.col("doc_id") >= _D12_BOUNDARY)
-    keepers = existing.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    exact = incoming.join(keepers, "fp").select(
+    # persisted: f feeds the keeper agg, the exact join AND both
+    # verify join-backs — keyed so the next invocation releases it
+    f = _keyed_persist(
+        "d12.f",
+        docs.select(
+            "doc_id",
+            fingerprint(F.col("text")).alias("fp"),
+            F.array_distinct(
+                F.transform(distinct_tokens(F.col("text")), lambda w: F.xxhash64(w))
+            ).alias("toks"),
+        ).withColumn("n", F.size("toks")),
+    )
+    incoming_f = f.filter(F.col("doc_id") >= _D12_BOUNDARY)
+    keepers = (
+        f.filter(F.col("doc_id") < _D12_BOUNDARY)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    exact = incoming_f.join(keepers, "fp").select(
         F.col("doc_id").alias("incoming_id"),
         F.col("keeper").alias("match_id"),
         F.lit("exact").alias("kind"),
         F.lit(1.0).alias("score"),
     )
-    i = incoming.alias("i")
-    e = existing.alias("e")
-    common = F.size(F.array_intersect(F.col("i.toks"), F.col("e.toks")))
-    j = common * 1.0 / (F.col("i.n") + F.col("e.n") - common)
-    fuzzy = i.join(
-        e,
-        (F.col("i.source") == F.col("e.source"))
-        & (F.col("i.fp") != F.col("e.fp"))
-        & (F.col("i.n") * 2 >= F.col("e.n"))
-        & (F.col("e.n") * 2 >= F.col("i.n"))
-        & (j >= _D12_JACCARD),
-    ).select(
-        F.col("i.doc_id").alias("incoming_id"),
-        F.col("e.doc_id").alias("match_id"),
-        F.lit("fuzzy").alias("kind"),
-        F.round(j, 4).alias("score"),
+    # fuzzy candidates: d09's shingle-blocked generator — int64 shingle
+    # hashes (8-byte join keys), df-capped so no hot shingle goes
+    # quadratic, incoming x existing split applied BEFORE the pair join
+    sh_udf = F.pandas_udf(_shingle_hash_batch, T.ArrayType(T.LongType())).asNondeterministic()
+    sh = _keyed_persist(
+        "d12.sh",
+        docs.select("doc_id", F.explode(sh_udf(F.col("text"))).alias("sh")),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    cap = F.greatest(F.lit(25), (F.lit(_D09_STOP_FRAC) * F.col("n_docs")).cast("long"))
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= cap)
+        .select("sh")
+    )
+    kept = _keyed_persist("d12.kept", sh.join(rare, "sh"))
+    cand = (
+        kept.filter(F.col("doc_id") >= _D12_BOUNDARY)
+        .alias("i")
+        .join(kept.filter(F.col("doc_id") < _D12_BOUNDARY).alias("e"), "sh")
+        .groupBy(
+            F.col("i.doc_id").alias("incoming_id"),
+            F.col("e.doc_id").alias("match_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _D09_MIN_SHARED)
+    )
+    # verify ABOVE the candidate agg: join token sets back by doc_id
+    # (aggregate outputs are unpushable, so the O(|set|) intersect
+    # runs once per deduped candidate, never per raw shingle pair)
+    fi = f.select(
+        F.col("doc_id").alias("incoming_id"),
+        F.col("fp").alias("i_fp"),
+        F.col("toks").alias("i_toks"),
+        F.col("n").alias("i_n"),
+    )
+    fe = f.select(
+        F.col("doc_id").alias("match_id"),
+        F.col("fp").alias("e_fp"),
+        F.col("toks").alias("e_toks"),
+        F.col("n").alias("e_n"),
+    )
+    common = F.size(F.array_intersect(F.col("i_toks"), F.col("e_toks")))
+    j = common * 1.0 / (F.col("i_n") + F.col("e_n") - common)
+    fuzzy = (
+        cand.join(fi, "incoming_id")
+        .join(fe, "match_id")
+        .filter((F.col("i_fp") != F.col("e_fp")) & (j >= _D12_JACCARD))
+        .select(
+            "incoming_id",
+            "match_id",
+            F.lit("fuzzy").alias("kind"),
+            F.round(j, 4).alias("score"),
+        )
     )
     return exact.unionByName(fuzzy)
