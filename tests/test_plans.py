@@ -425,6 +425,20 @@ def test_d12_fuzzy_pair_join_on_shingle_not_source(q):
     assert not any("source" in j for j in joins), joins
 
 
+def test_p11_doc_checks_fuse_into_one_scan(q):
+    """VERDICT r5 item 6: the four docs-side quality checks must run
+    as ONE aggregation over ONE documents scan (p09's one-pass
+    discipline) — the old plan read the table four times."""
+    from tinysql_spark.plans import plan_string
+
+    plan = plan_string(q("p11_data_quality_checks"))
+    # formatted mode: each scan contributes one Location line
+    doc_scans = [
+        l for l in plan.splitlines() if "Location" in l and "documents" in l
+    ]
+    assert len(doc_scans) == 1, plan
+
+
 def test_aqe_skew_join_splits_partition_and_its_limits(spark):
     """AQE skew-join evidence (VERDICT r02 item 6): on a skewed
     shuffled SMJ, AQE splits the hot partition at runtime —
