@@ -717,3 +717,25 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_s11_dense_candidates_from_ivf_equijoin(spark, sf_dir):
+    """s11's dense-leg candidates must come from the inverted-list
+    cid EQUI-JOIN (probes x assignment), never a query-corpus cross
+    product (VERDICT r5 item 4): the only nested-loop joins allowed
+    are the fixed-K centroid broadcasts. At 100 TB the equi-join is
+    probed-lists work per query; the old crossJoin was a full corpus
+    scan per query batch."""
+    import re
+
+    from tinysql_spark.operators.similarity import _s11_dense_ranked
+    from tinysql_spark.plans import plan_string
+
+    p = plan_string(_s11_dense_ranked(spark, sf_dir), mode="simple")
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cid", p
+    ), p
+    assert "CartesianProduct" not in p, p
+    # every cross product in the plan must be a broadcast of the
+    # K-row centroid set (IdentityBroadcastMode), not the corpus
+    assert p.count("BroadcastNestedLoopJoin") == p.count("IdentityBroadcastMode"), p

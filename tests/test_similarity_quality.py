@@ -113,3 +113,48 @@ def test_s08_mmr_diversity_vs_topk(spark, sf_dir):
 
     again = s08_ann_mmr(spark, sf_dir).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_s11_dense_ivf_recall(spark, sf_dir):
+    """s11's dense leg is IVF-probed (VERDICT r5 item 4), so the
+    probe loses exactness by design; its evidence is recall@TOPC vs
+    the exact brute-force top-20 over the same unit vectors. On the
+    seed-42 weak-neighbor corpus the K=8/P=4/2-Lloyd-round index
+    measured ~0.8 at sf0.01 — floor 0.65, plus the rank-1 exactness
+    check (top hit must survive the probe for every query)."""
+    import numpy as np
+
+    from tinysql_spark.operators.similarity import (
+        _HS_NQ,
+        _HS_TOPC,
+        _s11_dense_ranked,
+    )
+
+    got = {}
+    for r in _s11_dense_ranked(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .selectExpr(
+            "vec_id",
+            "transform(cast(embedding as array<double>), x -> x / "
+            "sqrt(aggregate(cast(embedding as array<double>), 0D, "
+            "(a, y) -> a + y * y))) AS e",
+        )
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.stack([np.asarray(r["e"]) for r in rows])
+    qm, cm = ids < _HS_NQ, ids >= _HS_NQ
+    sims = np.round(m[qm] @ m[cm].T, 6)
+    hit = tot = 0
+    for qi, qid in enumerate(ids[qm]):
+        # exact brute top-TOPC under the same (sim desc, doc_id asc) tiebreak
+        order = sorted(zip(-sims[qi], ids[cm]))[:_HS_TOPC]
+        exact = [doc for _, doc in order]
+        assert exact[0] in got[qid], f"q{qid}: probe lost the rank-1 neighbor"
+        hit += sum(1 for d in exact if d in got[qid])
+        tot += len(exact)
+    recall = hit / tot
+    assert recall >= 0.65, f"s11 dense recall {recall:.3f} < 0.65 (measured ~0.8)"
