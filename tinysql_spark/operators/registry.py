@@ -53,11 +53,14 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # ``queries()`` entries (CORRECTNESS_r{N}.json). Rounds 1-4 kept the
 # round-1 prefix stable, which left every operator added since round 1
 # outside the external signal (VERDICT r4 "What's wrong" #2). Round-5
-# rotation: this curated 50-slot prefix carries the highest-value
-# oracle-backed entries — all round-2/3/4 additions the judge named
-# (d09/d10/d11, q48-q56, st03-st08, s05/s09, p05-p08) plus a
-# representative round-1 core (flagship q01, the custom temporal
-# operators q19-q21, the skew harness q22, the iterative-cluster d07).
+# rotation put the round-2/3/4 additions in; the round-6 rotation
+# (VERDICT r5 item 3) swaps ten redundant keepers (q36/q39/q41/q43/
+# q46/q47/q50/q53/st05/d08 — each still hash-checked by
+# tests/test_oracle_parity.py, and each a shape that a remaining
+# window entry also exercises) for the ten oracle-backed round-5
+# additions: d12, s11, st10, p10, p11, t13, q63-q65, q67. m07/st09
+# stay outside — they are rows-only by design (trained signatures /
+# streaming index layout) and a window slot must be oracle-backed.
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -73,43 +76,41 @@ WINDOW: tuple[str, ...] = (
     "d01_dedup_exact",
     "d07_embedding_cluster",
     "st01_stream_hourly",
-    # fuzzy-dedup pipeline (rounds 3-4)
-    "d08_fuzzy_pairs",
+    # fuzzy-dedup pipeline (rounds 3-5)
     "d09_fuzzy_dedup_scaled",
     "d10_exact_substring",
     "d11_fuzzy_clusters",
+    "d12_incremental_dedup",
     # relational additions (rounds 2-4)
-    "q36_first_row",
     "q38_correlated_scalar",
-    "q39_notin_nullaware",
     "q40_dormant_rich_customers",
-    "q41_gap_fill",
     "q42_exact_percentiles",
-    "q43_unpivot",
     "q44_range_frame_window",
     "q45_lateral_topk",
-    "q46_locf_fill",
-    "q47_string_agg",
     "q48_sole_fault_supplier",
     "q49_min_cost_supplier",
-    "q50_small_qty_revenue",
     "q51_large_volume_customers",
     "q52_nation_volume_shipping",
-    "q53_funnel_depth",
     "q54_retention_cohorts",
     "q55_market_share",
     "q56_promo_revenue",
-    # streaming additions (rounds 3-4)
+    # relational additions (round 5)
+    "q63_product_type_profit",
+    "q64_excess_volume_suppliers",
+    "q65_forecast_revenue_change",
+    "q67_ohlc_bars",
+    # streaming additions (rounds 3-5)
     "st03_stream_join",
     "st04_stream_parquet_sink",
-    "st05_stream_static_join",
     "st06_stream_upsert",
     "st07_stream_sessions",
     "st08_stream_left_join",
-    # ANN additions with oracles
+    "st10_stream_quality_gate",
+    # ANN / hybrid-retrieval additions with oracles
     "s05_ann_scalar_quant",
     "s09_ann_filtered",
-    # training-pipeline additions
+    "s11_hybrid_search",
+    # training-pipeline additions (rounds 4-5)
     "p02_train_sample",
     "p03_token_budget_mix",
     "p04_contamination",
@@ -117,8 +118,11 @@ WINDOW: tuple[str, ...] = (
     "p06_temperature_mix",
     "p07_training_order",
     "p08_training_export",
-    # text-quality gate (round 3)
+    "p10_leakage_safe_split",
+    "p11_data_quality_checks",
+    # text-quality gates (rounds 3, 5)
     "t09_gopher_gates",
+    "t13_unigram_nll",
 )
 
 
