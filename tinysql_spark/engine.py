@@ -642,8 +642,10 @@ class Engine:
 
     def _exec_explain(self, stmt: str) -> Result:
         body = re.sub(r"^\s*(EXPLAIN|DESCRIBE|DESC)\s+", "", stmt.strip(), flags=re.I)
-        m = re.match(r"^ANALYZE\s+", body, re.I)
+        m = re.match(r"^ANALYZE\s+(FORCE\s+)?", body, re.I)
         if m:
+            if m.group(1):
+                return self._explain_analyze_force(body[m.end() :])
             return self._explain_analyze(body[m.end() :])
         # FORMAT = 'row'|'dot' (parser.y:2139-2153): both render as
         # Spark's formatted plan text — "dot" has no Spark analog and
@@ -681,7 +683,9 @@ class Engine:
             raise ValueError(
                 "EXPLAIN ANALYZE supports SELECT only (analyzing DML would "
                 f"execute the {kind.upper()} — run EXPLAIN {kind.upper()} for "
-                "the plan without side effects)"
+                "the plan without side effects, or EXPLAIN ANALYZE FORCE "
+                f"{kind.upper()} ... to explicitly execute the write and "
+                "report its metrics)"
             )
         from .plans.inspect import executed_metrics
 
@@ -691,6 +695,73 @@ class Engine:
             "id string, actRows bigint, execution_info string",
         )
         return Result(df=df)
+
+    def _explain_analyze_force(self, body: str) -> Result:
+        """EXPLAIN ANALYZE FORCE <dml>: the explicit opt-in that
+        EXECUTES the write and reports its actual metrics (VERDICT r5
+        item 7; the reference's ExplainExec renders any statement —
+        executor/explain.go:25-70 — but estimates only; the plain
+        EXPLAIN ANALYZE form keeps refusing DML so a copy-pasted
+        "explain" can never write). Same output schema as the SELECT
+        form; the executor node carries the ACTUAL rows affected,
+        wall time and the table directory's files/bytes delta, with
+        the source (insert/replace) or kept-rows (delete) plan tree
+        underneath. Per-operator runtime counters stay a SELECT-form
+        feature: the write job's QueryExecution is not observable
+        from the driver without re-executing the read side, and a
+        double-executed 100 TB INSERT..SELECT is worse than
+        executor-level actuals. FORCE on a SELECT degrades to the
+        plain form."""
+        kind = P.statement_kind(body)
+        if kind == "select":
+            return self._explain_analyze(body)
+        if kind not in ("insert", "replace", "delete"):
+            raise ValueError(
+                "EXPLAIN ANALYZE FORCE supports INSERT/REPLACE/DELETE/SELECT"
+            )
+        import time
+
+        # resolve target + render the plan tree BEFORE executing, so
+        # the tree reflects the pre-write table state
+        if kind == "delete":
+            table, _cond, _order_by, _limit = P.parse_delete(body)
+            plan_res = self._explain_delete(body, "SIMPLE")
+        else:
+            table = P.parse_insert(body).table
+            plan_res = self._explain_write(body, "SIMPLE")
+        db, t = self._qualify(table)
+        path = self.catalog.data_dir(db, t)
+        f0, b0 = self._dir_stats(path)
+        t0 = time.perf_counter()
+        if kind == "delete":
+            res = self._exec_delete(body)
+        else:
+            res = self._exec_insert(body)
+        ms = (time.perf_counter() - t0) * 1000.0
+        f1, b1 = self._dir_stats(path)
+        lines = plan_res.df.collect()[0][0].splitlines()
+        info = (
+            f"time:{ms:.0f}ms, files:{f1 - f0:+d}, bytes:{b1 - b0:+d}, "
+            f"{res.message}"
+        )
+        out = [(lines[0], res.rows_affected, info)]
+        out += [(ln, None, "") for ln in lines[1:] if ln.strip()]
+        df = self.spark.createDataFrame(
+            out, "id string, actRows bigint, execution_info string"
+        )
+        return Result(df=df, rows_affected=res.rows_affected)
+
+    @staticmethod
+    def _dir_stats(path: str) -> tuple[int, int]:
+        """(parquet file count, total bytes) under a table data dir —
+        the write-side metric EXPLAIN ANALYZE FORCE reports."""
+        files = total = 0
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet"):
+                    files += 1
+                    total += os.path.getsize(os.path.join(root, n))
+        return files, total
 
     def _plan_text_df(self, header: str, df: DataFrame, mode: str):
         from .plans.inspect import plan_string
