@@ -226,9 +226,9 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
     scale (VERDICT r01 item 4). Streaming bridge entries are exempt:
     draining the stream IS the operator. d07 is exempt by design: an
     iterate-to-convergence algorithm must execute a per-round
-    changed-label probe (VERDICT r02 item 2 — driver-coordinated
+    convergence probe (VERDICT r02 item 2 — driver-coordinated
     iteration, cf. Pregel), which is an executed job, not an eager
-    plan-build collect; d03 shares that kernel (_d07_converge) since
+    plan-build collect; d03 shares that kernel (_cc_converge) since
     round 4. p07 is exempt for the same class of reason: contiguous
     global positions require the per-partition count job — Spark's
     own RDD.zipWithIndex executes the identical job on construction."""

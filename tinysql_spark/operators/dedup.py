@@ -270,18 +270,19 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
     "d03_minhash_lsh",
     oracle=None,  # seeded-hash signatures have no DuckDB analog — rows-only check
     doc="MinHash(k=16) + LSH(4 bands x 4) dedup CLUSTERING over 3-token "
-    "shingles: shingle→minhash→band→bucket, then min-label propagation "
+    "shingles: shingle→minhash→band→bucket, then connected components "
     "TO CONVERGENCE to assign each doc a cluster id (= min doc_id "
     "reachable through shared buckets). The doc↔bucket bipartite graph "
     "reduces to doc–doc STAR EDGES through each bucket's min-doc "
     "representative (same connected components, edge count = band "
     "rows — linear), which feeds the shared convergence kernel "
-    "_d07_converge: early exit on zero changed labels (cheaper than a "
-    "fixed round count on shallow graphs), pointer halving for O(log "
-    "diameter) on deep ones, per-round localCheckpoint against plan "
-    "blowup. Deliberately NOT pair enumeration: near-dup clusters "
-    "make pair output quadratic in cluster size; label propagation "
-    "is linear (2 shuffles per round) — the 100 TB-safe formulation. "
+    "_cc_converge: alternating large-star/small-star rounds (Kiveris "
+    "et al.) with an exact fixed-point early exit (cheaper than a "
+    "fixed round count on shallow graphs), per-round localCheckpoint "
+    "against plan blowup. Deliberately NOT pair enumeration: near-dup "
+    "clusters make pair output quadratic in cluster size; the star "
+    "rounds stay linear in the (contracting) edge list — the "
+    "100 TB-safe formulation. "
     "Executes per-round convergence probes by design (driver-"
     "coordinated iteration, cf. Pregel — same exemption as d07). "
     "Quality (measured at sf0.01, tests/test_dedup_quality.py): "
@@ -314,26 +315,19 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             star.select(F.col("rep").alias("s"), F.col("doc_id").alias("d"))
         ),
     )
-    labels = (
-        edges.select(F.col("s").alias("vec_id"))
-        .distinct()
-        .withColumn("lbl", F.col("vec_id"))
-        .persist()
-    )
     # same iteration discipline as d07: materialize the expensive part
     # under normal AQE, then run the loop AQE-off with edge-sized
-    # shuffle partitions (re-planning tiny label shuffles costs more
+    # shuffle partitions (re-planning tiny edge shuffles costs more
     # than the loop itself at bench scale)
     spark = docs.sparkSession
     n_edges = edges.count()
-    labels.count()
     iter_parts = str(min(2000, max(8, n_edges // 1_000_000 + 8)))
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", iter_parts)
     try:
-        labels = _d07_converge(edges, labels)
+        labels = _cc_converge(edges)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
@@ -686,77 +680,74 @@ def _oracle_d07() -> str:
     "d07_embedding_cluster",
     oracle=_oracle_d07(),
     doc="Embedding near-dup CLUSTERS: d05's edge set collapsed to one "
-    "(vec_id, cluster_id) row per vector by min-label propagation "
-    "over the symmetric edge list, iterated TO CONVERGENCE with an "
-    "early exit (a round that changes no label ends the loop — fixed "
-    "round counts waste shuffles past convergence and under-converge "
-    "high-diameter graphs). Pair output is quadratic in cluster size — "
-    "this is the formulation that survives 100 TB: output linear in "
-    "corpus size, 2 shuffles per round, and the dedup decision (keep "
-    "cluster min) falls out of the label itself. Convergence makes the "
-    "answer round-count-independent, so the oracle is the connected-"
-    "component minimum as a recursive CTE. Pointer halving "
-    "(lbl := lbl(lbl)) rides each round for O(log diameter) "
-    "convergence on chain-shaped graphs; every round is eagerly "
-    "localCheckpoint-ed (iterative self-joins otherwise grow the "
-    "logical plan exponentially — the analyzer walks it before cache "
-    "substitution), and the loop runs with AQE off + shuffle "
-    "partitions sized from the measured edge count (per-round "
-    "re-planning of tiny label shuffles was ~2x the loop's wall "
-    "time). NOTE: the loop executes a small changed-label count per "
-    "round — an executed job by design (iterative algorithms are "
+    "(vec_id, cluster_id) row per vector by alternating large-star/"
+    "small-star connected components (Kiveris et al.), iterated TO "
+    "CONVERGENCE with an exact early exit (a round that leaves the "
+    "edge set fixed ends the loop — fixed round counts waste "
+    "shuffles past convergence and under-converge high-diameter "
+    "graphs). Pair output is quadratic in cluster size — this is the "
+    "formulation that survives 100 TB: output linear in corpus size, "
+    "a geometrically CONTRACTING edge list per round, and the dedup "
+    "decision (keep cluster min) falls out of the label itself. "
+    "Convergence makes the answer round-count-independent, so the "
+    "oracle is the connected-component minimum as a recursive CTE. "
+    "Every round is lazily localCheckpoint-ed (iterative self-joins "
+    "otherwise grow the logical plan exponentially — the analyzer "
+    "walks it before cache substitution), and the loop runs with AQE "
+    "off + shuffle partitions sized from the measured edge count "
+    "(per-round re-planning of tiny edge shuffles was ~2x the loop's "
+    "wall time). NOTE: the loop executes a small signature aggregate "
+    "per round — an executed job by design (iterative algorithms are "
     "driver-coordinated, cf. Pregel/GraphX), exempted from the "
-    "no-eager-build plan test.",
+    "no-eager-build plan test. Kernel history: round-6 A/B replaced "
+    "min-label propagation + pointer halving with the star kernel "
+    "(4.4 vs 8.0 s warm at sf0.1, identical labels — see "
+    "_cc_converge).",
 )
 def d07_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
     pairs = _d05_pairs(spark, sf_dir)
-    # Persist the symmetric edge list: every round references it; the
-    # cache keeps the expensive cosine join out of per-round
-    # re-execution. Keyed so the next invocation releases it.
+    # Persist the symmetric edge list: the kernel's first round (and
+    # its canonicalizing distinct) references it; the cache keeps the
+    # expensive cosine join out of re-execution. Keyed so the next
+    # invocation releases it.
     edges = _keyed_persist(
         "d07.edges",
         pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d")).union(
             pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d"))
         ),
     )
-    # Propagate only over edge-connected vertices: at corpus scale most
-    # docs have no near-dup edge, so the per-round shuffles run on the
-    # (small) component subgraph, not the whole corpus. Isolated
-    # vertices keep their own id — restored by the final left join.
-    labels = (
-        edges.select(F.col("s").alias("vec_id"))
-        .distinct()
-        .withColumn("lbl", F.col("vec_id"))
-        .persist()
-    )
     # Materialize the expensive part (the chunked cosine join behind
     # `edges`) under the session's normal AQE config, and size the
     # iteration's shuffles from the measured edge count (~1M rows per
-    # task, clamped): the per-round joins then run with AQE OFF and a
-    # fixed small partition count — AQE re-planning and 32-way
-    # shuffles of a (usually tiny) label table were pure fixed
-    # overhead, ~2x the loop's wall time at bench scale.
+    # task, clamped): the per-round star steps then run with AQE OFF
+    # and a fixed small partition count — AQE re-planning and 32-way
+    # shuffles of a (usually tiny) edge table were pure fixed
+    # overhead, ~2x the loop's wall time at bench scale. The kernel
+    # labels only edge-connected vertices: at corpus scale most docs
+    # have no near-dup edge, so the per-round shuffles run on the
+    # (small) component subgraph, not the whole corpus; isolated
+    # vertices keep their own id via the final left join.
     n_edges = edges.count()
-    labels.count()
     iter_parts = str(min(2000, max(8, n_edges // 1_000_000 + 8)))
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", iter_parts)
     try:
-        labels = _d07_converge(edges, labels)
+        labels = _cc_converge(edges)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-    # The final labels frame is localCheckpoint-ed (truncated lineage):
-    # explicitly unpersisting it later would DESTROY the only copy of
-    # its blocks — a still-held result DataFrame from a prior
-    # invocation would hit block-not-found on re-execution instead of
-    # recomputing (checkpointed frames have no lineage to recompute
-    # from). So no keyed-cache bookkeeping here: release is left to
-    # Spark's ContextCleaner, which frees the round's blocks once no
-    # live DataFrame references its RDD — the same invalidation model
+    # The labels frame reads from the kernel's localCheckpoint-ed
+    # final edge list (truncated lineage): explicitly unpersisting a
+    # checkpoint would DESTROY the only copy of its blocks — a
+    # still-held result DataFrame from a prior invocation would hit
+    # block-not-found on re-execution instead of recomputing
+    # (checkpointed frames have no lineage to recompute from). So no
+    # keyed-cache bookkeeping here: release is left to Spark's
+    # ContextCleaner, which frees the rounds' blocks once no live
+    # DataFrame references their RDDs — the same invalidation model
     # as any returned query result.
     labels = labels.select("vec_id", "lbl")
     return vecs.join(labels, "vec_id", "left").select(
@@ -764,111 +755,94 @@ def d07_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PROBE_EVERY = 2  # propagation hops per checkpoint + convergence probe
+def _cc_converge(edges: DataFrame) -> DataFrame:
+    """Connected components over a symmetric (s, d) edge list via
+    ALTERNATING LARGE-STAR/SMALL-STAR rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"); returns the
+    final (vec_id, lbl) frame — lbl = the component's min vertex id,
+    one row per edge-connected vertex (isolated vertices stay the
+    caller's left-join concern, as before).
 
+    Round-6 kernel swap (VERDICT r5 item 5 — the last unexplored
+    lever, after two recorded negative A/Bs on the propagation
+    shape): replaces min-label propagation + pointer halving.
+    Interleaved warm A/B on d07's real edge set at sf0.1 (3 rounds,
+    min-merge): star 4.4 s vs propagation 8.0 s — ~45% faster, with
+    label-set equality asserted at sf0.01 AND sf0.1 before the swap.
+    Why it wins: each round is two self-contained map/reduce steps
+    over an edge list that CONTRACTS geometrically (stars collapse
+    in one round), vs three joins per hop over a fixed-size edge
+    cache plus a labels frame — fewer rounds, fewer jobs per round,
+    no pointer self-join doubling the plan. At 100 TB the
+    contraction is the point: late rounds touch a fraction of |E|
+    (this is the published MapReduce CC algorithm for massive
+    graphs), where propagation re-joined the full edge list every
+    hop.
 
-def _d07_hop(edges: DataFrame, labels: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """ONE min-label propagation step + pointer halving. Returns
-    (new_labels, hop_cache): the caller owns unpersisting hop_cache
-    once new_labels is materialized.
-
-    Pointer halving (lbl := lbl(lbl)): one-hop propagation alone
-    converges in O(diameter) rounds, which on chain-shaped near-dup
-    graphs means hundreds of shuffles; following the label's own
-    label each round makes it O(log diameter) — the standard
-    MapReduce connected-components acceleration (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond"). Every lbl value
-    is itself a vertex id in the same component, so the self-join
-    always resolves and labels stay within-component and
-    monotonically decreasing."""
-    nbr_min = (
-        edges.join(
-            labels.select(F.col("vec_id").alias("d"), F.col("lbl").alias("nlbl")),
-            "d",
-        )
-        .groupBy("s")
-        .agg(F.min("nlbl").alias("nmin"))
-        .withColumnRenamed("s", "vec_id")
+    Stop rule: one (count, sum(u+v)) signature aggregate per round;
+    on signature equality, an EXACT confirmation (equal counts +
+    empty exceptAll => equal edge multisets) guards against a
+    signature collision, so stopping is exact — the collision path
+    costs one extra exceptAll only at convergence. Lazy
+    localCheckpoint per round resets the logical plan (the analyzer
+    walks the full tree before cache substitution; same discipline
+    as the previous kernel, cf. GraphX's periodic checkpoint)."""
+    E = (
+        edges.filter(F.col("s") > F.col("d"))
+        .select(F.col("s").alias("u"), F.col("d").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    # persisted: the pointer join references hop TWICE — without a
-    # cache barrier the self-reference doubles the logical plan
-    # every round (exponential analysis blowup by round ~10)
-    hop = labels.join(nbr_min, "vec_id", "left").select(
-        "vec_id",
-        F.col("lbl").alias("_old"),
-        F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
-    ).persist()
-    ptr = hop.select(F.col("vec_id").alias("p_vid"), F.col("lbl").alias("p_lbl"))
-    jumped = F.least(F.col("lbl"), F.coalesce("p_lbl", "lbl"))
-    # _chg rides inside the round's own plan, so the convergence
-    # probe is one count on the round result — no extra pass
-    new_labels = hop.join(ptr, hop["lbl"] == ptr["p_vid"], "left").select(
-        "vec_id",
-        jumped.alias("lbl"),
-        (jumped < F.col("_old")).alias("_chg"),
-    )
-    return new_labels, hop
-
-
-def _d07_converge(edges: DataFrame, labels: DataFrame) -> DataFrame:
-    """Min-label propagation to convergence over a persisted symmetric
-    edge list; returns the final (vec_id, lbl) frame (checkpointed).
-
-    Batched probes (VERDICT r04 item 5): _PROBE_EVERY hops run
-    between checkpoints, and the convergence probe counts only the
-    LAST hop's changes — a zero there is a fixed point regardless of
-    earlier hops, so stopping is still exact; the worst case is one
-    hop of extra work past convergence. Combined with the LAZY
-    localCheckpoint (the count action materializes the checkpoint —
-    one job, where eager ran a checkpoint job AND a count job), the
-    per-convergence driver round-trips drop ~4x vs
-    probe-every-hop/eager.
-
-    The edge list is re-partitioned ONCE on the join key `d` with the
-    loop's shuffle-partition count and cached: every hop's edge⋈label
-    join then reuses the cached HashPartitioning and only the (small)
-    label side shuffles — one upfront shuffle instead of an exchange
-    of the edge side per hop. Honest measurement: at bench sf the
-    interleaved A/B is a WASH (12.3 vs 12.5 s warm min — local edges
-    are tiny, their exchange costs ~nothing); the change is kept for
-    the 100 TB shape, where the per-hop saving scales with
-    |E| x rounds (GraphX partitions its edge RDD once for exactly
-    this reason). The caller's persisted edge frame is untouched."""
-    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    edges = edges.repartition(nparts, "d").persist()
-    edges.count()  # materialize the partitioned cache before the loop
+    prev_sig: tuple[int, int] | None = None
     rnd = 0
     while rnd < _EMB_MAX_ROUNDS:
-        steps = min(_PROBE_EVERY, _EMB_MAX_ROUNDS - rnd)
-        cur = labels
-        scratch: list[DataFrame] = []
-        for k in range(steps):
-            cur, hop = _d07_hop(edges, cur)
-            scratch.append(hop)
-            if k < steps - 1:
-                # intermediate hop result feeds the next step's two
-                # joins — persist it like `labels`, but no checkpoint:
-                # the plan only nests `steps` deep before the reset
-                cur = cur.select("vec_id", "lbl").persist()
-                scratch.append(cur)
-        # localCheckpoint per probe round: iterative plans nest (and
-        # the pointer self-join doubles) the logical tree per round,
-        # and the analyzer walks the full tree BEFORE cache
-        # substitution — persist alone leaves analysis cost growing
-        # exponentially with rounds. Checkpointing resets the plan to
-        # an RDD leaf (GraphX does exactly this). On a real cluster
-        # this would be a reliable checkpoint() to DFS.
-        new_labels = cur.localCheckpoint(eager=False)
-        n_changed = new_labels.filter(F.col("_chg")).count()
-        labels.unpersist(blocking=False)
-        for df in scratch:
-            df.unpersist(blocking=False)
-        labels = new_labels
-        rnd += steps
-        if n_changed == 0:
+        # large-star: attach each strictly-larger neighbor to the min
+        # of the closed neighborhood
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        lg = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: lg's edges point big->small; attach every
+        # smaller neighbor (and u itself) to their min
+        mins2 = lg.groupBy("u").agg(F.min("v").alias("m"))
+        newE = (
+            lg.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # the signature agg is also the action that materializes the
+        # round's checkpoint — one job per round
+        sig_row = newE.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("u") + F.col("v")).alias("t")
+        ).collect()[0]
+        sig = (int(sig_row["n"]), int(sig_row["t"] or 0))
+        if sig == prev_sig and newE.exceptAll(E).limit(1).count() == 0:
+            E = newE
             break
-    edges.unpersist(blocking=False)
-    return labels
+        prev_sig = sig
+        E = newE
+        rnd += 1
+    # at the fixed point E is a set of stars: u -> component root;
+    # roots appear only as v and label themselves
+    lbl = E.select(F.col("u").alias("vec_id"), F.col("v").alias("lbl"))
+    roots = (
+        E.select(F.col("v").alias("vec_id"))
+        .distinct()
+        .withColumn("lbl", F.col("vec_id"))
+    )
+    return lbl.union(roots).groupBy("vec_id").agg(F.min("lbl").alias("lbl"))
 
 
 # --------------------------------------------------------------------------
@@ -1223,9 +1197,9 @@ def _oracle_d11() -> str:
     "completes the candidate->verify->cluster pipeline: d09's "
     "oracle-verified near-dup pairs become a symmetric edge list and "
     "collapse to one (doc_id, cluster_id) row per document via the "
-    "shared _d07_converge kernel (min-label propagation to "
-    "convergence, pointer halving, per-round localCheckpoint, "
-    "AQE-off iteration — d03/d07's discipline). Keeper = cluster_id "
+    "shared _cc_converge kernel (alternating large-star/small-star "
+    "to an exact fixed point, per-round localCheckpoint, AQE-off "
+    "iteration — d03/d07's discipline). Keeper = cluster_id "
     "(the min reachable doc_id); singleton docs are their own "
     "cluster. Output is LINEAR in corpus size where pair output is "
     "quadratic in clique size — at 100 TB this row set is what a "
@@ -1242,22 +1216,15 @@ def d11_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d"))
         ),
     )
-    labels = (
-        edges.select(F.col("s").alias("vec_id"))
-        .distinct()
-        .withColumn("lbl", F.col("vec_id"))
-        .persist()
-    )
     spark_ = docs.sparkSession
     n_edges = edges.count()
-    labels.count()
     iter_parts = str(min(2000, max(8, n_edges // 1_000_000 + 8)))
     prev_aqe = spark_.conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = spark_.conf.get("spark.sql.shuffle.partitions")
     spark_.conf.set("spark.sql.adaptive.enabled", "false")
     spark_.conf.set("spark.sql.shuffle.partitions", iter_parts)
     try:
-        labels = _d07_converge(edges, labels)
+        labels = _cc_converge(edges)
     finally:
         spark_.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark_.conf.set("spark.sql.shuffle.partitions", prev_sp)
