@@ -29,6 +29,43 @@ def parse_sf(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+# Range-partition keys for the multi-file layout: repartitionByRange
+# keeps each table globally sorted on its natural key across files, so
+# the variant measures FILE PARALLELISM, not accidental de-clustering.
+_MULTI_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "ts",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+}
+
+
+def build_multifile(spark, sf_dir: str, n: int) -> str:
+    """Rewrite the (driver-generated, 1-file-per-table) SF dir into an
+    n-file-per-big-table layout under .bench_multifile/ and return its
+    path. VERDICT r4 item 9 / r5 item 9: the single-file layout hides
+    map-stage parallelism — a real 100 TB table is thousands of files
+    and Spark schedules one task per split. Built once, reused."""
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}x{n}"
+    base = os.path.join(REPO, ".bench_multifile", tag)
+    done = os.path.join(base, ".done")
+    if not os.path.exists(done):
+        from tinysql_spark.sources.tables import TPCH_TABLES, load_table
+
+        os.makedirs(base, exist_ok=True)
+        for t in TPCH_TABLES:
+            df = load_table(spark, sf_dir, t)
+            key = _MULTI_KEYS.get(t)
+            out = df.repartitionByRange(n, key) if key else df.coalesce(1)
+            out.write.mode("overwrite").parquet(os.path.join(base, f"{t}.parquet"))
+        open(done, "w").close()
+    return base
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     t0 = time.time()
@@ -46,6 +83,10 @@ def main() -> None:
         F.aggregate(F.array(F.lit(1.0)), F.lit(0.0), lambda a, x: a + x)
     ).collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    multifile = int(os.environ.get("SPARK_GRAFT_MULTIFILE", "0"))
+    if multifile:
+        sf_real = parse_sf(sf_dir)
+        sf_dir = build_multifile(spark, sf_dir, multifile)
     startup = time.time() - t0
 
     # Best-of-N per query: this box is shared (driver-side correctness
@@ -68,19 +109,18 @@ def main() -> None:
             times[name] = min(times.get(name, elapsed), elapsed)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": parse_sf(sf_dir),
-                "startup_sec": round(startup, 3),
-                "n_queries": len(times),
-            }
-        )
-    )
+    out = {
+        "metric": "suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_real if multifile else parse_sf(sf_dir),
+        "startup_sec": round(startup, 3),
+        "n_queries": len(times),
+    }
+    if multifile:
+        out["files_per_table"] = multifile
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

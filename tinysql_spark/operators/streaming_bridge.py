@@ -50,6 +50,27 @@ def _stage_cached(key: tuple, build) -> str:
     return d
 
 
+def _link_parquet(src: str, dst_dir: str) -> list[str]:
+    """Symlink a parquet table into dst_dir as flat NNNN.parquet
+    entries and return the link paths in name order. Handles both the
+    driver's single-file layout (table.parquet IS a file) and a
+    directory of part files (the multi-file bench layout) — the
+    streaming file source and the footer probes both need plain
+    files, never a symlink to a directory."""
+    src = os.path.abspath(src)
+    if os.path.isdir(src):
+        parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        out = []
+        for i, f in enumerate(parts):
+            link = os.path.join(dst_dir, f"{i:04d}.parquet")
+            os.symlink(os.path.join(src, f), link)
+            out.append(link)
+        return out
+    link = os.path.join(dst_dir, "0000.parquet")
+    os.symlink(src, link)
+    return [link]
+
+
 def _stage_events(sf_dir: str) -> str:
     """Source-view directory for the events stream: a symlink to the
     source parquet, read in place (the file source needs a directory
@@ -63,10 +84,7 @@ def _stage_events(sf_dir: str) -> str:
         # abspath: a relative sf_dir would otherwise resolve relative to
         # the tmp dir (symlink targets resolve at READ time, against the
         # link's own directory) and every stream would 404
-        os.symlink(
-            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-            os.path.join(d, "0000.parquet"),
-        )
+        _link_parquet(os.path.join(sf_dir, "events.parquet"), d)
         return d
 
     return _stage_cached(("plain", os.path.abspath(sf_dir)), build)
@@ -205,11 +223,9 @@ def _stage_events_with_sentinels(sf_dir: str, n_sentinels: int = 2) -> str:
         # sentinel files to the shared plain dir would corrupt every
         # st-entry that expects sentinel-free input
         d = tempfile.mkdtemp(prefix="tinysql_stream_wm_")
-        src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-        link = os.path.join(d, "0000.parquet")
-        os.symlink(src, link)
-        layout = ts_layout(link)
-        base = os.path.getmtime(link)
+        links = _link_parquet(os.path.join(sf_dir, "events.parquet"), d)
+        layout = ts_layout(links[0])
+        base = max(os.path.getmtime(ln) for ln in links)
         isos = tuple(f"2030-01-{k:02d}T00:00:00" for k in range(1, n_sentinels + 1))
         for i, iso in enumerate(isos, start=1):
             sec = int(time.mktime(time.strptime(iso, "%Y-%m-%dT%H:%M:%S")))
@@ -231,7 +247,9 @@ def _stage_events_with_sentinels(sf_dir: str, n_sentinels: int = 2) -> str:
                     "props": pa.array(["{}"], pa.string()),
                 }
             )
-            path = os.path.join(d, f"{i:04d}.parquet")
+            # wm_ prefix: cannot collide with _link_parquet's NNNN
+            # names when the source is a multi-file directory
+            path = os.path.join(d, f"wm_{i:04d}.parquet")
             pq.write_table(tbl, path)
             os.utime(path, (base + i, base + i))
         return d
@@ -617,10 +635,7 @@ def _stage_embeddings(sf_dir: str) -> str:
 
     def build() -> str:
         d = tempfile.mkdtemp(prefix="tinysql_stream_emb_")
-        os.symlink(
-            os.path.abspath(os.path.join(sf_dir, "embeddings.parquet")),
-            os.path.join(d, "0000.parquet"),
-        )
+        _link_parquet(os.path.join(sf_dir, "embeddings.parquet"), d)
         return d
 
     return _stage_cached(("embeddings", os.path.abspath(sf_dir)), build)
