@@ -771,3 +771,114 @@ def st10_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("max_v"),
         )
     )
+
+
+def _stage_documents_split(sf_dir: str, n: int = 4) -> str:
+    """Stage documents as n parquet slices with strictly increasing
+    mtimes (maxFilesPerTrigger=1 replays them as n ingest batches in
+    doc_id order — the driver file is doc_id-sorted, so arrival order
+    equals id order and 'earlier doc' is well-defined)."""
+    import pyarrow.parquet as pq
+
+    def build() -> str:
+        d = tempfile.mkdtemp(prefix="tinysql_st11_")
+        tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        step = (tbl.num_rows + n - 1) // n
+        base = None
+        for i in range(n):
+            path = os.path.join(d, f"{i:04d}.parquet")
+            pq.write_table(tbl.slice(i * step, step), path)
+            if base is None:
+                base = os.path.getmtime(path)
+            os.utime(path, (base + i, base + i))
+        return d
+
+    return _stage_cached(("docsplit", os.path.abspath(sf_dir), n), build)
+
+
+# st11 blocking: 8-token spans (d10's exact-substring unit — selective
+# WITHOUT corpus-wide DF stats, which an incremental stream cannot
+# have: d09's stop-shingle cap needs the full corpus' document
+# frequencies, but a long verbatim span is rare by construction).
+# 50% deterministic sample: md5 is bit-identical in Spark and DuckDB,
+# so both engines block on the SAME span subset.
+_ST11_W = 8
+_ST11_HEX = tuple("01234567")
+_ST11_BUCKETS = 64
+
+
+@register(
+    "st11_stream_incremental_dedup",
+    late=True,
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - {_ST11_W - 1}, 1)),
+               i -> array_to_string(ws[i:i+{_ST11_W - 1}], ' ')))) AS sh
+      FROM w
+    ), k AS (
+      SELECT doc_id, sh FROM g
+      WHERE substring(md5(sh), 1, 1) IN {str(tuple("01234567"))}
+    ), own AS (
+      SELECT a.doc_id, min(b.doc_id) AS dup_of
+      FROM k a JOIN k b ON a.sh = b.sh AND b.doc_id < a.doc_id
+      GROUP BY a.doc_id
+    )
+    SELECT d.doc_id, o.dup_of
+    FROM documents d LEFT JOIN own o ON d.doc_id = o.doc_id
+    """,
+    doc="STREAMING INCREMENTAL DEDUP — the ingest-time twin of the "
+    "batch d12: documents arrive as 4 ordered micro-batches, each "
+    "doc's distinct 8-token spans (d10's exact-substring unit — "
+    "selective with NO corpus-wide stats, which a stream cannot "
+    "have; 50% md5-sampled so both engines block on the same "
+    "subset) flow through a custom applyInPandasWithState operator "
+    "whose bucketed state maps span -> MIN doc_id ever seen; a doc "
+    "sharing a span with any earlier doc emits a candidate, and the "
+    "sink rollup keeps the earliest owner per doc (dup_of; NULL = "
+    "original; 24/500 dups at sf0.01 — the d09/d10 near-dup band). "
+    "The state store IS the dedup index: per-batch cost is O(batch "
+    "spans) state lookups — no join against the existing corpus, "
+    "where d12's batch form joins incoming x existing every run. "
+    "Cross-batch correctness rides the state (batch 3 docs dedup "
+    "against batch 0 owners); the oracle is the order-free batch "
+    "formulation (min earlier sharer over the same sampled spans), "
+    "which the replay must reproduce EXACTLY, state handoffs "
+    "included. Production dials: bucket count tracks shuffle "
+    "partitions, event-time TTL bounds the store at the dedup "
+    "horizon; the finite replay needs neither.",
+)
+def st11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+    from ..streaming.pipeline import shingle_first_owner
+    from .dedup import shingles
+
+    src = _stage_documents_split(sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    blk = (
+        stream.select(
+            "doc_id", F.explode(shingles(F.col("text"), _ST11_W)).alias("sh")
+        )
+        .filter(F.substring(F.md5(F.col("sh")), 1, 1).isin(*_ST11_HEX))
+        .withColumn(
+            "bkt", F.pmod(F.xxhash64("sh"), F.lit(_ST11_BUCKETS)).cast("int")
+        )
+    )
+    owners = shingle_first_owner(blk)
+    name = "st11_dedup_" + uuid.uuid4().hex[:8]
+    run_to_memory(owners, name, output_mode="append")
+    own = (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(F.min("dup_cand").alias("dup_of"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(own, "doc_id", "left").select("doc_id", "dup_of")

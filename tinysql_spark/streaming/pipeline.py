@@ -220,6 +220,75 @@ _SESSION_OUT = T.StructType(
 )
 
 
+_OWNER_STATE = T.StructType([T.StructField("mins", T.BinaryType())])
+
+_OWNER_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dup_cand", T.LongType()),
+    ]
+)
+
+
+def shingle_first_owner(shingled: DataFrame) -> DataFrame:
+    """Custom stateful operator for STREAMING INCREMENTAL DEDUP: input
+    is a stream of (bkt, sh, doc_id) blocking rows; state is keyed by
+    the hash BUCKET and holds a compact {shingle -> min doc_id ever
+    seen} map, and every arriving doc with an earlier sharer of one
+    of its spans (a previous batch via state, or a smaller id in the
+    same batch) emits one (doc_id, dup_cand) candidate row per span.
+
+    Bucketed state, not per-shingle state: applyInPandasWithState
+    pays a Python/pandas round-trip PER GROUP PER BATCH, so keying
+    groups by the raw shingle melts the batch into ~|batch shingles|
+    one-row frames (measured 120 s for the 4-batch sf0.01 replay);
+    64 hash buckets amortize that to a handful of map updates per
+    batch while the per-shingle min semantics are unchanged. The
+    candidate lookup is the state store itself — no join against the
+    existing corpus ever runs, which is what makes ingest-time dedup
+    O(batch) at 100 TB (the batch twin d12 joins incoming x existing
+    every run). Scale dials: bucket count tracks the shuffle
+    partition count (each bucket's map must fit an executor), and a
+    production deployment bounds cold entries with an event-time TTL
+    at the dedup horizon; the finite replay needs neither."""
+    import pickle
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        mins: dict[str, int] = (
+            pickle.loads(state.get[0]) if state.exists else {}
+        )
+        pdf = pd.concat(list(batches), ignore_index=True)
+        out_doc: list[int] = []
+        out_cand: list[int] = []
+        for sh, grp in pdf.groupby("sh")["doc_id"]:
+            ids = sorted({int(x) for x in grp})
+            prior = mins.get(sh)
+            d0 = ids[0]
+            if prior is not None and prior < d0:
+                out_doc.append(d0)
+                out_cand.append(prior)
+            base = d0 if prior is None else min(prior, d0)
+            for d in ids[1:]:
+                out_doc.append(d)
+                out_cand.append(base)
+            mins[sh] = base
+        state.update((pickle.dumps(mins, protocol=4),))
+        if out_doc:
+            yield pd.DataFrame({"doc_id": out_doc, "dup_cand": out_cand})
+
+    return shingled.groupBy("bkt").applyInPandasWithState(
+        update,
+        outputStructType=_OWNER_OUT,
+        stateStructType=_OWNER_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def custom_sessionize(
     events: DataFrame, gap_s: int = 1800, watermark: str = "2 hours"
 ) -> DataFrame:
