@@ -118,3 +118,61 @@ def test_d07_prior_result_survives_reinvocation(spark, sf_dir):
     d07_embedding_cluster(spark, sf_dir).count()  # second invocation
     # the FIRST result must still execute after the second run
     assert first.count() == want
+
+
+def test_cc_converge_random_graphs_match_union_find(spark):
+    """Property test for the round-6 star kernel: on random, chain
+    (deep diameter — many rounds), and star-heavy (wide component)
+    edge lists, _cc_converge's labels must equal the component
+    minimum from an independent pure-Python union-find. Guards the
+    kernel swap against shape-specific convergence bugs the
+    operator-level oracles (one fixed corpus) cannot see."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tinysql_spark.operators.dedup import _cc_converge
+
+    cases = [
+        (1, 60, 40, "rand"),
+        (2, 80, 80, "rand"),
+        (3, 50, 0, "chain"),
+        (4, 64, 60, "star"),
+        (5, 120, 150, "rand"),
+    ]
+    for seed, n, m, shape in cases:
+        rng = random.Random(seed)
+        if shape == "chain":
+            pairs = [(i, i + 1) for i in range(n - 1)]
+        elif shape == "star":
+            pairs = [(0, i) for i in range(1, n)][:m]
+        else:
+            pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        # union-find with union-by-min: the root IS the component min
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = sorted({v for p in pairs for v in p})
+        expected = {v: find(v) for v in touched}
+
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+            "s long, d long",
+        )
+        got = {
+            r["vec_id"]: r["lbl"] for r in _cc_converge(edges).collect()
+        }
+        assert got == expected, (seed, shape, {
+            v: (got.get(v), expected[v])
+            for v in touched if got.get(v) != expected[v]
+        })
