@@ -873,6 +873,10 @@ def _s11_dense_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("cid", unit_vec(F.col("ce0")).alias("ce"))
         )
+    # the trained centroids are 8 rows but carry the whole Lloyd-loop
+    # lineage — persisting them (keyed, like corpus/assign) keeps the
+    # index build from re-executing under every downstream reference
+    centn = _keyed_persist(f"s11.cent.{sf_dir}", centn)
     assign = _keyed_persist(f"s11.assign.{sf_dir}", nearest_cid(u_corp, centn, "vec_id", 1))
     probes = nearest_cid(
         u_q.select(F.col("vec_id").alias("query_id"), "e"),
