@@ -1514,3 +1514,93 @@ def test_concurrent_writers_merge_not_clobber(eng, spark):
         assert disk.has_table("default", "cw_a") and disk.has_table("default", "cw_b")
     finally:
         b.close()
+
+
+def test_txn_model_random_sequences(eng):
+    """Model-based test for the transaction overlay (UnionScanExec
+    analog): seeded random statement sequences — autocommit and
+    in-txn INSERT/DELETE/REPLACE, COMMIT, ROLLBACK — run against the
+    engine AND a plain Python model of MySQL semantics (txn buffers
+    writes, reads see the overlay, ROLLBACK discards, REPLACE
+    resolves on the PK). The engine's visible table state must match
+    the model after every statement. Single fixed corpora cannot
+    explore the overlay's interleavings; three seeds x 24 ops do."""
+    import random
+
+    eng.sql("CREATE TABLE tm (k int PRIMARY KEY, v int)")
+
+    def visible():
+        return sorted(
+            (r["k"], r["v"]) for r in eng.sql("SELECT k, v FROM tm").rows()
+        )
+
+    for seed in (11, 23, 47):
+        eng.sql("DELETE FROM tm")
+        committed: dict[int, int] = {}
+        buffered: dict[int, int] | None = None  # None = autocommit
+        rng = random.Random(seed)
+
+        def model():
+            cur = dict(committed)
+            if buffered is not None:
+                cur.update({k: v for k, v in buffered.items() if v is not None})
+                for k, v in buffered.items():
+                    if v is None:
+                        cur.pop(k, None)
+            return sorted(cur.items())
+
+        def write(k, v):
+            # v=None encodes a delete in the overlay dicts
+            tgt = buffered if buffered is not None else committed
+            if v is None:
+                if buffered is not None:
+                    tgt[k] = None
+                else:
+                    tgt.pop(k, None)
+            else:
+                tgt[k] = v
+
+        for step in range(24):
+            op = rng.choice(
+                ["ins", "ins", "rep", "del", "begin", "commit", "rollback"]
+            )
+            k = rng.randrange(8)
+            v = rng.randrange(100)
+            live = dict(model())
+            if op == "ins":
+                if k in live:
+                    with pytest.raises(ValueError, match="duplicate key"):
+                        eng.sql(f"INSERT INTO tm VALUES ({k}, {v})")
+                else:
+                    eng.sql(f"INSERT INTO tm VALUES ({k}, {v})")
+                    write(k, v)
+            elif op == "rep":
+                eng.sql(f"REPLACE INTO tm VALUES ({k}, {v})")
+                write(k, v)
+            elif op == "del":
+                eng.sql(f"DELETE FROM tm WHERE k = {k}")
+                if k in live:
+                    write(k, None)
+            elif op == "begin":
+                if buffered is None:
+                    eng.sql("BEGIN")
+                    buffered = {}
+            elif op == "commit":
+                if buffered is not None:
+                    eng.sql("COMMIT")
+                    for bk, bv in buffered.items():
+                        if bv is None:
+                            committed.pop(bk, None)
+                        else:
+                            committed[bk] = bv
+                    buffered = None
+            elif op == "rollback":
+                if buffered is not None:
+                    eng.sql("ROLLBACK")
+                    buffered = None
+            assert visible() == model(), (seed, step, op, k, v)
+        if buffered is not None:
+            eng.sql("ROLLBACK")
+            buffered = None
+        assert visible() == model(), (seed, "final")
+
