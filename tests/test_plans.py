@@ -739,3 +739,17 @@ def test_s11_dense_candidates_from_ivf_equijoin(spark, sf_dir):
     # every cross product in the plan must be a broadcast of the
     # K-row centroid set (IdentityBroadcastMode), not the corpus
     assert p.count("BroadcastNestedLoopJoin") == p.count("IdentityBroadcastMode"), p
+
+
+def test_q68_recursion_reads_cached_sequence(q):
+    """The recursive batch packing must plan as Spark's native
+    UnionLoop (recursive CTE execution) with the numbered order
+    sequence read from the persisted InMemoryRelation — without the
+    cache every one of the ~25 recursion levels re-scans orders and
+    re-runs the row_number shuffle (measured 11.6 vs 6.3 s at
+    sf0.1)."""
+    from tinysql_spark.plans import plan_string
+
+    p = plan_string(q("q68_order_batch_packing"), mode="simple")
+    assert "UnionLoop" in p, p
+    assert "InMemoryRelation" in p, p
