@@ -1604,3 +1604,17 @@ def test_txn_model_random_sequences(eng):
             buffered = None
         assert visible() == model(), (seed, "final")
 
+
+
+def test_mysql_cast_unsigned_signed(eng):
+    """MySQL's CAST targets UNSIGNED/SIGNED [INTEGER] (parser.y
+    CastType) run end-to-end as 64-bit integer casts — Spark rejects
+    the keywords outright without the rewrite. Divergence pinned:
+    CAST(negative AS UNSIGNED) keeps the negative (no 2^64 wrap;
+    KindUint64 maps to signed 64-bit per the documented scope cut)."""
+    eng.sql("CREATE TABLE uc (s string, d double)")
+    eng.sql("INSERT INTO uc VALUES ('42', -1.7)")
+    assert rows(eng.sql("SELECT CAST(s AS UNSIGNED) AS u FROM uc")) == [(42,)]
+    assert rows(eng.sql("SELECT CAST(d AS SIGNED INTEGER) AS i FROM uc")) == [(-1,)]
+    # string literal containing the keyword passes through untouched
+    assert rows(eng.sql("SELECT 'AS UNSIGNED' AS s FROM uc")) == [("AS UNSIGNED",)]

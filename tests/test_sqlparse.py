@@ -147,3 +147,21 @@ class TestDbQualifierRewrite:
         # only the colliding name is shadowed; other dbs still rewrite
         out = self.rw("SELECT d.x FROM default.t AS d", {"d": "d__abc", **self.m})
         assert out == "SELECT d.x FROM `default__abc`.t AS d"
+
+
+def test_rewrite_mysql_casts():
+    """CAST(... AS UNSIGNED|SIGNED [INTEGER]) maps to BIGINT (MySQL
+    cast-target grammar Spark rejects outright); string literals are
+    untouched; case-insensitive."""
+    from tinysql_spark.sqlparse import rewrite_mysql_casts as rw
+
+    assert rw("SELECT CAST(x AS UNSIGNED) FROM t") == "SELECT CAST(x AS BIGINT) FROM t"
+    assert rw("CAST(x AS unsigned integer)") == "CAST(x AS BIGINT)"
+    assert rw("CAST(-1 AS SIGNED)") == "CAST(-1 AS BIGINT)"
+    assert rw("SELECT 'keep AS UNSIGNED' AS s") == "SELECT 'keep AS UNSIGNED' AS s"
+    assert rw("CAST(a AS STRING)") == "CAST(a AS STRING)"
+    # mixed: literal protected, cast outside rewritten
+    assert (
+        rw("SELECT CAST(n AS UNSIGNED), 'AS SIGNED' FROM t")
+        == "SELECT CAST(n AS BIGINT), 'AS SIGNED' FROM t"
+    )

@@ -498,6 +498,51 @@ _SET_SYS_VAR_RE = re.compile(r"^\s*SET\s+(?:@@(?:GLOBAL\.|SESSION\.)?|(?:GLOBAL|
 # --------------------------------------------------------------------------
 
 
+def _sub_outside_quotes(sql: str, pat: "re.Pattern[str]", repl: str) -> str:
+    """re.sub applied only OUTSIDE string literals: the SQL text is
+    walked with the same quote discipline as the statement splitter,
+    and the pattern is matched per unquoted segment."""
+    out: list[str] = []
+    i, n, quote, seg_start = 0, len(sql), None, 0
+    while i < n:
+        ch = sql[i]
+        if quote:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+                out.append(sql[seg_start : i + 1])
+                seg_start = i + 1
+        elif ch in ("'", '"'):
+            out.append(pat.sub(repl, sql[seg_start:i]))
+            quote = ch
+            seg_start = i
+        i += 1
+    out.append(sql[seg_start:] if quote else pat.sub(repl, sql[seg_start:]))
+    return "".join(out)
+
+
+_MYSQL_CAST_RE = re.compile(r"\bAS\s+(?:UN)?SIGNED(?:\s+INTEGER)?\b", re.I)
+
+
+def rewrite_mysql_casts(sql: str) -> str:
+    """CAST(x AS UNSIGNED|SIGNED [INTEGER]) -> CAST(x AS BIGINT).
+
+    MySQL's cast target grammar (reference: parser/parser.y CastType,
+    types/field_type.go) — Spark has no UNSIGNED/SIGNED type keyword
+    and would reject the statement outright. Both map to BIGINT:
+    KindUint64 is represented as signed 64-bit per the documented
+    scope cut (SURVEY — values >= 2^63 overflow), and the MySQL
+    behavior of CAST(negative AS UNSIGNED) wrapping to 2^64+x is a
+    pinned divergence (we keep the negative; the wrap answer is
+    usually a bug in the query, and a silent 1.8e19 is worse).
+    Quote-aware: `'cast me AS UNSIGNED'` string literals pass
+    through untouched. `UNSIGNED`/`SIGNED` are MySQL reserved words,
+    so a bare `expr AS unsigned` alias cannot appear in valid input."""
+    return _sub_outside_quotes(sql, _MYSQL_CAST_RE, "AS BIGINT")
+
+
 def rewrite_strcmp(sql: str) -> str:
     """STRCMP(a,b) -> CASE WHEN ... (Spark has no strcmp builtin).
 
@@ -1021,4 +1066,4 @@ def rewrite_select(sql: str, user_vars: dict[str, object]) -> str:
     # running-SetVar idioms first: what it rewrites no longer contains
     # ':=', so the loud error below only fires for unsupported forms
     sql = rewrite_running_setvars(sql, user_vars)
-    return rewrite_strcmp(substitute_user_vars(sql, user_vars))
+    return rewrite_mysql_casts(rewrite_strcmp(substitute_user_vars(sql, user_vars)))
