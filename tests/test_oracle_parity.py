@@ -43,14 +43,16 @@ def test_oracle_backed_entries_fit_driver_window():
                  "st10_stream_quality_gate", "p10_leakage_safe_split",
                  "p11_data_quality_checks", "t13_unigram_nll",
                  "q63_product_type_profit", "q64_excess_volume_suppliers",
-                 "q65_forecast_revenue_change", "q67_ohlc_bars"):
+                 "q65_forecast_revenue_change", "q67_ohlc_bars",
+                 "st11_stream_incremental_dedup", "q68_order_batch_packing"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
     for out in ("q36_first_row", "q39_notin_nullaware", "q41_gap_fill",
                 "q43_unpivot", "q46_locf_fill", "q47_string_agg",
                 "q50_small_qty_revenue", "q53_funnel_depth",
-                "st05_stream_static_join", "d08_fuzzy_pairs"):
+                "st05_stream_static_join", "d08_fuzzy_pairs",
+                "q40_dormant_rich_customers", "p06_temperature_mix"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

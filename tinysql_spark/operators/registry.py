@@ -58,9 +58,13 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # q46/q47/q50/q53/st05/d08 — each still hash-checked by
 # tests/test_oracle_parity.py, and each a shape that a remaining
 # window entry also exercises) for the ten oracle-backed round-5
-# additions: d12, s11, st10, p10, p11, t13, q63-q65, q67. m07/st09
-# stay outside — they are rows-only by design (trained signatures /
-# streaming index layout) and a window slot must be oracle-backed.
+# additions: d12, s11, st10, p10, p11, t13, q63-q65, q67. Late
+# round 6 also swaps the two new oracle-backed operators (st11
+# streaming incremental dedup, q68 recursive-CTE packing) for q40/p06
+# (anti-join and mixture shapes that q29/q38/p03 keep evidenced in
+# the window or parity suite). m07/st09 stay outside — they are
+# rows-only by design (trained signatures / streaming index layout)
+# and a window slot must be oracle-backed.
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -83,7 +87,6 @@ WINDOW: tuple[str, ...] = (
     "d12_incremental_dedup",
     # relational additions (rounds 2-4)
     "q38_correlated_scalar",
-    "q40_dormant_rich_customers",
     "q42_exact_percentiles",
     "q44_range_frame_window",
     "q45_lateral_topk",
@@ -94,11 +97,12 @@ WINDOW: tuple[str, ...] = (
     "q54_retention_cohorts",
     "q55_market_share",
     "q56_promo_revenue",
-    # relational additions (round 5)
+    # relational additions (rounds 5-6)
     "q63_product_type_profit",
     "q64_excess_volume_suppliers",
     "q65_forecast_revenue_change",
     "q67_ohlc_bars",
+    "q68_order_batch_packing",
     # streaming additions (rounds 3-5)
     "st03_stream_join",
     "st04_stream_parquet_sink",
@@ -106,6 +110,7 @@ WINDOW: tuple[str, ...] = (
     "st07_stream_sessions",
     "st08_stream_left_join",
     "st10_stream_quality_gate",
+    "st11_stream_incremental_dedup",
     # ANN / hybrid-retrieval additions with oracles
     "s05_ann_scalar_quant",
     "s09_ann_filtered",
@@ -115,7 +120,6 @@ WINDOW: tuple[str, ...] = (
     "p03_token_budget_mix",
     "p04_contamination",
     "p05_sequence_packing",
-    "p06_temperature_mix",
     "p07_training_order",
     "p08_training_export",
     "p10_leakage_safe_split",
