@@ -794,3 +794,61 @@ def p11_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return doc_checks.unionByName(violations)
+
+
+_P12_HEAD = 64  # near-dup group key: shared long prefix (the d10 family)
+_P12_RATE = 0.5  # target sampling rate for unique content
+
+
+@register(
+    "p12_dedup_weighted_sample",
+    late=True,
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             substring(trim(text), 1, {_P12_HEAD}) AS grp
+      FROM documents
+    ), sz AS (
+      SELECT grp, count(*) AS n_copies FROM g GROUP BY grp
+    )
+    SELECT g.doc_id, CAST(sz.n_copies AS BIGINT) AS n_copies,
+           round(1.0 / sz.n_copies, 6) AS w
+    FROM g JOIN sz USING (grp)
+    WHERE ((g.doc_id * 2654435761 + 1013904223) % 4294967296)
+          / 4294967296.0 < {_P12_RATE} * 1.0 / sz.n_copies
+    """,
+    doc="Dedup-aware SAMPLE REWEIGHTING (soft dedup — the "
+    "SlimPajama/CCNet-style alternative to hard removal): every doc "
+    "keeps a sampling weight 1/n_copies of its near-dup group "
+    f"(shared {_P12_HEAD}-char prefix, the d10 exact-substring "
+    "family), so each unique CONTENT gets equal expected "
+    "representation in the training sample regardless of how many "
+    "copies the crawl found — hard dedup throws information away "
+    "(which copy survived?), reweighting preserves it. Selection is "
+    "the house deterministic LCG uniform on doc_id (p02/p04/p06's "
+    "discipline) at rate "
+    f"{_P12_RATE}/n_copies, so both engines pick the identical row "
+    "set — integer LCG arithmetic is exact in int64 on both. One "
+    "groupBy for sizes + one equi-join back: linear, no pair space; "
+    "at 100 TB the group key would be d11's cluster_id (iterative) "
+    "— the prefix key here keeps the weighting itself "
+    "oracle-checkable end to end.",
+)
+def p12_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.substring(F.trim(F.col("text")), 1, _P12_HEAD).alias("grp")
+    )
+    sz = g.groupBy("grp").agg(F.count(F.lit(1)).alias("n_copies"))
+    u = ((F.col("doc_id") * F.lit(2654435761) + F.lit(1013904223)) % F.lit(_M32)) / F.lit(
+        float(_M32)
+    )
+    return (
+        g.join(sz, "grp")
+        .filter(u < F.lit(_P12_RATE) * 1.0 / F.col("n_copies"))
+        .select(
+            "doc_id",
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.round(1.0 / F.col("n_copies"), 6).alias("w"),
+        )
+    )
