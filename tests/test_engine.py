@@ -1618,3 +1618,11 @@ def test_mysql_cast_unsigned_signed(eng):
     assert rows(eng.sql("SELECT CAST(d AS SIGNED INTEGER) AS i FROM uc")) == [(-1,)]
     # string literal containing the keyword passes through untouched
     assert rows(eng.sql("SELECT 'AS UNSIGNED' AS s FROM uc")) == [("AS UNSIGNED",)]
+
+
+def test_empty_statement_is_noop(eng):
+    """EmptyStmt parity (reference parser.y EmptyStmt): whitespace or
+    bare-semicolon input is a no-op result, not an internal error."""
+    for s in ("", "   ", ";", " ; ; "):
+        r = eng.sql(s)
+        assert r.df is None and r.rows_affected == 0, s

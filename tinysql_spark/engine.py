@@ -230,8 +230,13 @@ class Engine:
         return [self._execute_one(s) for s in P.split_statements(sql)]
 
     def sql(self, sql: str) -> Result:
-        """Execute a single statement (last result if multiple)."""
+        """Execute a single statement (last result if multiple).
+        Empty input — whitespace or bare semicolons — is the
+        reference's EmptyStmt (parser.y EmptyStmt): a no-op, not an
+        error."""
         results = self.execute(sql)
+        if not results:
+            return Result(message="")
         return results[-1]
 
     def query(self, sql: str) -> DataFrame:
