@@ -165,3 +165,25 @@ def test_rewrite_mysql_casts():
         rw("SELECT CAST(n AS UNSIGNED), 'AS SIGNED' FROM t")
         == "SELECT CAST(n AS BIGINT), 'AS SIGNED' FROM t"
     )
+
+
+def test_split_statements_comment_aware():
+    """MySQL comment forms are stripped during the split: a ';' inside
+    a comment never splits, leading/comment-only fragments vanish
+    (EmptyStmt), `a--b` stays arithmetic, and `/*+ hints */` are
+    preserved for the optimizer."""
+    from tinysql_spark.sqlparse import split_statements as sp
+
+    assert sp("-- lead\nSELECT 1") == ["SELECT 1"]
+    assert sp("# hash\nSELECT 1") == ["SELECT 1"]
+    assert sp("/* block */ SELECT 1") == ["SELECT 1"]
+    assert sp("SELECT 1; -- tail") == ["SELECT 1"]
+    assert sp("-- only a comment") == []
+    assert sp("SELECT 1 -- note; not a split\nFROM t") == ["SELECT 1  \nFROM t"]
+    assert sp("SELECT 1--2") == ["SELECT 1--2"]  # double negation, not comment
+    assert sp("SELECT /*+ BROADCAST(t) */ k FROM t") == [
+        "SELECT /*+ BROADCAST(t) */ k FROM t"
+    ]
+    assert sp("SELECT '--not; a comment' AS s") == ["SELECT '--not; a comment' AS s"]
+    assert sp("SELECT 1 /* a; b */; SELECT 2") == ["SELECT 1", "SELECT 2"]
+    assert sp("SELECT 1 /* unterminated; SELECT 9") == ["SELECT 1"]

@@ -23,7 +23,17 @@ from .catalog import BucketSpec, ColumnInfo, IndexInfo, TableInfo
 
 
 def split_statements(sql: str) -> list[str]:
-    """Split on top-level ';' (quote-aware)."""
+    """Split on top-level ';' — quote-aware AND comment-aware.
+
+    MySQL's three comment forms (`-- ` to end of line, `#` to end of
+    line, `/* ... */`) are stripped during the scan, so a `;` inside
+    a comment never splits, a leading or comment-only fragment
+    becomes an EmptyStmt, and the statement-kind dispatch sees the
+    first real keyword. Per the MySQL rule, `--` starts a comment
+    only when followed by whitespace/EOL (`a--b` stays arithmetic).
+    Optimizer-hint comments `/*+ ... */` are PRESERVED — both MySQL
+    and Spark treat them as hints, not comments. Comments act as
+    token separators (replaced by one space)."""
     out, buf, i, n = [], [], 0, len(sql)
     quote = None
     while i < n:
@@ -39,6 +49,23 @@ def split_statements(sql: str) -> list[str]:
         elif ch in ("'", '"', "`"):
             quote = ch
             buf.append(ch)
+        elif ch == "-" and sql[i : i + 2] == "--" and (
+            i + 2 >= n or sql[i + 2] in " \t\r\n"
+        ):
+            while i < n and sql[i] != "\n":
+                i += 1
+            buf.append(" ")
+            continue
+        elif ch == "#":
+            while i < n and sql[i] != "\n":
+                i += 1
+            buf.append(" ")
+            continue
+        elif ch == "/" and sql[i : i + 2] == "/*" and sql[i : i + 3] != "/*+":
+            end = sql.find("*/", i + 2)
+            i = n if end < 0 else end + 2
+            buf.append(" ")
+            continue
         elif ch == ";":
             s = "".join(buf).strip()
             if s:
