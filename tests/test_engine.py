@@ -1626,3 +1626,13 @@ def test_empty_statement_is_noop(eng):
     for s in ("", "   ", ";", " ; ; "):
         r = eng.sql(s)
         assert r.df is None and r.rows_affected == 0, s
+
+
+def test_explain_table_is_describe_synonym(eng):
+    """EXPLAIN <table> == DESCRIBE <table> (MySQL's ExplainSym applied
+    symmetrically — DESC t already worked; the EXPLAIN spelling must
+    too)."""
+    eng.sql("CREATE TABLE ed (k int, v double)")
+    a = [tuple(r) for r in eng.sql("EXPLAIN ed").rows()]
+    b = [tuple(r) for r in eng.sql("DESCRIBE ed").rows()]
+    assert a == b and a[0][0] == "k", (a, b)

@@ -663,6 +663,13 @@ class Engine:
             mode, body = body.split(None, 1)
         else:
             mode = "FORMATTED"
+        # EXPLAIN <table> == DESCRIBE <table> (MySQL's ExplainSym
+        # synonym applied symmetrically: DESC t already worked here,
+        # so the EXPLAIN spelling must too — this is an extension
+        # over the reference, whose ExplainStmt takes only an
+        # ExplainableStmt, parser.y:2131)
+        if P.re.match(r"^[`\w.]+\s*$", body):
+            return self._exec_describe(f"DESCRIBE {body}")
         # ExplainableStmt covers DML too (reference:
         # parser/parser.y:4545-4550 — SELECT, DELETE, INSERT, REPLACE);
         # DML explains as the underlying read plan + a write node line.
