@@ -1038,9 +1038,13 @@ def test_create_table_as_select(eng):
     eng.sql("CREATE TABLE IF NOT EXISTS big_orders AS SELECT 1 AS x")
     with pytest.raises(ValueError, match="already exists"):
         eng.sql("CREATE TABLE big_orders AS SELECT 1 AS x")
-    # unsupported result types get a clear error, not silent corruption
+    # unsupported result types get a clear error, not silent
+    # corruption (timestamps are storable since the round-6 temporal
+    # types; arrays remain outside the declared type surface)
     with pytest.raises(ValueError, match="cannot store column type"):
-        eng.sql("CREATE TABLE ev2 AS SELECT ts FROM events")
+        eng.sql("CREATE TABLE ev2 AS SELECT array(1, 2) AS a FROM events")
+    eng.sql("CREATE TABLE ev3 AS SELECT ts FROM events")  # now storable
+    assert eng.sql("DESCRIBE ev3").rows()[0]["Type"] in ("timestamp", "datetime")
     # DDL job log records it
     jobs = eng.sql("ADMIN SHOW DDL JOBS 5").df.collect()
     assert any("create table as select" in str(r).lower() for r in jobs)
@@ -1636,3 +1640,61 @@ def test_explain_table_is_describe_synonym(eng):
     a = [tuple(r) for r in eng.sql("EXPLAIN ed").rows()]
     b = [tuple(r) for r in eng.sql("DESCRIBE ed").rows()]
     assert a == b and a[0][0] == "k", (a, b)
+
+
+def test_mysql_date_format_and_session_functions(eng):
+    """MySQL-isms as extensions (the reference registry has no
+    time/info builtins): DATE_FORMAT %-patterns translate to Spark's
+    Java patterns, and DATABASE()/SCHEMA()/CONNECTION_ID() resolve
+    from session state."""
+    eng.sql("CREATE TABLE df (d date)")
+    eng.sql("INSERT INTO df VALUES ('1997-03-09')")
+    assert rows(eng.sql("SELECT DATE_FORMAT(d, '%Y/%m') AS a FROM df")) == [
+        ("1997/03",)
+    ]
+    assert rows(
+        eng.sql("SELECT DATE_FORMAT(d, '%d.%m.%y') AS a FROM df")
+    ) == [("09.03.97",)]
+    # Java-style pattern (Spark's own date_format, case-insensitive
+    # name) passes through untouched
+    assert rows(eng.sql("SELECT DATE_FORMAT(d, 'yyyy') AS a FROM df")) == [
+        ("1997",)
+    ]
+    assert rows(eng.sql("SELECT DATABASE() AS db FROM df"))[0][0] == eng.current_db
+    assert rows(eng.sql("SELECT CONNECTION_ID() AS c FROM df")) == [(1,)]
+    # the function NAME inside a string literal is untouched
+    assert rows(eng.sql("SELECT 'DATABASE()' AS s FROM df")) == [("DATABASE()",)]
+
+
+def test_temporal_decimal_boolean_column_types(eng):
+    """DATE/DATETIME/TIMESTAMP/DECIMAL(p,s)/BOOLEAN columns (reference
+    type bytes TypeDate/TypeDatetime/TypeTimestamp/TypeNewDecimal —
+    parser/mysql/type.go:25-38) work through the full surface:
+    CREATE, INSERT (string literals cast on write), DESCRIBE, CTAS
+    type round-trip, SHOW CREATE TABLE."""
+    import datetime
+    from decimal import Decimal
+
+    eng.sql(
+        "CREATE TABLE ty (d date, dt datetime, ts timestamp, "
+        "amt decimal(10,2), ok boolean)"
+    )
+    eng.sql(
+        "INSERT INTO ty VALUES ('1997-03-09', '1997-03-09 12:30:00', "
+        "'1997-03-09 12:30:00', 12.345, true)"
+    )
+    got = eng.sql("SELECT * FROM ty").rows()[0]
+    assert got["d"] == datetime.date(1997, 3, 9)
+    assert got["dt"] == datetime.datetime(1997, 3, 9, 12, 30)
+    assert got["amt"] == Decimal("12.35")  # 2-digit scale rounds on write
+    assert got["ok"] is True
+    types = {r["Field"]: r["Type"] for r in eng.sql("DESCRIBE ty").rows()}
+    assert types == {
+        "d": "date", "dt": "datetime", "ts": "timestamp",
+        "amt": "decimal(10,2)", "ok": "boolean",
+    }
+    # CTAS preserves the new types end to end
+    eng.sql("CREATE TABLE ty2 AS SELECT d, dt, amt, ok FROM ty")
+    ddl = eng.sql("SHOW CREATE TABLE ty2").rows()[0]["Create Table"]
+    for frag in ("`d` DATE", "`dt` DATETIME", "`amt` DECIMAL(10,2)", "`ok` BOOLEAN"):
+        assert frag in ddl, ddl

@@ -187,3 +187,34 @@ def test_split_statements_comment_aware():
     assert sp("SELECT '--not; a comment' AS s") == ["SELECT '--not; a comment' AS s"]
     assert sp("SELECT 1 /* a; b */; SELECT 2") == ["SELECT 1", "SELECT 2"]
     assert sp("SELECT 1 /* unterminated; SELECT 9") == ["SELECT 1"]
+
+
+def test_mysql_date_format_mapping():
+    from tinysql_spark.sqlparse import (
+        mysql_datetime_format_to_java as j,
+        rewrite_date_format as rw,
+    )
+
+    assert j("%Y/%m") == "yyyy/MM"
+    assert j("%Y-%m-%d %H:%i:%s") == "yyyy-MM-dd HH:mm:ss"
+    assert j("%d.%m.%y") == "dd.MM.yy"
+    assert j("%H%%") == "HH'%'"
+    # literal ASCII letters are quoted (Java reserves all of them)
+    assert j("%Yq%m") == "yyyy'q'MM"
+    import pytest
+    with pytest.raises(ValueError, match="%V"):
+        j("%V")
+    # rewrite: MySQL patterns translate, Java patterns pass through
+    assert (
+        rw("SELECT DATE_FORMAT(ts, '%Y/%m') FROM t")
+        == "SELECT date_format(ts, 'yyyy/MM') FROM t"
+    )
+    assert (
+        rw("SELECT DATE_FORMAT(ts, 'yyyy-MM') FROM t")
+        == "SELECT DATE_FORMAT(ts, 'yyyy-MM') FROM t"
+    )
+    # nested call in the first argument survives
+    assert (
+        rw("SELECT DATE_FORMAT(date_add(ts, 1), '%Y') AS a FROM t")
+        == "SELECT date_format(date_add(ts, 1), 'yyyy') AS a FROM t"
+    )

@@ -38,11 +38,34 @@ _TYPE_MAP = {
     "CHAR": T.StringType(),
     "TEXT": T.StringType(),
     "STRING": T.StringType(),
+    # temporal/decimal/bool (reference type bytes: TypeDate=10,
+    # TypeDatetime=12, TypeTimestamp=7, TypeNewDecimal=0xf6,
+    # parser/mysql/type.go:25-38). DATETIME is MySQL wall-clock ->
+    # TIMESTAMP_NTZ; TIMESTAMP is session-tz-converted -> Spark
+    # TIMESTAMP (the session tz is UTC, so both read back what was
+    # written).
+    "DATE": T.DateType(),
+    "DATETIME": T.TimestampNTZType(),
+    "TIMESTAMP": T.TimestampType(),
+    "BOOLEAN": T.BooleanType(),
+    "BOOL": T.BooleanType(),
 }
 
 
 def sql_type_to_spark(type_str: str) -> T.DataType:
     base = type_str.split("(")[0].strip().upper()
+    if base in ("DECIMAL", "NUMERIC"):
+        import re as _re
+
+        m = _re.fullmatch(
+            r"(?:DECIMAL|NUMERIC)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?",
+            type_str.strip(),
+            _re.I,
+        )
+        if not m:
+            raise ValueError(f"cannot parse decimal type: {type_str}")
+        # MySQL defaults: DECIMAL == DECIMAL(10,0)
+        return T.DecimalType(int(m.group(1) or 10), int(m.group(2) or 0))
     if base not in _TYPE_MAP:
         raise ValueError(f"unsupported column type: {type_str}")
     return _TYPE_MAP[base]
@@ -62,10 +85,21 @@ def spark_type_to_sql(dt: T.DataType) -> str:
         return "DOUBLE"
     if isinstance(dt, T.StringType):
         return "TEXT"
+    if isinstance(dt, T.DateType):
+        return "DATE"
+    if isinstance(dt, T.TimestampNTZType):
+        return "DATETIME"
+    if isinstance(dt, T.TimestampType):
+        return "TIMESTAMP"
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
     raise ValueError(
         f"CREATE TABLE AS SELECT cannot store column type {dt.simpleString()!r}: "
         "declare the table explicitly and cast, or project to "
-        "int/bigint/float/double/string columns"
+        "int/bigint/float/double/string/date/datetime/timestamp/"
+        "boolean/decimal columns"
     )
 
 

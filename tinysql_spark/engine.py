@@ -630,7 +630,21 @@ class Engine:
             w.parquet(data)
         self._refresh_table(db, table)
 
+    _SESSION_FN_RE = P.re.compile(
+        r"\b(DATABASE|SCHEMA|CONNECTION_ID)\s*\(\s*\)", P.re.I
+    )
+
     def _rewrite(self, sql: str) -> str:
+        # session info functions (extension — the reference registry
+        # has no info builtins, expression/builtin_*.go): DATABASE()/
+        # SCHEMA() -> current db literal, CONNECTION_ID() -> 1 (one
+        # session per engine, matching SHOW PROCESSLIST's Id)
+        def _session_fn(m: "P.re.Match[str]") -> str:
+            if m.group(1).upper() == "CONNECTION_ID":
+                return "1"
+            return f"'{self.current_db}'" if self.current_db else "CAST(NULL AS STRING)"
+
+        sql = P._sub_outside_quotes(sql, self._SESSION_FN_RE, _session_fn)
         sql = P.rewrite_select(sql, self.user_vars)
         # qualified db.table references must land in THIS engine's
         # private Spark namespace (session isolation)

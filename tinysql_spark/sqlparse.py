@@ -229,7 +229,8 @@ _PARTITION_CLAUSE_RE = re.compile(
 
 _COL_TYPE_RE = re.compile(
     r"^([`\w]+)\s+"
-    r"(TINYINT|SMALLINT|INTEGER|INT|BIGINT|FLOAT|DOUBLE|REAL|VARCHAR|CHAR|TEXT|STRING)"
+    r"(TINYINT|SMALLINT|INTEGER|INT|BIGINT|FLOAT|DOUBLE|REAL|VARCHAR|CHAR|TEXT"
+    r"|STRING|DATETIME|DATE|TIMESTAMP|DECIMAL|NUMERIC|BOOLEAN|BOOL)"
     r"(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?",
     re.I,
 )
@@ -568,6 +569,110 @@ def rewrite_mysql_casts(sql: str) -> str:
     through untouched. `UNSIGNED`/`SIGNED` are MySQL reserved words,
     so a bare `expr AS unsigned` alias cannot appear in valid input."""
     return _sub_outside_quotes(sql, _MYSQL_CAST_RE, "AS BIGINT")
+
+
+# MySQL DATE_FORMAT % specifiers -> Java DateTimeFormatter patterns
+# (the common deterministic subset; %X/%V week-system and locale
+# specifiers are refused loudly rather than silently mis-mapped)
+_MYSQL_DATEFMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "I": "hh", "i": "mm", "s": "ss",
+    "S": "ss", "f": "SSSSSS", "p": "a", "M": "MMMM", "b": "MMM",
+    "a": "EEE", "W": "EEEE", "j": "DDD", "T": "HH:mm:ss", "r": "hh:mm:ss a",
+    "%": "%",
+}
+
+
+def mysql_datetime_format_to_java(fmt: str) -> str:
+    """Translate a MySQL DATE_FORMAT pattern ('%Y/%m') to the Java
+    DateTimeFormatter pattern Spark's date_format expects ('yyyy/MM').
+    Literal ASCII letters are single-quoted (Java reserves all of
+    them as pattern letters); unsupported % specifiers raise."""
+    out: list[str] = []
+    i, n = 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= n:
+                raise ValueError("DATE_FORMAT pattern ends with bare '%'")
+            spec = fmt[i + 1]
+            mapped = _MYSQL_DATEFMT.get(spec)
+            if mapped is None:
+                raise ValueError(
+                    f"DATE_FORMAT specifier %{spec} is not supported "
+                    "(supported: %" + " %".join(sorted(_MYSQL_DATEFMT)) + ")"
+                )
+            out.append("'%'" if mapped == "%" else mapped)
+            i += 2
+        elif ch.isalpha():
+            out.append(f"'{ch}'")
+            i += 1
+        elif ch == "'":
+            out.append("''")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def rewrite_date_format(sql: str) -> str:
+    """DATE_FORMAT(expr, '%Y/%m') -> date_format(expr, 'yyyy/MM').
+
+    MySQL's %-specifier format strings (an extension here — the
+    reference has no time builtins at all, expression/builtin_*.go)
+    translated to Spark's Java patterns. Only a LITERAL format
+    argument is rewritten; a non-literal one is refused loudly (a
+    silent pass-through would make Spark mis-read % as literals)."""
+    out = sql
+    pat = re.compile(r"\bDATE_FORMAT\s*\(", re.I)
+    pos = 0
+    while True:
+        m = pat.search(out, pos)
+        if not m:
+            return out
+        start = m.end()
+        depth, i, quote = 1, start, None
+        last_comma = -1
+        while i < len(out):
+            ch = out[i]
+            if quote:
+                if ch == "\\":
+                    i += 2
+                    continue
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                last_comma = i
+            i += 1
+        if i >= len(out) or last_comma < 0:
+            raise ValueError("cannot parse DATE_FORMAT call")
+        fmt_arg = out[last_comma + 1 : i].strip()
+        fm = re.fullmatch(r"'((?:[^'\\]|\\.)*)'", fmt_arg)
+        if not fm or "%" not in fm.group(1):
+            # non-literal or already-Java pattern (no % specifiers —
+            # DATE_FORMAT is case-insensitively Spark's own
+            # date_format, so 'yyyy-MM' must pass through untouched)
+            pos = m.end()
+            continue
+        java = mysql_datetime_format_to_java(fm.group(1))
+        out = (
+            out[: m.start()]
+            + "date_format("
+            + out[start : last_comma + 1]
+            + f" '{java}')"
+            + out[i + 1 :]
+        )
+        pos = m.start() + 1
+    return out
 
 
 def rewrite_strcmp(sql: str) -> str:
@@ -1093,4 +1198,6 @@ def rewrite_select(sql: str, user_vars: dict[str, object]) -> str:
     # running-SetVar idioms first: what it rewrites no longer contains
     # ':=', so the loud error below only fires for unsupported forms
     sql = rewrite_running_setvars(sql, user_vars)
-    return rewrite_mysql_casts(rewrite_strcmp(substitute_user_vars(sql, user_vars)))
+    return rewrite_date_format(
+        rewrite_mysql_casts(rewrite_strcmp(substitute_user_vars(sql, user_vars)))
+    )
