@@ -65,6 +65,10 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # the window or parity suite). m07/st09 stay outside — they are
 # rows-only by design (trained signatures / streaming index layout)
 # and a window slot must be oracle-backed.
+# Round-7 rotation (VERDICT r6 item 2): p12_dedup_weighted_sample —
+# the round-6 closer that landed outside the window — swaps in for
+# q56_promo_revenue (conditional-agg join, a shape q55/q63 keep
+# evidenced in-window and the parity suite still hash-checks).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -96,7 +100,6 @@ WINDOW: tuple[str, ...] = (
     "q52_nation_volume_shipping",
     "q54_retention_cohorts",
     "q55_market_share",
-    "q56_promo_revenue",
     # relational additions (rounds 5-6)
     "q63_product_type_profit",
     "q64_excess_volume_suppliers",
@@ -124,6 +127,7 @@ WINDOW: tuple[str, ...] = (
     "p08_training_export",
     "p10_leakage_safe_split",
     "p11_data_quality_checks",
+    "p12_dedup_weighted_sample",
     # text-quality gates (rounds 3, 5)
     "t09_gopher_gates",
     "t13_unigram_nll",
