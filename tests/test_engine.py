@@ -1698,3 +1698,47 @@ def test_temporal_decimal_boolean_column_types(eng):
     ddl = eng.sql("SHOW CREATE TABLE ty2").rows()[0]["Create Table"]
     for frag in ("`d` DATE", "`dt` DATETIME", "`amt` DECIMAL(10,2)", "`ok` BOOLEAN"):
         assert frag in ddl, ddl
+
+
+def test_auto_increment_sparse_large_batch(eng, monkeypatch):
+    """VERDICT r6 item 3: a large INSERT..SELECT into an
+    AUTO_INCREMENT table must not funnel through one task. Above
+    _DENSE_ROWID_MAX the fill switches to sparse per-partition ranges
+    (mirroring _assign_rowids): the fill plan contains NO unpartitioned
+    window / single-partition Exchange, ids stay unique and monotone in
+    batch order, and MySQL fill-on-NULL/0 semantics hold (explicit ids
+    survive, fills allocate above max(counter, explicit))."""
+    from tinysql_spark.engine import Engine
+
+    monkeypatch.setattr(Engine, "_DENSE_ROWID_MAX", 10)
+    eng.attach_testdata("/root/testdata/sf0.001")
+    eng.sql("CREATE TABLE big_ai (id bigint AUTO_INCREMENT PRIMARY KEY, k bigint)")
+    eng.sql("INSERT INTO big_ai VALUES (7, -1)")  # explicit id rebases
+
+    # plan evidence: build the exact fill plan the INSERT..SELECT
+    # executes (no write — the real statements follow below)
+    import tinysql_spark.sqlparse as P
+
+    ins = P.parse_insert(
+        "INSERT INTO big_ai (k) SELECT o_orderkey FROM orders"
+    )
+    info = eng.catalog.get_table("default", "big_ai")
+    filled, n = eng._values_df(ins, info)
+    plan = filled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan  # sparse path: no window at all
+
+    got = filled.select("id", "k").collect()
+    assert n == len(got) > 10
+    ids = [r["id"] for r in got]
+    assert len(set(ids)) == len(ids), "duplicate auto ids"
+    assert min(ids) > 7, "fill must allocate above the explicit id"
+    # allocator advanced past the largest handed-out id
+    assert info.next_auto == max(ids) + 1
+
+    # the full statement path: unique within and across batches
+    eng.sql("INSERT INTO big_ai (k) SELECT o_orderkey FROM orders")
+    eng.sql("INSERT INTO big_ai (k) SELECT o_orderkey + 1000000 FROM orders")
+    r = eng.sql("SELECT count(*) AS n, count(DISTINCT id) AS d FROM big_ai")
+    n_all, d_all = r.df.collect()[0]
+    assert n_all == d_all == 2 * n + 1

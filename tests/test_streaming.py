@@ -403,3 +403,77 @@ def test_st10_null_values_land_in_quarantine(spark, tmp_path):
     quar_ids = {r[0] for r in spark.read.parquet(quar).select("event_id").collect()}
     assert clean_ids == {1}
     assert quar_ids == {2, 3}, "NULL row must be quarantined, not dropped"
+
+
+def test_st11_event_time_ttl_expires_state(spark, tmp_path):
+    """VERDICT r6 item 4: shingle_first_owner's event-time TTL bounds
+    the state store at the dedup horizon. Replay three ordered batches
+    with a 1-hour horizon and a 10-second watermark delay:
+      b0: doc 1 owns span AAA at t0
+      b1: doc 2 owns span BBB at t0+3h  (advances the watermark 2h
+          past AAA's expiry)
+      b2: doc 3 re-uses AAA (its only prior sighting EXPIRED — must
+          NOT be flagged, doc 3 becomes the new owner) and doc 4
+          re-uses BBB (in horizon — MUST be flagged against doc 2);
+          doc 5 then re-uses AAA in the same batch (in-horizon dup of
+          the NEW owner 3, not the expired 1).
+    """
+    import os
+    import uuid
+
+    from tinysql_spark.streaming.pipeline import shingle_first_owner
+
+    t0 = "2020-01-01 00:00:00"
+    rows_by_batch = [
+        [(0, "AAA", 1, t0)],
+        [(1, "BBB", 2, "2020-01-01 03:00:00")],
+        [
+            (0, "AAA", 3, "2020-01-01 03:01:00"),
+            (1, "BBB", 4, "2020-01-01 03:01:00"),
+            (0, "AAA", 5, "2020-01-01 03:02:00"),
+        ],
+    ]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "ttl_src")
+    os.makedirs(src)
+    arrow_schema = pa.schema(
+        [
+            ("bkt", pa.int32()),
+            ("sh", pa.string()),
+            ("doc_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    base = None
+    for i, batch in enumerate(rows_by_batch):
+        pdf = pd.DataFrame(batch, columns=["bkt", "sh", "doc_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        path = os.path.join(src, f"{i:04d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False),
+            path,
+        )
+        if base is None:
+            base = os.path.getmtime(path)
+        os.utime(path, (base + i, base + i))
+
+    schema = spark.read.parquet(os.path.join(src, "0000.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .selectExpr("bkt", "sh", "doc_id", "cast(ts as timestamp) AS ts")
+        .withWatermark("ts", "10 seconds")
+    )
+    owners = shingle_first_owner(stream, horizon_s=3600)
+    name = "ttl_" + uuid.uuid4().hex[:8]
+    run_to_memory(owners, name, output_mode="append")
+    got = {
+        r["doc_id"]: r["dup_cand"] for r in spark.table(name).collect()
+    }
+    assert 3 not in got, f"expired span flagged a late duplicate: {got}"
+    assert got.get(4) == 2, f"in-horizon duplicate lost: {got}"
+    assert got.get(5) == 3, f"new owner after expiry not honored: {got}"

