@@ -1742,3 +1742,46 @@ def test_auto_increment_sparse_large_batch(eng, monkeypatch):
     r = eng.sql("SELECT count(*) AS n, count(DISTINCT id) AS d FROM big_ai")
     n_all, d_all = r.df.collect()[0]
     assert n_all == d_all == 2 * n + 1
+
+
+def test_setvar_last_value_capture(eng):
+    """VERDICT r6 item 5: `@a := col` under a top-level ORDER BY
+    leaves the session variable at the FINAL row's assigned value
+    (MySQL row-at-a-time SetVar, executor/executor.go:413-415); the
+    result set itself is unchanged. Without ORDER BY the variable
+    stays untouched (scan-order 'last row' is indeterminate —
+    documented divergence). Running forms capture their final total."""
+    eng.sql("CREATE TABLE cv (k int, v int)")
+    eng.sql("INSERT INTO cv VALUES (1, 10), (2, 20), (3, 30)")
+
+    # plain capture: last row in ORDER BY k => v = 30
+    assert sorted(rows(eng.sql("SELECT @a := v FROM cv ORDER BY k"))) == [
+        (10,), (20,), (30,)
+    ]
+    assert rows(eng.sql("SELECT @a + 1 AS x")) == [(31,)]
+    # descending order flips the captured row
+    eng.sql("SELECT @a := v AS val FROM cv ORDER BY k DESC")
+    assert rows(eng.sql("SELECT @a AS x")) == [(10,)]
+    # LIMIT bounds the stream: last emitted row is the 2nd
+    eng.sql("SELECT @a := v FROM cv ORDER BY k LIMIT 2")
+    assert rows(eng.sql("SELECT @a AS x")) == [(20,)]
+    # no ORDER BY: variable untouched
+    eng.sql("SELECT @a := v * 100 FROM cv")
+    assert rows(eng.sql("SELECT @a AS x")) == [(20,)]
+    # empty result: variable untouched (MySQL: no row, no assignment)
+    eng.sql("SELECT @a := v FROM cv WHERE k > 99 ORDER BY k")
+    assert rows(eng.sql("SELECT @a AS x")) == [(20,)]
+    # running form: final running total is captured
+    eng.sql("SET @t := 0")
+    got = rows(eng.sql("SELECT k, @t := @t + v AS rt FROM cv ORDER BY k"))
+    assert got == [(1, 10), (2, 30), (3, 60)]
+    assert rows(eng.sql("SELECT @t AS x")) == [(60,)]
+    # multiple captures in one statement, mixed with plain columns
+    eng.sql("SELECT k, @lo := v, @hi := v * 2 FROM cv ORDER BY k")
+    assert rows(eng.sql("SELECT @lo AS a, @hi AS b")) == [(30, 60)]
+    # nested assignment is not a whole select item -> no capture
+    # (and mid-stream-read refusals still fire)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="assigned more than once"):
+        eng.sql("SELECT @z := v, @z := k FROM cv ORDER BY k")

@@ -805,9 +805,11 @@ def rewrite_running_setvars(sql: str, user_vars: dict[str, object]) -> str:
     variable assigned in the same statement (those are row-order
     dependent: loud error). Ties in a running ORDER BY are processed in
     arbitrary order — the same indeterminism MySQL documents. The
-    session variable is NOT updated after the query (results are lazy
-    DataFrames); MySQL leaves it at the final row's value — documented
-    divergence, same for both forms.
+    session variable IS updated after the query when the statement has
+    a top-level ORDER BY (Engine._capture_setvars pulls the final
+    row's value — MySQL's last-assigned semantics); without one,
+    'last row' is scan-order indeterminism and the variable is left
+    untouched (documented divergence).
     """
     if ":=" not in sql:
         return sql
@@ -1181,6 +1183,62 @@ def rewrite_db_qualifiers(sql: str, mapping: dict[str, str]) -> str:
         out.append(ch)
         i += 1
     return "".join(out) if changed else sql
+
+
+def _top_level_from_idx(sql: str, start: int = 0) -> int:
+    """Index of the first top-level FROM keyword at/after ``start``
+    (paren- and quote-aware), or len(sql) if none."""
+    depth, quote = 0, None
+    i, n = start, len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote:
+            if ch == "\\" and quote in "'\"":
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch in "Ff"
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] in "_`"))
+            and re.match(r"FROM\b", sql[i:], re.I)
+        ):
+            return i
+        i += 1
+    return n
+
+
+def select_capture_items(sql: str) -> list[tuple[int, str]]:
+    """(select-item index, variable name) for every TOP-LEVEL select
+    item of the form ``@name := expr [AS alias]`` in a plain SELECT.
+    These are the assignments whose post-statement value the engine
+    captures from the result's last row (MySQL leaves the variable at
+    the value assigned on the final processed row —
+    executor/executor.go:413-415 evaluates SetVar row-at-a-time).
+    Nested assignments (inside function calls or subqueries) are NOT
+    returned — their per-row evaluation order has no distributed
+    meaning, and the statement rewrite refuses the row-order-dependent
+    ones already."""
+    if ":=" not in sql:
+        return []
+    m = re.match(r"\s*SELECT\s+(?:DISTINCT\s+)?", sql, re.I)
+    if not m:
+        return []
+    sel_start = m.end()
+    from_idx = _top_level_from_idx(sql, sel_start)
+    out = []
+    for idx, item in enumerate(split_top_level(sql[sel_start:from_idx])):
+        mm = re.match(r"\s*@(\w+)\s*:=", item)
+        if mm:
+            out.append((idx, mm.group(1).lower()))
+    return out
 
 
 def render_literal(v: object) -> str:
