@@ -2346,3 +2346,62 @@ def q68_order_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6.1 s), so no conf fiddling; the iterative-class fixed cost
     # amortizes at scale like d07's
     return spark.sql(_Q68_SQL.format(numbered="SELECT * FROM v_q68_numbered"))
+
+
+# --------------------------------------------------------------------------
+# q69 — typed-column CTAS through the ENGINE: DECIMAL arithmetic,
+# DATETIME formatting, BOOLEAN grouping, oracle-hashed end to end
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q69_typed_ctas",
+    late=True,
+    oracle="""
+    SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS ym,
+           o_totalprice > 150000 AS big,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS rev
+    FROM orders
+    WHERE o_orderkey % 8 = 0
+    GROUP BY 1, 2
+    """,
+    doc="Engine-path typed columns (VERDICT r6 item 6): the round-6 "
+    "DECIMAL/DATETIME/BOOLEAN surface (catalog.py sql_type_to_spark) "
+    "was engine-tested only; this entry pushes it through the same "
+    "external oracle as everything else. A fresh engine warehouse "
+    "CREATEs a table with DECIMAL(12,2)/DATETIME/BOOLEAN columns, "
+    "INSERT..SELECTs an orders slice through the declared-type cast "
+    "path, then aggregates: DATE_FORMAT('%Y-%m') on the DATETIME, "
+    "GROUP BY the BOOLEAN, exact DECIMAL sum rendered as a string so "
+    "the hash check sees MySQL-exact fixed-point digits ('.00' "
+    "included), never float formatting. The whole flow — DDL type "
+    "mapping, insert cast, decimal agg, %-pattern translation — is "
+    "what DuckDB must reproduce for the hash to match.",
+)
+def q69_typed_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="tinysql_q69_"))
+    eng.attach_testdata(sf_dir)
+    eng.sql(
+        "CREATE TABLE typed_orders ("
+        "  ok BIGINT NOT NULL,"
+        "  price DECIMAL(12,2),"
+        "  od DATETIME,"
+        "  big BOOLEAN)"
+    )
+    eng.sql(
+        "INSERT INTO typed_orders "
+        "SELECT o_orderkey, o_totalprice, o_orderdate, "
+        "       o_totalprice > 150000 "
+        "FROM orders WHERE o_orderkey % 8 = 0"
+    )
+    return eng.sql(
+        "SELECT DATE_FORMAT(od, '%Y-%m') AS ym, big, "
+        "       CAST(COUNT(*) AS BIGINT) AS n, "
+        "       CAST(SUM(price) AS STRING) AS rev "
+        "FROM typed_orders GROUP BY DATE_FORMAT(od, '%Y-%m'), big"
+    ).df
