@@ -753,3 +753,23 @@ def test_q68_recursion_reads_cached_sequence(q):
     p = plan_string(q("q68_order_batch_packing"), mode="simple")
     assert "UnionLoop" in p, p
     assert "InMemoryRelation" in p, p
+
+
+def test_q68_recursion_depth_guard(spark):
+    """q68 pre-checks the deepest customer's order count against
+    spark.sql.cteRecursionLevelLimit and fails with the DESIGNED
+    error (naming the p05 applyInPandas alternative), not Spark's
+    generic recursion error (VERDICT r6 item 7)."""
+    import pytest
+
+    from tinysql_spark.operators.relational import q68_order_batch_packing
+
+    prev = spark.conf.get("spark.sql.cteRecursionLevelLimit")
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "5")
+    try:
+        with pytest.raises(ValueError, match="p05_sequence_packing"):
+            q68_order_batch_packing(spark, "/root/testdata/sf0.001").collect()
+    finally:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", prev)
+    # normal limit: runs fine
+    assert q68_order_batch_packing(spark, "/root/testdata/sf0.001").count() > 0

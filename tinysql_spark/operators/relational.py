@@ -2341,6 +2341,24 @@ def q68_order_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(_Q68_NUMBERED.format(orders="v_q68_orders")),
     )
     numbered.createOrReplaceTempView("v_q68_numbered")
+    # depth guard (VERDICT r6 item 4-minor): recursion depth = the
+    # largest order count of any single customer. TPC-H-style growth
+    # keeps it ~constant (~25 — more customers, not deeper histories),
+    # but a pathological group would hit Spark's recursion level limit
+    # with a generic error mid-query; pre-check against the session
+    # limit and fail with the designed message instead. The 1-row agg
+    # rides the persisted frame (and warms it for the recursion).
+    limit = int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100"))
+    max_depth = numbered.agg(F.max("rn")).collect()[0][0] or 0
+    if max_depth >= limit:
+        raise ValueError(
+            f"q68: deepest customer has {max_depth} orders, at/above the "
+            f"recursive-CTE level limit ({limit}, "
+            "spark.sql.cteRecursionLevelLimit). Raise the limit for this "
+            "session, or use p05_sequence_packing's applyInPandas "
+            "formulation — the same per-group sequential reset without "
+            "bounded recursion."
+        )
     # remaining cost is per-level scheduling (~25 sequential joins),
     # not shuffle width — an 8-partition A/B measured flat (6.3 vs
     # 6.1 s), so no conf fiddling; the iterative-class fixed cost
