@@ -773,3 +773,34 @@ def test_q68_recursion_depth_guard(spark):
         spark.conf.set("spark.sql.cteRecursionLevelLimit", prev)
     # normal limit: runs fine
     assert q68_order_batch_packing(spark, "/root/testdata/sf0.001").count() > 0
+
+
+def test_s12_probe_is_partition_pruned(spark):
+    """s12's probe must read ONLY the probed inverted-list partitions:
+    the executed plan's parquet scan over the cid-partitioned index
+    carries the probe set as PartitionFilters (static pruning — list
+    dirs outside the probe set contribute zero files), and the probed
+    cid count is nprobe-bounded, never the full K."""
+    from tinysql_spark.operators.similarity import (
+        _HS_IVF_K,
+        _HS_IVF_P,
+        _HS_NQ,
+        s12_ann_persisted_ivf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = s12_ann_persisted_ivf(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and "cid" in line
+    )
+    assert "PartitionFilters: [cid" in scan, scan
+    import re
+
+    m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([^)]*)\)", scan)
+    assert m, scan
+    n_probed = len(m.group(1).split(","))
+    assert n_probed <= min(_HS_NQ * _HS_IVF_P, _HS_IVF_K), scan
+    assert df.count() > 0
