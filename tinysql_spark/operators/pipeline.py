@@ -852,3 +852,87 @@ def p12_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 / F.col("n_copies"), 6).alias("w"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p13 — temperature-scaled domain mixture sampling
+# --------------------------------------------------------------------------
+
+_P13_ALPHA = 0.5  # mixing temperature (alpha<1 flattens toward uniform)
+_P13_TARGET = 250  # expected docs in the mixed sample
+
+
+@register(
+    "p13_temperature_mix",
+    late=True,
+    oracle=f"""
+    WITH n AS (
+      SELECT lang, count(*) AS n_d FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT sum(n_d) AS n_all, sum(pow(n_d * 1.0 / (SELECT sum(n_d) FROM n),
+                                        {_P13_ALPHA})) AS z
+      FROM n
+    ), r AS (
+      SELECT lang, CAST(n_d AS BIGINT) AS n_d,
+             round(least(1.0,
+               {_P13_TARGET} * pow(n_d * 1.0 / tot.n_all, {_P13_ALPHA})
+                 / (tot.z * n_d)), 6) AS rate
+      FROM n CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.lang, r.n_d, r.rate
+    FROM documents d JOIN r USING (lang)
+    WHERE ((d.doc_id * 2654435761 + 1013904223) % 4294967296)
+          / 4294967296.0 < r.rate
+    """,
+    doc="TEMPERATURE-SCALED domain mixture (the multilingual-corpus "
+    "balancing rule of mC4/XLM-R: sample domain d with probability "
+    "proportional to p_d^alpha, alpha<1 flattening the head domain "
+    "toward uniform so low-resource slices survive): per-lang "
+    "counts -> renormalized p^alpha mixture -> per-domain sampling "
+    f"rate TARGET*q_d/n_d (alpha={_P13_ALPHA}, target={_P13_TARGET}, "
+    "capped at 1). Selection is the house deterministic LCG uniform "
+    "on doc_id (p02/p12's discipline) so both engines pick the "
+    "identical row set; the per-domain rate is an AGGREGATE rounded "
+    "to 6 decimals before the comparison, so the filter boundary is "
+    "bit-identical across engines (pow's last ulp can differ — "
+    "rounding the aggregate is the house rule, and u is exact "
+    "integer arithmetic over 2^32). Shape at 100 TB: one tiny "
+    "domain-count agg (partial-agg map-side), the 5-row rate table "
+    "broadcast back, a stateless per-row filter — linear, no "
+    "shuffle of the corpus itself.",
+)
+def p13_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_d"))
+    tot = (
+        n.crossJoin(F.broadcast(n.agg(F.sum("n_d").alias("n_all"))))
+        .agg(
+            F.max("n_all").alias("n_all"),
+            F.sum(F.pow(F.col("n_d") * 1.0 / F.col("n_all"), _P13_ALPHA)).alias("z"),
+        )
+    )
+    rates = (
+        n.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n_d").cast("long").alias("n_d"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    _P13_TARGET
+                    * F.pow(F.col("n_d") * 1.0 / F.col("n_all"), _P13_ALPHA)
+                    / (F.col("z") * F.col("n_d")),
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )
+    u = ((F.col("doc_id") * F.lit(2654435761) + F.lit(1013904223)) % F.lit(_M32)) / F.lit(
+        float(_M32)
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "lang", "n_d", "rate")
+    )
