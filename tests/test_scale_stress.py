@@ -202,3 +202,34 @@ def test_d09_complete_and_bounded_under_amplification(spark, amp_docs_dir):
     clique_pairs = 500 * AMP * (AMP - 1) // 2
     assert n_pairs >= clique_pairs, n_pairs
     assert n_pairs <= clique_pairs + 300_000, n_pairs
+
+
+def test_sparse_auto_increment_true_scale(spark, tmp_path):
+    """The sparse AUTO_INCREMENT path WITHOUT threshold monkeypatching:
+    sf0.1 orders (150k rows > _DENSE_ROWID_MAX=100k) through a real
+    INSERT..SELECT into a BIGINT AUTO_INCREMENT table. Ids unique,
+    allocator advanced, and the executed fill plan contains no
+    single-partition Exchange or Window."""
+    from tinysql_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_scale_ai"))
+    eng.attach_testdata("/root/testdata/sf0.1")
+    eng.sql("CREATE TABLE sai (id bigint AUTO_INCREMENT PRIMARY KEY, k bigint)")
+
+    import tinysql_spark.sqlparse as P
+
+    ins = P.parse_insert("INSERT INTO sai (k) SELECT o_orderkey FROM orders")
+    info = eng.catalog.get_table("default", "sai")
+    filled, n = eng._values_df(ins, info)
+    assert n > Engine._DENSE_ROWID_MAX
+    plan = filled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+    stats = filled.agg(
+        F.count("id").alias("n"),
+        F.count_distinct("id").alias("d"),
+        F.min("id").alias("lo"),
+    ).collect()[0]
+    assert stats["n"] == stats["d"] == n
+    assert stats["lo"] >= 1
+    assert info.next_auto > n
