@@ -31,11 +31,11 @@ def test_oracle_backed_entries_fit_driver_window():
     # past the window: oracle-backed before rows-only
     flags = [REGISTRY[n].oracle is not None for n in names[50:]]
     assert flags == sorted(flags, reverse=True)
-    # judge-named operators are driver-checked: round-2/3/4 keepers
-    # plus every oracle-backed round-5 addition
+    # judge-named operators are driver-checked: the fuzzy-dedup
+    # pipeline, the round-5/6 headliners, and every round-7 addition
+    # (rotated in the round they landed — the VERDICT hygiene rule)
     for must in ("d09_fuzzy_dedup_scaled", "d10_exact_substring",
-                 "d11_fuzzy_clusters", "q48_sole_fault_supplier",
-                 "q56_promo_revenue", "st03_stream_join",
+                 "d11_fuzzy_clusters", "st03_stream_join",
                  "st08_stream_left_join", "s05_ann_scalar_quant",
                  "s09_ann_filtered", "p05_sequence_packing",
                  "p08_training_export",
@@ -44,7 +44,10 @@ def test_oracle_backed_entries_fit_driver_window():
                  "p11_data_quality_checks", "t13_unigram_nll",
                  "q63_product_type_profit", "q64_excess_volume_suppliers",
                  "q65_forecast_revenue_change", "q67_ohlc_bars",
-                 "st11_stream_incremental_dedup", "q68_order_batch_packing"):
+                 "st11_stream_incremental_dedup", "q68_order_batch_packing",
+                 "p12_dedup_weighted_sample", "q69_typed_ctas",
+                 "s12_ann_persisted_ivf", "t14_repetition_filters",
+                 "p13_temperature_mix"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)

@@ -256,6 +256,12 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
                 "d03_minhash_lsh",
                 "d11_fuzzy_clusters",  # convergence loop over d09 (same class)
                 "p07_training_order",
+                "q68_order_batch_packing",  # bounded 1-row depth pre-check
+                # engine-path op: DDL + INSERT ARE the operator
+                "q69_typed_ctas",
+                # probe ids must become a literal partition filter —
+                # the bounded |queries| x nprobe collect IS the design
+                "s12_ann_persisted_ivf",
             ):
                 continue
             spec.fn(spark, sf_dir)

@@ -895,10 +895,10 @@ def _s11_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     # index build from re-executing under every downstream reference
     centn = _keyed_persist(f"s11.cent.{key[1]}", centn)
     assign = _keyed_persist(f"s11.assign.{key[1]}", nearest_cid(u_corp, centn, "vec_id", 1))
-    # materialize NOW: the build cost is paid exactly once, inside the
-    # memoized builder — later invocations' plans read the in-memory
-    # index, never the Lloyd lineage (assign.count() forces centn too)
-    assign.count()
+    # the persisted frames materialize at the FIRST downstream action
+    # (plan construction itself stays job-free — the house laziness
+    # discipline, tests/test_plans.py); later invocations' plans read
+    # the in-memory index, never the Lloyd lineage
     _IVF_BUILDS += 1
     _IVF_MEMO[key] = (centn, assign)
     return centn, assign
