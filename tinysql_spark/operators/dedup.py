@@ -1402,3 +1402,131 @@ def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return exact.unionByName(fuzzy)
+
+
+# --------------------------------------------------------------------------
+# d13 — exact-substring SPAN EXCISION (the rewrite step d10's span
+# inventory feeds): drop every non-first occurrence of a duplicated
+# chunk and emit the scrubbed corpus
+# --------------------------------------------------------------------------
+
+_D13_W = 8  # non-overlapping chunk width in tokens (excision unit)
+
+
+@register(
+    "d13_span_scrub",
+    late=True,
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), base AS (
+      SELECT doc_id, ws, len(ws) AS n_tok, len(ws) // {_D13_W} AS n_chunks
+      FROM w
+    ), ch AS (
+      SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS pos, ws
+      FROM base WHERE n_chunks > 0
+    ), ct AS (
+      SELECT doc_id, pos,
+             array_to_string(ws[pos*{_D13_W}+1 : pos*{_D13_W}+{_D13_W}], ' ') AS txt,
+             md5(array_to_string(ws[pos*{_D13_W}+1 : pos*{_D13_W}+{_D13_W}], ' ')) AS k
+      FROM ch
+    ), kept AS (
+      SELECT doc_id, pos, txt FROM (
+        SELECT doc_id, pos, txt,
+               row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+        FROM ct) WHERE rn = 1
+    ), body AS (
+      SELECT doc_id, string_agg(txt, ' ' ORDER BY pos) AS body,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_chunks AS BIGINT) AS n_chunks,
+           CAST(b.n_chunks - coalesce(y.n_kept, 0) AS BIGINT) AS n_dropped,
+           CAST(coalesce(y.n_kept, 0) * {_D13_W}
+                + (b.n_tok - b.n_chunks * {_D13_W}) AS BIGINT) AS n_tok_kept,
+           md5(trim(concat_ws(' ', y.body,
+               array_to_string(b.ws[b.n_chunks*{_D13_W}+1 : b.n_tok], ' ')
+           ))) AS scrubbed_md5
+    FROM base b LEFT JOIN body y USING (doc_id)
+    """,
+    doc="Exact-substring SPAN EXCISION (Lee et al. 2022 ExactSubstr, "
+    "the REWRITE step — d10 is the span inventory, this op applies "
+    "it): the corpus is re-chunked into non-overlapping "
+    f"{_D13_W}-token spans, every chunk whose text already occurred "
+    "earlier in the corpus (global first occurrence = lexicographic "
+    "min (doc_id, pos)) is DROPPED, and each document is reassembled "
+    "from its surviving chunks plus the sub-chunk tail — C4/RefinedWeb "
+    "pipelines ship exactly this scrubbed text to training, not the "
+    "flag list. Non-overlapping chunks make removal well-defined "
+    "(overlapping spans would excise ambiguously). Plan: explode "
+    "chunks, ONE hash-partitioned window on the chunk digest for "
+    "global first-occurrence (row_number, no self-join, skew = one "
+    "sorted reducer group per hot span), groupBy doc to reassemble "
+    "(array_sort over collected (pos, txt) structs restores order "
+    "without a sort exchange per doc), left-join back to the doc "
+    "spine for chunkless short docs. Linear in corpus tokens; the "
+    "scrubbed text is emitted as md5 so the comparison ships a "
+    "digest, not the corpus. At 100 TB every stage shards on chunk "
+    "digest or doc_id — nothing collects, no pair space.",
+)
+def d13_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("ws"),
+    ).select(
+        "doc_id",
+        "ws",
+        F.size("ws").alias("n_tok"),
+        F.floor(F.size("ws") / _D13_W).cast("long").alias("n_chunks"),
+    )
+    ch = (
+        base.filter(F.col("n_chunks") > 0)
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.array_join(
+                F.slice(F.col("ws"), F.col("pos") * _D13_W + 1, _D13_W), " "
+            ).alias("txt"),
+        )
+        .withColumn("k", F.md5("txt"))
+    )
+    rn = F.row_number().over(Window.partitionBy("k").orderBy("doc_id", "pos"))
+    kept = ch.withColumn("rn", rn).filter(F.col("rn") == 1)
+    body = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "txt"))),
+                lambda s: s["txt"],
+            ),
+            " ",
+        ).alias("body"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    tail = F.array_join(
+        F.slice(
+            F.col("ws"),
+            (F.col("n_chunks") * _D13_W + 1).cast("int"),
+            (F.col("n_tok") - F.col("n_chunks") * _D13_W).cast("int"),
+        ),
+        " ",
+    )
+    return base.join(body, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_chunks"),
+        (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_dropped"),
+        (
+            F.coalesce(F.col("n_kept"), F.lit(0)) * _D13_W
+            + (F.col("n_tok") - F.col("n_chunks") * _D13_W)
+        ).cast("long").alias("n_tok_kept"),
+        F.md5(F.trim(F.concat_ws(" ", F.col("body"), tail))).alias("scrubbed_md5"),
+    )

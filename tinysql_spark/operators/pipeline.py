@@ -936,3 +936,93 @@ def p13_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u < F.col("rate"))
         .select("doc_id", "lang", "n_d", "rate")
     )
+
+
+# --------------------------------------------------------------------------
+# p14 — data-constrained epoch/repeat plan (Muennighoff et al. 2023)
+# --------------------------------------------------------------------------
+
+_P14_BUDGET_X = 3.0  # token budget as a multiple of the corpus size
+_P14_MAX_EPOCHS = 4.0  # repetition ceiling: >4 epochs adds ~no value
+
+
+@register(
+    "p14_epoch_repeat_plan",
+    late=True,
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tok
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT sum(n_tok) AS all_tok, count(*) AS k FROM t
+    ), plan AS (
+      SELECT lang, n_docs, n_tok,
+             round({_P14_BUDGET_X} * tot.all_tok / tot.k, 2) AS target_tok,
+             round(least({_P14_MAX_EPOCHS},
+                   ({_P14_BUDGET_X} * tot.all_tok / tot.k) / n_tok), 6) AS epochs
+      FROM t CROSS JOIN tot
+    )
+    SELECT lang, n_docs, n_tok, target_tok, epochs,
+           round(epochs * n_tok, 2) AS achieved_tok,
+           round(greatest(0, target_tok - round(epochs * n_tok, 2)), 2)
+             AS deficit_tok
+    FROM plan
+    """,
+    doc="Data-constrained EPOCH/REPEAT plan (Muennighoff et al. 2023, "
+    "'Scaling Data-Constrained Language Models'): given a token "
+    f"budget of {_P14_BUDGET_X}x the corpus and an equal per-language "
+    "target share (the balanced-multilingual allocation), compute "
+    "per language the repeat factor epochs = min(MAX_EPOCHS, "
+    "target/available) — the paper's finding that repetition beyond "
+    f"~{int(_P14_MAX_EPOCHS)} epochs adds almost no value is the cap; "
+    "head languages get epochs<1 (subsampled), tail languages repeat "
+    "up to the cap and report an unfillable DEFICIT that the curator "
+    "must cover with new data, not more repetition. Plan: one "
+    "partial->final agg over the corpus (map-side combine on lang), "
+    "a k-row totals broadcast, pure Column arithmetic — the corpus "
+    "is scanned exactly once and nothing else scales with it. "
+    "Rounding discipline: epochs is rounded BEFORE the achieved/"
+    "deficit arithmetic, so every derived number is bit-identical "
+    "across engines (the p13 house rule for pow/div last-ulp skew).",
+)
+def p14_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select("lang", F.size(tokens(F.col("text"))).alias("tk"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tk").cast("long").alias("n_tok"),
+        )
+    )
+    tot = t.agg(
+        F.sum("n_tok").alias("all_tok"), F.count(F.lit(1)).alias("k")
+    )
+    target = F.lit(_P14_BUDGET_X) * F.col("all_tok") / F.col("k")
+    epochs = F.round(
+        F.least(F.lit(_P14_MAX_EPOCHS), target / F.col("n_tok")), 6
+    )
+    achieved = F.round(F.col("epochs") * F.col("n_tok"), 2)
+    return (
+        t.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tok",
+            F.round(target, 2).alias("target_tok"),
+            epochs.alias("epochs"),
+        )
+        .select(
+            "*",
+            achieved.alias("achieved_tok"),
+        )
+        .select(
+            "*",
+            F.round(
+                F.greatest(F.lit(0.0), F.col("target_tok") - F.col("achieved_tok")), 2
+            ).alias("deficit_tok"),
+        )
+    )

@@ -685,3 +685,88 @@ def t14_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.dup2_frac").alias("dup2_frac"),
         F.col("r.dup3_frac").alias("dup3_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# t15 — bigram-LM perplexity proxy (t13's unigram NLL upgraded to a
+# conditional bigram model, the CCNet-style LM quality gate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t15_bigram_nll",
+    late=True,
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+      WHERE length(trim(text)) > 0
+    ), b AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bg
+      FROM w
+      WHERE len(ws) >= 2
+    ), c2 AS (
+      SELECT bg, count(*) AS c FROM b GROUP BY bg
+    ), c1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(c) AS ctx
+      FROM c2 GROUP BY w1
+    )
+    SELECT b.doc_id,
+           round(avg(-ln(c2.c / c1.ctx)), 4) AS mean_nll,
+           count(*) AS n_bigram
+    FROM b
+    JOIN c2 USING (bg)
+    JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+    GROUP BY b.doc_id
+    """,
+    doc="Bigram-LM perplexity proxy (the CCNet/Wenzek et al. LM "
+    "quality gate with the corpus itself as the model — t13's "
+    "unigram NLL upgraded to a CONDITIONAL model): score every doc "
+    "by the mean negative log-likelihood of its token transitions, "
+    "P(w2|w1) = C(w1 w2) / C(w1 ·) with context counts summed from "
+    "the bigram table so the model normalizes exactly. High-NLL docs "
+    "have improbable transitions (shuffled/garbled text that unigram "
+    "frequency can NOT catch — every token may be common while every "
+    "transition is rare); that separation is the whole reason "
+    "production filters use an LM over a frequency table. Plan: "
+    "bigrams via zip_with over two array slices (no per-element "
+    "explode arithmetic), corpus bigram counts (partial->final agg), "
+    "context counts as a second tiny agg OVER THE COUNT TABLE (vocab-"
+    "sized, not corpus-sized), two equi-joins back, per-doc mean. "
+    "Linear and hash-partitioned at every stage; swapping in a real "
+    "KenLM changes only the scoring join's right side (cf. t13).",
+)
+def t15_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    ws = tokens(F.col("text"))
+    bi = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bg"),
+        )
+    )
+    c2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy(F.split(F.col("bg"), " ")[0].alias("w1")).agg(
+        F.sum("c").alias("ctx")
+    )
+    return (
+        bi.join(c2, "bg")
+        .join(c1, F.split(bi["bg"], " ")[0] == c1["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(F.col("c") / F.col("ctx"))), 4).alias("mean_nll"),
+            F.count(F.lit(1)).alias("n_bigram"),
+        )
+    )
