@@ -78,6 +78,14 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # q42_exact_percentiles (distribution family: q33/q44 parity),
 # q45_lateral_topk (WindowGroupLimit: pinned in s01/s09 plan tests),
 # q48_sole_fault_supplier (anti-join family: q29 parity, q64 window).
+# Round-8 rotation (same hygiene rule — new ops get external signal
+# the round they land): d13_span_scrub, t15_bigram_nll,
+# p14_epoch_repeat_plan replace three long-green keepers whose shapes
+# stay evidenced elsewhere — q44_range_frame_window (range-frame
+# windows: q67 OHLC bars in-window), q49_min_cost_supplier
+# (correlated-min join: q38 correlated scalar in-window),
+# q51_large_volume_customers (group-having join: q52/q55/q64
+# in-window).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -97,11 +105,9 @@ WINDOW: tuple[str, ...] = (
     "d10_exact_substring",
     "d11_fuzzy_clusters",
     "d12_incremental_dedup",
+    "d13_span_scrub",
     # relational additions (rounds 2-4)
     "q38_correlated_scalar",
-    "q44_range_frame_window",
-    "q49_min_cost_supplier",
-    "q51_large_volume_customers",
     "q52_nation_volume_shipping",
     "q54_retention_cohorts",
     "q55_market_share",
@@ -136,10 +142,12 @@ WINDOW: tuple[str, ...] = (
     "p11_data_quality_checks",
     "p12_dedup_weighted_sample",
     "p13_temperature_mix",
+    "p14_epoch_repeat_plan",
     # text-quality gates (rounds 3, 5)
     "t09_gopher_gates",
     "t13_unigram_nll",
     "t14_repetition_filters",
+    "t15_bigram_nll",
 )
 
 
