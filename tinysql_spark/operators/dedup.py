@@ -1530,3 +1530,71 @@ def d13_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_tok_kept"),
         F.md5(F.trim(F.concat_ws(" ", F.col("body"), tail))).alias("scrubbed_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# d14 — SemDeDup: semantic dedup by embedding similarity WITHIN coarse
+# clusters (Abbas et al. 2023, arXiv:2303.09540)
+# --------------------------------------------------------------------------
+
+_D14_TAU = 0.35  # within-block cosine above which two docs are semantic dups
+
+
+@register(
+    "d14_semdedup",
+    late=True,
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) AS e
+      FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS lo, b.vec_id AS hi,
+             list_dot_product(a.e, b.e) AS s
+      FROM u a JOIN u b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e) >= {_D14_TAU}
+    )
+    SELECT hi AS vec_id, min(lo) AS owner_id,
+           count(*) AS n_near, round(max(s), 4) AS max_sim
+    FROM p GROUP BY hi
+    """,
+    doc="SemDeDup (Abbas et al. 2023): prune semantic duplicates by "
+    "embedding cosine WITHIN a coarse cluster — the paper clusters "
+    "with k-means and thresholds pairwise similarity inside each "
+    "cluster only, which is what makes the method linear-ish at "
+    "corpus scale (the pair space is per-cluster, never global). "
+    "Here the `label` column is the given coarse partition (the "
+    "same IVF-style blocking d05 uses) and the keep policy is the "
+    "deterministic pair-greedy variant: a vector is PRUNED iff some "
+    "lower-id vector in its block sits above tau, its owner being "
+    "the smallest such id — order-free, so the whole prune decision "
+    "is one groupBy over the blocked pair stream (no sequential "
+    "scan over cluster members, which the paper's argmax-to-"
+    "centroid ordering would need). Candidate generation reuses the "
+    "chunked hot-block kernel (_chunked_block_pairs), so one skewed "
+    "cluster cannot serialize into a near-cartesian task at 100 TB. "
+    "Reference has no vector ops; this extends the dedup family "
+    "(SURVEY §2 LLM-pipeline additions).",
+)
+def d14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", unit_vec(F.col("embedding")).alias("e")
+    )
+    sim = dot(F.col("a.e"), F.col("b.e"))
+    pairs = (
+        _chunked_block_pairs(emb)
+        .select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("lo"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("hi"),
+            sim.alias("s"),
+        )
+        .filter(F.col("s") >= _D14_TAU)
+    )
+    return pairs.groupBy(F.col("hi").alias("vec_id")).agg(
+        F.min("lo").alias("owner_id"),
+        F.count(F.lit(1)).alias("n_near"),
+        F.round(F.max("s"), 4).alias("max_sim"),
+    )
