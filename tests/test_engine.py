@@ -1785,3 +1785,38 @@ def test_setvar_last_value_capture(eng):
 
     with _pytest.raises(ValueError, match="assigned more than once"):
         eng.sql("SELECT @z := v, @z := k FROM cv ORDER BY k")
+
+
+def test_q69_warehouse_memoized(spark, sf_dir):
+    """VERDICT r8 item 6: q69 must NOT rebuild its typed warehouse per
+    invocation. Cold run builds (CTAS + INSERT jobs); warm run reuses
+    the memoized warehouse dir and schedules strictly fewer jobs —
+    in particular no parquet-write job from the INSERT."""
+    import os as _os
+
+    from tinysql_spark.operators import relational as R
+
+    sc = spark.sparkContext
+    R._Q69_WAREHOUSE_MEMO.clear()  # force a genuinely cold first run
+
+    def run(group):
+        sc.setJobGroup(group, group)
+        try:
+            rows = R.q69_typed_ctas(spark, sf_dir).collect()
+            jobs = sc.statusTracker().getJobIdsForGroup(group)
+        finally:
+            sc.setJobGroup(None, None)
+        return rows, jobs
+
+    cold_rows, cold_jobs = run("q69-cold")
+    d1 = R._Q69_WAREHOUSE_MEMO[_os.path.abspath(sf_dir)]
+    warm_rows, warm_jobs = run("q69-warm")
+    d2 = R._Q69_WAREHOUSE_MEMO[_os.path.abspath(sf_dir)]
+    assert d1 == d2, "memo handed out a different warehouse dir"
+    assert sorted(map(tuple, cold_rows)) == sorted(map(tuple, warm_rows))
+    # the cold path's INSERT..SELECT alone schedules write jobs the
+    # warm path must not repeat
+    assert len(warm_jobs) <= len(cold_jobs) - 2, (
+        f"warm q69 scheduled {len(warm_jobs)} jobs vs cold "
+        f"{len(cold_jobs)} — warehouse likely rebuilt"
+    )

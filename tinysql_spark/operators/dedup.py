@@ -1451,29 +1451,35 @@ _D13_W = 8  # non-overlapping chunk width in tokens (excision unit)
            ))) AS scrubbed_md5
     FROM base b LEFT JOIN body y USING (doc_id)
     """,
-    doc="Exact-substring SPAN EXCISION (Lee et al. 2022 ExactSubstr, "
-    "the REWRITE step — d10 is the span inventory, this op applies "
-    "it): the corpus is re-chunked into non-overlapping "
+    doc="Span excision, the REWRITE half of a dedup-and-rewrite "
+    "pipeline: the corpus is re-chunked into non-overlapping "
     f"{_D13_W}-token spans, every chunk whose text already occurred "
     "earlier in the corpus (global first occurrence = lexicographic "
     "min (doc_id, pos)) is DROPPED, and each document is reassembled "
     "from its surviving chunks plus the sub-chunk tail — C4/RefinedWeb "
-    "pipelines ship exactly this scrubbed text to training, not the "
-    "flag list. Non-overlapping chunks make removal well-defined "
-    "(overlapping spans would excise ambiguously). Plan: explode "
-    "chunks, ONE hash-partitioned window on the chunk digest for "
-    "global first-occurrence (row_number, no self-join, skew = one "
-    "sorted reducer group per hot span), groupBy doc to reassemble "
-    "(array_sort over collected (pos, txt) structs restores order "
-    "without a sort exchange per doc), left-join back to the doc "
-    "spine for chunkless short docs. Linear in corpus tokens; the "
-    "scrubbed text is emitted as md5 so the comparison ships a "
-    "digest, not the corpus. At 100 TB every stage shards on chunk "
-    "digest or doc_id — nothing collects, no pair space.",
+    "pipelines ship scrubbed text to training, not the flag list. "
+    "FIDELITY NOTE: this is a CHUNK-ALIGNED APPROXIMATION of Lee et "
+    "al. 2022 ExactSubstr, not the paper's suffix-array rewrite — "
+    "fixed non-overlapping chunking is offset-sensitive (a duplicated "
+    "passage shifted by one token relative to chunk boundaries "
+    "produces different chunk texts and is never excised) and the "
+    "span width differs (8 vs 50 tokens). d10's OVERLAPPING span "
+    "inventory is the faithful detector; d15 composes the two into "
+    "the detector-driven excision. Non-overlapping chunks make "
+    "removal well-defined here (overlapping spans would excise "
+    "ambiguously). Plan: explode chunks, global first occurrence as "
+    "a partial-aggregating groupBy(digest).min(struct(doc_id,pos)) "
+    "(map-side combine — a hot boilerplate span combines down to one "
+    "row per map task; no sorted reducer group, unlike a row_number "
+    "window), semi-join chunks back on (digest, doc_id, pos), groupBy "
+    "doc to reassemble (array_sort over collected (pos, txt) structs "
+    "restores order without a sort exchange per doc), left-join back "
+    "to the doc spine for chunkless short docs. Linear in corpus "
+    "tokens; the scrubbed text is emitted as md5 so the comparison "
+    "ships a digest, not the corpus. At 100 TB every stage shards on "
+    "chunk digest or doc_id — nothing collects, no pair space.",
 )
 def d13_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
@@ -1500,8 +1506,18 @@ def d13_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("k", F.md5("txt"))
     )
-    rn = F.row_number().over(Window.partitionBy("k").orderBy("doc_id", "pos"))
-    kept = ch.withColumn("rn", rn).filter(F.col("rn") == 1)
+    # Global first occurrence per chunk digest as a partial-aggregating
+    # min (map-side combine, no per-key sort): a hot span (boilerplate
+    # chunk repeated millions of times) combines down to one row per
+    # map task before the shuffle, where a row_number window would
+    # funnel every occurrence into one sorted reducer group. The keep
+    # rule is lexicographic min (doc_id, pos), so min(struct) is exact.
+    firsts = ch.groupBy("k").agg(F.min(F.struct("doc_id", "pos")).alias("fst"))
+    kept = ch.join(
+        firsts.select("k", F.col("fst.doc_id").alias("doc_id"), F.col("fst.pos").alias("pos")),
+        ["k", "doc_id", "pos"],
+        "semi",
+    )
     body = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

@@ -21,6 +21,8 @@ dimensions the same way the reference picks index paths.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2371,6 +2373,45 @@ def q68_order_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DATETIME formatting, BOOLEAN grouping, oracle-hashed end to end
 # --------------------------------------------------------------------------
 
+_Q69_WAREHOUSE_MEMO: dict[str, str] = {}
+
+
+def _q69_typed_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Build the typed_orders warehouse ONCE per corpus (VERDICT r8
+    item 6 — the previous shape mkdtemp'd + re-CTAS'd + re-INSERTed on
+    every invocation, ~2 s of engine fixed cost per bench rep, and
+    leaked the temp dirs). Same memo discipline as
+    similarity._s12_index_dir; dirs are rmtree'd atexit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    key = os.path.abspath(sf_dir)
+    d = _Q69_WAREHOUSE_MEMO.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    d = tempfile.mkdtemp(prefix="tinysql_q69_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    eng = Engine(spark, d)
+    eng.attach_testdata(sf_dir)
+    eng.sql(
+        "CREATE TABLE typed_orders ("
+        "  ok BIGINT NOT NULL,"
+        "  price DECIMAL(12,2),"
+        "  od DATETIME,"
+        "  big BOOLEAN)"
+    )
+    eng.sql(
+        "INSERT INTO typed_orders "
+        "SELECT o_orderkey, o_totalprice, o_orderdate, "
+        "       o_totalprice > 150000 "
+        "FROM orders WHERE o_orderkey % 8 = 0"
+    )
+    _Q69_WAREHOUSE_MEMO[key] = d
+    return d
+
 
 @register(
     "q69_typed_ctas",
@@ -2387,7 +2428,8 @@ def q68_order_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Engine-path typed columns (VERDICT r6 item 6): the round-6 "
     "DECIMAL/DATETIME/BOOLEAN surface (catalog.py sql_type_to_spark) "
     "was engine-tested only; this entry pushes it through the same "
-    "external oracle as everything else. A fresh engine warehouse "
+    "external oracle as everything else. A memoized-per-corpus engine "
+    "warehouse (VERDICT r8 item 6 — build once, rmtree atexit) "
     "CREATEs a table with DECIMAL(12,2)/DATETIME/BOOLEAN columns, "
     "INSERT..SELECTs an orders slice through the declared-type cast "
     "path, then aggregates: DATE_FORMAT('%Y-%m') on the DATETIME, "
@@ -2398,25 +2440,9 @@ def q68_order_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "what DuckDB must reproduce for the hash to match.",
 )
 def q69_typed_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..engine import Engine
 
-    eng = Engine(spark, tempfile.mkdtemp(prefix="tinysql_q69_"))
-    eng.attach_testdata(sf_dir)
-    eng.sql(
-        "CREATE TABLE typed_orders ("
-        "  ok BIGINT NOT NULL,"
-        "  price DECIMAL(12,2),"
-        "  od DATETIME,"
-        "  big BOOLEAN)"
-    )
-    eng.sql(
-        "INSERT INTO typed_orders "
-        "SELECT o_orderkey, o_totalprice, o_orderdate, "
-        "       o_totalprice > 150000 "
-        "FROM orders WHERE o_orderkey % 8 = 0"
-    )
+    eng = Engine(spark, _q69_typed_warehouse(spark, sf_dir))
     return eng.sql(
         "SELECT DATE_FORMAT(od, '%Y-%m') AS ym, big, "
         "       CAST(COUNT(*) AS BIGINT) AS n, "
