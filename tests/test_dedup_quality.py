@@ -176,3 +176,29 @@ def test_cc_converge_random_graphs_match_union_find(spark):
             v: (got.get(v), expected[v])
             for v in touched if got.get(v) != expected[v]
         })
+
+
+def test_t16_pii_scrub_semantics(spark):
+    """pii_scrub redacts each class, leaves clean text untouched, and
+    counts per class — handcrafted strings, not the synthetic
+    injection the registry entry uses."""
+    from tinysql_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.org today"),
+        (2, "call 555-867-5309 or 555.867.5309"),
+        (3, "ssn 123-45-6789 but order 12-345-67890 stays"),
+        (4, "host 192.168.0.1 responded"),
+        (5, "no pii here at all"),
+        (6, "a@b.co and 10.0.0.7 and 999-11-2222"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["scrubbed"] == "mail me at <EMAIL> today"
+    assert got[2]["n_phone"] == 2 and got[2]["scrubbed"] == "call <PHONE> or <PHONE>"
+    assert got[3]["n_ssn"] == 1 and "<SSN>" in got[3]["scrubbed"]
+    assert "12-345-67890" in got[3]["scrubbed"], "non-SSN digit shape must survive"
+    assert got[4]["n_ip"] == 1 and got[4]["scrubbed"] == "host <IP> responded"
+    assert got[5]["scrubbed"] == "no pii here at all"
+    assert sum(got[5][k] for k in ("n_email", "n_ssn", "n_phone", "n_ip")) == 0
+    assert got[6]["scrubbed"] == "<EMAIL> and <IP> and <SSN>"
