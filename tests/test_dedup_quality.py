@@ -202,3 +202,101 @@ def test_t16_pii_scrub_semantics(spark):
     assert got[5]["scrubbed"] == "no pii here at all"
     assert sum(got[5][k] for k in ("n_email", "n_ssn", "n_phone", "n_ip")) == 0
     assert got[6]["scrubbed"] == "<EMAIL> and <IP> and <SSN>"
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Twin of Spark's F.round (BigDecimal HALF_UP over the shortest
+    decimal repr of the double) — Python's round() is banker's and
+    would diverge on .5 boundaries."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def test_bpe_tokenizer_roundtrip_and_determinism(spark, sf_dir):
+    """The codec-op discipline for p15: decode(encode(x)) recovers the
+    whitespace-normalized text for every sampled doc; training is
+    deterministic (two runs, byte-identical merge tables); encode
+    agrees with a brute-force reference that tries ALL merge orders
+    by rank (the production loop is the optimized form of it)."""
+    from tinysql_spark.functions import bpe
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(64)
+        .collect()
+    )
+    texts = [r["text"] for r in rows]
+    m1, m2 = bpe.train_bpe(texts, 80), bpe.train_bpe(texts, 80)
+    assert m1 == m2 and len(m1) > 0
+    ranks = {tuple(p): i for i, p in enumerate(m1)}
+    for t in texts[:16]:
+        assert bpe.decode(bpe.encode(t, ranks)) == " ".join((t or "").split())
+
+    # reference encoder: repeatedly apply THE lowest-rank applicable
+    # merge scanning the whole sequence each pass
+    def ref_encode_word(word):
+        syms = list(word) + ["</w>"]
+        while True:
+            cands = [
+                (ranks[(a, b)], i)
+                for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                if (a, b) in ranks
+            ]
+            if not cands:
+                return syms
+            _, i = min(cands)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+
+    from tinysql_spark.operators.text import py_tokens
+
+    for t in texts[:8]:
+        for w in py_tokens(t):
+            if w:
+                assert bpe.encode_word(w, ranks) == ref_encode_word(w)
+
+
+def test_p15_matches_pure_python_twin(spark, sf_dir):
+    """Dual-path parity (BPE is not SQL-expressible, so p15 is
+    rows-only for the driver): recompute the ENTIRE plan — sample,
+    training, encoding, budget arithmetic, rounding — in pure
+    Python/pandas from the same parquet and compare exactly."""
+    import pandas as pd
+
+    from tinysql_spark.functions import bpe
+    from tinysql_spark.operators.pipeline import (
+        _P14_BUDGET_X,
+        _P14_MAX_EPOCHS,
+        p15_bpe_epoch_repeat_plan,
+    )
+
+    got = {r["lang"]: r.asDict() for r in p15_bpe_epoch_repeat_plan(spark, sf_dir).collect()}
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "lang", "text"]]
+    sample = pdf.sort_values("doc_id").head(bpe._BPE_SAMPLE_CAP)
+    merges = bpe.train_bpe(list(sample["text"]), bpe._BPE_MERGES)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pdf["n_bpe"] = pdf["text"].map(lambda t: len(bpe.encode(t, ranks)))
+    t = pdf.groupby("lang").agg(n_docs=("doc_id", "size"), n_tok=("n_bpe", "sum"))
+    all_tok, k = int(t["n_tok"].sum()), len(t)
+    assert set(got) == set(t.index)
+    for lang, row in t.iterrows():
+        target = _P14_BUDGET_X * all_tok / k
+        epochs = _round_half_up(min(_P14_MAX_EPOCHS, target / row["n_tok"]), 6)
+        achieved = _round_half_up(epochs * row["n_tok"], 2)
+        target_r = _round_half_up(target, 2)
+        exp = {
+            "n_docs": int(row["n_docs"]),
+            "n_tok": int(row["n_tok"]),
+            "target_tok": target_r,
+            "epochs": epochs,
+            "achieved_tok": achieved,
+            "deficit_tok": _round_half_up(max(0.0, target_r - achieved), 2),
+        }
+        g = {k2: got[lang][k2] for k2 in exp}
+        assert g == exp, f"{lang}: {g} != {exp}"

@@ -43,11 +43,14 @@ def test_oracle_backed_entries_fit_driver_window():
                  "st10_stream_quality_gate", "p10_leakage_safe_split",
                  "p11_data_quality_checks", "t13_unigram_nll",
                  "q63_product_type_profit", "q64_excess_volume_suppliers",
-                 "q65_forecast_revenue_change", "q67_ohlc_bars",
+                 "q67_ohlc_bars",
                  "st11_stream_incremental_dedup", "q68_order_batch_packing",
                  "p12_dedup_weighted_sample", "q69_typed_ctas",
                  "s12_ann_persisted_ivf", "t14_repetition_filters",
-                 "p13_temperature_mix"):
+                 "p13_temperature_mix",
+                 # round-9 rotation: the round-8 closer + both new ops
+                 "d14_semdedup", "t16_pii_scrub",
+                 "d15_exactsubstr_excision"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
@@ -55,7 +58,9 @@ def test_oracle_backed_entries_fit_driver_window():
                 "q43_unpivot", "q46_locf_fill", "q47_string_agg",
                 "q50_small_qty_revenue", "q53_funnel_depth",
                 "st05_stream_static_join", "d08_fuzzy_pairs",
-                "q40_dormant_rich_customers", "p06_temperature_mix"):
+                "q40_dormant_rich_customers", "p06_temperature_mix",
+                "q52_nation_volume_shipping",
+                "q65_forecast_revenue_change", "p02_train_sample"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

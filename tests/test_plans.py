@@ -259,6 +259,8 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
                 "q68_order_batch_packing",  # bounded 1-row depth pre-check
                 # engine-path op: DDL + INSERT ARE the operator
                 "q69_typed_ctas",
+                # bounded tokenizer-training sample collect IS the design
+                "p15_bpe_epoch_repeat_plan",
                 # probe ids must become a literal partition filter —
                 # the bounded |queries| x nprobe collect IS the design
                 "s12_ann_persisted_ivf",

@@ -1026,3 +1026,66 @@ def p14_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deficit_tok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p15 — tokenizer-faithful epoch/repeat plan: p14's data-constrained
+# budget arithmetic over BPE SUBWORD counts (VERDICT r8 item 4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "p15_bpe_epoch_repeat_plan",
+    late=True,
+    oracle=None,  # BPE encoding is not SQL-expressible; dual-path
+    # parity lives in tests/test_dedup_quality.py (pure-Python twin
+    # recomputes the whole plan from the parquet, exact compare) and
+    # the tokenizer round-trip is pinned there too — the codec-op
+    # discipline (m02/m05).
+    doc="Tokenizer-faithful epoch/repeat plan (VERDICT r8 item 4): "
+    "identical Muennighoff-style budget arithmetic to p14, but "
+    "counting SUBWORD tokens from a corpus-trained deterministic BPE "
+    "(functions/bpe.py) instead of whitespace words — production "
+    "budgets are BPE tokens, and head/tail languages tokenize to "
+    "materially different subword/word ratios, so the whitespace "
+    "plan misallocates. Training is a bounded deterministic sample "
+    "(fixed driver collect regardless of corpus size — the real-"
+    "world tokenizer-training shape); encoding is one Arrow pandas_"
+    "udf scan with a per-batch word memo; the plan itself is p14's "
+    "partial->final agg + k-row broadcast. The corpus is scanned "
+    "exactly once; nothing but the fixed sample reaches the driver.",
+)
+def p15_bpe_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.bpe import corpus_bpe, with_bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = corpus_bpe(spark, sf_dir)
+    t = (
+        with_bpe_token_count(docs, merges)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("n_tok"),
+        )
+    )
+    tot = t.agg(F.sum("n_tok").alias("all_tok"), F.count(F.lit(1)).alias("k"))
+    target = F.lit(_P14_BUDGET_X) * F.col("all_tok") / F.col("k")
+    epochs = F.round(F.least(F.lit(_P14_MAX_EPOCHS), target / F.col("n_tok")), 6)
+    achieved = F.round(F.col("epochs") * F.col("n_tok"), 2)
+    return (
+        t.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tok",
+            F.round(target, 2).alias("target_tok"),
+            epochs.alias("epochs"),
+        )
+        .select("*", achieved.alias("achieved_tok"))
+        .select(
+            "*",
+            F.round(
+                F.greatest(F.lit(0.0), F.col("target_tok") - F.col("achieved_tok")), 2
+            ).alias("deficit_tok"),
+        )
+    )

@@ -86,6 +86,19 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # (correlated-min join: q38 correlated scalar in-window),
 # q51_large_volume_customers (group-having join: q52/q55/q64
 # in-window).
+# Round-9 rotation (VERDICT r8 items 1 and 8): d14_semdedup — the
+# round-8 closer that landed outside the window — rotates in, plus
+# the two NEW oracle-backed round-9 operators t16_pii_scrub and
+# d15_exactsubstr_excision (window-on-landing is part of the
+# operator-landing checklist now, not the round-end checklist).
+# Swapped out: q52_nation_volume_shipping (VERDICT r8's named
+# redundant keeper — conditional-agg join, q55/q63 keep the shape
+# in-window), q65_forecast_revenue_change (filtered what-if agg —
+# q01's scan+agg family), p02_train_sample (stratified sampling —
+# p12 dedup-weighted sampling and p10 split keep the family
+# in-window). p15_bpe_epoch_repeat_plan stays OUTSIDE by design:
+# window slots must be oracle-backed and BPE is not SQL-expressible
+# (dual-path Python-twin parity in tests instead, like m07/st09).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -106,15 +119,15 @@ WINDOW: tuple[str, ...] = (
     "d11_fuzzy_clusters",
     "d12_incremental_dedup",
     "d13_span_scrub",
+    "d14_semdedup",
+    "d15_exactsubstr_excision",
     # relational additions (rounds 2-4)
     "q38_correlated_scalar",
-    "q52_nation_volume_shipping",
     "q54_retention_cohorts",
     "q55_market_share",
     # relational additions (rounds 5-6)
     "q63_product_type_profit",
     "q64_excess_volume_suppliers",
-    "q65_forecast_revenue_change",
     "q67_ohlc_bars",
     "q68_order_batch_packing",
     "q69_typed_ctas",
@@ -132,7 +145,6 @@ WINDOW: tuple[str, ...] = (
     "s11_hybrid_search",
     "s12_ann_persisted_ivf",
     # training-pipeline additions (rounds 4-5)
-    "p02_train_sample",
     "p03_token_budget_mix",
     "p04_contamination",
     "p05_sequence_packing",
@@ -148,6 +160,7 @@ WINDOW: tuple[str, ...] = (
     "t13_unigram_nll",
     "t14_repetition_filters",
     "t15_bigram_nll",
+    "t16_pii_scrub",
 )
 
 
