@@ -48,9 +48,10 @@ def test_oracle_backed_entries_fit_driver_window():
                  "p12_dedup_weighted_sample", "q69_typed_ctas",
                  "s12_ann_persisted_ivf", "t14_repetition_filters",
                  "p13_temperature_mix",
-                 # round-9 rotation: the round-8 closer + both new ops
+                 # round-9 rotation: the round-8 closer + every new op
                  "d14_semdedup", "t16_pii_scrub",
-                 "d15_exactsubstr_excision"):
+                 "d15_exactsubstr_excision", "s13_knn_graph",
+                 "t17_blocklist_gate", "st12_stream_pii_scrub"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
@@ -60,7 +61,9 @@ def test_oracle_backed_entries_fit_driver_window():
                 "st05_stream_static_join", "d08_fuzzy_pairs",
                 "q40_dormant_rich_customers", "p06_temperature_mix",
                 "q52_nation_volume_shipping",
-                "q65_forecast_revenue_change", "p02_train_sample"):
+                "q65_forecast_revenue_change", "p02_train_sample",
+                "q54_retention_cohorts", "p03_token_budget_mix",
+                "p07_training_order"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

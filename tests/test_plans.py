@@ -812,3 +812,54 @@ def test_s12_probe_is_partition_pruned(spark):
     n_probed = len(m.group(1).split(","))
     assert n_probed <= min(_HS_NQ * _HS_IVF_P, _HS_IVF_K), scan
     assert df.count() > 0
+
+
+def test_t16_t17_map_only_no_shuffle(q):
+    """The content gates must be single-scan map plans: no Exchange
+    anywhere (shuffling a 100 TB corpus to count regex hits would be
+    the bug), and the regex/array work stays in codegen."""
+    from tinysql_spark.plans import plan_string
+
+    for name in ("t16_pii_scrub", "t17_blocklist_gate"):
+        p = plan_string(q(name))
+        assert "Exchange" not in p, f"{name} shuffles: {p}"
+        assert "Scan parquet" in p or "BatchScan" in p
+
+
+def test_d15_no_cartesian_and_partial_first_occurrence(q):
+    """d15's first-occurrence agg must be a partial (map-side combine)
+    hash aggregate on the span digest — the d13 skew discipline — and
+    no stage may degenerate to a cartesian product."""
+    from tinysql_spark.plans import has_partial_aggregate, join_strategies
+
+    df = q("d15_exactsubstr_excision")
+    js = join_strategies(df)
+    assert js and all(j != "CartesianProduct" for j in js), js
+    assert has_partial_aggregate(df)
+
+
+def test_d13_first_occurrence_has_no_sort_window(q):
+    """ADVICE r8: d13's global first occurrence must NOT be a
+    row_number window (one sorted reducer group per hot span); the
+    committed shape is groupBy(digest).min(struct) + semi-join."""
+    from tinysql_spark.plans import has_partial_aggregate, plan_string
+
+    df = q("d13_span_scrub")
+    p = plan_string(df)
+    assert "row_number" not in p.lower(), "sorted window reintroduced"
+    assert has_partial_aggregate(df)
+    assert "LeftSemi" in p, p
+
+
+def test_s13_chunk_guard_and_bounded_window(q):
+    """s13's pair generation must carry the chunk-bucket join keys
+    (hot-block guard) and never a cartesian; the rank window is
+    per-vector (bounded by the block cap)."""
+    from tinysql_spark.plans import join_strategies, plan_string
+
+    df = q("s13_knn_graph")
+    p = plan_string(df)
+    assert "bi" in p and "bj" in p, "chunk guard missing from join keys"
+    js = join_strategies(df)
+    assert js and all(j != "CartesianProduct" for j in js), js
+    assert "row_number" in p.lower()

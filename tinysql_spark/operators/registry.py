@@ -99,6 +99,13 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # in-window). p15_bpe_epoch_repeat_plan stays OUTSIDE by design:
 # window slots must be oracle-backed and BPE is not SQL-expressible
 # (dual-path Python-twin parity in tests instead, like m07/st09).
+# Late round 9 adds three more oracle-backed ops, each windowed on
+# landing: s13_knn_graph, t17_blocklist_gate, st12_stream_pii_scrub —
+# swapping q54_retention_cohorts (event-cohort windows: q18
+# sessionization keeps the family), p03_token_budget_mix (budget-mix
+# arithmetic: p13/p14 are the richer in-window shapes), and
+# p07_training_order (global ordering: p05 packing + p08 export keep
+# the family).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -123,7 +130,6 @@ WINDOW: tuple[str, ...] = (
     "d15_exactsubstr_excision",
     # relational additions (rounds 2-4)
     "q38_correlated_scalar",
-    "q54_retention_cohorts",
     "q55_market_share",
     # relational additions (rounds 5-6)
     "q63_product_type_profit",
@@ -139,16 +145,16 @@ WINDOW: tuple[str, ...] = (
     "st08_stream_left_join",
     "st10_stream_quality_gate",
     "st11_stream_incremental_dedup",
+    "st12_stream_pii_scrub",
     # ANN / hybrid-retrieval additions with oracles
     "s05_ann_scalar_quant",
     "s09_ann_filtered",
     "s11_hybrid_search",
     "s12_ann_persisted_ivf",
+    "s13_knn_graph",
     # training-pipeline additions (rounds 4-5)
-    "p03_token_budget_mix",
     "p04_contamination",
     "p05_sequence_packing",
-    "p07_training_order",
     "p08_training_export",
     "p10_leakage_safe_split",
     "p11_data_quality_checks",
@@ -161,6 +167,7 @@ WINDOW: tuple[str, ...] = (
     "t14_repetition_filters",
     "t15_bigram_nll",
     "t16_pii_scrub",
+    "t17_blocklist_gate",
 )
 
 

@@ -1369,3 +1369,86 @@ def s12_ann_persisted_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .select("query_id", "doc_id", F.round("sim", 4).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# s13 — kNN-GRAPH construction: every vector's k nearest in-block
+# neighbors (the batch primitive under graph-ANN indexes, SemDeDup-
+# style pruning, and kNN-classification backfills)
+# --------------------------------------------------------------------------
+
+_S13_K = 4  # neighbors per vector
+
+
+@register(
+    "s13_knn_graph",
+    late=True,
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) AS e
+      FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             list_dot_product(a.e, b.e) AS sim
+      FROM u a JOIN u b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nbr_id, round(sim, 4) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY vec_id
+                ORDER BY round(sim, 6) DESC, nbr_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+            ORDER BY round(sim, 6) DESC, nbr_id) <= {_S13_K}
+    """,
+    doc=f"kNN-GRAPH construction: for EVERY corpus vector, its "
+    f"{_S13_K} nearest neighbors within its coarse block (label = "
+    "the IVF-style partition d05/d14 block on) — the batch primitive "
+    "graph-based ANN indexes (NSW/NN-Descent seeding), SemDeDup-"
+    "style pruning, and kNN label backfills are built from. Unlike "
+    "s01/s09 (a few queries vs the corpus) this is all-vectors x "
+    "in-block, so the pair space is the real cost: candidate "
+    "generation reuses the chunked hot-block kernel "
+    "(_chunked_block_pairs) and SYMMETRIZES each unordered pair into "
+    "both directions — at 100 TB one skewed block spreads over "
+    "k(k+1)/2 bounded shuffle buckets, never one near-cartesian "
+    "task. Ranking is a per-vector row_number window whose group "
+    "size is bounded by the block cap, ordered by round(sim, 6) "
+    "desc with the neighbor id as the deterministic tiebreak (the "
+    "s09 discipline: both engines rank the same rounded key, so "
+    "last-ulp dot-product skew cannot flip ranks). APPROXIMATION "
+    "BOUNDARY (documented): neighbors are in-block only — a "
+    "vector's true nearest neighbor in ANOTHER block is not "
+    "considered, exactly the IVF nprobe=1 trade; s04 measures that "
+    "recall for the shared blocking.",
+)
+def s13_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _chunked_block_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", unit_vec(F.col("embedding")).alias("e")
+    )
+    pairs = _chunked_block_pairs(emb).select(
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        dot(F.col("a.e"), F.col("b.e")).alias("sim"),
+    )
+    # each unordered pair arrives once (mixed id order) -> emit both
+    # directions so every vector sees its full in-block candidate set
+    sym = pairs.select(
+        F.col("va").alias("vec_id"), F.col("vb").alias("nbr_id"), "sim"
+    ).unionByName(
+        pairs.select(
+            F.col("vb").alias("vec_id"), F.col("va").alias("nbr_id"), "sim"
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round("sim", 6).desc(), F.col("nbr_id")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _S13_K)
+        .select("vec_id", "nbr_id", F.round("sim", 4).alias("cos_sim"), "rank")
+    )

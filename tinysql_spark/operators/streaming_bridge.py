@@ -882,3 +882,54 @@ def st11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.join(own, "doc_id", "left").select("doc_id", "dup_of")
+
+
+# --------------------------------------------------------------------------
+# st12 — streaming PII scrub: t16's redaction as a STATELESS stream
+# stage (the ingest-time placement a production pipeline uses)
+# --------------------------------------------------------------------------
+
+
+def _t16_oracle() -> str:
+    from .text import _oracle_t16
+
+    return _oracle_t16()
+
+
+@register(
+    "st12_stream_pii_scrub",
+    late=True,
+    oracle=_t16_oracle(),
+    doc="Streaming PII scrub — t16's redaction operator placed where "
+    "a production pipeline actually runs it: AT INGEST, before "
+    "anything else touches or persists the raw text (scrubbing a "
+    "100 TB corpus at rest is the expensive retrofit; scrubbing the "
+    "stream is one map). The documents corpus replays as 4 ingest "
+    "micro-batches (st11's staged source) and the scrub — the same "
+    "deterministic doc_id-derived PII injection plus "
+    "pii_scrub's regexp Column algebra — is fully STATELESS: no "
+    "watermark, no state store, no shuffle, so micro-batch cost is "
+    "scan + codegen only and the operator trivially scales to any "
+    "ingest rate (contrast st11, whose dedup state is the hard "
+    "part). Oracle: t16's batch SQL — a finite replay of a "
+    "stateless map must equal the batch computation EXACTLY, "
+    "per-class counts and scrubbed digest included.",
+)
+def st12_stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _PII_PATTERNS, _pii_augment, pii_scrub
+
+    src = _stage_documents_split(sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = pii_scrub(_pii_augment(stream)).select(
+        "doc_id",
+        *[F.col(f"n_{cls}").cast("long").alias(f"n_{cls}") for cls, _p, _r in _PII_PATTERNS],
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    )
+    name = "st12_pii_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="append")
+    return spark.table(name)

@@ -911,3 +911,56 @@ def t16_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"n_{cls}").cast("long").alias(f"n_{cls}") for cls, _p, _r in _PII_PATTERNS],
         F.md5("scrubbed").alias("scrubbed_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# t17 — blocklist content gate (the C4 "bad words" filter)
+# --------------------------------------------------------------------------
+
+# Deterministic demo blocklist drawn from the synthetic corpus vocab —
+# in production this is the policy list (C4 used a published word
+# list); the operator is list-agnostic.
+_T17_BLOCKLIST = ("slow", "batch", "merge")
+
+
+@register(
+    "t17_blocklist_gate",
+    late=True,
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(ws, x -> list_contains({list(_T17_BLOCKLIST)!r}, x)))
+                AS BIGINT) AS n_hits,
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(ws, x -> list_contains({list(_T17_BLOCKLIST)!r}, x)))), ','), '')
+             AS hit_words,
+           CAST(len(list_filter(ws, x -> list_contains({list(_T17_BLOCKLIST)!r}, x))) > 0
+                AS BOOLEAN) AS blocked
+    FROM w
+    """,
+    doc="Blocklist content gate — the C4 pipeline's 'bad words' "
+    "filter (Raffel et al. 2020 dropped any page containing a word "
+    "from a published policy list): per document, the total count of "
+    "blocklisted tokens, the sorted distinct hits (the audit trail a "
+    "reviewer needs), and the drop flag. The list here is a "
+    "deterministic stand-in from the synthetic vocab; the operator "
+    "is list-agnostic — swap the tuple, or broadcast-join a list "
+    "table when the policy list is large. Pure Column algebra "
+    "(filter/array_distinct/array_sort over the token array): "
+    "map-only, no shuffle, scan-fused — the 100 TB plan is one "
+    "whole-stage-codegen pass, and compositionally it runs BEFORE "
+    "dedup in the standard cleanse order (cheapest gates first).",
+)
+def t17_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bl = F.array(*[F.lit(w) for w in _T17_BLOCKLIST])
+    hits = F.filter(tokens(F.col("text")), lambda x: F.array_contains(bl, x))
+    return docs.select(
+        "doc_id",
+        F.size(hits).cast("long").alias("n_hits"),
+        F.array_join(F.array_sort(F.array_distinct(hits)), ",").alias("hit_words"),
+        (F.size(hits) > 0).alias("blocked"),
+    )
