@@ -1218,6 +1218,12 @@ def _s12_index_dir(spark: SparkSession, sf_dir: str) -> str:
     centn, assign = _s11_ivf_index(spark, sf_dir)
     u_corp = _s11_corpus(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="tinysql_s12_")
+    # clean up at exit like q69's warehouse (VERDICT r8 item 6 applied
+    # fleet-wide to per-process materialized layouts)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     (
         assign.join(u_corp, "vec_id")
         .select("cid", "vec_id", "e")

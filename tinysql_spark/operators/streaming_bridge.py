@@ -20,7 +20,9 @@ last `watermark` hours of windows forever on a finite replay.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -39,6 +41,17 @@ from .registry import register
 # shared. Keyed on the ABSOLUTE sf_dir so relative/absolute spellings
 # hit the same entry.
 _STAGE_CACHE: dict[tuple, str] = {}
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp that cleans itself up at interpreter exit — the sink/
+    checkpoint dirs are per-invocation (a bench run leaks three per
+    rep otherwise; the q69 leak VERDICT r8 flagged, fixed fleet-wide
+    here). Staged-source dirs use it too: the cache only lives as
+    long as the process anyway."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _stage_cached(key: tuple, build) -> str:
@@ -80,7 +93,7 @@ def _stage_events(sf_dir: str) -> str:
     sf_dir."""
 
     def build() -> str:
-        d = tempfile.mkdtemp(prefix="tinysql_stream_")
+        d = _tmpdir("tinysql_stream_")
         # abspath: a relative sf_dir would otherwise resolve relative to
         # the tmp dir (symlink targets resolve at READ time, against the
         # link's own directory) and every stream would 404
@@ -222,7 +235,7 @@ def _stage_events_with_sentinels(sf_dir: str, n_sentinels: int = 2) -> str:
         # own dir, NOT the plain _stage_events cache entry — adding
         # sentinel files to the shared plain dir would corrupt every
         # st-entry that expects sentinel-free input
-        d = tempfile.mkdtemp(prefix="tinysql_stream_wm_")
+        d = _tmpdir("tinysql_stream_wm_")
         links = _link_parquet(os.path.join(sf_dir, "events.parquet"), d)
         layout = ts_layout(links[0])
         base = max(os.path.getmtime(ln) for ln in links)
@@ -282,8 +295,8 @@ def _stage_events_with_sentinels(sf_dir: str, n_sentinels: int = 2) -> str:
 )
 def st04_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, _stage_events_with_sentinels(sf_dir))
-    out_dir = tempfile.mkdtemp(prefix="tinysql_st04_out_")
-    ck_dir = tempfile.mkdtemp(prefix="tinysql_st04_ck_")
+    out_dir = _tmpdir("tinysql_st04_out_")
+    ck_dir = _tmpdir("tinysql_st04_ck_")
     agg = hourly_counts(stream)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -359,7 +372,7 @@ def _stage_events_split(sf_dir: str, n: int = 3) -> str:
     import pyarrow.parquet as pq
 
     def build() -> str:
-        d = tempfile.mkdtemp(prefix="tinysql_st06_")
+        d = _tmpdir("tinysql_st06_")
         tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
         step = (tbl.num_rows + n - 1) // n
         base = None
@@ -459,8 +472,8 @@ def stream_upsert(spark: SparkSession, sf_dir: str):
     """foreachBatch MERGE-style upsert; returns (final DataFrame,
     number of micro-batches run). See st06 registration for semantics."""
     src = _stage_events_split(sf_dir)
-    base = tempfile.mkdtemp(prefix="tinysql_st06_tbl_")
-    ck = tempfile.mkdtemp(prefix="tinysql_st06_ck_")
+    base = _tmpdir("tinysql_st06_tbl_")
+    ck = _tmpdir("tinysql_st06_ck_")
     n = run_stream_upsert(spark, src, ck, base)
     return spark.read.parquet(_upsert_latest(base)), n
 
@@ -634,7 +647,7 @@ def _stage_embeddings(sf_dir: str) -> str:
     staging discipline as _stage_events), cached per sf_dir."""
 
     def build() -> str:
-        d = tempfile.mkdtemp(prefix="tinysql_stream_emb_")
+        d = _tmpdir("tinysql_stream_emb_")
         _link_parquet(os.path.join(sf_dir, "embeddings.parquet"), d)
         return d
 
@@ -669,8 +682,8 @@ def st09_stream_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(_stage_embeddings(sf_dir))
     )
-    index_dir = tempfile.mkdtemp(prefix="tinysql_st09_index_")
-    ck_dir = tempfile.mkdtemp(prefix="tinysql_st09_ck_")
+    index_dir = _tmpdir("tinysql_st09_index_")
+    ck_dir = _tmpdir("tinysql_st09_ck_")
 
     def merge(batch: DataFrame, _bid: int) -> None:
         (
@@ -749,9 +762,9 @@ def _st10_split_batch(batch: DataFrame, clean_dir: str, quar_dir: str) -> None:
 )
 def st10_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, _stage_events(sf_dir))
-    clean_dir = tempfile.mkdtemp(prefix="tinysql_st10_clean_")
-    quar_dir = tempfile.mkdtemp(prefix="tinysql_st10_quar_")
-    ck_dir = tempfile.mkdtemp(prefix="tinysql_st10_ck_")
+    clean_dir = _tmpdir("tinysql_st10_clean_")
+    quar_dir = _tmpdir("tinysql_st10_quar_")
+    ck_dir = _tmpdir("tinysql_st10_ck_")
 
     q = (
         stream.writeStream.foreachBatch(
@@ -781,7 +794,7 @@ def _stage_documents_split(sf_dir: str, n: int = 4) -> str:
     import pyarrow.parquet as pq
 
     def build() -> str:
-        d = tempfile.mkdtemp(prefix="tinysql_st11_")
+        d = _tmpdir("tinysql_st11_")
         tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
         step = (tbl.num_rows + n - 1) // n
         base = None
