@@ -300,3 +300,41 @@ def test_p15_matches_pure_python_twin(spark, sf_dir):
         }
         g = {k2: got[lang][k2] for k2 in exp}
         assert g == exp, f"{lang}: {g} != {exp}"
+
+
+def test_d16_bloom_selectivity_and_exactness(spark, sf_dir):
+    """The bloom must actually prefilter: hits ≈ injected dups (false
+    positives possible but bounded — 16 KiB bitmap over ~400 entries
+    has fp-rate << 1%), never all-pass or all-drop; and the final
+    output is EXACT regardless (parity covers the hash, this covers
+    the sketch's behavior)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from tinysql_spark.operators import dedup as D
+    from tinysql_spark.operators.text import fingerprint
+    from tinysql_spark.sources.tables import load_table
+
+    D._D16_BLOOM_MEMO.clear()
+    bm = np.frombuffer(D._d16_history_bloom(spark, sf_dir), dtype=np.uint8)
+    assert bm.any(), "empty bloom"
+    inc = (
+        D._d16_augment(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") >= D._D16_BOUNDARY)
+        .select(F.xxhash64(fingerprint(F.col("text"))).alias("h"))
+        .toPandas()
+    )
+    idx = D._d16_bit_indices(inc["h"].to_numpy())
+    hits = int((((bm[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1).all(axis=1)).sum())
+    out = D.d16_bloom_incremental_dedup(spark, sf_dir).toPandas()
+    true_dups = int(out["is_dup"].sum())
+    assert true_dups > 0, "injection produced no dups — vacuous entry"
+    assert hits >= true_dups, "bloom false negative — impossible by construction"
+    n_inc = len(inc)
+    assert hits <= true_dups + max(2, n_inc // 20), (
+        f"bloom passes {hits}/{n_inc} vs {true_dups} dups — not selective"
+    )
+    # every flagged dup resolves to the lexicographic-min history owner
+    dup_rows = out[out["is_dup"]]
+    assert (dup_rows["dup_of"] < D._D16_BOUNDARY).all()

@@ -51,7 +51,8 @@ def test_oracle_backed_entries_fit_driver_window():
                  # round-9 rotation: the round-8 closer + every new op
                  "d14_semdedup", "t16_pii_scrub",
                  "d15_exactsubstr_excision", "s13_knn_graph",
-                 "t17_blocklist_gate", "st12_stream_pii_scrub"):
+                 "t17_blocklist_gate", "st12_stream_pii_scrub",
+                 "d16_bloom_incremental_dedup"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
@@ -63,7 +64,7 @@ def test_oracle_backed_entries_fit_driver_window():
                 "q52_nation_volume_shipping",
                 "q65_forecast_revenue_change", "p02_train_sample",
                 "q54_retention_cohorts", "p03_token_budget_mix",
-                "p07_training_order"):
+                "p07_training_order", "d01_dedup_exact"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

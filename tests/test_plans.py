@@ -261,6 +261,9 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
                 "q69_typed_ctas",
                 # bounded tokenizer-training sample collect IS the design
                 "p15_bpe_epoch_repeat_plan",
+                # bounded bloom-bitmap build (|partitions| x 16 KiB) IS
+                # the design
+                "d16_bloom_incremental_dedup",
                 # probe ids must become a literal partition filter —
                 # the bounded |queries| x nprobe collect IS the design
                 "s12_ann_persisted_ivf",
@@ -863,3 +866,19 @@ def test_s13_chunk_guard_and_bounded_window(q):
     js = join_strategies(df)
     assert js and all(j != "CartesianProduct" for j in js), js
     assert "row_number" in p.lower()
+
+
+def test_d16_bloom_prefilter_before_join(q):
+    """d16's membership test must sit on the incoming side BEFORE the
+    keeper join (an ArrowEvalPython stage feeding a Filter), so bloom
+    misses never reach the shuffle; and no cartesian anywhere."""
+    import re
+
+    from tinysql_spark.plans import join_strategies, plan_string
+
+    df = q("d16_bloom_incremental_dedup")
+    p = plan_string(df)
+    assert re.search(r"\(\d+\) ArrowEvalPython", p), "bloom udf not in plan"
+    assert "pythonUDF" in p and "Filter" in p, p
+    js = join_strategies(df)
+    assert js and all(j != "CartesianProduct" for j in js), js

@@ -16,6 +16,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1760,4 +1762,179 @@ def d15_exactsubstr_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").cast("long").alias("n_tok"),
         (F.col("n_tok") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_excised"),
         F.md5(F.coalesce(F.col("body"), F.lit(""))).alias("scrubbed_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# d16 — Bloom-prefiltered incremental exact dedup: the fixed-size
+# membership sketch that keeps ingest joins O(|new dups|) at 100 TB
+# --------------------------------------------------------------------------
+
+_D16_BOUNDARY = _D12_BOUNDARY  # same corpus split as d12
+_D16_M = 1 << 17  # bloom bits (16 KiB bitmap — fixed, corpus-independent)
+_D16_K = 5  # hash functions
+# fixed odd multipliers / offsets for the k affine reseeds of xxhash64
+# (the _minhash_batch discipline: any deterministic family works, the
+# EXACTNESS of d16 never depends on them)
+_D16_A = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+          0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63)
+_D16_B = (0x2545F4914F6CDD1D, 0x9E3779B185EBCA87, 0xFF51AFD7ED558CCD,
+          0xC4CEB9FE1A85EC53, 0x94D049BB133111EB)
+
+
+def _d16_bit_indices(h64) -> "np.ndarray":
+    """k bloom bit indices per signed-int64 hash: affine reseed in
+    uint64 (wrapping), top log2(m) bits. Shape (len(h), k)."""
+    import numpy as np
+
+    h = np.asarray(h64, dtype=np.int64).view(np.uint64).reshape(-1, 1)
+    a = np.array(_D16_A, dtype=np.uint64).reshape(1, -1)
+    b = np.array(_D16_B, dtype=np.uint64).reshape(1, -1)
+    shift = np.uint64(64 - _D16_M.bit_length() + 1)
+    return ((h * a + b) >> shift).astype(np.int64)
+
+
+_D16_BLOOM_MEMO: dict[str, bytes] = {}
+
+
+def _d16_history_bloom(spark: SparkSession, sf_dir: str) -> bytes:
+    """Build the history-side bloom ONCE per corpus: each partition
+    emits a partial 16 KiB bitmap from its hashes (mapInPandas), the
+    driver ORs them — exactly how Spark's own runtime bloom filters
+    merge, but with a public-API build. Driver traffic is
+    |partitions| x 16 KiB regardless of corpus size."""
+    import numpy as np
+
+    key = os.path.abspath(sf_dir)
+    bm = _D16_BLOOM_MEMO.get(key)
+    if bm is not None:
+        return bm
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.filter(F.col("doc_id") < _D16_BOUNDARY)
+        .select(F.xxhash64(fingerprint(F.col("text"))).alias("h"))
+    )
+
+    def partial(batches):
+        bits = np.zeros(_D16_M // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                idx = _d16_bit_indices(pdf["h"].to_numpy()).ravel()
+                np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bm": [bits.tobytes()]})
+
+    parts = hist.mapInPandas(partial, "bm binary").collect()
+    acc = np.zeros(_D16_M // 8, dtype=np.uint8)
+    for r in parts:
+        acc |= np.frombuffer(r["bm"], dtype=np.uint8)
+    bm = acc.tobytes()
+    _D16_BLOOM_MEMO[key] = bm
+    return bm
+
+
+def _d16_augment(docs: DataFrame) -> DataFrame:
+    """Deterministic duplicate injection (the t16 discipline — the
+    synthetic corpus has NO exact duplicates, so an un-augmented
+    entry would never exercise the hit path): every 7th incoming doc
+    takes the text of history doc (doc_id % boundary). History rows
+    are untouched, so the bloom built from the raw corpus stays
+    valid."""
+    donors = docs.filter(F.col("doc_id") < _D16_BOUNDARY).select(
+        F.col("doc_id").alias("donor_id"), F.col("text").alias("donor_text")
+    )
+    return (
+        docs.withColumn(
+            "donor_id",
+            F.when(
+                (F.col("doc_id") >= _D16_BOUNDARY) & (F.col("doc_id") % 7 == 0),
+                F.col("doc_id") % _D16_BOUNDARY,
+            ),
+        )
+        .join(donors, "donor_id", "left")
+        .select("doc_id", F.coalesce("donor_text", "text").alias("text"))
+    )
+
+
+
+@register(
+    "d16_bloom_incremental_dedup",
+    late=True,
+    oracle=f"""
+    WITH aug AS (
+      SELECT d.doc_id, coalesce(o.text, d.text) AS text
+      FROM documents d
+      LEFT JOIN documents o
+        ON d.doc_id >= {_D16_BOUNDARY} AND d.doc_id % 7 = 0
+       AND o.doc_id = d.doc_id % {_D16_BOUNDARY}
+    ), f AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM aug
+    ), h AS (
+      SELECT fp, min(doc_id) AS keeper
+      FROM f WHERE doc_id < {_D16_BOUNDARY} GROUP BY fp
+    )
+    SELECT i.doc_id,
+           CAST(h.keeper AS BIGINT) AS dup_of,
+           h.keeper IS NOT NULL AS is_dup
+    FROM f i LEFT JOIN h USING (fp)
+    WHERE i.doc_id >= {_D16_BOUNDARY}
+    """,
+    doc="Bloom-prefiltered INCREMENTAL exact dedup — the fixed-size "
+    "membership sketch every 100 TB ingest pipeline puts in front of "
+    "its dedup join: the existing corpus' content fingerprints are "
+    "folded into a 16 KiB bloom (partition-partial bitmaps via "
+    "mapInPandas, OR-merged at the driver — the public-API build of "
+    "what Spark's runtime row-filters do internally; Spark never "
+    "exposes bloom_filter_agg to SQL), the bitmap ships to executors "
+    "by closure, and incoming docs test membership in a vectorized "
+    "pandas_udf BEFORE any shuffle. Only bloom HITS (true dups + a "
+    "bounded false-positive trickle) reach the equi-join that "
+    "resolves the keeper; bloom misses are emitted directly as new "
+    "docs — no join, no shuffle, no history scan for them. False "
+    "negatives are impossible, false positives are killed by the "
+    "exact join, so the OUTPUT is exact (hash-matched against the "
+    "plain LEFT JOIN oracle) while join input drops from |incoming| "
+    "to ~|dups|. The synthetic corpus carries no exact duplicates, "
+    "so the entry injects them deterministically (every 7th incoming "
+    "doc takes history doc (id %% boundary)'s text — identically on "
+    "both engines) to keep the hit path non-vacuous. "
+    "The sketch is corpus-size-independent (16 KiB; "
+    "size m/k for the target fp-rate in production) and the build "
+    "is memoized per corpus like s12's index. Complements d12 "
+    "(which verifies FUZZY dups incrementally); st11 is the "
+    "streaming-state formulation of the same idea.",
+)
+def d16_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    bm_bytes = _d16_history_bloom(spark, sf_dir)
+
+    def might_contain_batch(h64: "pd.Series") -> "pd.Series":
+        bits = np.frombuffer(bm_bytes, dtype=np.uint8)
+        idx = _d16_bit_indices(h64.to_numpy())
+        hit = (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1).astype(bool))
+
+    might = F.pandas_udf(might_contain_batch, "boolean")
+
+    docs = _d16_augment(load_table(spark, sf_dir, "documents"))
+    f = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    incoming = f.filter(F.col("doc_id") >= _D16_BOUNDARY)
+    keepers = (
+        f.filter(F.col("doc_id") < _D16_BOUNDARY)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    cand = incoming.filter(might(F.xxhash64("fp")))
+    resolved = cand.join(keepers, "fp").select(
+        "doc_id", F.col("keeper").cast("long").alias("dup_of")
+    )
+    return incoming.join(resolved, "doc_id", "left").select(
+        "doc_id",
+        "dup_of",
+        F.col("dup_of").isNotNull().alias("is_dup"),
     )

@@ -105,7 +105,10 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # sessionization keeps the family), p03_token_budget_mix (budget-mix
 # arithmetic: p13/p14 are the richer in-window shapes), and
 # p07_training_order (global ordering: p05 packing + p08 export keep
-# the family).
+# the family). d16_bloom_incremental_dedup (bloom-prefiltered ingest
+# dedup) swaps for d01_dedup_exact — d01's hash-groupBy-min shape is
+# literally contained in d16's keeper aggregation and d10's two-level
+# agg, both in-window.
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -117,7 +120,6 @@ WINDOW: tuple[str, ...] = (
     "q19_asof_join",
     "q21_hypertable_rollup",
     "q22_salted_join",
-    "d01_dedup_exact",
     "d07_embedding_cluster",
     "st01_stream_hourly",
     # fuzzy-dedup pipeline (rounds 3-5)
@@ -128,6 +130,7 @@ WINDOW: tuple[str, ...] = (
     "d13_span_scrub",
     "d14_semdedup",
     "d15_exactsubstr_excision",
+    "d16_bloom_incremental_dedup",
     # relational additions (rounds 2-4)
     "q38_correlated_scalar",
     "q55_market_share",
