@@ -338,3 +338,34 @@ def test_d16_bloom_selectivity_and_exactness(spark, sf_dir):
     # every flagged dup resolves to the lexicographic-min history owner
     dup_rows = out[out["is_dup"]]
     assert (dup_rows["dup_of"] < D._D16_BOUNDARY).all()
+
+
+def test_bpe_roundtrip_property():
+    """Property: for ANY ascii-word corpus and any trained merge
+    count, decode(encode(x)) == whitespace-normalized x, and encoding
+    never emits more symbols than characters+1 per word."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tinysql_spark.functions import bpe
+
+    word = st.text(alphabet=st.sampled_from("abcdef"), min_size=1, max_size=8)
+    corpus = st.lists(
+        st.lists(word, min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(corpus=corpus, n_merges=st.integers(min_value=0, max_value=40))
+    def check(corpus, n_merges):
+        merges = bpe.train_bpe(corpus, n_merges)
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        for t in corpus:
+            toks = bpe.encode(t, ranks)
+            norm = " ".join(t.split())
+            assert bpe.decode(toks) == norm
+            n_words = len([w for w in t.split() if w])
+            assert len(toks) <= len(norm.replace(" ", "")) + n_words
+
+    check()
