@@ -41,7 +41,7 @@ def test_oracle_backed_entries_fit_driver_window():
                  "p08_training_export",
                  "d12_incremental_dedup", "s11_hybrid_search",
                  "st10_stream_quality_gate", "p10_leakage_safe_split",
-                 "p11_data_quality_checks", "t13_unigram_nll",
+                 "t13_unigram_nll",
                  "q63_product_type_profit", "q64_excess_volume_suppliers",
                  "q67_ohlc_bars",
                  "st11_stream_incremental_dedup", "q68_order_batch_packing",
@@ -52,7 +52,7 @@ def test_oracle_backed_entries_fit_driver_window():
                  "d14_semdedup", "t16_pii_scrub",
                  "d15_exactsubstr_excision", "s13_knn_graph",
                  "t17_blocklist_gate", "st12_stream_pii_scrub",
-                 "d16_bloom_incremental_dedup"):
+                 "d16_bloom_incremental_dedup", "p16_curriculum_order"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
@@ -64,7 +64,8 @@ def test_oracle_backed_entries_fit_driver_window():
                 "q52_nation_volume_shipping",
                 "q65_forecast_revenue_change", "p02_train_sample",
                 "q54_retention_cohorts", "p03_token_budget_mix",
-                "p07_training_order", "d01_dedup_exact"):
+                "p07_training_order", "d01_dedup_exact",
+                "p11_data_quality_checks"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

@@ -1089,3 +1089,119 @@ def p15_bpe_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deficit_tok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p16 — curriculum ordering: easy-to-hard difficulty deciles, shuffled
+# within decile (Bengio et al. 2009 curriculum learning, the
+# length-curriculum variant production LM pipelines use for warmup)
+# --------------------------------------------------------------------------
+
+_P16_BUCKETS = 10
+
+
+def _zip_index(df: DataFrame, sort_cols: list[str], persist_key: str) -> DataFrame:
+    """p07's zipWithIndex discipline as a reusable step: global 0-based
+    `idx` in (sort_cols) order via range repartition + in-partition
+    sort + a #partitions-row offset histogram. No single-partition
+    window, no global sort exchange."""
+    import pandas as pd
+
+    from .dedup import _keyed_persist
+
+    ordered = _keyed_persist(
+        persist_key,
+        df.repartitionByRange(_P07_PARTS, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("pid", F.spark_partition_id()),
+    )
+    sizes = {
+        r["pid"]: r["n"]
+        for r in ordered.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(_P07_PARTS):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+    boff = df.sparkSession.sparkContext.broadcast(offsets)
+    out_cols = [c for c in ordered.columns if c != "pid"]
+    schema = ", ".join(
+        ["idx long"] + [f"{c} {t}" for c, t in ordered.dtypes if c != "pid"]
+    )
+
+    def assign(batches):
+        seen, base = 0, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = boff.value[int(pdf["pid"].iloc[0])]
+            out = pd.DataFrame({"idx": range(base + seen, base + seen + len(pdf))})
+            for c in out_cols:
+                out[c] = pdf[c].values
+            seen += len(pdf)
+            yield out
+
+    return ordered.mapInPandas(assign, schema=schema)
+
+
+@register(
+    "p16_curriculum_order",
+    late=True,
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS difficulty,
+             (doc_id * 2654435761 + 88172645) % 4294967296 AS shuf
+      FROM documents
+    ), n AS (SELECT count(*) AS n FROM d),
+    ranked AS (
+      SELECT d.*,
+             (row_number() OVER (ORDER BY difficulty, doc_id) - 1)
+               * {_P16_BUCKETS} // n.n AS bucket
+      FROM d, n
+    )
+    SELECT CAST(row_number() OVER (ORDER BY bucket, shuf, doc_id) - 1 AS BIGINT)
+             AS train_pos,
+           doc_id, difficulty, CAST(bucket AS BIGINT) AS bucket
+    FROM ranked
+    """,
+    doc="CURRICULUM training order (Bengio et al. 2009; the "
+    "length-based variant LM pipelines run for warmup): documents "
+    "are ranked by difficulty (token count — the standard cheap "
+    "proxy), split into ten equal-mass difficulty deciles by GLOBAL "
+    "rank, then the training order is decile-major with a "
+    "deterministic LCG shuffle WITHIN each decile — easy batches "
+    "first, hard last, no intra-decile length bias. Both global "
+    "orderings (the difficulty rank and the final position) use "
+    "p07's zipWithIndex discipline — range repartition + "
+    "in-partition sort + a #partitions-row offset histogram — so "
+    "there is NO single-partition row_number window and no global "
+    "sort exchange anywhere; at 100 TB both passes are ordinary "
+    "range shuffles. Bucket boundaries are the exact integer formula "
+    "(rank*k)//n, reproduced verbatim in the oracle (ntile's "
+    "remainder rule differs — pinning the formula keeps both "
+    "engines bit-identical).",
+)
+def p16_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("difficulty"),
+        ((F.col("doc_id") * F.lit(2654435761) + F.lit(88172645)) % F.lit(_M32)).alias("shuf"),
+    )
+    ranked = _zip_index(d, ["difficulty", "doc_id"], "p16.rank")
+    n = ranked.count()  # 1-row scalar off the persisted frame
+    bucketed = ranked.withColumn(
+        "bucket", (F.col("idx") * _P16_BUCKETS / F.lit(n)).cast("long")
+    ).drop("idx")
+    final = _zip_index(bucketed, ["bucket", "shuf", "doc_id"], "p16.final")
+    return final.select(
+        F.col("idx").alias("train_pos"),
+        "doc_id",
+        "difficulty",
+        "bucket",
+    )

@@ -108,7 +108,10 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # the family). d16_bloom_incremental_dedup (bloom-prefiltered ingest
 # dedup) swaps for d01_dedup_exact — d01's hash-groupBy-min shape is
 # literally contained in d16's keeper aggregation and d10's two-level
-# agg, both in-window.
+# agg, both in-window. p16_curriculum_order (difficulty-decile
+# training order on the p07 zipWithIndex discipline) swaps for
+# p11_data_quality_checks (one-pass aggregation report — the shape
+# p14's agg+broadcast and q01's partial agg keep evidenced).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -160,10 +163,10 @@ WINDOW: tuple[str, ...] = (
     "p05_sequence_packing",
     "p08_training_export",
     "p10_leakage_safe_split",
-    "p11_data_quality_checks",
     "p12_dedup_weighted_sample",
     "p13_temperature_mix",
     "p14_epoch_repeat_plan",
+    "p16_curriculum_order",
     # text-quality gates (rounds 3, 5)
     "t09_gopher_gates",
     "t13_unigram_nll",
