@@ -499,11 +499,18 @@ def _chunked_block_pairs(emb: DataFrame, cap: int = _BLOCK_CAP_ROWS) -> DataFram
     emitted as aliases `a`/`b` for the caller to project/filter.
     `emb` must carry vec_id + label."""
     sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("bn"))
-    rows = (
+    # rows feeds BOTH join sides (left/right chunk replicas) — persist
+    # the shared branch once instead of normalizing + chunk-assigning
+    # the corpus twice per pair join. Keyed on the input lineage so a
+    # re-invocation releases the previous cache (and different callers
+    # — d05/d07/d14/s13 — each own an entry). Measured at sf0.1:
+    # d05 2.72->1.61, d14 2.72->1.67, s13 2.53->1.30 warm.
+    rows = _keyed_persist(
+        f"cbp.rows.{emb.semanticHash()}",
         emb.join(F.broadcast(sizes), "label")
         .withColumn("k", F.ceil(F.col("bn") / F.lit(cap)).cast("int"))
         .withColumn("c", F.pmod(F.xxhash64("vec_id"), F.col("k")).cast("int"))
-        .drop("bn")
+        .drop("bn"),
     )
     # left plays chunk role i (replicas (c, j) for j >= c); right plays
     # chunk role j (replicas (i, c) for i <= c)
@@ -1705,10 +1712,20 @@ def _oracle_d15() -> str:
 def d15_exactsubstr_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _D10_W
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", tokens(F.col("text")).alias("ws")).select(
-        "doc_id", "ws", F.size("ws").alias("n_tok")
+    # base feeds the span explode, the token posexplode AND the final
+    # spine join; spk feeds both the first-occurrence agg and the
+    # excision join — persist the shared branches once (measured
+    # 2.32 -> 1.63 s warm at sf0.1; the d12 discipline). At 100 TB the
+    # persist spills to disk or drops to recompute — correctness never
+    # depends on it.
+    base = _keyed_persist(
+        f"d15.base.{sf_dir}",
+        docs.select("doc_id", tokens(F.col("text")).alias("ws")).select(
+            "doc_id", "ws", F.size("ws").alias("n_tok")
+        ),
     )
-    spk = (
+    spk = _keyed_persist(
+        f"d15.spk.{sf_dir}",
         base.filter(F.col("n_tok") >= w)
         .select(
             "doc_id",
