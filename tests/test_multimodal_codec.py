@@ -269,3 +269,42 @@ def test_m07_ahash_exact_vs_driver_recompute(spark, sf_dir):
     }
     assert want, "no near-dup hashes at this sf — fixture assumption broken"
     assert got == want
+
+
+def test_m08_scrub_preserves_pixels_and_strips_metadata(spark, sf_dir):
+    """m08's promise, verified at the byte and pixel level: scrubbed
+    payloads decode to IDENTICAL pixel arrays, carry no metadata
+    chunks, and the operator's digest matches a pure-Python twin
+    recompute (dual-path, the codec discipline)."""
+    import hashlib
+
+    import numpy as np
+
+    from tinysql_spark.operators.multimodal import (
+        decode_png_pixels,
+        m08_metadata_scrub,
+        png_chunk_inventory,
+        png_strip_metadata,
+        synth_png_bytes,
+    )
+
+    got = {r["doc_id"]: r.asDict() for r in m08_metadata_scrub(spark, sf_dir).collect()}
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(24)
+        .collect()
+    )
+    for r in rows:
+        raw = synth_png_bytes(r["text"] or "", meta={"lang": str(r["lang"]), "source": str(r["source"])})
+        scrubbed, removed = png_strip_metadata(raw)
+        # twin recompute matches the operator output exactly
+        g = got[r["doc_id"]]
+        assert g["n_removed"] == removed and removed >= 1
+        assert g["bytes_before"] == len(raw) and g["bytes_after"] == len(scrubbed)
+        assert g["scrubbed_md5"] == hashlib.md5(scrubbed).hexdigest()
+        # no metadata chunks survive; pixels identical
+        chunks, meta = png_chunk_inventory(scrubbed)
+        assert meta == {} and all(c[0] not in ("tEXt", "zTXt", "iTXt", "tIME") for c in chunks)
+        assert all(ok for _t, _l, ok in chunks), "scrub broke a CRC"
+        assert np.array_equal(decode_png_pixels(raw), decode_png_pixels(scrubbed))

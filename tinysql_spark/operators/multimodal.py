@@ -728,3 +728,110 @@ def m07_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(F.col("x.ahash").bitwiseXOR(F.col("y.ahash"))).alias("hamming"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# m08 — container METADATA SCRUB: strip privacy chunks (the EXIF-strip
+# analog), pixels untouched — the t16 theme applied to media payloads
+# --------------------------------------------------------------------------
+
+_M08_STRIP = {b"tEXt", b"zTXt", b"iTXt", b"tIME"}  # ancillary metadata chunks
+
+
+def png_strip_metadata(data: bytes) -> tuple[bytes, int]:
+    """Re-emit the PNG without metadata chunks (tEXt/zTXt/iTXt/tIME),
+    copying every other chunk BYTE-EXACT (length+tag+payload+crc are
+    slices of the input, never re-encoded — pixels cannot change).
+    Returns (scrubbed bytes, chunks removed). Truncated/corrupt tails
+    are copied through verbatim: scrubbing must not destroy evidence
+    a quarantine step (m06) still needs."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    out = [_PNG_SIG]
+    pos = len(_PNG_SIG)
+    removed = 0
+    while pos < len(data):
+        if pos + 8 > len(data):
+            out.append(data[pos:])
+            break
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        end = pos + 12 + length
+        if end > len(data):
+            out.append(data[pos:])
+            break
+        if tag in _M08_STRIP:
+            removed += 1
+        else:
+            out.append(data[pos:end])
+        if tag == b"IEND":
+            break
+        pos = end
+    return b"".join(out), removed
+
+
+@register(
+    "m08_metadata_scrub",
+    late=True,
+    oracle=None,  # python codec — rows-only; dual-path twin + pixel
+    # round-trip pinned in tests/test_multimodal_codec.py
+    doc="Container metadata SCRUB — the EXIF-strip every privacy-"
+    "conscious media pipeline runs before training (t16 scrubs the "
+    "text modality; this is the same pass for binary payloads): "
+    "tEXt/zTXt/iTXt/tIME chunks are dropped and every remaining "
+    "chunk is copied as a byte slice of the input — length, payload "
+    "and CRC untouched, so pixel data provably cannot change (the "
+    "codec test decodes before and after and compares arrays). "
+    "Truncated tails pass through verbatim so scrubbing composes "
+    "with m06's quarantine instead of masking corruption. Output is "
+    "the audit row (chunks removed, bytes before/after, scrubbed "
+    "digest); the same Arrow mapInPandas shape as m02/m05 — "
+    "map-only, no shuffle, O(bytes) per payload at 100 TB.",
+)
+def m08_metadata_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    @F.pandas_udf(T.BinaryType())
+    def make(texts: pd.Series, langs: pd.Series, sources: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                synth_png_bytes(
+                    t if isinstance(t, str) else "",
+                    meta={"lang": str(lg), "source": str(sr)},
+                )
+                for t, lg, sr in zip(texts, langs, sources)
+            ]
+        )
+
+    payloads = docs.select(
+        "doc_id", make("text", "lang", "source").alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                scrubbed, removed = png_strip_metadata(raw)
+                rows.append(
+                    (
+                        doc_id,
+                        removed,
+                        len(raw),
+                        len(scrubbed),
+                        hashlib.md5(scrubbed).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_removed", "bytes_before", "bytes_after",
+                    "scrubbed_md5",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        run,
+        schema="doc_id long, n_removed long, bytes_before long, "
+        "bytes_after long, scrubbed_md5 string",
+    )
