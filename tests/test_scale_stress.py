@@ -233,3 +233,76 @@ def test_sparse_auto_increment_true_scale(spark, tmp_path):
     assert stats["n"] == stats["d"] == n
     assert stats["lo"] >= 1
     assert info.next_auto > n
+
+
+def test_d13_d15_hot_span_bounded_and_exact(spark, tmp_path):
+    """ADVICE r8 (d13) measured on genuinely skewed DATA, not just
+    plan shape: a corpus where ONE boilerplate span occurs in ~60% of
+    docs. The partial-agg min(struct) first-occurrence must (a) stay
+    exact — verified against a pure-Python twin — and (b) never
+    funnel the hot span into a single sorted reducer group (the plan
+    carries partial HashAggregates, asserted; with a row_number
+    window the hot key would be one sorted partition)."""
+    import hashlib
+
+    from tinysql_spark.operators import dedup as D
+    from tinysql_spark.operators.text import py_tokens
+    from tinysql_spark.plans import has_partial_aggregate, plan_string
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    boiler = " ".join(f"bp{i}" for i in range(D._D13_W * 2))  # 2 chunks of boilerplate
+    hot = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 < 6,  # ~60% of docs share the spans
+            F.concat(F.lit(boiler + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out_dir = str(tmp_path / "hotdocs")
+    hot.coalesce(1).write.mode("overwrite").parquet(out_dir + "/documents.parquet")
+
+    df13 = D.d13_span_scrub(spark, out_dir)
+    plan = plan_string(df13)
+    assert "row_number" not in plan.lower() and has_partial_aggregate(df13)
+    got = {r["doc_id"]: r.asDict() for r in df13.collect()}
+
+    # pure-Python twin of d13's spec over the same corpus
+    rows = sorted(
+        ((r["doc_id"], r["text"]) for r in hot.collect()), key=lambda t: t[0]
+    )
+    w = D._D13_W
+    first: dict[str, tuple[int, int]] = {}
+    chunks_by_doc: dict[int, list[tuple[int, str]]] = {}
+    for doc_id, text in rows:
+        ws = py_tokens(text)
+        n_chunks = len(ws) // w
+        for pos in range(n_chunks):
+            txt = " ".join(ws[pos * w : (pos + 1) * w])
+            k = (doc_id, pos)
+            cur = first.get(txt)
+            if cur is None or k < cur:
+                first[txt] = k
+            chunks_by_doc.setdefault(doc_id, []).append((pos, txt))
+    for doc_id, text in rows:
+        ws = py_tokens(text)
+        n_chunks = len(ws) // w
+        kept = [
+            txt
+            for pos, txt in chunks_by_doc.get(doc_id, [])
+            if first[txt] == (doc_id, pos)
+        ]
+        tail = ws[n_chunks * w :]
+        body = " ".join(kept + [" ".join(tail)] if tail else kept).strip()
+        # reproduce d13's concat_ws(' ', body, tail) + trim exactly
+        parts = [p for p in (" ".join(kept), " ".join(tail)) if p != ""]
+        body = " ".join(parts).strip()
+        g = got[doc_id]
+        assert g["n_chunks"] == n_chunks
+        assert g["n_dropped"] == n_chunks - len(kept)
+        assert g["scrubbed_md5"] == hashlib.md5(body.encode()).hexdigest(), doc_id
+    # the hot span was actually hot: >half the docs dropped those chunks
+    n_hot = sum(1 for d in got.values() if d["n_dropped"] >= 2)
+    assert n_hot >= len(got) * 0.5
