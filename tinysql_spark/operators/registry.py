@@ -112,6 +112,10 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # training order on the p07 zipWithIndex discipline) swaps for
 # p11_data_quality_checks (one-pass aggregation report — the shape
 # p14's agg+broadcast and q01's partial agg keep evidenced).
+# t18_source_drift (per-source LM drift monitor) swaps for
+# t13_unigram_nll, whose entire explode->count->join-back scoring
+# pipeline t18 contains by construction (plus the standardized
+# drift layer) — t15 keeps the per-doc NLL shape in-window too.
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -169,11 +173,11 @@ WINDOW: tuple[str, ...] = (
     "p16_curriculum_order",
     # text-quality gates (rounds 3, 5)
     "t09_gopher_gates",
-    "t13_unigram_nll",
     "t14_repetition_filters",
     "t15_bigram_nll",
     "t16_pii_scrub",
     "t17_blocklist_gate",
+    "t18_source_drift",
 )
 
 

@@ -964,3 +964,82 @@ def t17_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.array_distinct(hits)), ",").alias("hit_words"),
         (F.size(hits) > 0).alias("blocked"),
     )
+
+
+# --------------------------------------------------------------------------
+# t18 — per-source quality DRIFT monitor: t13's corpus-LM score
+# aggregated into the dashboard row a data-quality on-call watches
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t18_source_drift",
+    late=True,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+      WHERE length(trim(text)) > 0
+    ), counts AS (
+      SELECT w, count(*) AS c FROM toks GROUP BY w
+    ), tot AS (
+      SELECT sum(c) AS t FROM counts
+    ), doc_nll AS (
+      SELECT doc_id, source, avg(-ln(c / t)) AS nll
+      FROM toks JOIN counts USING (w), tot
+      GROUP BY doc_id, source
+    ), corpus AS (
+      SELECT avg(nll) AS mu, stddev_samp(nll) AS sd FROM doc_nll
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(nll), 4) AS mean_nll,
+           round(corpus.mu, 4) AS corpus_mean_nll,
+           round((avg(nll) - corpus.mu) / corpus.sd, 4) AS drift_z,
+           abs((avg(nll) - corpus.mu) / corpus.sd) > 1.0 AS flagged
+    FROM doc_nll CROSS JOIN corpus
+    GROUP BY source, corpus.mu, corpus.sd
+    """,
+    doc="Per-source quality DRIFT monitor — the dashboard row a "
+    "data-quality on-call watches over a multi-source crawl: t13's "
+    "corpus-unigram NLL is computed per document, then aggregated "
+    "per SOURCE and standardized against the corpus distribution "
+    "(z = (source mean - corpus mean) / corpus stddev); a source "
+    "whose |z| exceeds 1 is flagged for review (a feed that started "
+    "shipping boilerplate or encoding junk moves its whole NLL "
+    "mass). Plan: t13's linear explode->count->join-back pipeline, "
+    "one per-doc agg, a 1-row corpus-moments broadcast, and a "
+    "|sources|-row final agg — the monitoring layer adds only "
+    "bounded aggregates on top of the scoring pass, so at 100 TB it "
+    "costs what t13 costs. Composition evidence: the drift view and "
+    "the per-doc filter share one scoring definition.",
+)
+def t18_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").alias("t"))
+    doc_nll = (
+        toks.join(counts, "w")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(F.avg(-F.log(F.col("c") / F.col("t"))).alias("nll"))
+    )
+    corpus = doc_nll.agg(
+        F.avg("nll").alias("mu"), F.stddev_samp("nll").alias("sd")
+    )
+    z = (F.avg("nll") - F.first("mu")) / F.first("sd")
+    return (
+        doc_nll.join(F.broadcast(corpus))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("nll"), 4).alias("mean_nll"),
+            F.round(F.first("mu"), 4).alias("corpus_mean_nll"),
+            F.round(z, 4).alias("drift_z"),
+            (F.abs(z) > 1.0).alias("flagged"),
+        )
+    )
