@@ -152,3 +152,73 @@ def test_differential_sql_fuzz(fuzz_eng, fuzz_duck, seed):
         c.lower() for c in sorted(ddf.columns)
     ], sql
     assert a == b, f"seed {seed} diverged:\n{sql}\nspark rows {len(a)} duck rows {len(b)}"
+
+
+# ---------------------------------------------------------------------------
+# Join-form fuzz: orders x customer through the same differential gate
+# ---------------------------------------------------------------------------
+
+MKT_VALS = ["'AUTOMOBILE'", "'BUILDING'", "'FURNITURE'", "'HOUSEHOLD'", "'MACHINERY'"]
+
+
+def gen_join_query(seed: int) -> str:
+    rng = random.Random(seed * 7919 + 13)
+    join_kind = rng.choice(["JOIN", "JOIN", "LEFT JOIN"])
+    on = "o.o_custkey = c.c_custkey"
+    preds = []
+    if rng.random() < 0.7:
+        preds.append(f"c.c_mktsegment {rng.choice(['=', '<>'])} {rng.choice(MKT_VALS)}")
+    if rng.random() < 0.5:
+        preds.append(f"o.o_totalprice {rng.choice(['<', '>='])} {rng.choice([50000, 120000, 200000])}")
+    if rng.random() < 0.3:
+        preds.append(f"c.c_acctbal {rng.choice(['<', '>='])} {rng.choice([0, 2500, 7500])}")
+    where = f" WHERE {' AND '.join(preds)}" if preds else ""
+    if rng.random() < 0.5:  # aggregate form
+        g = rng.choice(["c.c_mktsegment", "o.o_orderstatus", "c.c_nationkey"])
+        aggs = rng.sample(
+            [
+                "CAST(COUNT(*) AS BIGINT) AS n",
+                "ROUND(SUM(o.o_totalprice), 2) AS s_price",
+                "CAST(MIN(o.o_orderkey) AS BIGINT) AS mn",
+                "CAST(MAX(o.o_custkey) AS BIGINT) AS mx",
+                "CAST(COUNT(c.c_name) AS BIGINT) AS n_cust",
+            ],
+            k=rng.choice([1, 2]),
+        )
+        # LEFT JOIN + aggregate on the right side exercises null groups
+        return (
+            f"SELECT {g} AS grp, {', '.join(aggs)} FROM orders o "
+            f"{join_kind} customer c ON {on}{where} GROUP BY {g}"
+        )
+    cols = ["o.o_orderkey", "c.c_custkey"] + rng.sample(
+        ["o.o_orderstatus", "c.c_mktsegment", "c.c_name", "o.o_orderpriority"],
+        k=rng.choice([1, 2]),
+    )
+    q = f"SELECT {', '.join(cols)} FROM orders o {join_kind} customer c ON {on}{where}"
+    if rng.random() < 0.4:
+        q += f" ORDER BY o.o_orderkey LIMIT {rng.choice([11, 50])}"
+    return q
+
+
+@pytest.fixture(scope="module")
+def fuzz_duck2(fuzz_duck):
+    fuzz_duck.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF_DIR}/customer.parquet'"
+    )
+    return fuzz_duck
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_differential_join_fuzz(fuzz_eng, fuzz_duck2, seed):
+    sql = gen_join_query(seed)
+    sdf = fuzz_eng.sql(sql).df.toPandas()
+    ddf = fuzz_duck2.execute(sql).df()
+    a = sorted(
+        tuple(_canon(x) for x in r)
+        for r in sdf[sorted(sdf.columns)].itertuples(index=False)
+    )
+    b = sorted(
+        tuple(_canon(x) for x in r)
+        for r in ddf[sorted(ddf.columns)].itertuples(index=False)
+    )
+    assert a == b, f"seed {seed} diverged:\n{sql}\nspark rows {len(a)} duck rows {len(b)}"
