@@ -1100,11 +1100,15 @@ def p15_bpe_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _P16_BUCKETS = 10
 
 
-def _zip_index(df: DataFrame, sort_cols: list[str], persist_key: str) -> DataFrame:
+def _zip_index(
+    df: DataFrame, sort_cols: list[str], persist_key: str
+) -> tuple[DataFrame, int]:
     """p07's zipWithIndex discipline as a reusable step: global 0-based
     `idx` in (sort_cols) order via range repartition + in-partition
     sort + a #partitions-row offset histogram. No single-partition
-    window, no global sort exchange."""
+    window, no global sort exchange. Returns (frame, total row count)
+    — the count is free from the histogram, so callers never schedule
+    a separate count job."""
     import pandas as pd
 
     from .dedup import _keyed_persist
@@ -1142,7 +1146,7 @@ def _zip_index(df: DataFrame, sort_cols: list[str], persist_key: str) -> DataFra
             seen += len(pdf)
             yield out
 
-    return ordered.mapInPandas(assign, schema=schema)
+    return ordered.mapInPandas(assign, schema=schema), acc
 
 
 @register(
@@ -1193,12 +1197,11 @@ def p16_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens(F.col("text"))).cast("long").alias("difficulty"),
         ((F.col("doc_id") * F.lit(2654435761) + F.lit(88172645)) % F.lit(_M32)).alias("shuf"),
     )
-    ranked = _zip_index(d, ["difficulty", "doc_id"], "p16.rank")
-    n = ranked.count()  # 1-row scalar off the persisted frame
+    ranked, n = _zip_index(d, ["difficulty", "doc_id"], "p16.rank")
     bucketed = ranked.withColumn(
         "bucket", (F.col("idx") * _P16_BUCKETS / F.lit(n)).cast("long")
     ).drop("idx")
-    final = _zip_index(bucketed, ["bucket", "shuf", "doc_id"], "p16.final")
+    final, _ = _zip_index(bucketed, ["bucket", "shuf", "doc_id"], "p16.final")
     return final.select(
         F.col("idx").alias("train_pos"),
         "doc_id",
