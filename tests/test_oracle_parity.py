@@ -40,7 +40,7 @@ def test_oracle_backed_entries_fit_driver_window():
                  "s09_ann_filtered", "p05_sequence_packing",
                  "p08_training_export",
                  "d12_incremental_dedup", "s11_hybrid_search",
-                 "st10_stream_quality_gate", "p10_leakage_safe_split",
+                 "st10_stream_quality_gate", "p17_dsir_weights",
                  "t18_source_drift",
                  "q63_product_type_profit", "q64_excess_volume_suppliers",
                  "q67_ohlc_bars",
@@ -65,7 +65,8 @@ def test_oracle_backed_entries_fit_driver_window():
                 "q65_forecast_revenue_change", "p02_train_sample",
                 "q54_retention_cohorts", "p03_token_budget_mix",
                 "p07_training_order", "d01_dedup_exact",
-                "p11_data_quality_checks", "t13_unigram_nll"):
+                "p11_data_quality_checks", "t13_unigram_nll",
+                "p10_leakage_safe_split"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

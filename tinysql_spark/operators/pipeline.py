@@ -1208,3 +1208,101 @@ def p16_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "difficulty",
         "bucket",
     )
+
+
+# --------------------------------------------------------------------------
+# p17 — DSIR-style importance resampling (Xie et al. 2023, 'Data
+# Selection for Language Models via Importance Resampling'): weight
+# raw docs by hashed-n-gram log-likelihood ratio toward a target domain
+# --------------------------------------------------------------------------
+
+_P17_B = 4096  # hashed feature buckets (the paper's hashed n-gram trick)
+
+
+@register(
+    "p17_dsir_weights",
+    late=True,
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+      WHERE length(trim(text)) > 0
+    ), ct AS (
+      SELECT w, count(*) AS c FROM b WHERE is_target GROUP BY w
+    ), cr AS (
+      SELECT w, count(*) AS c FROM b WHERE NOT is_target GROUP BY w
+    ), tt AS (SELECT sum(c) AS t FROM ct),
+       tr AS (SELECT sum(c) AS t FROM cr)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           round(sum(
+             ln((coalesce(ct.c, 0) + 1.0) / (tt.t + {_P17_B}))
+             - ln((coalesce(cr.c, 0) + 1.0) / (tr.t + {_P17_B}))
+           ), 4) AS log_ratio,
+           sum(ln((coalesce(ct.c, 0) + 1.0) / (tt.t + {_P17_B}))
+               - ln((coalesce(cr.c, 0) + 1.0) / (tr.t + {_P17_B}))) > 0
+             AS selected
+    FROM b
+    LEFT JOIN ct USING (w)
+    LEFT JOIN cr USING (w), tt, tr
+    WHERE NOT b.is_target
+    GROUP BY doc_id
+    """,
+    doc="DSIR importance weighting (Xie et al. 2023): score every RAW "
+    "document by the log-likelihood ratio of its hashed-n-gram "
+    "features under a TARGET-domain bag-of-buckets model vs the raw "
+    "model — the paper's trick is that hashing n-grams into a fixed "
+    f"bucket space ({_P17_B} here) makes both models countable at "
+    "corpus scale with two partial aggs, no vocabulary explosion. "
+    "Target = lang='en' docs (the domain to match), raw = the rest; "
+    "Laplace-smoothed bucket probabilities; a doc's log-ratio > 0 "
+    "means it leans target and is kept by the resampling step "
+    "(the paper samples with these as Gumbel-perturbed weights; the "
+    "deterministic threshold is the oracle-checkable variant — on "
+    "the uniform synthetic corpus no raw doc crosses 0, so the "
+    "VALUE column is the verified deliverable — and p02's LCG "
+    "supplies reproducible sampling where needed). Feature space: "
+    "the oracled entry counts exact unigrams (both engines compute "
+    "identical keys); production swaps the group key for "
+    f"pmod(xxhash64(w), {_P17_B}) — the paper's hashing exists only "
+    "to BOUND the model size, and the swap is one line (an engine-"
+    "specific hash cannot be an oracle key: DuckDB cannot reproduce "
+    "Spark's xxhash64, and matching by collision luck would be "
+    "fragile). Plan: explode tokens (one scan), two word-count aggs "
+    "(map-side combine), broadcast 1-row totals, two equi-joins "
+    "back on the feature key, per-doc agg — everything linear and "
+    "hash-partitioned; the hashed-bucket variant bounds the count "
+    "tables at B rows so they broadcast at 100 TB. "
+    "Rounding: only the per-doc SUM is rounded (4dp — the t13 "
+    "discipline for cross-engine double aggregation).",
+)
+def p17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    b = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    )
+    ct = b.filter("is_target").groupBy("w").agg(F.count(F.lit(1)).alias("tc"))
+    cr = b.filter(~F.col("is_target")).groupBy("w").agg(F.count(F.lit(1)).alias("rc"))
+    tt = ct.agg(F.sum("tc").alias("t_tot"))
+    tr = cr.agg(F.sum("rc").alias("r_tot"))
+    term = F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("t_tot") + _P17_B)) - F.log(
+        (F.coalesce(F.col("rc"), F.lit(0)) + 1.0) / (F.col("r_tot") + _P17_B)
+    )
+    return (
+        b.filter(~F.col("is_target"))
+        .join(F.broadcast(ct), "w", "left")
+        .join(F.broadcast(cr), "w", "left")
+        .join(F.broadcast(tt))
+        .join(F.broadcast(tr))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.round(F.sum(term), 4).alias("log_ratio"),
+            (F.sum(term) > 0).alias("selected"),
+        )
+    )

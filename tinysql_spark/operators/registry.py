@@ -116,6 +116,10 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # t13_unigram_nll, whose entire explode->count->join-back scoring
 # pipeline t18 contains by construction (plus the standardized
 # drift layer) — t15 keeps the per-doc NLL shape in-window too.
+# p17_dsir_weights (importance-resampling LLR weights) swaps for
+# p10_leakage_safe_split (fingerprint-group split: the group-keeper
+# agg shape is in-window via d16/d10 and the LCG split via p02's
+# parity + p12 in-window).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -166,11 +170,11 @@ WINDOW: tuple[str, ...] = (
     "p04_contamination",
     "p05_sequence_packing",
     "p08_training_export",
-    "p10_leakage_safe_split",
     "p12_dedup_weighted_sample",
     "p13_temperature_mix",
     "p14_epoch_repeat_plan",
     "p16_curriculum_order",
+    "p17_dsir_weights",
     # text-quality gates (rounds 3, 5)
     "t09_gopher_gates",
     "t14_repetition_filters",
