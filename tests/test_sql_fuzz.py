@@ -222,3 +222,64 @@ def test_differential_join_fuzz(fuzz_eng, fuzz_duck2, seed):
         for r in ddf[sorted(ddf.columns)].itertuples(index=False)
     )
     assert a == b, f"seed {seed} diverged:\n{sql}\nspark rows {len(a)} duck rows {len(b)}"
+
+
+# ---------------------------------------------------------------------------
+# Subquery-form fuzz: EXISTS / IN (SELECT ...) / scalar subqueries
+# ---------------------------------------------------------------------------
+
+
+def gen_subquery_query(seed: int) -> str:
+    rng = random.Random(seed * 104729 + 7)
+    form = rng.choice(["exists", "not_exists", "in", "not_in", "scalar"])
+    inner_pred = rng.choice(
+        [
+            "c.c_acctbal < 0",
+            "c.c_mktsegment = 'BUILDING'",
+            "c.c_nationkey < 10",
+            "c.c_acctbal >= 5000",
+        ]
+    )
+    outer_pred = rng.choice(
+        [
+            "", " AND o.o_orderstatus = 'O'",
+            " AND o.o_totalprice >= 100000",
+        ]
+    )
+    if form in ("exists", "not_exists"):
+        neg = "NOT " if form == "not_exists" else ""
+        return (
+            "SELECT o.o_orderkey, o.o_custkey FROM orders o "
+            f"WHERE {neg}EXISTS (SELECT 1 FROM customer c "
+            f"WHERE c.c_custkey = o.o_custkey AND {inner_pred}){outer_pred}"
+        )
+    if form in ("in", "not_in"):
+        neg = "NOT " if form == "not_in" else ""
+        # NOT IN over a guaranteed non-NULL key column (c_custkey) —
+        # NULL-aware NOT IN semantics are pinned separately by q39
+        return (
+            "SELECT o.o_orderkey, o.o_orderstatus FROM orders o "
+            f"WHERE o.o_custkey {neg}IN (SELECT c.c_custkey FROM customer c "
+            f"WHERE {inner_pred}){outer_pred}"
+        )
+    agg = rng.choice(["AVG(o2.o_totalprice)", "MAX(o2.o_totalprice) * 0.5"])
+    return (
+        "SELECT o.o_orderkey, o.o_custkey FROM orders o "
+        f"WHERE o.o_totalprice > (SELECT {agg} FROM orders o2){outer_pred}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_differential_subquery_fuzz(fuzz_eng, fuzz_duck2, seed):
+    sql = gen_subquery_query(seed)
+    sdf = fuzz_eng.sql(sql).df.toPandas()
+    ddf = fuzz_duck2.execute(sql).df()
+    a = sorted(
+        tuple(_canon(x) for x in r)
+        for r in sdf[sorted(sdf.columns)].itertuples(index=False)
+    )
+    b = sorted(
+        tuple(_canon(x) for x in r)
+        for r in ddf[sorted(ddf.columns)].itertuples(index=False)
+    )
+    assert a == b, f"seed {seed} diverged:\n{sql}\nspark rows {len(a)} duck rows {len(b)}"
