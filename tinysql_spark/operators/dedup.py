@@ -1955,3 +1955,114 @@ def d16_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_of",
         F.col("dup_of").isNotNull().alias("is_dup"),
     )
+
+
+# --------------------------------------------------------------------------
+# d17 — ingest dedup against a PERSISTED keeper index: d16's probe with
+# the history side materialized once (the production ingest shape)
+# --------------------------------------------------------------------------
+
+_D17_DIR_MEMO: dict[str, str] = {}
+
+
+def _d17_keeper_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the history fingerprint->keeper table as parquet
+    ONCE per corpus (memoized dir, rmtree'd atexit — the s12/q69
+    discipline). This is what makes the ingest path truly O(batch):
+    d16 re-aggregates keepers from the history SCAN every run, which
+    at 100 TB is exactly the cost the bloom exists to avoid; a real
+    deployment maintains this index incrementally (each ingested
+    batch appends its new fingerprints) and the per-run cost is
+    bloom(16 KiB) + one equi-join against the index."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    d = _D17_DIR_MEMO.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    d = tempfile.mkdtemp(prefix="tinysql_d17_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.filter(F.col("doc_id") < _D16_BOUNDARY)
+        .select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "keepers"))
+    )
+    _D17_DIR_MEMO[key] = d
+    return d
+
+
+@register(
+    "d17_indexed_incremental_dedup",
+    late=True,
+    oracle=f"""
+    WITH aug AS (
+      SELECT d.doc_id, coalesce(o.text, d.text) AS text
+      FROM documents d
+      LEFT JOIN documents o
+        ON d.doc_id >= {_D16_BOUNDARY} AND d.doc_id % 7 = 0
+       AND o.doc_id = d.doc_id % {_D16_BOUNDARY}
+    ), f AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM aug
+    ), h AS (
+      SELECT fp, min(doc_id) AS keeper
+      FROM f WHERE doc_id < {_D16_BOUNDARY} GROUP BY fp
+    )
+    SELECT i.doc_id,
+           CAST(h.keeper AS BIGINT) AS dup_of,
+           h.keeper IS NOT NULL AS is_dup
+    FROM f i LEFT JOIN h USING (fp)
+    WHERE i.doc_id >= {_D16_BOUNDARY}
+    """,
+    doc="Ingest dedup against a PERSISTED keeper index — d16 completed "
+    "into the production shape: the history fingerprint->keeper "
+    "table is materialized to parquet ONCE (memoized per corpus; "
+    "incrementally maintained in a real deployment), so a per-batch "
+    "ingest run touches ONLY the 16 KiB bloom and the index — the "
+    "history CORPUS is never re-scanned (d16 re-aggregates keepers "
+    "from the corpus each run; fine for a one-shot job, wrong for "
+    "the nightly ingest at 100 TB). Same bloom prefilter, same "
+    "exact-output contract (false positives die in the index join, "
+    "negatives impossible), same deterministic duplicate injection; "
+    "the oracle is d16's — both formulations must produce identical "
+    "rows, which also pins index-vs-recompute consistency. The "
+    "keeper index is the text-side analog of s12's persisted IVF "
+    "layout; st11 is the streaming-state formulation.",
+)
+def d17_indexed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    bm_bytes = _d16_history_bloom(spark, sf_dir)
+    keepers = spark.read.parquet(
+        os.path.join(_d17_keeper_index(spark, sf_dir), "keepers")
+    )
+
+    def might_contain_batch(h64: "pd.Series") -> "pd.Series":
+        bits = np.frombuffer(bm_bytes, dtype=np.uint8)
+        idx = _d16_bit_indices(h64.to_numpy())
+        hit = (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1).astype(bool))
+
+    might = F.pandas_udf(might_contain_batch, "boolean")
+
+    incoming = (
+        _d16_augment(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") >= _D16_BOUNDARY)
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    )
+    cand = incoming.filter(might(F.xxhash64("fp")))
+    resolved = cand.join(keepers, "fp").select(
+        "doc_id", F.col("keeper").cast("long").alias("dup_of")
+    )
+    return incoming.join(resolved, "doc_id", "left").select(
+        "doc_id",
+        "dup_of",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+    )

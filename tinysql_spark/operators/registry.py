@@ -119,7 +119,11 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # p17_dsir_weights (importance-resampling LLR weights) swaps for
 # p10_leakage_safe_split (fingerprint-group split: the group-keeper
 # agg shape is in-window via d16/d10 and the LCG split via p02's
-# parity + p12 in-window).
+# parity + p12 in-window). d17_indexed_incremental_dedup (the
+# persisted-keeper-index ingest shape; its oracle is d16's, pinning
+# index-vs-recompute consistency) swaps for q55_market_share
+# (sum(CASE)/sum conditional-agg ratio — q63 keeps the family
+# in-window, q52/q56 in parity).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -142,9 +146,9 @@ WINDOW: tuple[str, ...] = (
     "d14_semdedup",
     "d15_exactsubstr_excision",
     "d16_bloom_incremental_dedup",
+    "d17_indexed_incremental_dedup",
     # relational additions (rounds 2-4)
     "q38_correlated_scalar",
-    "q55_market_share",
     # relational additions (rounds 5-6)
     "q63_product_type_profit",
     "q64_excess_volume_suppliers",
