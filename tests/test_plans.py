@@ -886,3 +886,18 @@ def test_d16_bloom_prefilter_before_join(q):
     assert "pythonUDF" in p and "Filter" in p, p
     js = join_strategies(df)
     assert js and all(j != "CartesianProduct" for j in js), js
+
+
+def test_p17_t18_bounded_broadcasts_and_partial_aggs(q):
+    """p17/t18's model tables must broadcast (bounded by vocab/B and
+    1-row moments) and every count agg must carry a partial stage —
+    a full shuffle of the token stream against an unbroadcast count
+    table would be the 100 TB regression."""
+    from tinysql_spark.plans import has_partial_aggregate, join_strategies
+
+    for name in ("p17_dsir_weights", "t18_source_drift"):
+        df = q(name)
+        assert has_partial_aggregate(df), name
+        js = join_strategies(df)
+        assert js and all(j != "CartesianProduct" for j in js), (name, js)
+        assert "BroadcastHashJoin" in js or "BroadcastNestedLoopJoin" in js, (name, js)

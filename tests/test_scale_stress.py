@@ -306,3 +306,65 @@ def test_d13_d15_hot_span_bounded_and_exact(spark, tmp_path):
     # the hot span was actually hot: >half the docs dropped those chunks
     n_hot = sum(1 for d in got.values() if d["n_dropped"] >= 2)
     assert n_hot >= len(got) * 0.5
+
+
+def test_d16_bloom_stays_fixed_under_amplification(spark, tmp_path):
+    """The d16/d17 membership sketch must be corpus-size-INDEPENDENT:
+    amplify documents x20 (every doc duplicated under fresh ids) and
+    assert the bloom bitmap is the same 16 KiB, the build collects
+    only #batches x 16 KiB rows, and the amplified probe still
+    classifies exactly (no false negatives; false positives only pass
+    to the verify join)."""
+    import numpy as np
+
+    from tinysql_spark.operators import dedup as D
+    from tinysql_spark.operators.text import fingerprint
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    amp = (
+        base.select(
+            F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep"),
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    out_dir = str(tmp_path / "ampdocs")
+    amp.write.mode("overwrite").parquet(out_dir + "/documents.parquet")
+
+    D._D16_BLOOM_MEMO.clear()
+    bm = np.frombuffer(D._d16_history_bloom(spark, out_dir), dtype=np.uint8)
+    assert len(bm) == D._D16_M // 8, "bitmap grew with the corpus"
+    # exactness on the amplified corpus: every incoming doc whose text
+    # also exists in history (x20 duplication guarantees many) must
+    # pass the bloom — zero false negatives by construction
+    inc = (
+        D._d16_augment(spark.read.parquet(out_dir + "/documents.parquet"))
+        .filter(F.col("doc_id") >= D._D16_BOUNDARY)
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    )
+    hist_fps = {
+        r["fp"]
+        for r in D._d16_augment(spark.read.parquet(out_dir + "/documents.parquet"))
+        .filter(F.col("doc_id") < D._D16_BOUNDARY)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    rows = inc.select("doc_id", "fp", F.xxhash64("fp").alias("h")).collect()
+    idx = D._d16_bit_indices(np.array([r["h"] for r in rows]))
+    passed = (((bm[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1).all(axis=1))
+    for ok, r in zip(passed, rows):
+        if r["fp"] in hist_fps:
+            assert ok, f"false negative for doc {r['doc_id']}"
+    n_true = sum(1 for r in rows if r["fp"] in hist_fps)
+    assert n_true > 0 and passed.sum() <= n_true + max(5, len(rows) // 10)
