@@ -283,3 +283,43 @@ def test_differential_subquery_fuzz(fuzz_eng, fuzz_duck2, seed):
         for r in ddf[sorted(ddf.columns)].itertuples(index=False)
     )
     assert a == b, f"seed {seed} diverged:\n{sql}\nspark rows {len(a)} duck rows {len(b)}"
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT / multi-column grouping forms
+# ---------------------------------------------------------------------------
+
+
+def gen_distinct_query(seed: int) -> str:
+    rng = random.Random(seed * 31337 + 101)
+    form = rng.choice(["distinct", "count_distinct", "multi_group"])
+    if form == "distinct":
+        cols = rng.sample(STR_COLS + ["o_custkey"], k=rng.choice([1, 2]))
+        return f"SELECT DISTINCT {', '.join(cols)} FROM orders{_where(rng)}"
+    if form == "count_distinct":
+        g = rng.choice(GROUP_COLS)
+        return (
+            f"SELECT {g}, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd "
+            f"FROM orders{_where(rng)} GROUP BY {g}"
+        )
+    return (
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(o_orderkey) AS BIGINT) AS mx "
+        f"FROM orders{_where(rng)} GROUP BY o_orderstatus, o_orderpriority"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_differential_distinct_fuzz(fuzz_eng, fuzz_duck, seed):
+    sql = gen_distinct_query(seed)
+    sdf = fuzz_eng.sql(sql).df.toPandas()
+    ddf = fuzz_duck.execute(sql).df()
+    a = sorted(
+        tuple(_canon(x) for x in r)
+        for r in sdf[sorted(sdf.columns)].itertuples(index=False)
+    )
+    b = sorted(
+        tuple(_canon(x) for x in r)
+        for r in ddf[sorted(ddf.columns)].itertuples(index=False)
+    )
+    assert a == b, f"seed {seed} diverged:\n{sql}\nspark rows {len(a)} duck rows {len(b)}"
