@@ -53,7 +53,7 @@ def test_oracle_backed_entries_fit_driver_window():
                  "d15_exactsubstr_excision", "s13_knn_graph",
                  "t17_blocklist_gate", "st12_stream_pii_scrub",
                  "d16_bloom_incremental_dedup", "p16_curriculum_order",
-                 "d17_indexed_incremental_dedup"):
+                 "d17_indexed_incremental_dedup", "p18_decontaminate"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
@@ -67,7 +67,8 @@ def test_oracle_backed_entries_fit_driver_window():
                 "q54_retention_cohorts", "p03_token_budget_mix",
                 "p07_training_order", "d01_dedup_exact",
                 "p11_data_quality_checks", "t13_unigram_nll",
-                "p10_leakage_safe_split", "q55_market_share"):
+                "p10_leakage_safe_split", "q55_market_share",
+                "p04_contamination"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

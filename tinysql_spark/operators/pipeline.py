@@ -1306,3 +1306,88 @@ def p17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(term) > 0).alias("selected"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p18 — decontamination: the REMOVAL step p04's flags feed (drop
+# corpus docs that share eval-set 8-grams before training)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "p18_decontaminate",
+    late=True,
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(ws) - 7),
+               i -> array_to_string(ws[i:i+7], ' ')))) AS gram
+      FROM w WHERE len(ws) >= 8
+    ), hits AS (
+      SELECT c.doc_id AS corpus_id, count(*) AS n_shared,
+             count(DISTINCT e.doc_id) AS n_evals
+      FROM g c JOIN g e ON c.gram = e.gram
+      WHERE e.doc_id % 19 = 0 AND c.doc_id % 19 <> 0
+      GROUP BY 1
+      HAVING count(*) >= 2
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(coalesce(h.n_evals, 0) AS BIGINT) AS n_evals,
+           h.corpus_id IS NOT NULL AS dropped
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.corpus_id
+    WHERE d.doc_id % 19 <> 0
+    """,
+    doc="DECONTAMINATION — the removal step p04's flags feed (GPT-3 "
+    "appendix C, PaLM, Llama all drop train docs overlapping eval "
+    "benchmarks; p04 is the detector, this op acts on it): every "
+    "corpus document sharing >= 2 distinct 8-gram shingles with ANY "
+    "eval doc is DROPPED from the training set, with the audit "
+    "columns a release review needs (shared-gram count, number of "
+    "eval docs hit, the drop flag). Plan: p04's hashed-shingle "
+    "blocked equi-join collapsed one level further — groupBy corpus "
+    "doc instead of (corpus, eval) pairs, so the output is linear in "
+    "corpus size — then one LEFT join back to the corpus spine. At "
+    "100 TB the eval side broadcasts and dropped docs never reach "
+    "the training export (p08 anti-joins this flag).",
+)
+def p18_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - F.lit(7)),
+        lambda i: F.xxhash64(F.array_join(F.slice(ws, i, 8), " ")),
+    )
+    g = (
+        docs.filter(F.size(ws) >= 8)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gh"))
+    )
+    ev = g.filter(F.col("doc_id") % 19 == 0).select(
+        F.col("doc_id").alias("eval_id"), "gh"
+    )
+    corp = g.filter(F.col("doc_id") % 19 != 0).select(
+        F.col("doc_id").alias("corpus_id"), "gh"
+    )
+    hits = (
+        corp.join(F.broadcast(ev), "gh")
+        .groupBy("corpus_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.count_distinct("eval_id").alias("n_evals"),
+        )
+        .filter(F.col("n_shared") >= 2)
+    )
+    return (
+        docs.filter(F.col("doc_id") % 19 != 0)
+        .select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("corpus_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.coalesce("n_evals", F.lit(0)).cast("long").alias("n_evals"),
+            F.col("corpus_id").isNotNull().alias("dropped"),
+        )
+    )

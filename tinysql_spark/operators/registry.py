@@ -123,7 +123,10 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # persisted-keeper-index ingest shape; its oracle is d16's, pinning
 # index-vs-recompute consistency) swaps for q55_market_share
 # (sum(CASE)/sum conditional-agg ratio — q63 keeps the family
-# in-window, q52/q56 in parity).
+# in-window, q52/q56 in parity). p18_decontaminate (the removal step
+# p04's flags feed) swaps for p04_contamination, whose entire
+# hashed-shingle detector p18 contains by construction (the t18/t13
+# pattern).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -171,7 +174,6 @@ WINDOW: tuple[str, ...] = (
     "s12_ann_persisted_ivf",
     "s13_knn_graph",
     # training-pipeline additions (rounds 4-5)
-    "p04_contamination",
     "p05_sequence_packing",
     "p08_training_export",
     "p12_dedup_weighted_sample",
@@ -179,6 +181,7 @@ WINDOW: tuple[str, ...] = (
     "p14_epoch_repeat_plan",
     "p16_curriculum_order",
     "p17_dsir_weights",
+    "p18_decontaminate",
     # text-quality gates (rounds 3, 5)
     "t09_gopher_gates",
     "t14_repetition_filters",
