@@ -369,3 +369,48 @@ def test_bpe_roundtrip_property():
             assert len(toks) <= len(norm.replace(" ", "")) + n_words
 
     check()
+
+
+def test_p19_matches_pure_python_twin(spark, sf_dir):
+    """Dual-path parity for BPE packing (rows-only op): the twin
+    recomputes sample -> training -> encoding -> per-source cumsum ->
+    bin assignment -> rollup in pure pandas and compares exactly.
+    Also pins the MOTIVATION: BPE bins differ from whitespace bins
+    (if they were identical the op would be pointless)."""
+    import pandas as pd
+
+    from tinysql_spark.functions import bpe
+    from tinysql_spark.operators.pipeline import (
+        _PACK_BUDGET,
+        p05_sequence_packing,
+        p19_bpe_sequence_packing,
+    )
+
+    got = {
+        (r["source"], r["bin_id"]): (r["n_docs"], r["n_tokens"])
+        for r in p19_bpe_sequence_packing(spark, sf_dir).collect()
+    }
+
+    from tinysql_spark.operators.pipeline import _P19_MERGES
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "source", "text"]]
+    sample = pdf.sort_values("doc_id").head(bpe._BPE_SAMPLE_CAP)
+    merges = bpe.train_bpe(list(sample["text"]), _P19_MERGES)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pdf["tok_cnt"] = pdf["text"].map(lambda t: len(bpe.encode(t, ranks)))
+    exp: dict = {}
+    for source, grp in pdf.sort_values("doc_id").groupby("source"):
+        cum = 0
+        for _, row in grp.iterrows():
+            bin_id = cum // _PACK_BUDGET
+            cum += int(row["tok_cnt"])
+            k = (source, bin_id)
+            n, tok = exp.get(k, (0, 0))
+            exp[k] = (n + 1, tok + int(row["tok_cnt"]))
+    assert got == exp
+
+    ws_bins = {
+        (r["source"], r["bin_id"]): (r["n_docs"], r["n_tokens"])
+        for r in p05_sequence_packing(spark, sf_dir).collect()
+    }
+    assert got != ws_bins, "BPE packing identical to whitespace packing — vacuous"

@@ -121,14 +121,20 @@ _BPE_MERGES = 200
 _BPE_MEMO: dict[str, list[tuple[str, str]]] = {}
 
 
-def corpus_bpe(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
-    """Train (once per corpus) on a deterministic bounded sample:
-    the first ``_BPE_SAMPLE_CAP`` doc_ids in order. The sample is a
-    sorted limit over doc_id — at 100 TB that is a TopN (partial
-    per-partition top + driver merge), never a full sort."""
+def corpus_bpe(
+    spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES
+) -> list[tuple[str, str]]:
+    """Train (once per corpus and merge budget) on a deterministic
+    bounded sample: the first ``_BPE_SAMPLE_CAP`` doc_ids in order.
+    The sample is a sorted limit over doc_id — at 100 TB that is a
+    TopN (partial per-partition top + driver merge), never a full
+    sort. ``n_merges`` is the vocab-size dial: on the synthetic
+    corpus the default saturates (every frequent word merges whole),
+    so callers that need genuine subword behavior pass a smaller
+    budget."""
     from ..sources.tables import load_table
 
-    key = os.path.abspath(sf_dir)
+    key = f"{os.path.abspath(sf_dir)}#{n_merges}"
     m = _BPE_MEMO.get(key)
     if m is None:
         rows = (
@@ -138,7 +144,7 @@ def corpus_bpe(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
             .limit(_BPE_SAMPLE_CAP)
             .collect()
         )
-        m = train_bpe([r["text"] for r in rows], _BPE_MERGES)
+        m = train_bpe([r["text"] for r in rows], n_merges)
         _BPE_MEMO[key] = m
     return m
 

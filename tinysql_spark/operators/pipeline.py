@@ -1391,3 +1391,74 @@ def p18_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("corpus_id").isNotNull().alias("dropped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p19 — tokenizer-faithful sequence packing: p05's bins over BPE
+# SUBWORD counts (round-10 candidate #2, taken in round 9)
+# --------------------------------------------------------------------------
+
+
+_P19_MERGES = 32  # vocab-size dial: small enough that frequent words
+# stay SPLIT into subwords on the synthetic corpus (the default 200
+# saturates there — every word merges whole and counts collapse to
+# whitespace counts, making the op vacuous; the twin test pins that
+# p19's bins genuinely differ from p05's)
+
+
+_P19_MERGES = 32  # vocab-size dial: small enough that frequent words
+# stay SPLIT into subwords on the synthetic corpus (the default 200
+# saturates there — every word merges whole and counts collapse to
+# whitespace counts, making the op vacuous; the twin test pins that
+# p19's bins genuinely differ from p05's)
+
+
+@register(
+    "p19_bpe_sequence_packing",
+    late=True,
+    oracle=None,  # BPE counts are not SQL-expressible; dual-path
+    # Python-twin parity in tests/test_dedup_quality.py (the p15
+    # discipline).
+    doc="Tokenizer-faithful SEQUENCE PACKING: p05's per-source "
+    f"{_PACK_BUDGET}-token training bins computed over BPE SUBWORD "
+    "counts (functions/bpe — the corpus-trained deterministic "
+    "tokenizer p15 budgets with) instead of whitespace words. "
+    "Packing decides how many documents share a training sequence; "
+    "whitespace counts undercount subword-heavy text (rare words, "
+    "non-Latin scripts) and overfill bins at train time — the "
+    "bin boundaries genuinely MOVE under the real tokenizer, which "
+    "is why production packs in model tokens. Same plan as p05: one "
+    "Arrow pandas_udf scan for counts (per-batch word memo), one "
+    "hash-partitioned running-sum window per source, partial-agg "
+    "rollup per bin. Rows-only by necessity; the Python twin "
+    "recomputes the ENTIRE packing (sample->train->encode->cumsum->"
+    "bins) exactly in tests.",
+)
+def p19_bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.bpe import corpus_bpe, with_bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = corpus_bpe(spark, sf_dir, _P19_MERGES)
+    t = with_bpe_token_count(docs, merges).select(
+        "doc_id", "source", F.col("n_bpe").cast("long").alias("tok_cnt")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("tok_cnt").over(w))
+    return (
+        c.select(
+            "source",
+            F.floor((F.col("cum") - F.col("tok_cnt")) / _PACK_BUDGET)
+            .cast("long")
+            .alias("bin_id"),
+            "tok_cnt",
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_cnt").cast("long").alias("n_tokens"),
+        )
+    )
