@@ -308,3 +308,24 @@ def test_m08_scrub_preserves_pixels_and_strips_metadata(spark, sf_dir):
         assert meta == {} and all(c[0] not in ("tEXt", "zTXt", "iTXt", "tIME") for c in chunks)
         assert all(ok for _t, _l, ok in chunks), "scrub broke a CRC"
         assert np.array_equal(decode_png_pixels(raw), decode_png_pixels(scrubbed))
+
+
+def test_m08_scrub_preserves_post_iend_tail():
+    """Bytes smuggled AFTER IEND (a classic stego/appended-payload
+    spot, exactly what m06 quarantines) must survive the scrub
+    verbatim — same evidence-preservation rule as truncated tails
+    (VERDICT r9 item 4)."""
+    from tinysql_spark.operators.multimodal import (
+        png_strip_metadata,
+        synth_png_bytes,
+    )
+
+    raw = synth_png_bytes("tail test", meta={"k": "v"})
+    tail = b"SMUGGLED-ZIP-PAYLOAD\x00\x01\x02"
+    scrubbed, removed = png_strip_metadata(raw + tail)
+    assert removed >= 1
+    assert scrubbed.endswith(tail)
+    # and the scrub of the tail-free payload is the prefix: the tail
+    # passthrough changed nothing else
+    base, _ = png_strip_metadata(raw)
+    assert scrubbed == base + tail

@@ -261,6 +261,9 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
                 "q69_typed_ctas",
                 # bounded tokenizer-training sample collect IS the design
                 "p15_bpe_epoch_repeat_plan",
+                # same bounded training collect, distinct merge budget
+                # (_BPE_MEMO key not warmed by p15) — ADVICE r9 medium
+                "p19_bpe_sequence_packing",
                 # bounded bloom-bitmap build (|partitions| x 16 KiB) IS
                 # the design
                 "d16_bloom_incremental_dedup",

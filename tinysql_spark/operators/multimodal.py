@@ -765,6 +765,12 @@ def png_strip_metadata(data: bytes) -> tuple[bytes, int]:
         else:
             out.append(data[pos:end])
         if tag == b"IEND":
+            # Copy any bytes smuggled AFTER IEND verbatim (a classic
+            # stego/appended-payload spot — exactly what m06
+            # quarantines): scrubbing strips metadata chunks only and
+            # must not silently destroy evidence (VERDICT r9 item 4).
+            if end < len(data):
+                out.append(data[end:])
             break
         pos = end
     return b"".join(out), removed

@@ -228,7 +228,10 @@ def p03_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle ships 8-byte keys, not 50-byte strings; candidate "
     "generation is a blocked equi-join on the shingle — linear in "
     "shared-shingle pairs, never corpus x eval. Same shape as d02; "
-    "at 100 TB the eval side is small and broadcastable.",
+    "at 100 TB a real (fixed-size) eval side broadcasts via AQE/"
+    "autoBroadcastJoinThreshold — no forced hint, because on a "
+    "corpus-proportional eval split (this synthetic one is ~1/19 of "
+    "all grams) an unconditional broadcast would OOM executors.",
 )
 def p04_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -248,7 +251,7 @@ def p04_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("corpus_id"), "gh"
     )
     return (
-        corp.join(F.broadcast(ev), "gh")
+        corp.join(ev, "gh")
         .groupBy("corpus_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
@@ -1198,8 +1201,11 @@ def p16_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * F.lit(2654435761) + F.lit(88172645)) % F.lit(_M32)).alias("shuf"),
     )
     ranked, n = _zip_index(d, ["difficulty", "doc_id"], "p16.rank")
+    # Exact integer floor division (SQL DIV), matching the oracle's
+    # (rank*k)//n bit-for-bit — double division + cast('long') has a
+    # 0.5-ulp boundary that could flip a bucket at ~1e14 rows.
     bucketed = ranked.withColumn(
-        "bucket", (F.col("idx") * _P16_BUCKETS / F.lit(n)).cast("long")
+        "bucket", F.expr(f"(idx * {_P16_BUCKETS}) DIV {int(n)}")
     ).drop("idx")
     final, _ = _zip_index(bucketed, ["bucket", "shuf", "doc_id"], "p16.final")
     return final.select(
@@ -1347,19 +1353,26 @@ def p17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus document sharing >= 2 distinct 8-gram shingles with ANY "
     "eval doc is DROPPED from the training set, with the audit "
     "columns a release review needs (shared-gram count, number of "
-    "eval docs hit, the drop flag). Plan: p04's hashed-shingle "
-    "blocked equi-join collapsed one level further — groupBy corpus "
+    "eval docs hit, the drop flag). Plan: p04's blocked shingle "
+    "equi-join collapsed one level further — groupBy corpus "
     "doc instead of (corpus, eval) pairs, so the output is linear in "
-    "corpus size — then one LEFT join back to the corpus spine. At "
-    "100 TB the eval side broadcasts and dropped docs never reach "
-    "the training export (p08 anti-joins this flag).",
+    "corpus size — then one LEFT join back to the corpus spine. Join "
+    "key is md5 of the gram text (engine-neutral, collision-safe vs "
+    "the oracle's gram-text join). At 100 TB a fixed-size eval side "
+    "broadcasts via AQE (no forced hint — see the join comment) and "
+    "dropped docs never reach the training export (p08 anti-joins "
+    "this flag).",
 )
 def p18_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = tokens(F.col("text"))
+    # md5 of the gram text, not xxhash64: an engine-specific 64-bit
+    # hash collision between distinct grams would inflate n_shared
+    # and silently diverge from the oracle's gram-text join (the d10/
+    # d13/d15 digest discipline; p17's docstring names the same risk).
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - F.lit(7)),
-        lambda i: F.xxhash64(F.array_join(F.slice(ws, i, 8), " ")),
+        lambda i: F.md5(F.array_join(F.slice(ws, i, 8), " ")),
     )
     g = (
         docs.filter(F.size(ws) >= 8)
@@ -1371,8 +1384,14 @@ def p18_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp = g.filter(F.col("doc_id") % 19 != 0).select(
         F.col("doc_id").alias("corpus_id"), "gh"
     )
+    # No forced broadcast hint: real eval benchmarks are fixed-size
+    # and AQE/autoBroadcastJoinThreshold will broadcast them anyway,
+    # but on a corpus-proportional eval side (this synthetic split is
+    # ~1/19 of ALL grams) an unconditional hint would OOM executors
+    # at 100 TB. Let the optimizer earn the broadcast from measured
+    # sizes instead of forcing it.
     hits = (
-        corp.join(F.broadcast(ev), "gh")
+        corp.join(ev, "gh")
         .groupBy("corpus_id")
         .agg(
             F.count(F.lit(1)).alias("n_shared"),
@@ -1397,13 +1416,6 @@ def p18_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # p19 — tokenizer-faithful sequence packing: p05's bins over BPE
 # SUBWORD counts (round-10 candidate #2, taken in round 9)
 # --------------------------------------------------------------------------
-
-
-_P19_MERGES = 32  # vocab-size dial: small enough that frequent words
-# stay SPLIT into subwords on the synthetic corpus (the default 200
-# saturates there — every word merges whole and counts collapse to
-# whitespace counts, making the op vacuous; the twin test pins that
-# p19's bins genuinely differ from p05's)
 
 
 _P19_MERGES = 32  # vocab-size dial: small enough that frequent words
