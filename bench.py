@@ -109,6 +109,20 @@ def main() -> None:
             times[name] = min(times.get(name, elapsed), elapsed)
 
     total = round(sum(times.values()), 3)
+    # Per-class subtotals (VERDICT r9 item 5): one blended s/query rate
+    # penalizes the pair-generation / iterative / streaming classes as
+    # the relational majority gets faster; each class gets its own
+    # subtotal and rate so the "weak" bar is computed per class.
+    from tinysql_spark.operators.registry import bench_class
+
+    classes: dict[str, dict[str, float]] = {}
+    for name, sec in times.items():
+        c = classes.setdefault(bench_class(name), {"sec": 0.0, "n": 0})
+        c["sec"] += sec
+        c["n"] += 1
+    for c in classes.values():
+        c["sec"] = round(c["sec"], 3)
+        c["rate"] = round(c["sec"] / c["n"], 3)
     out = {
         "metric": "suite_total_sec",
         "value": total,
@@ -117,6 +131,7 @@ def main() -> None:
         "sf": sf_real if multifile else parse_sf(sf_dir),
         "startup_sec": round(startup, 3),
         "n_queries": len(times),
+        "classes": classes,
     }
     if multifile:
         out["files_per_table"] = multifile

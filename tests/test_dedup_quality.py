@@ -414,3 +414,51 @@ def test_p19_matches_pure_python_twin(spark, sf_dir):
         for r in p05_sequence_packing(spark, sf_dir).collect()
     }
     assert got != ws_bins, "BPE packing identical to whitespace packing — vacuous"
+
+
+def test_d18_append_touches_only_dirty_buckets(spark, sf_dir):
+    """The physical claim in d18's docstring: the batch-A increment is
+    written with mode=append + partitionBy(bkt), so files appear ONLY
+    under bucket partitions that actually receive new fingerprints.
+    Recompute the expected dirty-bucket set from the data and compare
+    it against the build manifest's appended-file list exactly."""
+    import json
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tinysql_spark.operators.dedup import (
+        _D16_BOUNDARY,
+        _D18_MID,
+        _D18_NB,
+        _d18_augment,
+        _d18_incremental_index,
+        fingerprint,
+    )
+    from tinysql_spark.sources.tables import load_table
+
+    d = _d18_incremental_index(spark, sf_dir)
+    m = json.load(open(os.path.join(d, "manifest.json")))
+    assert m["appended"], "increment wrote nothing — append path vacuous"
+
+    f = _d18_augment(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    hist_fps = f.filter(F.col("doc_id") < _D16_BOUNDARY).select("fp").distinct()
+    a_new = (
+        f.filter((F.col("doc_id") >= _D16_BOUNDARY) & (F.col("doc_id") < _D18_MID))
+        .select("fp")
+        .distinct()
+        .join(hist_fps, "fp", "left_anti")
+        .select(F.pmod(F.xxhash64("fp"), F.lit(_D18_NB)).cast("int").alias("bkt"))
+        .distinct()
+    )
+    expected_dirty = {str(r["bkt"]) for r in a_new.collect()}
+    appended_buckets = {
+        re.search(r"bkt=(\d+)", p).group(1) for p in m["appended"]
+    }
+    assert appended_buckets == expected_dirty, (appended_buckets, expected_dirty)
+    # and at this sf at least one bucket must have stayed CLEAN, or the
+    # dirty-only property is unobservable
+    assert len(expected_dirty) < _D18_NB, "every bucket dirty — widen NB"

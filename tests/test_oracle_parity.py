@@ -53,7 +53,9 @@ def test_oracle_backed_entries_fit_driver_window():
                  "d15_exactsubstr_excision", "s13_knn_graph",
                  "t17_blocklist_gate", "st12_stream_pii_scrub",
                  "d16_bloom_incremental_dedup", "p16_curriculum_order",
-                 "d17_indexed_incremental_dedup", "p18_decontaminate"):
+                 "d17_indexed_incremental_dedup", "p18_decontaminate",
+                 # round-10 rotation: windowed on landing
+                 "d18_index_maintained_dedup"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
@@ -68,7 +70,7 @@ def test_oracle_backed_entries_fit_driver_window():
                 "p07_training_order", "d01_dedup_exact",
                 "p11_data_quality_checks", "t13_unigram_nll",
                 "p10_leakage_safe_split", "q55_market_share",
-                "p04_contamination"):
+                "p04_contamination", "q38_correlated_scalar"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

@@ -2066,3 +2066,193 @@ def d17_indexed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         "dup_of",
         F.col("dup_of").isNotNull().alias("is_dup"),
     )
+
+
+# --------------------------------------------------------------------------
+# d18 — INCREMENTAL keeper-index MAINTENANCE: d17's index built once,
+# then APPENDED per ingest batch with dirty-bucket-only writes (the
+# round-9 self-identified gap — SURVEY §7.18 item 3, VERDICT r9 item 3)
+# --------------------------------------------------------------------------
+
+_D18_MID = 450  # two-batch ingest split: batch A = [400, 450), B = rest
+_D18_NB = 16  # index bucket partitions (pmod(xxhash64(fp), NB))
+
+
+def _d18_augment(docs: DataFrame) -> DataFrame:
+    """d16's history-duplicate injection PLUS a cross-batch layer:
+    every 11th batch-B doc takes the (already d16-augmented) text of
+    batch-A doc 400 + doc_id % 50 — without it the index APPEND path
+    would be vacuous (no B doc would ever match an A fingerprint).
+    Applied after _d16_augment, so where both rules hit (doc_id % 77
+    == 0) the cross-batch donor wins, identically in the oracle."""
+    aug = _d16_augment(docs)
+    span = _D18_MID - _D16_BOUNDARY
+    donors = aug.filter(
+        (F.col("doc_id") >= _D16_BOUNDARY) & (F.col("doc_id") < _D18_MID)
+    ).select(F.col("doc_id").alias("d2_id"), F.col("text").alias("d2_text"))
+    return (
+        aug.withColumn(
+            "d2_id",
+            F.when(
+                (F.col("doc_id") >= _D18_MID) & (F.col("doc_id") % 11 == 0),
+                _D16_BOUNDARY + F.col("doc_id") % span,
+            ),
+        )
+        .join(donors, "d2_id", "left")
+        .select("doc_id", F.coalesce("d2_text", "text").alias("text"))
+    )
+
+
+_D18_DIR_MEMO: dict[str, str] = {}
+
+
+def _d18_incremental_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the bucket-partitioned keeper index from HISTORY, then
+    APPEND batch A's new fingerprints as a second increment — the
+    maintenance step d17 declared out of scope (d17 builds once; a
+    production nightly ingest appends each batch's new fingerprints).
+
+    Physical shape: the index is parquet PARTITIONED BY bkt =
+    pmod(xxhash64(fp), 16); the increment is an anti-join of batch A's
+    keepers against the index AS STORED, written with mode=append +
+    partitionBy — Spark adds files ONLY under the bucket partitions
+    the increment actually touches (the dirty-bucket property; a
+    manifest of base vs appended files is written alongside so tests
+    can assert it). This is st09's streaming index-merge and OPTIMIZE
+    TABLE's compaction shape applied to the dedup index (reference
+    analog: ADD INDEX backfill, ddl/index.go:428). At 100 TB the
+    per-batch cost is |batch-new fps| grouped + one anti-join against
+    a bucket-pruned index read — the history corpus is never
+    re-scanned and undirtied buckets are never rewritten."""
+    import atexit
+    import glob
+    import json
+    import shutil
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    d = _D18_DIR_MEMO.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    d = tempfile.mkdtemp(prefix="tinysql_d18_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    idx = os.path.join(d, "keepers")
+    f = _d18_augment(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bkt", F.pmod(F.xxhash64("fp"), F.lit(_D18_NB)).cast("int")
+        )
+
+    (
+        bucketed(
+            f.filter(F.col("doc_id") < _D16_BOUNDARY)
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("keeper"))
+        )
+        .write.mode("overwrite")
+        .partitionBy("bkt")
+        .parquet(idx)
+    )
+    base_files = set(glob.glob(os.path.join(idx, "bkt=*", "*.parquet")))
+    a_new = (
+        f.filter((F.col("doc_id") >= _D16_BOUNDARY) & (F.col("doc_id") < _D18_MID))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"))
+        .join(spark.read.parquet(idx).select("fp"), "fp", "left_anti")
+    )
+    bucketed(a_new).write.mode("append").partitionBy("bkt").parquet(idx)
+    appended = sorted(
+        set(glob.glob(os.path.join(idx, "bkt=*", "*.parquet"))) - base_files
+    )
+    with open(os.path.join(d, "manifest.json"), "w") as fh:
+        json.dump({"base": sorted(base_files), "appended": appended}, fh)
+    _D18_DIR_MEMO[key] = d
+    return d
+
+
+@register(
+    "d18_index_maintained_dedup",
+    late=True,
+    oracle=f"""
+    WITH aug AS (
+      SELECT d.doc_id, coalesce(o.text, d.text) AS text
+      FROM documents d
+      LEFT JOIN documents o
+        ON d.doc_id >= {_D16_BOUNDARY} AND d.doc_id % 7 = 0
+       AND o.doc_id = d.doc_id % {_D16_BOUNDARY}
+    ), aug2 AS (
+      SELECT a.doc_id, coalesce(o.text, a.text) AS text
+      FROM aug a
+      LEFT JOIN aug o
+        ON a.doc_id >= {_D18_MID} AND a.doc_id % 11 = 0
+       AND o.doc_id = {_D16_BOUNDARY} + a.doc_id % {_D18_MID - _D16_BOUNDARY}
+    ), f AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM aug2
+    ), h AS (
+      SELECT fp, min(doc_id) AS keeper
+      FROM f WHERE doc_id < {_D16_BOUNDARY} GROUP BY fp
+    ), an AS (
+      SELECT fp, min(doc_id) AS keeper
+      FROM f
+      WHERE doc_id >= {_D16_BOUNDARY} AND doc_id < {_D18_MID}
+        AND fp NOT IN (SELECT fp FROM h)
+      GROUP BY fp
+    ), a_out AS (
+      SELECT i.doc_id, h.keeper FROM f i LEFT JOIN h USING (fp)
+      WHERE i.doc_id >= {_D16_BOUNDARY} AND i.doc_id < {_D18_MID}
+    ), b_out AS (
+      SELECT i.doc_id, coalesce(h.keeper, an.keeper) AS keeper
+      FROM f i LEFT JOIN h USING (fp) LEFT JOIN an USING (fp)
+      WHERE i.doc_id >= {_D18_MID}
+    )
+    SELECT doc_id, CAST(keeper AS BIGINT) AS dup_of,
+           keeper IS NOT NULL AS is_dup
+    FROM (SELECT * FROM a_out UNION ALL SELECT * FROM b_out)
+    """,
+    doc="Ingest dedup with a MAINTAINED keeper index — the missing "
+    "piece d17's docstring names (d17 builds its index once; "
+    "production appends per batch): the incoming corpus replays as "
+    "TWO ingest batches, batch A dedups against the history index, "
+    "A's NEW fingerprints are appended to the index (bucket-"
+    "partitioned parquet, mode=append — only DIRTY bucket partitions "
+    "receive files, asserted by test from the build manifest), and "
+    "batch B dedups against the UPDATED index — so a B doc "
+    "duplicating an A doc resolves to the A keeper without any "
+    "corpus re-scan (deterministic cross-batch injection keeps that "
+    "path non-vacuous: every 11th B doc copies an A doc's text). "
+    "Batch A's probe filters the index to keeper < boundary (history "
+    "entries), pinning that it ran BEFORE the append; the oracle "
+    "reproduces the two-phase semantics exactly (history keepers, "
+    "then batch-A-new keepers, coalesced in batch order). Bloom "
+    "maintenance is d16's concern (production ORs each batch's "
+    "partial bitmap into the sketch the same way); this entry "
+    "isolates the index-append machinery. Reference analog: ADD "
+    "INDEX backfill + incremental write (ddl/index.go:428); st09 is "
+    "the streaming formulation of the same merge.",
+)
+def d18_index_maintained_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = spark.read.parquet(
+        os.path.join(_d18_incremental_index(spark, sf_dir), "keepers")
+    )
+    f = _d18_augment(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    inc = f.filter(F.col("doc_id") >= _D16_BOUNDARY)
+    a = inc.filter(F.col("doc_id") < _D18_MID).join(
+        idx.filter(F.col("keeper") < _D16_BOUNDARY).select("fp", "keeper"),
+        "fp",
+        "left",
+    )
+    b = inc.filter(F.col("doc_id") >= _D18_MID).join(
+        idx.select("fp", "keeper"), "fp", "left"
+    )
+    return a.unionByName(b).select(
+        "doc_id",
+        F.col("keeper").cast("long").alias("dup_of"),
+        F.col("keeper").isNotNull().alias("is_dup"),
+    )

@@ -29,7 +29,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..streaming.pipeline import hourly_counts, read_event_stream, run_to_memory
+from ..streaming.pipeline import (
+    hourly_counts,
+    read_event_stream,
+    run_to_memory,
+    stream_trigger_options,
+)
 from .registry import register
 
 
@@ -679,7 +684,7 @@ def st09_stream_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest = _make_nearest_centroids(1, _trained_centroids(spark, sf_dir))
     stream = (
         spark.readStream.schema("vec_id long, embedding array<float>, label int")
-        .option("maxFilesPerTrigger", 1)
+        .options(**stream_trigger_options())
         .parquet(_stage_embeddings(sf_dir))
     )
     index_dir = _tmpdir("tinysql_st09_index_")
@@ -873,7 +878,7 @@ def st11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .options(**stream_trigger_options())
         .parquet(src)
     )
     blk = (
@@ -935,7 +940,7 @@ def st12_stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .options(**stream_trigger_options())
         .parquet(src)
     )
     out = pii_scrub(_pii_augment(stream)).select(

@@ -43,6 +43,25 @@ EVENT_SCHEMA = T.StructType(
 _TS_LAYOUT_CACHE: dict[str, str] = {}
 
 
+def stream_trigger_options() -> dict[str, str]:
+    """File-source rate-limit options for every readStream in the
+    suite. Default is one file per micro-batch (deterministic replay —
+    the staged-split fixtures define batch boundaries by file).
+    SPARK_GRAFT_STREAM_TRIGGER=bytes[:N] switches to VOLUME-sized
+    triggers (maxBytesPerTrigger, default 128 MiB — the
+    maxPartitionBytes-style sizing a production ingest uses so batch
+    size tracks data volume, not file count); files[:N] sets a file
+    count. Bench staging only (SURVEY §7.18 item 5): correctness runs
+    never set the env var, so replay semantics are unchanged there."""
+    import os
+
+    spec = os.environ.get("SPARK_GRAFT_STREAM_TRIGGER", "files:1")
+    kind, _, val = spec.partition(":")
+    if kind == "bytes":
+        return {"maxBytesPerTrigger": val or str(128 * 1024 * 1024)}
+    return {"maxFilesPerTrigger": val or "1"}
+
+
 def ts_layout(events_path: str) -> str:
     """Physical layout of the events `ts` column, read from the parquet
     footer of the first file: 'nanos' (TIMESTAMP(NANOS) — Spark reads
@@ -95,7 +114,7 @@ def read_event_stream(
         )
     raw = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .options(**stream_trigger_options())
         .parquet(events_dir)
     )
     if nanos:
