@@ -462,3 +462,45 @@ def test_d18_append_touches_only_dirty_buckets(spark, sf_dir):
     # and at this sf at least one bucket must have stayed CLEAN, or the
     # dirty-only property is unobservable
     assert len(expected_dirty) < _D18_NB, "every bucket dirty — widen NB"
+
+
+def test_p20_matches_pure_python_twin(spark, sf_dir):
+    """Dual-path parity for the BPE-budgeted mix quota (rows-only op):
+    the twin recomputes sample -> training -> encoding -> per-stratum
+    rank -> cumsum -> budget filter in pure pandas and compares the
+    full row set exactly. Also pins the MOTIVATION: the selected doc
+    set differs from p03's whitespace-budgeted set."""
+    import pandas as pd
+
+    from tinysql_spark.functions import bpe
+    from tinysql_spark.operators.pipeline import (
+        _P19_MERGES,
+        p03_token_budget_mix,
+        p20_bpe_token_budget_mix,
+    )
+
+    got = {
+        r["doc_id"]: (r["lang"], r["source"], r["tok_cnt"], r["cum_tok"])
+        for r in p20_bpe_token_budget_mix(spark, sf_dir).collect()
+    }
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "lang", "source", "n_chars", "text"]
+    ]
+    sample = pdf.sort_values("doc_id").head(bpe._BPE_SAMPLE_CAP)
+    merges = bpe.train_bpe(list(sample["text"]), _P19_MERGES)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pdf["tok_cnt"] = pdf["text"].map(lambda t: len(bpe.encode(t, ranks)))
+    exp: dict = {}
+    for (lang, source), grp in pdf.groupby(["lang", "source"]):
+        cum = 0
+        for _, row in grp.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).iterrows():
+            cum += int(row["tok_cnt"])
+            if cum <= 500:
+                exp[int(row["doc_id"])] = (lang, source, int(row["tok_cnt"]), cum)
+    assert got == exp
+
+    ws_ids = {r["doc_id"] for r in p03_token_budget_mix(spark, sf_dir).collect()}
+    assert set(got) != ws_ids, "BPE quota identical to whitespace quota — vacuous"

@@ -264,6 +264,9 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
                 # same bounded training collect, distinct merge budget
                 # (_BPE_MEMO key not warmed by p15) — ADVICE r9 medium
                 "p19_bpe_sequence_packing",
+                # shares p19's memo key, but the exempted p19 never
+                # runs in this test, so p20 would pay the collect
+                "p20_bpe_token_budget_mix",
                 # bounded bloom-bitmap build (|partitions| x 16 KiB) IS
                 # the design
                 "d16_bloom_incremental_dedup",

@@ -1474,3 +1474,56 @@ def p19_bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok_cnt").cast("long").alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p20 — tokenizer-faithful token-budget mix: p03's per-stratum quota
+# over BPE subword counts (the last whitespace-budgeted pipeline entry
+# — VERDICT r9 item 6, completing the p15/p19 discipline)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "p20_bpe_token_budget_mix",
+    late=True,
+    oracle=None,  # BPE counts are not SQL-expressible; dual-path
+    # Python-twin parity in tests/test_dedup_quality.py (the p15/p19
+    # discipline).
+    doc="Tokenizer-faithful TRAINING-MIX QUOTA: p03's per-(lang, "
+    "source) 500-token budget computed over BPE SUBWORD counts "
+    "(functions/bpe, the same corpus-trained tokenizer and merge "
+    "budget p19 packs with — the memoized merge table is shared, so "
+    "the bounded training collect is paid once per session) instead "
+    "of whitespace words. Quotas decide WHICH documents make the "
+    "training mix; whitespace counts undercount subword-heavy text, "
+    "so a whitespace-budgeted stratum admits MORE documents than its "
+    "token budget really allows — the twin test pins that the "
+    "selected sets genuinely differ. Same plan as p03: one Arrow "
+    "pandas_udf scan for counts, one hash-partitioned running-sum "
+    "window per stratum, a filter — strata are independent at 100 TB "
+    "and the window parallelizes to the stratum count. Rows-only by "
+    "necessity; the Python twin recomputes the entire quota "
+    "(sample->train->encode->rank->cumsum->filter) exactly.",
+)
+def p20_bpe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.bpe import corpus_bpe, with_bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = corpus_bpe(spark, sf_dir, _P19_MERGES)
+    t = with_bpe_token_count(docs, merges).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.col("n_bpe").cast("long").alias("tok_cnt"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tok", F.sum("tok_cnt").over(w))
+        .filter(F.col("cum_tok") <= 500)
+        .drop("n_chars")
+    )
