@@ -504,3 +504,36 @@ def test_p20_matches_pure_python_twin(spark, sf_dir):
 
     ws_ids = {r["doc_id"] for r in p03_token_budget_mix(spark, sf_dir).collect()}
     assert set(got) != ws_ids, "BPE quota identical to whitespace quota — vacuous"
+
+
+def test_t20_matches_pure_python_twin(spark, sf_dir):
+    """Dual-path parity for the compression gate (rows-only op): the
+    twin reproduces injection + zlib level-6 deflate + flags exactly,
+    and both flag tails must be non-vacuous."""
+    import zlib
+
+    import pandas as pd
+
+    from tinysql_spark.operators.text import _T20_REP_EVERY, t20_compression_gate
+
+    got = {
+        r["doc_id"]: (
+            r["n_raw"], r["n_comp"], r["ratio"],
+            r["flag_repetitive"], r["flag_incompressible"],
+        )
+        for r in t20_compression_gate(spark, sf_dir).collect()
+    }
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    exp = {}
+    for _, row in pdf.iterrows():
+        t = row["text"] or ""
+        if row["doc_id"] % _T20_REP_EVERY == 0:
+            t = t[:40] * 20
+        raw = t.encode("utf-8")
+        n_raw, n_comp = len(raw), len(zlib.compress(raw, 6))
+        ratio = n_comp / max(n_raw, 1)
+        exp[int(row["doc_id"])] = (n_raw, n_comp, ratio, ratio < 0.2, ratio > 0.95)
+    assert got == exp
+    assert any(v[3] for v in got.values()), "no repetitive docs flagged"
+    assert any(v[4] for v in got.values()), "no incompressible docs flagged"

@@ -55,7 +55,7 @@ def test_oracle_backed_entries_fit_driver_window():
                  "d16_bloom_incremental_dedup", "p16_curriculum_order",
                  "d17_indexed_incremental_dedup", "p18_decontaminate",
                  # round-10 rotation: windowed on landing
-                 "d18_index_maintained_dedup"):
+                 "d18_index_maintained_dedup", "t19_nb_langid"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
@@ -70,7 +70,8 @@ def test_oracle_backed_entries_fit_driver_window():
                 "p07_training_order", "d01_dedup_exact",
                 "p11_data_quality_checks", "t13_unigram_nll",
                 "p10_leakage_safe_split", "q55_market_share",
-                "p04_contamination", "q38_correlated_scalar"):
+                "p04_contamination", "q38_correlated_scalar",
+                "t09_gopher_gates"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

@@ -132,7 +132,11 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # the missing piece) swaps for q38_correlated_scalar — the correlated
 # scalar-subquery shape is now evidenced by the 20-case subquery fuzz
 # corpus (test_sql_fuzz.py: scalar/EXISTS/IN forms vs DuckDB) on top
-# of its parity-suite hash check.
+# of its parity-suite hash check. t19_nb_langid (trained NB language
+# classifier — supervised multiclass argmax, a shape no window entry
+# had) swaps for t09_gopher_gates, whose threshold-gate family t14
+# and t17 keep evidenced in-window (t09 stays hash-checked in
+# parity).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -188,12 +192,12 @@ WINDOW: tuple[str, ...] = (
     "p17_dsir_weights",
     "p18_decontaminate",
     # text-quality gates (rounds 3, 5)
-    "t09_gopher_gates",
     "t14_repetition_filters",
     "t15_bigram_nll",
     "t16_pii_scrub",
     "t17_blocklist_gate",
     "t18_source_drift",
+    "t19_nb_langid",
 )
 
 

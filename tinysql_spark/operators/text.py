@@ -1043,3 +1043,185 @@ def t18_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 1.0).alias("flagged"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t19 — TRAINED Naive-Bayes language classifier: the supervised
+# counterpart of t02's n-gram heuristic (fastText/CCNet-style lang-id
+# is a trained linear model; NB over unigrams is its countable,
+# oracle-expressible core)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t19_nb_langid",
+    late=True,
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), langs AS (SELECT DISTINCT lang FROM b),
+    cnt AS (SELECT lang, w, count(*) AS c FROM b GROUP BY 1, 2),
+    tot AS (SELECT lang, count(*) AS t FROM b GROUP BY 1),
+    v AS (SELECT count(DISTINCT w) AS v FROM b),
+    pri AS (SELECT lang, count(DISTINCT doc_id) AS nd FROM b GROUP BY 1),
+    nn AS (SELECT count(DISTINCT doc_id) AS n FROM b),
+    sc AS (
+      SELECT t.doc_id, l.lang,
+             round(ln(pri.nd * 1.0 / nn.n)
+                   + sum(ln((coalesce(cnt.c, 0) + 1.0) / (tot.t + v.v))), 4)
+               AS score
+      FROM (SELECT doc_id, w FROM b) t
+      CROSS JOIN langs l
+      LEFT JOIN cnt ON cnt.lang = l.lang AND cnt.w = t.w
+      JOIN tot ON tot.lang = l.lang
+      JOIN pri ON pri.lang = l.lang, v, nn
+      GROUP BY t.doc_id, l.lang, pri.nd, nn.n, v.v
+    ), r AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rn
+      FROM sc
+    )
+    SELECT d.doc_id, d.lang AS true_lang, r.lang AS pred_lang,
+           r.score AS nb_score, r.lang = d.lang AS correct
+    FROM r JOIN documents d USING (doc_id)
+    WHERE rn = 1
+    """,
+    doc="TRAINED language classifier — multinomial Naive Bayes over "
+    "unigram counts with Laplace smoothing, the countable core of "
+    "the fastText-style linear classifiers production lang-id "
+    "actually runs (CCNet, RedPajama); t02 is the zero-shot "
+    "heuristic, this is the supervised shape: per-class word counts "
+    "+ class priors from labeled data, per-doc per-class "
+    "log-likelihood sums, argmax with a deterministic tie-break on "
+    "the 4dp-ROUNDED score (rounding before argmax keeps the winner "
+    "identical across engines; raw-double ordering could flip on "
+    "summation-order noise). Trains and scores on the same corpus "
+    "here (the oracle-checkable formulation); production trains on "
+    "a labeled seed and scores unlabeled ingest — the swap is the "
+    "training filter. Plan: one explode scan, two bounded count aggs "
+    "(map-side combine), a |langs|-row broadcast cross join, one "
+    "equi-join back on (lang, word), per-(doc, lang) partial agg, "
+    "one doc-partitioned argmax window. The (lang x vocab) count "
+    "table is the only corpus-dependent model state; production "
+    "bounds it with p17's hashed-feature trick (one-line swap, "
+    "engine-hash caveat documented there).",
+)
+def t19_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    b = docs.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w"))
+    langs = b.select("lang").distinct()
+    cnt = b.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = b.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
+    v = b.agg(F.count_distinct("w").alias("v"))
+    pri = b.groupBy("lang").agg(F.count_distinct("doc_id").alias("nd"))
+    nn = b.agg(F.count_distinct("doc_id").alias("n"))
+    tok = b.select("doc_id", "w")
+    term = F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("t") + F.col("v")))
+    sc = (
+        tok.crossJoin(F.broadcast(langs))
+        .join(cnt, ["lang", "w"], "left")
+        .join(F.broadcast(tot), "lang")
+        .join(F.broadcast(v))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(term).alias("ll"))
+        .join(F.broadcast(pri), "lang")
+        .join(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.log(F.col("nd") / F.col("n")) + F.col("ll"), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    r = sc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(r, "doc_id")
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("lang").alias("pred_lang"),
+            F.col("score").alias("nb_score"),
+            (F.col("lang") == F.col("true_lang")).alias("correct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# t20 — compression-ratio gate (Gopher-family repetition proxy): zlib
+# deflate ratio per document, flags at both tails
+# --------------------------------------------------------------------------
+
+_T20_REP_EVERY = 13  # deterministic repetition injection period
+
+
+def _t20_inject(docs: DataFrame) -> DataFrame:
+    """Deterministic repetition injection (the t16 discipline): every
+    13th doc's text becomes its first 40 chars repeated 20x — the
+    synthetic corpus has no heavily repetitive docs, so the low-ratio
+    flag would be vacuous without it. The twin test reproduces the
+    same rewrite byte-for-byte."""
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _T20_REP_EVERY == 0,
+            F.repeat(F.substring("text", 1, 40), 20),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+@register(
+    "t20_compression_gate",
+    late=True,
+    oracle=None,  # zlib deflate is not SQL-expressible; dual-path
+    # Python-twin parity in tests/test_dedup_quality.py.
+    doc="COMPRESSION-RATIO gate — the cheap whole-document repetition "
+    "proxy the Gopher/MassiveText family runs alongside t08/t14's "
+    "explicit n-gram filters: deflate(text) via zlib level 6, ratio "
+    "= compressed/raw bytes. Heavily repetitive docs (boilerplate, "
+    "scraper loops) compress far below natural text (injected docs "
+    "land ~0.06 vs the 0.40-1.02 natural band) -> flag_repetitive "
+    "at < 0.2; near-incompressible docs (ratio > 0.95 — minified/"
+    "encoded payloads; tiny docs where the deflate header dominates) "
+    "-> flag_incompressible, both tails non-vacuous at every sf. One "
+    "Arrow pandas_udf scan (bytes in, one long out), ratio/flags in "
+    "Column algebra — map-only, no shuffle, O(bytes) at 100 TB. "
+    "Rows-only by necessity; the twin recomputes injection + zlib + "
+    "flags exactly.",
+)
+def t20_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _n_comp(texts):
+        import zlib
+
+        return texts.map(lambda t: len(zlib.compress((t or "").encode("utf-8"), 6)))
+
+    n_comp = F.pandas_udf(_n_comp, "long")
+    t = _t20_inject(load_table(spark, sf_dir, "documents"))
+    out = t.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_raw"),
+        n_comp(F.col("text")).alias("n_comp"),
+    ).withColumn(
+        # exact int64/int64 double division — bit-identical in the
+        # Python twin, so no rounding (HALF_UP-vs-banker's would
+        # diverge on .xxxx5 boundaries; the raw quotient cannot)
+        "ratio",
+        F.col("n_comp") / F.greatest(F.col("n_raw"), F.lit(1)),
+    )
+    return out.select(
+        "doc_id",
+        "n_raw",
+        "n_comp",
+        "ratio",
+        (F.col("ratio") < 0.2).alias("flag_repetitive"),
+        (F.col("ratio") > 0.95).alias("flag_incompressible"),
+    )
