@@ -329,3 +329,57 @@ def test_m08_scrub_preserves_post_iend_tail():
     # passthrough changed nothing else
     base, _ = png_strip_metadata(raw)
     assert scrubbed == base + tail
+
+
+def test_m09_wav_roundtrip_and_twin(spark, sf_dir):
+    """The WAV container round-trips byte-exactly (synth -> parse
+    recovers the sample stream), the operator matches a pure-Python
+    twin recompute, and the injected leading silence is detected."""
+    import numpy as np
+
+    from tinysql_spark.operators.multimodal import (
+        _M09_FRAME,
+        _M09_SILENT_EVERY,
+        _WAV_SR,
+        m09_audio_frame_energy,
+        synth_wav_bytes,
+        wav_parse,
+    )
+
+    # codec round-trip on a handful of payloads
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    got = {r["doc_id"]: r.asDict() for r in m09_audio_frame_energy(spark, sf_dir).collect()}
+    assert len(got) == len(pdf)
+    n_silent_docs = 0
+    for _, row in pdf.iterrows():
+        doc_id, text = int(row["doc_id"]), row["text"]
+        raw = synth_wav_bytes(doc_id, text)
+        sr, s = wav_parse(raw)
+        assert sr == _WAV_SR
+        # twin recompute
+        nf = len(s) // _M09_FRAME
+        fr = s[: nf * _M09_FRAME].astype(np.int64).reshape(nf, _M09_FRAME)
+        sumsq = (fr * fr).sum(axis=1)
+        g = got[doc_id]
+        assert g["n_samples"] == len(s) and g["n_frames"] == nf
+        assert g["n_silent"] == int((sumsq == 0).sum())
+        assert g["peak_abs"] == int(np.abs(s.astype(np.int64)).max())
+        assert g["total_sumsq"] == int(sumsq.sum())
+        if doc_id % _M09_SILENT_EVERY == 0:
+            # short docs may have fewer than 3 frames total
+            assert g["n_silent"] >= min(3, nf), (
+                f"doc {doc_id}: injected silence not detected"
+            )
+            n_silent_docs += 1
+    assert n_silent_docs > 0
+    # unknown-chunk + odd-padding tolerance: splice a 3-byte chunk in
+    import struct
+
+    raw = synth_wav_bytes(1, "odd chunk")
+    spliced = raw[:12] + b"LIST" + struct.pack("<I", 3) + b"abc\x00" + raw[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    sr2, s2 = wav_parse(spliced)
+    _, s1 = wav_parse(raw)
+    assert sr2 == _WAV_SR and np.array_equal(s1, s2)

@@ -841,3 +841,109 @@ def m08_metadata_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_removed long, bytes_before long, "
         "bytes_after long, scrubbed_md5 string",
     )
+
+
+# -- WAV codec (stdlib struct; RIFF/WAVE spec) ------------------------------
+# The audio modality's analog of the PNG path above: payloads are
+# spec-valid 16-bit mono PCM WAV files synthesized deterministically
+# from the document, and the parser is a byte-exact RIFF chunk walk.
+# Swapping in torchaudio/librosa for compressed formats changes only
+# the per-item decode call; the Spark-side plumbing is identical.
+
+_WAV_SR = 8000  # sample rate (Hz)
+_M09_FRAME = 400  # 50 ms analysis frames
+_M09_SILENT_EVERY = 5  # deterministic leading-silence injection period
+
+
+def synth_wav_bytes(doc_id: int, text: str) -> bytes:
+    """Spec-valid RIFF/WAVE container: 'fmt ' (PCM, mono, 8 kHz,
+    16-bit) + 'data' holding samples derived from the text's md5
+    stream (independently recomputable by tests). Every 5th doc's
+    first 3 frames are zeroed — deterministic leading silence, so the
+    silence-detection path is non-vacuous on the synthetic corpus."""
+    b = (text or "").encode("utf-8")
+    n = 800 + (len(b) % 50) * 40  # 0.1-0.35 s of audio
+    seed = hashlib.md5(b).digest()
+    stream = np.frombuffer(seed * (-(-(n * 2) // len(seed))), dtype=np.uint8)[: n * 2]
+    samples = stream.view("<i2").copy()
+    if doc_id % _M09_SILENT_EVERY == 0:
+        samples[: 3 * _M09_FRAME] = 0
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, _WAV_SR, _WAV_SR * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_parse(data: bytes) -> tuple[int, np.ndarray]:
+    """Byte-exact RIFF walk -> (sample_rate, int16 sample array).
+    Validates the RIFF/WAVE magic and the PCM fmt tag; unknown chunks
+    are skipped with the spec's odd-length padding rule."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, samples = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            audio_fmt, channels, sr = struct.unpack("<HHI", body[:8])
+            if audio_fmt != 1 or channels != 1:
+                raise ValueError("only mono PCM supported")
+        elif tag == b"data":
+            samples = np.frombuffer(body[: len(body) & ~1], dtype="<i2")
+        pos += 8 + length + (length & 1)  # odd chunks pad one byte
+    if sr is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return sr, samples
+
+
+@register(
+    "m09_audio_frame_energy",
+    late=True,
+    oracle=None,  # python codec — rows-only; dual-path twin in
+    # tests/test_multimodal_codec.py (the m02/m08 discipline).
+    doc="AUDIO feature extraction — the frame-energy / silence scan "
+    "every speech-data pipeline runs before transcription or VAD "
+    "gating: payloads are spec-valid 16-bit mono PCM WAV containers "
+    "(synthesized deterministically; the testdata ships no binary "
+    "table), the decoder is a byte-exact RIFF chunk walk on stdlib "
+    "struct, and per 50 ms frame the operator computes the sum of "
+    "squared samples (int64 — EXACT, no float accumulation order to "
+    "diverge on) and peak amplitude, rolling up per document: frame "
+    "count, silent-frame count (sumsq == 0; deterministic leading-"
+    "silence injection keeps the path non-vacuous), duration, peak. "
+    "One Arrow mapInPandas scan — map-only, no shuffle, O(bytes) at "
+    "100 TB; compressed formats swap the per-item decode call only "
+    "(torchaudio), the batching/schema/partitioning stay as-is.",
+)
+def m09_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sr, s = wav_parse(synth_wav_bytes(int(doc_id), text))
+                n = len(s)
+                nf = n // _M09_FRAME
+                fr = s[: nf * _M09_FRAME].astype(np.int64).reshape(nf, _M09_FRAME)
+                sumsq = (fr * fr).sum(axis=1)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "sr": int(sr),
+                        "n_samples": n,
+                        "n_frames": int(nf),
+                        "n_silent": int((sumsq == 0).sum()),
+                        "peak_abs": int(np.abs(s.astype(np.int64)).max()) if n else 0,
+                        "total_sumsq": int(sumsq.sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        scan,
+        "doc_id long, sr int, n_samples long, n_frames long, "
+        "n_silent long, peak_abs long, total_sumsq long",
+    )
