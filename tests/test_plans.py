@@ -896,6 +896,25 @@ def test_d16_bloom_prefilter_before_join(q):
     assert js and all(j != "CartesianProduct" for j in js), js
 
 
+def test_p18_p04_eval_join_broadcasts_via_aqe_not_hint(q):
+    """VERDICT r9 item 4: the eval-side broadcast must be EARNED by
+    AQE/autoBroadcastJoinThreshold from measured sizes, never forced —
+    an unconditional hint would OOM executors on a corpus-proportional
+    eval side at 100 TB. Assert (a) no broadcast hint survives in the
+    logical plan, and (b) after execution AQE's FINAL plan still chose
+    a broadcast join for the genuinely small synthetic eval side."""
+    from tinysql_spark.plans import plan_string
+
+    for name in ("p18_decontaminate", "p04_contamination"):
+        df = q(name)
+        ext = plan_string(df, "extended")
+        assert "ResolvedHint" not in ext and "UnresolvedHint" not in ext, name
+        df.collect()  # finalize the adaptive plan on this queryExecution
+        final = plan_string(df)
+        assert "isFinalPlan=true" in final, name
+        assert "BroadcastHashJoin" in final, (name, final)
+
+
 def test_p17_t18_bounded_broadcasts_and_partial_aggs(q):
     """p17/t18's model tables must broadcast (bounded by vocab/B and
     1-row moments) and every count agg must carry a partial stage —
