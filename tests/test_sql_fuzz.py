@@ -556,3 +556,64 @@ def test_differential_setop_fuzz(fuzz_eng, fuzz_duck2, seed):
     a = _canon_rows(fuzz_eng.sql(sql).df.toPandas())
     b = _canon_rows(fuzz_duck2.execute(sql).df())
     assert a == b, f"seed {seed} diverged:\n{sql}\nspark rows {len(a)} duck rows {len(b)}"
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function fuzz (SURVEY §7.20 item 5, pulled into round 10):
+# CASE WHEN nesting, string functions, COALESCE/NULLIF — the mysql.py
+# registry surfaces the predicate corpus exercises only via
+# comparisons. Stays in the MySQL/DuckDB common dialect: SUBSTR is
+# 1-based in both, || is unavailable in MySQL so CONCAT() is used,
+# and no division (the known /0 divergence).
+# ---------------------------------------------------------------------------
+
+
+def gen_scalar_query(seed: int) -> str:
+    rng = random.Random(seed * 777767 + 5)
+    form = rng.choice(["case", "case_nested", "string", "coalesce", "nullif"])
+    if form == "case":
+        thr = rng.choice([50000, 120000, 200000])
+        expr = (
+            f"CASE WHEN o_totalprice < {thr} THEN 'small' "
+            f"WHEN o_orderstatus = 'O' THEN 'open' ELSE 'big' END AS cls"
+        )
+    elif form == "case_nested":
+        expr = (
+            "CASE WHEN o_orderstatus = 'O' THEN "
+            "  CASE WHEN o_custkey % 2 = 0 THEN 'open-even' ELSE 'open-odd' END "
+            f"WHEN o_orderpriority IN ({', '.join(STR_VALS['o_orderpriority'][:2])}) "
+            "THEN 'closed-hot' ELSE 'closed-cold' END AS cls"
+        )
+    elif form == "string":
+        expr = rng.choice(
+            [
+                "UPPER(SUBSTR(o_orderpriority, 3, 4)) AS cls",
+                "CONCAT(o_orderstatus, '-', SUBSTR(o_orderpriority, 1, 1)) AS cls",
+                "LOWER(o_orderpriority) AS cls",
+                f"CAST(LENGTH(o_orderpriority) + {rng.choice([0, 7])} AS BIGINT) AS cls",
+            ]
+        )
+    elif form == "coalesce":
+        # NULLIF makes a NULL stream; COALESCE repairs it — both
+        # engines 3VL-identical
+        expr = (
+            "COALESCE(NULLIF(o_orderstatus, 'O'), 'was-open') AS cls"
+        )
+    else:
+        expr = f"NULLIF(o_custkey % {rng.choice([3, 5])}, 0) AS cls"
+    agg = rng.random() < 0.5
+    if agg:
+        return (
+            f"SELECT {expr}, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(MIN(o_orderkey) AS BIGINT) AS mn "
+            f"FROM orders{_where(rng)} GROUP BY cls"
+        )
+    return f"SELECT o_orderkey, {expr} FROM orders{_where(rng)}"
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_differential_scalar_fuzz(fuzz_eng, fuzz_duck, seed):
+    sql = gen_scalar_query(seed)
+    a = _canon_rows(fuzz_eng.sql(sql).df.toPandas())
+    b = _canon_rows(fuzz_duck.execute(sql).df())
+    assert a == b, f"seed {seed} diverged:\n{sql}\nspark rows {len(a)} duck rows {len(b)}"
