@@ -472,6 +472,121 @@ def test_differential_write_fuzz(fuzz_eng, fuzz_duck, seed):
 
 
 # ---------------------------------------------------------------------------
+# Schema-EVOLUTION fuzz (SURVEY §7.20 item 1, pulled into round 10):
+# ALTER TABLE ADD COLUMN mid-sequence, then writes/deletes that use
+# the evolved schema. Constraints that keep the dialect mapping
+# semantic-preserving: no DEFAULT (the engine's metadata-only ALTER
+# reads NULL for existing rows, which DuckDB matches only without
+# one), ALTERs never inside a txn group (the engine's DDL implicitly
+# commits — MySQL semantics DuckDB's session txns don't share), and
+# inserts after an ALTER list their columns explicitly.
+# A separate generator so the original 50-sequence corpus stays
+# byte-stable (its contract is reproducibility by seed).
+# ---------------------------------------------------------------------------
+
+
+def gen_evolve_sequence(
+    seed: int,
+) -> tuple[list[tuple[str, str | None, bool]], list[str]]:
+    """Return (ops, final_select_columns) over a fresh table e{seed}."""
+    rng = random.Random(seed * 104003 + 77)
+    tbl = f"e{seed}"
+    has_pk = rng.random() < 0.7
+    pk = " PRIMARY KEY" if has_pk else ""
+    ddl = f"CREATE TABLE {tbl} (k BIGINT{pk}, v BIGINT, s VARCHAR(255))"
+    ops: list[tuple[str, str | None, bool]] = [(ddl, ddl, False)]
+    extra: list[str] = []
+    hi = 1000
+
+    def fresh(n: int) -> list[int]:
+        nonlocal hi
+        ks = list(range(hi, hi + n))
+        hi += n
+        return ks
+
+    def ins_values() -> tuple[str, str, bool]:
+        n = rng.randint(1, 4)
+        ks = fresh(n) if has_pk else [rng.randrange(2000) for _ in range(n)]
+        cols = ["k", "v", "s"] + extra
+        rows = []
+        for k in ks:
+            vals = [str(k)]
+            vals.append("NULL" if rng.random() < 0.15 else str(rng.randrange(2000)))
+            vals.append(
+                "NULL" if rng.random() < 0.1 else rng.choice(["'O'", "'F'", "'x'"])
+            )
+            for _c in extra:
+                vals.append("NULL" if rng.random() < 0.3 else str(rng.randrange(100)))
+            rows.append(f"({', '.join(vals)})")
+        sql = (
+            f"INSERT INTO {tbl} ({', '.join(cols)}) VALUES {', '.join(rows)}"
+        )
+        return (sql, sql, True)
+
+    def ins_select() -> tuple[str, str, bool]:
+        # unlisted post-ALTER columns fill NULL in both engines
+        nonlocal hi
+        a = rng.choice([0, 200, 700])
+        sql = (
+            f"INSERT INTO {tbl} (k, v, s) SELECT o_orderkey + {hi}, "
+            f"o_custkey, o_orderstatus FROM orders "
+            f"WHERE o_orderkey BETWEEN {a} AND {a + rng.choice([30, 90])}"
+        )
+        hi += 10000
+        return (sql, sql, True)
+
+    def alter_add() -> tuple[str, str, bool]:
+        name = f"c{len(extra) + 1}"
+        extra.append(name)
+        sql = f"ALTER TABLE {tbl} ADD COLUMN {name} BIGINT"
+        return (sql, sql, False)
+
+    def delete() -> tuple[str, str, bool]:
+        choices = [
+            f"k % {rng.choice([2, 3, 5])} = 0",
+            f"v < {rng.choice([300, 900])}",
+        ]
+        if extra:
+            c = rng.choice(extra)
+            choices.append(rng.choice([f"{c} < 50", f"{c} IS NULL"]))
+        pred = f" {rng.choice(['AND', 'OR'])} ".join(
+            rng.sample(choices, rng.choice([1, 2]))
+        )
+        sql = f"DELETE FROM {tbl} WHERE {pred}"
+        return (sql, sql, True)
+
+    ops.append(ins_values())
+    ops.append(alter_add())  # every sequence evolves at least once
+    kinds = [ins_values, ins_values, ins_select, delete]
+    for _ in range(rng.randint(4, 6)):
+        op = alter_add if (rng.random() < 0.15 and len(extra) < 3) else rng.choice(kinds)
+        ops.append(op())
+    return ops, ["k", "v", "s"] + extra
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_differential_schema_evolution_fuzz(fuzz_eng, fuzz_duck, seed):
+    ops, cols = gen_evolve_sequence(seed)
+    for eng_sql, duck_sql, check in ops:
+        r = fuzz_eng.sql(eng_sql)
+        if duck_sql is not None:
+            d = fuzz_duck.execute(duck_sql)
+            if check:
+                n_duck = d.fetchall()[0][0]
+                assert r.rows_affected == n_duck, (
+                    f"seed {seed} count diverged ({r.rows_affected} vs "
+                    f"{n_duck}):\n{eng_sql}"
+                )
+    sel = f"SELECT {', '.join(cols)} FROM e{seed}"
+    a = _canon_rows(fuzz_eng.sql(sel).df.toPandas())
+    b = _canon_rows(fuzz_duck.execute(sel).df())
+    assert a == b, (
+        f"seed {seed} final state diverged ({len(a)} vs {len(b)} rows):\n"
+        + "\n".join(e for e, _, _ in ops)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Window-function fuzz (VERDICT r9 item 7): ranking / offset / framed-
 # aggregate forms — Spark-delegated, so any divergence is a dialect-
 # shim bug. Determinism by construction: every ORDER BY inside a
