@@ -537,3 +537,46 @@ def test_t20_matches_pure_python_twin(spark, sf_dir):
     assert got == exp
     assert any(v[3] for v in got.values()), "no repetitive docs flagged"
     assert any(v[4] for v in got.values()), "no incompressible docs flagged"
+
+
+def test_d18_refreshed_bloom_has_no_false_negatives(spark, sf_dir):
+    """The maintained sketch's safety property: every batch-A
+    fingerprint hash must be a bloom HIT in the refreshed bitmap (a
+    false negative would silently skip a B-duplicates-A doc), while
+    the UN-refreshed history bitmap must MISS at least one batch-A-new
+    fingerprint — i.e. the refresh genuinely added bits."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from tinysql_spark.operators.dedup import (
+        _D16_BOUNDARY,
+        _D18_MID,
+        _d16_bit_indices,
+        _d16_history_bloom,
+        _d18_augment,
+        _d18_refreshed_bloom,
+        fingerprint,
+    )
+    from tinysql_spark.sources.tables import load_table
+
+    def hits(bm_bytes, h64):
+        bits = np.frombuffer(bm_bytes, dtype=np.uint8)
+        i = _d16_bit_indices(np.asarray(h64, dtype=np.int64))
+        return ((bits[i >> 3] >> (i & 7).astype(np.uint8)) & 1).all(axis=1)
+
+    f = _d18_augment(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.xxhash64(fingerprint(F.col("text"))).alias("h")
+    )
+    a_h = [
+        r["h"]
+        for r in f.filter(
+            (F.col("doc_id") >= _D16_BOUNDARY) & (F.col("doc_id") < _D18_MID)
+        ).collect()
+    ]
+    ref = _d18_refreshed_bloom(spark, sf_dir)
+    hist = _d16_history_bloom(spark, sf_dir)
+    assert hits(ref, a_h).all(), "refreshed bloom false negative on a batch-A fp"
+    assert not hits(hist, a_h).all(), (
+        "history bloom already contains every batch-A fp — refresh vacuous"
+    )

@@ -2103,6 +2103,49 @@ def _d18_augment(docs: DataFrame) -> DataFrame:
     )
 
 
+_D18_BLOOM_MEMO: dict[str, bytes] = {}
+
+
+def _d18_refreshed_bloom(spark: SparkSession, sf_dir: str) -> bytes:
+    """BLOOM MAINTENANCE (SURVEY §7.20 item 2): the production ingest
+    loop updates its membership sketch per batch, not just its index —
+    batch A's fingerprint hashes are folded into d16's history bitmap
+    with the same partition-partial mapInPandas OR-merge (A's full fp
+    set, not only new ones: a bloom is a set, duplicates are free).
+    Batch B then prefilters against the REFRESHED sketch, so a B doc
+    duplicating an A doc is a bloom HIT, never a false negative.
+    Driver traffic stays |partitions| x 16 KiB per batch."""
+    import numpy as np
+
+    key = os.path.abspath(sf_dir)
+    bm = _D18_BLOOM_MEMO.get(key)
+    if bm is not None:
+        return bm
+    base = np.frombuffer(_d16_history_bloom(spark, sf_dir), dtype=np.uint8).copy()
+    a_hashes = (
+        _d18_augment(load_table(spark, sf_dir, "documents"))
+        .filter((F.col("doc_id") >= _D16_BOUNDARY) & (F.col("doc_id") < _D18_MID))
+        .select(F.xxhash64(fingerprint(F.col("text"))).alias("h"))
+    )
+
+    def partial(batches):
+        bits = np.zeros(_D16_M // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                idx = _d16_bit_indices(pdf["h"].to_numpy()).ravel()
+                np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bm": [bits.tobytes()]})
+
+    for r in a_hashes.mapInPandas(partial, "bm binary").collect():
+        base |= np.frombuffer(r["bm"], dtype=np.uint8)
+    bm = base.tobytes()
+    _D18_BLOOM_MEMO[key] = bm
+    return bm
+
+
 _D18_DIR_MEMO: dict[str, str] = {}
 
 
@@ -2228,28 +2271,58 @@ def _d18_incremental_index(spark: SparkSession, sf_dir: str) -> str:
     "Batch A's probe filters the index to keeper < boundary (history "
     "entries), pinning that it ran BEFORE the append; the oracle "
     "reproduces the two-phase semantics exactly (history keepers, "
-    "then batch-A-new keepers, coalesced in batch order). Bloom "
-    "maintenance is d16's concern (production ORs each batch's "
-    "partial bitmap into the sketch the same way); this entry "
-    "isolates the index-append machinery. Reference analog: ADD "
+    "then batch-A-new keepers, coalesced in batch order). The BLOOM "
+    "is maintained alongside the index: batch A's fingerprints are "
+    "OR-folded into d16's history sketch (same partition-partial "
+    "mapInPandas merge), batch A prefilters on the history bitmap "
+    "and batch B on the refreshed one — only bloom hits reach either "
+    "index join, false negatives impossible by construction, false "
+    "positives die in the join, output exact. Reference analog: ADD "
     "INDEX backfill + incremental write (ddl/index.go:428); st09 is "
     "the streaming formulation of the same merge.",
 )
 def d18_index_maintained_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     idx = spark.read.parquet(
         os.path.join(_d18_incremental_index(spark, sf_dir), "keepers")
     )
+    # per-batch bloom prefilter, MAINTAINED like the index: batch A
+    # probes the history sketch, batch B the refreshed one (history |
+    # batch A) — so only bloom hits reach the index join in either
+    # batch, and a B-duplicates-A doc is a guaranteed hit. Output
+    # stays exact (false positives die in the join).
+    bm_hist = _d16_history_bloom(spark, sf_dir)
+    bm_ref = _d18_refreshed_bloom(spark, sf_dir)
+
+    def make_might(bm_bytes: bytes):
+        def might_contain_batch(h64):
+            bits = np.frombuffer(bm_bytes, dtype=np.uint8)
+            i = _d16_bit_indices(h64.to_numpy())
+            hit = (bits[i >> 3] >> (i & 7).astype(np.uint8)) & 1
+            return pd.Series(hit.all(axis=1).astype(bool))
+
+        return F.pandas_udf(might_contain_batch, "boolean")
+
     f = _d18_augment(load_table(spark, sf_dir, "documents")).select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
     )
     inc = f.filter(F.col("doc_id") >= _D16_BOUNDARY)
-    a = inc.filter(F.col("doc_id") < _D18_MID).join(
+
+    def probe(batch: DataFrame, keepers: DataFrame, bm: bytes) -> DataFrame:
+        cand = batch.filter(make_might(bm)(F.xxhash64("fp")))
+        res = cand.join(keepers, "fp").select("doc_id", "keeper")
+        return batch.join(res, "doc_id", "left")
+
+    a = probe(
+        inc.filter(F.col("doc_id") < _D18_MID),
         idx.filter(F.col("keeper") < _D16_BOUNDARY).select("fp", "keeper"),
-        "fp",
-        "left",
+        bm_hist,
     )
-    b = inc.filter(F.col("doc_id") >= _D18_MID).join(
-        idx.select("fp", "keeper"), "fp", "left"
+    b = probe(
+        inc.filter(F.col("doc_id") >= _D18_MID),
+        idx.select("fp", "keeper"),
+        bm_ref,
     )
     return a.unionByName(b).select(
         "doc_id",
