@@ -580,3 +580,44 @@ def test_d18_refreshed_bloom_has_no_false_negatives(spark, sf_dir):
     assert not hits(hist, a_h).all(), (
         "history bloom already contains every batch-A fp — refresh vacuous"
     )
+
+
+def test_d18_compaction_rewrites_only_fragmented_buckets(spark, sf_dir):
+    """d18_compact_index must (a) leave the index CONTENT bit-identical
+    (same fp->keeper rows), (b) bring every bucket partition down to
+    one file, and (c) report exactly the buckets that were fragmented."""
+    import glob
+    import os
+
+    from tinysql_spark.operators.dedup import (
+        _d18_incremental_index,
+        d18_compact_index,
+    )
+
+    d = _d18_incremental_index(spark, sf_dir)
+    idx = os.path.join(d, "keepers")
+    before_files = {
+        p: len(glob.glob(os.path.join(p, "*.parquet")))
+        for p in glob.glob(os.path.join(idx, "bkt=*"))
+    }
+    fragmented = {
+        int(p.rsplit("=", 1)[1]) for p, n in before_files.items() if n > 1
+    }
+    assert fragmented, "no fragmented buckets — the append left nothing to compact"
+    before_rows = sorted(
+        (r["fp"], r["keeper"], r["bkt"]) for r in spark.read.parquet(idx).collect()
+    )
+
+    compacted = d18_compact_index(spark, sf_dir, max_files=1)
+    assert set(compacted) == fragmented, (set(compacted), fragmented)
+    after_files = {
+        p: len(glob.glob(os.path.join(p, "*.parquet")))
+        for p in glob.glob(os.path.join(idx, "bkt=*"))
+    }
+    assert all(n == 1 for n in after_files.values()), after_files
+    after_rows = sorted(
+        (r["fp"], r["keeper"], r["bkt"]) for r in spark.read.parquet(idx).collect()
+    )
+    assert after_rows == before_rows
+    # second compaction is a no-op
+    assert d18_compact_index(spark, sf_dir, max_files=1) == {}

@@ -2329,3 +2329,42 @@ def d18_index_maintained_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keeper").cast("long").alias("dup_of"),
         F.col("keeper").isNotNull().alias("is_dup"),
     )
+
+
+def d18_compact_index(
+    spark: SparkSession, sf_dir: str, max_files: int = 1
+) -> dict[int, int]:
+    """COMPACTION for the maintained keeper index (SURVEY §7.20 item
+    3): repeated per-batch appends accumulate small files inside
+    bucket partitions; any bkt partition holding more than
+    ``max_files`` parquet files is read back and rewritten as one —
+    OPTIMIZE TABLE's rewrite (engine.py _exec_optimize) applied to
+    the dedup index, scoped to the dirty partitions only. The rewrite
+    follows the prepare-then-swap discipline under a single-writer
+    maintenance window: new files land in a sibling temp dir first,
+    then replace the old ones (a reader mid-swap is the same exposure
+    OPTIMIZE TABLE documents; production wraps this in the catalog
+    lock). Returns {bkt: n_files_before} for every compacted bucket.
+    At 100 TB the cost is one read+write of the over-fragmented
+    buckets — never a full-index rewrite."""
+    import glob
+    import shutil
+    import uuid
+
+    d = _d18_incremental_index(spark, sf_dir)
+    idx = os.path.join(d, "keepers")
+    compacted: dict[int, int] = {}
+    for part in sorted(glob.glob(os.path.join(idx, "bkt=*"))):
+        files = glob.glob(os.path.join(part, "*.parquet"))
+        if len(files) <= max_files:
+            continue
+        bkt = int(part.rsplit("=", 1)[1])
+        tmp = part + f".compact-{uuid.uuid4().hex[:6]}"
+        spark.read.parquet(part).coalesce(1).write.mode("overwrite").parquet(tmp)
+        for old in files:
+            os.remove(old)
+        for new in glob.glob(os.path.join(tmp, "*.parquet")):
+            shutil.move(new, os.path.join(part, os.path.basename(new)))
+        shutil.rmtree(tmp, ignore_errors=True)
+        compacted[bkt] = len(files)
+    return compacted
