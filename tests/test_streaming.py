@@ -477,3 +477,24 @@ def test_st11_event_time_ttl_expires_state(spark, tmp_path):
     assert 3 not in got, f"expired span flagged a late duplicate: {got}"
     assert got.get(4) == 2, f"in-horizon duplicate lost: {got}"
     assert got.get(5) == 3, f"new owner after expiry not honored: {got}"
+
+
+def test_st13_replay_equals_batch_t20(spark, sf_dir):
+    """st13 is a stateless map, so the 4-micro-batch replay must equal
+    t20's batch computation exactly — every column, every row."""
+    from tinysql_spark.operators.streaming_bridge import (
+        st13_stream_compression_gate,
+    )
+    from tinysql_spark.operators.text import t20_compression_gate
+
+    got = {
+        r["doc_id"]: (r["n_raw"], r["n_comp"], r["ratio"],
+                      r["flag_repetitive"], r["flag_incompressible"])
+        for r in st13_stream_compression_gate(spark, sf_dir).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_raw"], r["n_comp"], r["ratio"],
+                      r["flag_repetitive"], r["flag_incompressible"])
+        for r in t20_compression_gate(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

@@ -951,3 +951,41 @@ def st12_stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "st12_pii_" + uuid.uuid4().hex[:8]
     run_to_memory(out, name, output_mode="append")
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# st13 — streaming compression gate: t20's repetition proxy at INGEST
+# (the st12 placement pattern applied to the binary-cheap gate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "st13_stream_compression_gate",
+    late=True,
+    oracle=None,  # zlib is not SQL-expressible; the replay-equals-
+    # batch pin lives in tests (t20's twin transitively covers it).
+    doc="Streaming COMPRESSION gate — t20's zlib repetition proxy "
+    "placed at ingest, where a production pipeline gates before "
+    "persisting raw text (the st12 placement, applied to the other "
+    "cheap scan-time gate): the documents corpus replays as 4 ingest "
+    "micro-batches through the IDENTICAL compression_gate transform "
+    "(shared function — injection, deflate, ratio, flags), fully "
+    "STATELESS: no watermark, no state store, no shuffle, micro-"
+    "batch cost is scan + one Arrow pandas_udf. The test pins that "
+    "the finite replay equals t20's batch output EXACTLY, row for "
+    "row — a stateless map must be batch-boundary-invariant.",
+)
+def st13_stream_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import compression_gate
+
+    src = _stage_documents_split(sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .options(**stream_trigger_options())
+        .parquet(src)
+    )
+    out = compression_gate(stream)
+    name = "st13_comp_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="append")
+    return spark.table(name)

@@ -1179,6 +1179,39 @@ def _t20_inject(docs: DataFrame) -> DataFrame:
     )
 
 
+def compression_gate(docs: DataFrame) -> DataFrame:
+    """The gate as a reusable transform over (doc_id, text) — shared
+    by t20 (batch) and st13 (the same map at stream ingest): inject,
+    deflate, ratio, flags. Stateless, so it applies to a streaming
+    DataFrame unchanged."""
+
+    def _n_comp(texts):
+        import zlib
+
+        return texts.map(lambda t: len(zlib.compress((t or "").encode("utf-8"), 6)))
+
+    n_comp = F.pandas_udf(_n_comp, "long")
+    out = _t20_inject(docs).select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_raw"),
+        n_comp(F.col("text")).alias("n_comp"),
+    ).withColumn(
+        # exact int64/int64 double division — bit-identical in the
+        # Python twin, so no rounding (HALF_UP-vs-banker's would
+        # diverge on .xxxx5 boundaries; the raw quotient cannot)
+        "ratio",
+        F.col("n_comp") / F.greatest(F.col("n_raw"), F.lit(1)),
+    )
+    return out.select(
+        "doc_id",
+        "n_raw",
+        "n_comp",
+        "ratio",
+        (F.col("ratio") < 0.2).alias("flag_repetitive"),
+        (F.col("ratio") > 0.95).alias("flag_incompressible"),
+    )
+
+
 @register(
     "t20_compression_gate",
     late=True,
@@ -1199,29 +1232,4 @@ def _t20_inject(docs: DataFrame) -> DataFrame:
     "flags exactly.",
 )
 def t20_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def _n_comp(texts):
-        import zlib
-
-        return texts.map(lambda t: len(zlib.compress((t or "").encode("utf-8"), 6)))
-
-    n_comp = F.pandas_udf(_n_comp, "long")
-    t = _t20_inject(load_table(spark, sf_dir, "documents"))
-    out = t.select(
-        "doc_id",
-        F.octet_length("text").cast("long").alias("n_raw"),
-        n_comp(F.col("text")).alias("n_comp"),
-    ).withColumn(
-        # exact int64/int64 double division — bit-identical in the
-        # Python twin, so no rounding (HALF_UP-vs-banker's would
-        # diverge on .xxxx5 boundaries; the raw quotient cannot)
-        "ratio",
-        F.col("n_comp") / F.greatest(F.col("n_raw"), F.lit(1)),
-    )
-    return out.select(
-        "doc_id",
-        "n_raw",
-        "n_comp",
-        "ratio",
-        (F.col("ratio") < 0.2).alias("flag_repetitive"),
-        (F.col("ratio") > 0.95).alias("flag_incompressible"),
-    )
+    return compression_gate(load_table(spark, sf_dir, "documents"))
