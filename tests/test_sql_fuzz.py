@@ -732,3 +732,49 @@ def test_differential_scalar_fuzz(fuzz_eng, fuzz_duck, seed):
     a = _canon_rows(fuzz_eng.sql(sql).df.toPandas())
     b = _canon_rows(fuzz_duck.execute(sql).df())
     assert a == b, f"seed {seed} diverged:\n{sql}\nspark rows {len(a)} duck rows {len(b)}"
+
+
+# ---------------------------------------------------------------------------
+# Error-path differential checks (SURVEY §7.20 item 3, pulled into
+# round 10): statements that must FAIL must fail in BOTH engines, and
+# — the stronger property — must leave the table state UNCHANGED and
+# still equal across engines (statement atomicity: the engine checks
+# constraints before any append, so a half-applied batch is the bug
+# class this pins; the reference's write_test.go negative cases are
+# the example-based analog).
+# ---------------------------------------------------------------------------
+
+_ERR_CASES = [
+    ("dup_pk_batch", "INSERT INTO err_t VALUES (50, 1, 'x'), (50, 2, 'y')"),
+    ("dup_pk_existing", "INSERT INTO err_t VALUES (60, 1, 'x'), (1, 2, 'y')"),
+    ("not_null", "INSERT INTO err_t VALUES (70, NULL, 'x')"),
+    ("unknown_col", "INSERT INTO err_t (k, v, nope) VALUES (80, 1, 'x')"),
+    ("arity_more", "INSERT INTO err_t VALUES (90, 1, 'x', 99)"),
+    ("arity_less", "INSERT INTO err_t VALUES (95)"),
+    ("unknown_table", "INSERT INTO err_nosuch VALUES (1)"),
+    ("delete_unknown_col", "DELETE FROM err_t WHERE nope = 1"),
+]
+
+
+@pytest.fixture(scope="module")
+def err_tables(fuzz_eng, fuzz_duck):
+    ddl = "CREATE TABLE err_t (k BIGINT PRIMARY KEY, v BIGINT NOT NULL, s VARCHAR(255))"
+    ins = "INSERT INTO err_t VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, NULL)"
+    fuzz_eng.sql(ddl)
+    fuzz_eng.sql(ins)
+    fuzz_duck.execute(ddl)
+    fuzz_duck.execute(ins)
+    return fuzz_eng, fuzz_duck
+
+
+@pytest.mark.parametrize("name,bad", _ERR_CASES)
+def test_differential_error_paths(err_tables, name, bad):
+    eng, duck = err_tables
+    with pytest.raises(Exception):
+        eng.sql(bad)
+    with pytest.raises(Exception):
+        duck.execute(bad)
+    sel = "SELECT k, v, s FROM err_t"
+    a = _canon_rows(eng.sql(sel).df.toPandas())
+    b = _canon_rows(duck.execute(sel).df())
+    assert a == b and len(a) == 3, (name, a, b)
