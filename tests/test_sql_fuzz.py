@@ -473,8 +473,11 @@ def test_differential_write_fuzz(fuzz_eng, fuzz_duck, seed):
 
 # ---------------------------------------------------------------------------
 # Schema-EVOLUTION fuzz (SURVEY §7.20 item 1, pulled into round 10):
-# ALTER TABLE ADD COLUMN mid-sequence, then writes/deletes that use
-# the evolved schema. Constraints that keep the dialect mapping
+# ALTER TABLE ADD/RENAME/DROP COLUMN mid-sequence, then writes/deletes
+# that use the evolved schema (rename/drop exercise the engine's
+# metadata-only physical-name mapping layer against DuckDB's rewrite
+# — reads of the surviving columns must agree exactly).
+# Constraints that keep the dialect mapping
 # semantic-preserving: no DEFAULT (the engine's metadata-only ALTER
 # reads NULL for existing rows, which DuckDB matches only without
 # one), ALTERs never inside a txn group (the engine's DDL implicitly
@@ -535,10 +538,32 @@ def gen_evolve_sequence(
         hi += 10000
         return (sql, sql, True)
 
+    n_named = 0
+
     def alter_add() -> tuple[str, str, bool]:
-        name = f"c{len(extra) + 1}"
+        nonlocal n_named
+        n_named += 1
+        name = f"c{n_named}"
         extra.append(name)
         sql = f"ALTER TABLE {tbl} ADD COLUMN {name} BIGINT"
+        return (sql, sql, False)
+
+    def alter_rename() -> tuple[str, str, bool]:
+        # engine: metadata-only rename through the physical-name
+        # mapping layer; DuckDB renames in place — reads must agree
+        nonlocal n_named
+        old = rng.choice(extra)
+        n_named += 1
+        new = f"r{n_named}"
+        extra[extra.index(old)] = new
+        sql = f"ALTER TABLE {tbl} RENAME COLUMN {old} TO {new}"
+        return (sql, sql, False)
+
+    def alter_drop() -> tuple[str, str, bool]:
+        # engine: metadata-only drop (pruning hides the data); DuckDB
+        # rewrites — the remaining columns must read identically
+        c = extra.pop(rng.randrange(len(extra)))
+        sql = f"ALTER TABLE {tbl} DROP COLUMN {c}"
         return (sql, sql, False)
 
     def delete() -> tuple[str, str, bool]:
@@ -559,7 +584,15 @@ def gen_evolve_sequence(
     ops.append(alter_add())  # every sequence evolves at least once
     kinds = [ins_values, ins_values, ins_select, delete]
     for _ in range(rng.randint(4, 6)):
-        op = alter_add if (rng.random() < 0.15 and len(extra) < 3) else rng.choice(kinds)
+        roll = rng.random()
+        if roll < 0.15 and len(extra) < 3:
+            op = alter_add
+        elif roll < 0.25 and extra:
+            op = alter_rename
+        elif roll < 0.32 and extra:
+            op = alter_drop
+        else:
+            op = rng.choice(kinds)
         ops.append(op())
     return ops, ["k", "v", "s"] + extra
 
