@@ -46,13 +46,14 @@ def test_oracle_backed_entries_fit_driver_window():
                  "q67_ohlc_bars",
                  "st11_stream_incremental_dedup", "q68_order_batch_packing",
                  "p12_dedup_weighted_sample", "q69_typed_ctas",
+                 "d19_ingest_loop_dedup",
                  "s12_ann_persisted_ivf", "t14_repetition_filters",
                  "p13_temperature_mix",
                  # round-9 rotation: the round-8 closer + every new op
                  "d14_semdedup", "t16_pii_scrub",
                  "d15_exactsubstr_excision", "s13_knn_graph",
                  "t17_blocklist_gate", "st12_stream_pii_scrub",
-                 "d16_bloom_incremental_dedup", "p16_curriculum_order",
+                 "p16_curriculum_order",
                  "d17_indexed_incremental_dedup", "p18_decontaminate",
                  # round-10 rotation: windowed on landing
                  "d18_index_maintained_dedup", "t19_nb_langid"):
@@ -71,7 +72,7 @@ def test_oracle_backed_entries_fit_driver_window():
                 "p11_data_quality_checks", "t13_unigram_nll",
                 "p10_leakage_safe_split", "q55_market_share",
                 "p04_contamination", "q38_correlated_scalar",
-                "t09_gopher_gates"):
+                "t09_gopher_gates", "d16_bloom_incremental_dedup"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

@@ -274,6 +274,8 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
                 "d17_indexed_incremental_dedup",
                 # index build + batch-A increment ARE the operator
                 "d18_index_maintained_dedup",
+                # the 3-batch maintenance loop IS the operator
+                "d19_ingest_loop_dedup",
                 # two zipWithIndex offset histograms (p07 discipline)
                 "p16_curriculum_order",
                 # probe ids must become a literal partition filter —

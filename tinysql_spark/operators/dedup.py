@@ -2368,3 +2368,244 @@ def d18_compact_index(
         shutil.rmtree(tmp, ignore_errors=True)
         compacted[bkt] = len(files)
     return compacted
+
+
+# --------------------------------------------------------------------------
+# d19 — the INGEST LOOP end-to-end: d18's maintenance steps (probe ->
+# append -> bloom refresh -> compact) composed into the nightly-ingest
+# runbook shape over a 3-batch replay (SURVEY §7.20 item 4)
+# --------------------------------------------------------------------------
+
+_D19_CUTS = (400, 435, 470)  # batch starts; batch 2 is open-ended
+
+
+def _d19_batch_no(c):
+    return F.when(c < _D19_CUTS[1], 0).when(c < _D19_CUTS[2], 1).otherwise(2)
+
+
+def _d19_augment(docs: DataFrame) -> DataFrame:
+    """d16's history-duplicate injection PLUS a previous-batch layer:
+    every 9th doc in batch >= 1 copies the (d16-augmented) text of a
+    doc from the PREVIOUS batch — so the loop's append path fires at
+    every handoff (batch1 dedups vs batch0 appends, batch2 vs
+    batch1). Single-application layering (the copier takes the
+    donor's PRE-layer text), mirrored verbatim in the oracle."""
+    aug = _d16_augment(docs)
+    w = _D19_CUTS[1] - _D19_CUTS[0]
+    donors = aug.select(F.col("doc_id").alias("d3_id"), F.col("text").alias("d3_text"))
+    donor_id = F.when(
+        F.col("doc_id") < _D19_CUTS[2], _D19_CUTS[0] + F.col("doc_id") % w
+    ).otherwise(_D19_CUTS[1] + F.col("doc_id") % w)
+    return (
+        aug.withColumn(
+            "d3_id",
+            F.when(
+                (F.col("doc_id") >= _D19_CUTS[1]) & (F.col("doc_id") % 9 == 0),
+                donor_id,
+            ),
+        )
+        .join(donors, "d3_id", "left")
+        .select("doc_id", F.coalesce("d3_text", "text").alias("text"))
+    )
+
+
+_D19_STATE_MEMO: dict[str, tuple[str, list[bytes]]] = {}
+
+
+def _d19_ingest_state(spark: SparkSession, sf_dir: str) -> tuple[str, list[bytes]]:
+    """Run the full maintenance LOOP once per corpus: history keeper
+    index + history bloom, then per ingest batch (i) append the
+    batch's NEW fingerprints to the bucket-partitioned index (dirty
+    partitions only), (ii) OR the batch's partial bitmaps into the
+    sketch, (iii) compact any fragmented buckets — d18's three
+    maintenance primitives in their production composition. Returns
+    (index_root, [bloom_for_batch_0, _1, _2]) where bloom_for_batch_i
+    covers history plus every batch BEFORE i (the sketch each batch's
+    probe is allowed to see)."""
+    import atexit
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    key = os.path.abspath(sf_dir)
+    got = _D19_STATE_MEMO.get(key)
+    if got is not None and os.path.isdir(got[0]):
+        return got
+    d = tempfile.mkdtemp(prefix="tinysql_d19_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    idx = os.path.join(d, "keepers")
+    f = _d19_augment(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bkt", F.pmod(F.xxhash64("fp"), F.lit(_D18_NB)).cast("int")
+        )
+
+    (
+        bucketed(
+            f.filter(F.col("doc_id") < _D16_BOUNDARY)
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("keeper"))
+        )
+        .write.mode("overwrite")
+        .partitionBy("bkt")
+        .parquet(idx)
+    )
+
+    def or_partials(bits: "np.ndarray", hashes: DataFrame) -> "np.ndarray":
+        def partial(batches):
+            acc = np.zeros(_D16_M // 8, dtype=np.uint8)
+            any_rows = False
+            for pdf in batches:
+                if len(pdf):
+                    any_rows = True
+                    i = _d16_bit_indices(pdf["h"].to_numpy()).ravel()
+                    np.bitwise_or.at(acc, i >> 3, np.uint8(1) << (i & 7).astype(np.uint8))
+            if any_rows:
+                yield pd.DataFrame({"bm": [acc.tobytes()]})
+
+        out = bits.copy()
+        for r in hashes.mapInPandas(partial, "bm binary").collect():
+            out |= np.frombuffer(r["bm"], dtype=np.uint8)
+        return out
+
+    bloom = np.frombuffer(_d16_history_bloom(spark, sf_dir), dtype=np.uint8).copy()
+    blooms = [bloom.tobytes()]  # batch 0 probes history-only
+    ends = (*_D19_CUTS[1:], None)
+    for i, start in enumerate(_D19_CUTS):
+        end = ends[i]
+        batch = f.filter(F.col("doc_id") >= start)
+        if end is not None:
+            batch = batch.filter(F.col("doc_id") < end)
+        if i < len(_D19_CUTS) - 1:  # the last batch's state feeds nothing
+            new = (
+                batch.groupBy("fp")
+                .agg(F.min("doc_id").alias("keeper"))
+                .join(spark.read.parquet(idx).select("fp"), "fp", "left_anti")
+            )
+            bucketed(new).write.mode("append").partitionBy("bkt").parquet(idx)
+            # compact any bucket the append fragmented (threshold 1:
+            # toy-scale files are tiny; production raises it)
+            for part in _glob.glob(os.path.join(idx, "bkt=*")):
+                files = _glob.glob(os.path.join(part, "*.parquet"))
+                if len(files) > 1:
+                    tmp = part + ".c"
+                    spark.read.parquet(part).coalesce(1).write.mode(
+                        "overwrite"
+                    ).parquet(tmp)
+                    for old in files:
+                        os.remove(old)
+                    for newf in _glob.glob(os.path.join(tmp, "*.parquet")):
+                        shutil.move(newf, os.path.join(part, os.path.basename(newf)))
+                    shutil.rmtree(tmp, ignore_errors=True)
+            bloom = or_partials(bloom, batch.select(F.xxhash64("fp").alias("h")))
+            blooms.append(bloom.tobytes())
+    _D19_STATE_MEMO[key] = (d, blooms)
+    return d, blooms
+
+
+@register(
+    "d19_ingest_loop_dedup",
+    late=True,
+    oracle=f"""
+    WITH aug AS (
+      SELECT d.doc_id, coalesce(o.text, d.text) AS text
+      FROM documents d
+      LEFT JOIN documents o
+        ON d.doc_id >= {_D16_BOUNDARY} AND d.doc_id % 7 = 0
+       AND o.doc_id = d.doc_id % {_D16_BOUNDARY}
+    ), aug3 AS (
+      SELECT a.doc_id, coalesce(o.text, a.text) AS text
+      FROM aug a
+      LEFT JOIN aug o
+        ON a.doc_id >= {_D19_CUTS[1]} AND a.doc_id % 9 = 0
+       AND o.doc_id = CASE WHEN a.doc_id < {_D19_CUTS[2]}
+                           THEN {_D19_CUTS[0]} + a.doc_id % 35
+                           ELSE {_D19_CUTS[1]} + a.doc_id % 35 END
+    ), f AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM aug3
+    ), h AS (
+      SELECT fp, min(doc_id) AS keeper
+      FROM f WHERE doc_id < {_D16_BOUNDARY} GROUP BY fp
+    ), e AS (
+      SELECT i.doc_id, min(j.doc_id) AS ek
+      FROM f i JOIN f j ON i.fp = j.fp
+      WHERE i.doc_id >= {_D16_BOUNDARY} AND j.doc_id >= {_D16_BOUNDARY}
+        AND (CASE WHEN j.doc_id < {_D19_CUTS[1]} THEN 0
+                  WHEN j.doc_id < {_D19_CUTS[2]} THEN 1 ELSE 2 END)
+          < (CASE WHEN i.doc_id < {_D19_CUTS[1]} THEN 0
+                  WHEN i.doc_id < {_D19_CUTS[2]} THEN 1 ELSE 2 END)
+        AND i.fp NOT IN (SELECT fp FROM h)
+      GROUP BY i.doc_id
+    )
+    SELECT i.doc_id,
+           CAST(coalesce(h.keeper, e.ek) AS BIGINT) AS dup_of,
+           coalesce(h.keeper, e.ek) IS NOT NULL AS is_dup
+    FROM f i LEFT JOIN h USING (fp) LEFT JOIN e USING (doc_id)
+    WHERE i.doc_id >= {_D16_BOUNDARY}
+    """,
+    doc="The INGEST LOOP end-to-end — d16/d17/d18's maintenance "
+    "primitives composed into the nightly-ingest runbook shape over "
+    "a THREE-batch replay: each batch probes the index AND the bloom "
+    "exactly as maintained by the batches before it (bloom hit -> "
+    "index equi-join; miss -> emitted as new, no shuffle), then its "
+    "new fingerprints are APPENDED to the bucket-partitioned index "
+    "(dirty partitions only), the sketch is OR-refreshed, and "
+    "fragmented buckets are COMPACTED — so batch 2 resolves "
+    "duplicates of batch 1 through state batch 1 itself wrote. "
+    "Deterministic previous-batch injection (every 9th doc in batch "
+    ">= 1 copies a prior-batch doc) keeps every handoff non-vacuous. "
+    "The probe pins state ordering physically: batch i joins index "
+    "entries with keeper < batch-i start and tests the i-th bloom "
+    "snapshot, so reading future state is structurally impossible. "
+    "The oracle is the order-free formulation (history keeper, else "
+    "min same-fp doc from any strictly earlier batch), which the "
+    "replay must reproduce exactly. At 100 TB each nightly batch "
+    "costs: bloom test (vectorized, pre-shuffle) + one equi-join "
+    "against a bucket-pruned index + an append touching only dirty "
+    "buckets + bounded compaction — the history corpus is never "
+    "re-scanned.",
+)
+def d19_ingest_loop_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    root, blooms = _d19_ingest_state(spark, sf_dir)
+    idx = spark.read.parquet(os.path.join(root, "keepers"))
+    f = _d19_augment(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+    def make_might(bm_bytes: bytes):
+        def might_contain_batch(h64):
+            bits = np.frombuffer(bm_bytes, dtype=np.uint8)
+            i = _d16_bit_indices(h64.to_numpy())
+            hit = (bits[i >> 3] >> (i & 7).astype(np.uint8)) & 1
+            return pd.Series(hit.all(axis=1).astype(bool))
+
+        return F.pandas_udf(might_contain_batch, "boolean")
+
+    ends = (*_D19_CUTS[1:], None)
+    outs = []
+    for i, start in enumerate(_D19_CUTS):
+        batch = f.filter(F.col("doc_id") >= start)
+        if ends[i] is not None:
+            batch = batch.filter(F.col("doc_id") < ends[i])
+        cand = batch.filter(make_might(blooms[i])(F.xxhash64("fp")))
+        res = cand.join(
+            idx.filter(F.col("keeper") < start).select("fp", "keeper"), "fp"
+        ).select("doc_id", "keeper")
+        outs.append(batch.join(res, "doc_id", "left"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "doc_id",
+        F.col("keeper").cast("long").alias("dup_of"),
+        F.col("keeper").isNotNull().alias("is_dup"),
+    )

@@ -136,7 +136,11 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # classifier — supervised multiclass argmax, a shape no window entry
 # had) swaps for t09_gopher_gates, whose threshold-gate family t14
 # and t17 keep evidenced in-window (t09 stays hash-checked in
-# parity).
+# parity). Late round 10: d19_ingest_loop_dedup (the 3-batch ingest
+# LOOP — probe/append/bloom-refresh/compact composed end-to-end)
+# swaps for d16_bloom_incremental_dedup, whose entire bloom+keeper
+# path d17, d18 AND d19 contain by construction (d16 stays
+# hash-checked in parity).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -158,9 +162,9 @@ WINDOW: tuple[str, ...] = (
     "d13_span_scrub",
     "d14_semdedup",
     "d15_exactsubstr_excision",
-    "d16_bloom_incremental_dedup",
     "d17_indexed_incremental_dedup",
     "d18_index_maintained_dedup",
+    "d19_ingest_loop_dedup",
     # relational additions (rounds 5-6)
     "q63_product_type_profit",
     "q64_excess_volume_suppliers",
