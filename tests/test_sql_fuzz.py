@@ -452,6 +452,17 @@ def gen_write_sequence(seed: int) -> list[tuple[str, str | None, bool]]:
 @pytest.mark.parametrize("seed", range(50))
 def test_differential_write_fuzz(fuzz_eng, fuzz_duck, seed):
     ops = gen_write_sequence(seed)
+    # mid-sequence READ checkpoints (every 5th seed, to bound runtime):
+    # after each statement that reached BOTH engines, a cheap aggregate
+    # must already agree — catching intermediate-state divergence the
+    # final-state compare alone would mask (e.g. a wrong-then-rewritten
+    # rowid). Checkpoints live in the TEST loop, not the generator, so
+    # the seeded statement corpus stays byte-stable.
+    checkpointed = seed % 5 == 0
+    chk = (
+        f"SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv, "
+        f"CAST(min(k) AS BIGINT) AS mn, CAST(max(k) AS BIGINT) AS mx FROM w{seed}"
+    )
     for eng_sql, duck_sql, check in ops:
         r = fuzz_eng.sql(eng_sql)
         if duck_sql is not None:
@@ -462,6 +473,10 @@ def test_differential_write_fuzz(fuzz_eng, fuzz_duck, seed):
                     f"seed {seed} count diverged ({r.rows_affected} vs "
                     f"{n_duck}):\n{eng_sql}"
                 )
+            if checkpointed:
+                a = _canon_rows(fuzz_eng.sql(chk).df.toPandas())
+                b = _canon_rows(fuzz_duck.execute(chk).df())
+                assert a == b, f"seed {seed} mid-sequence diverged after:\n{eng_sql}"
     sel = f"SELECT k, v, s FROM w{seed}"
     a = _canon_rows(fuzz_eng.sql(sel).df.toPandas())
     b = _canon_rows(fuzz_duck.execute(sel).df())
