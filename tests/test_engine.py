@@ -1820,3 +1820,24 @@ def test_q69_warehouse_memoized(spark, sf_dir):
         f"warm q69 scheduled {len(warm_jobs)} jobs vs cold "
         f"{len(cold_jobs)} — warehouse likely rebuilt"
     )
+
+
+def test_mysql_errno_prefixes(eng):
+    """User-facing error parity (reference: parser/mysql error codes):
+    the engine's rejection messages carry the MySQL errno a client
+    would see — 1062 dup-key, 1048 not-null, 1054 unknown column,
+    1136 count mismatch, 1146 unknown table, 1049 unknown database."""
+    import pytest
+
+    eng.sql("CREATE TABLE errno_t (k INT PRIMARY KEY, v INT NOT NULL)")
+    eng.sql("INSERT INTO errno_t VALUES (1, 1)")
+    for errno, stmt in [
+        ("1062", "INSERT INTO errno_t VALUES (1, 2)"),
+        ("1048", "INSERT INTO errno_t VALUES (2, NULL)"),
+        ("1054", "INSERT INTO errno_t (k, nope) VALUES (2, 1)"),
+        ("1136", "INSERT INTO errno_t VALUES (2)"),
+        ("1146", "INSERT INTO errno_nosuch VALUES (1)"),
+        ("1049", "USE errno_nodb"),
+    ]:
+        with pytest.raises(ValueError, match=rf"\(errno {errno}\)"):
+            eng.sql(stmt)

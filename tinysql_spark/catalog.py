@@ -276,7 +276,7 @@ class Catalog:
         if db in self.dbs:
             if if_not_exists:
                 return
-            raise ValueError(f"database {db!r} already exists")
+            raise ValueError(f"(errno 1007) database {db!r} already exists")
         self.dbs[db] = {}
         self._save()
 
@@ -284,7 +284,7 @@ class Catalog:
         if db not in self.dbs:
             if if_exists:
                 return
-            raise ValueError(f"database {db!r} does not exist")
+            raise ValueError(f"(errno 1049) database {db!r} does not exist")
         del self.dbs[db]
         shutil.rmtree(os.path.join(self.warehouse, db), ignore_errors=True)
         self._save()
@@ -304,14 +304,14 @@ class Catalog:
         try:
             return self.dbs[db][table.lower()]
         except KeyError:
-            raise ValueError(f"table {db}.{table} does not exist") from None
+            raise ValueError(f"(errno 1146) table {db}.{table} does not exist") from None
 
     def has_table(self, db: str, table: str) -> bool:
         return db in self.dbs and table.lower() in self.dbs[db]
 
     def add_table(self, db: str, info: TableInfo) -> None:
         if db not in self.dbs:
-            raise ValueError(f"database {db!r} does not exist")
+            raise ValueError(f"(errno 1049) database {db!r} does not exist")
         self.dbs[db][info.name.lower()] = info
         self._save()
 

@@ -881,7 +881,7 @@ class Engine:
         m = P._USE_RE.match(stmt)
         db = P.unquote_ident(m.group(1))
         if not self.catalog.has_database(db):
-            raise ValueError(f"database {db!r} does not exist")
+            raise ValueError(f"(errno 1049) database {db!r} does not exist")
         self.current_db = db
         self.spark.catalog.setCurrentDatabase(self._spark_db(db))
         return Result(message=f"database changed to {db}")
@@ -985,7 +985,7 @@ class Engine:
             if not self.catalog.has_table(db, t):
                 if if_exists:
                     continue
-                raise ValueError(f"table {db}.{t} does not exist")
+                raise ValueError(f"(errno 1146) table {db}.{t} does not exist")
             self._drop_spark_entry(self._spark_name(db, t))
             self.spark.sql(f"DROP TABLE IF EXISTS {self._spark_name(db, t + '__phys')}")
             self.catalog.drop_table(db, t)
@@ -1016,7 +1016,7 @@ class Engine:
         col_list = [P.unquote_ident(c) for c in P.split_top_level(cols)]
         for c in col_list:
             if info.column(c) is None:
-                raise ValueError(f"no column {c!r} in table {t}")
+                raise ValueError(f"(errno 1054) no column {c!r} in table {t}")
         info.indexes.append(IndexInfo(name=idx_name, columns=col_list, unique=bool(unique)))
         if unique:
             # enforce uniqueness over existing data (backfill check —
@@ -1139,7 +1139,7 @@ class Engine:
                 raise ValueError(f"cannot parse column definition: {m.group(1)[:60]}")
             col_name = P.unquote_ident(cm.group(1))
             if info.column(col_name) is not None:
-                raise ValueError(f"column {col_name!r} already exists in {t}")
+                raise ValueError(f"(errno 1060) column {col_name!r} already exists in {t}")
             col_type = cm.group(2).upper() + (cm.group(3) or "").replace(" ", "")
             rest = m.group(1)[cm.end() :]
             dm = P.re.search(r"DEFAULT\s+('(?:[^'\\]|\\.)*'|[\w.+-]+)", rest, P.re.I)
@@ -1169,7 +1169,7 @@ class Engine:
         if m and m.group(1).upper() not in ("PRIMARY", "KEY", "INDEX", "FOREIGN", "CHECK"):
             col_name = P.unquote_ident(m.group(1))
             if info.column(col_name) is None:
-                raise ValueError(f"no column {col_name!r} in table {t}")
+                raise ValueError(f"(errno 1054) no column {col_name!r} in table {t}")
             if col_name in info.primary_key or any(col_name in i.columns for i in info.indexes):
                 raise ValueError(f"cannot drop column {col_name!r}: part of a key")
             if any(col_name.lower() == p.lower() for p in info.partition_by):
@@ -1213,7 +1213,7 @@ class Engine:
         if m:
             c = info.column(P.unquote_ident(m.group(1)))
             if c is None:
-                raise ValueError(f"no column {m.group(1)!r} in table {t}")
+                raise ValueError(f"(errno 1054) no column {m.group(1)!r} in table {t}")
             if m.group(2).upper().startswith("DROP"):
                 c.default = None
             else:
@@ -1267,13 +1267,13 @@ class Engine:
         info = self.catalog.get_table(db, t)
         col = info.column(old_name)
         if col is None:
-            raise ValueError(f"no column {old_name!r} in table {t}")
+            raise ValueError(f"(errno 1054) no column {old_name!r} in table {t}")
         if any(old_name.lower() == p.lower() for p in info.partition_by):
             # partition values live in directory names; renaming or
             # retyping them would orphan the hive-style layout
             raise ValueError(f"cannot alter partition column {old_name!r}")
         if new_name and new_name.lower() != old_name.lower() and info.column(new_name) is not None:
-            raise ValueError(f"column {new_name!r} already exists in {t}")
+            raise ValueError(f"(errno 1060) column {new_name!r} already exists in {t}")
         if new_name and new_name != old_name:
             col.physical = col.file_name  # freeze the in-file name
             col.name = new_name
@@ -1326,18 +1326,18 @@ class Engine:
         target_cols = ins.columns or [c.name for c in info.columns]
         for c in target_cols:
             if info.column(c) is None:
-                raise ValueError(f"no column {c!r} in table {info.name}")
+                raise ValueError(f"(errno 1054) no column {c!r} in table {info.name}")
         if ins.values_sql is not None:
             src = self.spark.sql(f"SELECT * FROM VALUES {self._rewrite(ins.values_sql)}")
             if len(src.columns) != len(target_cols):
                 raise ValueError(
-                    f"column count mismatch: {len(target_cols)} target vs {len(src.columns)} values"
+                    f"(errno 1136) column count mismatch: {len(target_cols)} target vs {len(src.columns)} values"
                 )
             src = src.toDF(*target_cols)
         else:
             src = self.spark.sql(self._rewrite(ins.select_sql))
             if len(src.columns) != len(target_cols):
-                raise ValueError("INSERT ... SELECT column count mismatch")
+                raise ValueError("(errno 1136) INSERT ... SELECT column count mismatch")
             src = src.toDF(*target_cols)
         # defaults / NULL for omitted columns, then cast to declared types
         exprs = []
@@ -1424,7 +1424,7 @@ class Engine:
         ).collect()[0]
         for c in nn_cols:
             if flags[c]:
-                raise ValueError(f"column {c!r} cannot be null")
+                raise ValueError(f"(errno 1048) column {c!r} cannot be null")
         n = int(flags["__n"])
         if auto is not None and n:
             base = max(
@@ -1516,7 +1516,7 @@ class Engine:
                 .count()
             )
             if dup:
-                raise ValueError(f"duplicate key on {key} in table {t}")
+                raise ValueError(f"(errno 1062) duplicate key on {key} in table {t}")
         if self.txn is not None:
             self._txn_stage_add(db, t, with_ids)
         else:
