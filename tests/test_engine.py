@@ -1841,3 +1841,24 @@ def test_mysql_errno_prefixes(eng):
     ]:
         with pytest.raises(ValueError, match=rf"\(errno {errno}\)"):
             eng.sql(stmt)
+
+
+def test_txn_statement_failure_keeps_txn_consistent(eng):
+    """MySQL/InnoDB semantics: a failing statement inside a
+    transaction rolls back the STATEMENT, never the transaction — the
+    dup-key check must also see the txn's OWN buffered writes
+    (read-your-writes), and COMMIT publishes exactly the successful
+    statements."""
+    import pytest
+
+    eng.sql("CREATE TABLE txf (k BIGINT PRIMARY KEY, v BIGINT)")
+    eng.sql("INSERT INTO txf VALUES (1, 10)")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO txf VALUES (2, 20)")
+    with pytest.raises(ValueError, match="duplicate key"):
+        eng.sql("INSERT INTO txf VALUES (1, 99)")  # dup vs committed
+    with pytest.raises(ValueError, match="duplicate key"):
+        eng.sql("INSERT INTO txf VALUES (2, 99)")  # dup vs own buffer
+    eng.sql("INSERT INTO txf VALUES (3, 30)")
+    eng.sql("COMMIT")
+    assert rows(eng.sql("SELECT k, v FROM txf")) == [(1, 10), (2, 20), (3, 30)]

@@ -484,6 +484,10 @@ def test_differential_write_fuzz(fuzz_eng, fuzz_duck, seed):
         f"seed {seed} final state diverged ({len(a)} vs {len(b)} rows):\n"
         + "\n".join(e for e, _, _ in ops)
     )
+    # engine-side invariant audit over the randomly-built table:
+    # rowid handles, NOT NULL, unique keys (ErrAdminCheckTable analog)
+    chk_rows = [tuple(r) for r in fuzz_eng.sql(f"ADMIN CHECK TABLE w{seed}").df.collect()]
+    assert chk_rows and all(r[-1] == "OK" for r in chk_rows), (seed, chk_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -632,6 +636,9 @@ def test_differential_schema_evolution_fuzz(fuzz_eng, fuzz_duck, seed):
         f"seed {seed} final state diverged ({len(a)} vs {len(b)} rows):\n"
         + "\n".join(e for e, _, _ in ops)
     )
+    # the evolved table must also pass the engine's invariant audit
+    chk_rows = [tuple(r) for r in fuzz_eng.sql(f"ADMIN CHECK TABLE e{seed}").df.collect()]
+    assert chk_rows and all(r[-1] == "OK" for r in chk_rows), (seed, chk_rows)
 
 
 # ---------------------------------------------------------------------------
