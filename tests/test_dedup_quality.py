@@ -621,3 +621,51 @@ def test_d18_compaction_rewrites_only_fragmented_buckets(spark, sf_dir):
     assert after_rows == before_rows
     # second compaction is a no-op
     assert d18_compact_index(spark, sf_dir, max_files=1) == {}
+
+
+def test_adaptive_bloom_sizing(spark, sf_dir):
+    """The self-tuning sketch must (a) stop at the smallest
+    power-of-two m whose predicted fp rate (fill**k) is under budget
+    — verified against an independent recompute, (b) never produce a
+    false negative on the index's own fingerprints, and (c) keep the
+    MEASURED fp rate over absent keys near the prediction."""
+    import os
+
+    import numpy as np
+
+    from tinysql_spark.operators.dedup import (
+        _D16_K,
+        _d16_bit_indices,
+        _d18_incremental_index,
+        adaptive_bloom_from_index,
+    )
+
+    idx = os.path.join(_d18_incremental_index(spark, sf_dir), "keepers")
+    bm, m, fp = adaptive_bloom_from_index(spark, idx, m0=64, fp_budget=0.01)
+    assert fp <= 0.01 and len(bm) == m // 8
+
+    hs = np.array(
+        [r["h"] for r in spark.read.parquet(idx).selectExpr("xxhash64(fp) AS h").collect()],
+        dtype=np.int64,
+    )
+    bits = np.frombuffer(bm, dtype=np.uint8)
+
+    def hit(h, mm):
+        i = _d16_bit_indices(h, mm)
+        return ((bits[i >> 3] >> (i & 7).astype(np.uint8)) & 1).all(axis=1)
+
+    # (b) no false negatives
+    assert hit(hs, m).all()
+    # (a) minimality: the half-size sketch must be OVER budget — an
+    # independent fill recompute at m/2 (same hash family)
+    half = np.zeros(m // 16, dtype=np.uint8)
+    i = _d16_bit_indices(hs, m // 2).ravel()
+    np.bitwise_or.at(half, i >> 3, np.uint8(1) << (i & 7).astype(np.uint8))
+    fill_half = float(np.unpackbits(half).sum()) / (m // 2)
+    assert fill_half ** _D16_K > 0.01, "half-size under budget — not minimal"
+    # (c) measured fp over 20k absent keys stays near the prediction
+    rng = np.random.default_rng(7)
+    probes = rng.integers(1 << 40, 1 << 62, size=20000, dtype=np.int64)
+    probes = probes[~np.isin(probes, hs)]
+    measured = float(hit(probes, m).mean())
+    assert measured <= max(0.02, 3 * fp), (measured, fp)

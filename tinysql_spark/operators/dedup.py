@@ -1799,15 +1799,17 @@ _D16_B = (0x2545F4914F6CDD1D, 0x9E3779B185EBCA87, 0xFF51AFD7ED558CCD,
           0xC4CEB9FE1A85EC53, 0x94D049BB133111EB)
 
 
-def _d16_bit_indices(h64) -> "np.ndarray":
+def _d16_bit_indices(h64, m: int = _D16_M) -> "np.ndarray":
     """k bloom bit indices per signed-int64 hash: affine reseed in
-    uint64 (wrapping), top log2(m) bits. Shape (len(h), k)."""
+    uint64 (wrapping), top log2(m) bits. Shape (len(h), k). ``m``
+    must be a power of two; the default is the fixed ingest sketch,
+    adaptive callers (d19's resize utility) pass their own."""
     import numpy as np
 
     h = np.asarray(h64, dtype=np.int64).view(np.uint64).reshape(-1, 1)
     a = np.array(_D16_A, dtype=np.uint64).reshape(1, -1)
     b = np.array(_D16_B, dtype=np.uint64).reshape(1, -1)
-    shift = np.uint64(64 - _D16_M.bit_length() + 1)
+    shift = np.uint64(64 - m.bit_length() + 1)
     return ((h * a + b) >> shift).astype(np.int64)
 
 
@@ -2609,3 +2611,49 @@ def d19_ingest_loop_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keeper").cast("long").alias("dup_of"),
         F.col("keeper").isNotNull().alias("is_dup"),
     )
+
+
+def adaptive_bloom_from_index(
+    spark: SparkSession,
+    idx_path: str,
+    m0: int = 1 << 10,
+    fp_budget: float = 0.01,
+    m_max: int = 1 << 27,
+) -> tuple[bytes, int, float]:
+    """SELF-TUNING sketch sizing (SURVEY §7.20 item 4): the fixed
+    16 KiB ingest bloom saturates as the keeper index grows; this
+    rebuilds it from the INDEX (never the corpus — the index is the
+    compact source of truth, so resizing costs one bounded scan per
+    attempt) at the smallest power-of-two bit count whose PREDICTED
+    false-positive rate — fill_ratio ** k, the standard bloom
+    estimate from the measured fill — stays under ``fp_budget``.
+    Doubles m until under budget or ``m_max`` (at which point the
+    caller should shard the sketch). Returns (bitmap bytes, m,
+    predicted fp rate). The maintenance loop (d19) calls this when a
+    batch's post-refresh fill crosses the budget; probes then pass
+    the returned m to _d16_bit_indices."""
+    import numpy as np
+
+    hashes = spark.read.parquet(idx_path).select(F.xxhash64("fp").alias("h"))
+    m = m0
+    while True:
+
+        def partial(batches, m=m):
+            acc = np.zeros(m // 8, dtype=np.uint8)
+            any_rows = False
+            for pdf in batches:
+                if len(pdf):
+                    any_rows = True
+                    i = _d16_bit_indices(pdf["h"].to_numpy(), m).ravel()
+                    np.bitwise_or.at(acc, i >> 3, np.uint8(1) << (i & 7).astype(np.uint8))
+            if any_rows:
+                yield pd.DataFrame({"bm": [acc.tobytes()]})
+
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for r in hashes.mapInPandas(partial, "bm binary").collect():
+            bits |= np.frombuffer(r["bm"], dtype=np.uint8)
+        fill = float(np.unpackbits(bits).sum()) / m
+        fp = fill ** _D16_K
+        if fp <= fp_budget or m >= m_max:
+            return bits.tobytes(), m, fp
+        m *= 2
