@@ -833,3 +833,195 @@ def test_differential_error_paths(err_tables, name, bad):
     a = _canon_rows(eng.sql(sel).df.toPandas())
     b = _canon_rows(duck.execute(sel).df())
     assert a == b and len(a) == 3, (name, a, b)
+
+
+# ---------------------------------------------------------------------------
+# Interleaved MIXED-KIND fuzz (SURVEY §7.20-r11 item 1, pulled into
+# round 10): one generator emits writes, reads, schema evolution,
+# must-fail statements, and transactions in a single random sequence —
+# cross-surface interleavings the separated corpora cannot produce
+# (a read planned right after an ALTER, an error mid-txn, a rollback
+# after evolution). Reads compare IMMEDIATELY (inside committed txns
+# the engine answers from its read-your-writes overlay, DuckDB from
+# applied state — they must agree); must-fail statements are
+# state-independent by construction (in-batch dup keys, unknown
+# columns/tables, arity) so "fails in both" holds at any point.
+# ---------------------------------------------------------------------------
+
+
+def gen_mixed_sequence(
+    seed: int,
+) -> tuple[list[tuple[str, str | None, str]], list[str]]:
+    """Return (ops, final_select_cols); each op is (engine_sql,
+    duck_sql | None, kind) with kind in: none (just execute),
+    dml_count (compare affected rows), read (compare result rows
+    immediately), error (must raise in both engines),
+    error_eng_only (must raise in the engine; DuckDB never sees it —
+    rolled-back txn interiors)."""
+    rng = random.Random(seed * 424243 + 11)
+    tbl = f"mx{seed}"
+    has_pk = rng.random() < 0.7
+    pk = " PRIMARY KEY" if has_pk else ""
+    ddl = f"CREATE TABLE {tbl} (k BIGINT{pk}, v BIGINT, s VARCHAR(255))"
+    ops: list[tuple[str, str | None, str]] = [(ddl, ddl, "none")]
+    extra: list[str] = []
+    hi, n_named = 1000, 0
+
+    def fresh(n: int) -> list[int]:
+        nonlocal hi
+        ks = list(range(hi, hi + n))
+        hi += n
+        return ks
+
+    def ins_values() -> tuple[str, str, str]:
+        n = rng.randint(1, 4)
+        ks = fresh(n) if has_pk else [rng.randrange(2000) for _ in range(n)]
+        cols = ["k", "v", "s"] + extra
+        rows = []
+        for k in ks:
+            vals = [str(k)]
+            vals.append("NULL" if rng.random() < 0.15 else str(rng.randrange(2000)))
+            vals.append("NULL" if rng.random() < 0.1 else rng.choice(["'O'", "'F'", "'x'"]))
+            vals += [
+                "NULL" if rng.random() < 0.3 else str(rng.randrange(100))
+                for _ in extra
+            ]
+            rows.append(f"({', '.join(vals)})")
+        sql = f"INSERT INTO {tbl} ({', '.join(cols)}) VALUES {', '.join(rows)}"
+        return (sql, sql, "dml_count")
+
+    def ins_select() -> tuple[str, str, str]:
+        nonlocal hi
+        a = rng.choice([0, 300, 800])
+        sql = (
+            f"INSERT INTO {tbl} (k, v, s) SELECT o_orderkey + {hi}, "
+            f"o_custkey, o_orderstatus FROM orders "
+            f"WHERE o_orderkey BETWEEN {a} AND {a + rng.choice([25, 80])}"
+        )
+        hi += 10000
+        return (sql, sql, "dml_count")
+
+    def delete() -> tuple[str, str, str]:
+        preds = [
+            f"k % {rng.choice([2, 3, 5])} = 0",
+            f"v < {rng.choice([400, 1000])}",
+            "s = 'O'",
+        ]
+        if extra:
+            preds.append(f"{rng.choice(extra)} IS NULL")
+        sql = f"DELETE FROM {tbl} WHERE {rng.choice(preds)}"
+        return (sql, sql, "dml_count")
+
+    def replace() -> tuple[str, str, str]:
+        ks = rng.sample(range(min(hi, 2500)), rng.randint(1, 3))
+        rows = ", ".join(f"({k}, {rng.randrange(5000, 9000)}, 'R')" for k in ks)
+        return (
+            f"REPLACE INTO {tbl} VALUES {rows}"
+            if not extra
+            else f"REPLACE INTO {tbl} (k, v, s) VALUES {rows}",
+            f"INSERT OR REPLACE INTO {tbl} (k, v, s) VALUES {rows}",
+            "none",
+        )
+
+    def read() -> tuple[str, str, str]:
+        form = rng.choice(["agg", "agg", "filter"])
+        if form == "agg":
+            sql = (
+                f"SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv, "
+                f"CAST(min(k) AS BIGINT) AS mn, CAST(max(k) AS BIGINT) AS mx FROM {tbl}"
+            )
+        else:
+            sql = f"SELECT k, v FROM {tbl} WHERE k % {rng.choice([2, 3])} = 0"
+        return (sql, sql, "read")
+
+    def alter_op() -> tuple[str, str, str]:
+        nonlocal n_named
+        roll = rng.random()
+        if extra and roll < 0.3:
+            c = extra.pop(rng.randrange(len(extra)))
+            sql = f"ALTER TABLE {tbl} DROP COLUMN {c}"
+        elif extra and roll < 0.55:
+            old = rng.choice(extra)
+            n_named += 1
+            extra[extra.index(old)] = f"r{n_named}"
+            sql = f"ALTER TABLE {tbl} RENAME COLUMN {old} TO r{n_named}"
+        else:
+            n_named += 1
+            extra.append(f"c{n_named}")
+            sql = f"ALTER TABLE {tbl} ADD COLUMN c{n_named} BIGINT"
+        return (sql, sql, "none")
+
+    def error_stmt() -> tuple[str, str, str]:
+        pool = [
+            f"INSERT INTO {tbl} (k, v, nope_col) VALUES (1, 1, 1)",
+            f"INSERT INTO {tbl} (k, v, s) VALUES (1, 1)",
+            f"INSERT INTO mx_nosuch VALUES (1)",
+            f"DELETE FROM {tbl} WHERE nope_col = 1",
+        ]
+        if has_pk:
+            x = fresh(1)[0]  # burn a fresh key: in-batch dup, always fails
+            pool.append(f"INSERT INTO {tbl} (k, v, s) VALUES ({x}, 1, 'a'), ({x}, 2, 'b')")
+        return (rng.choice(pool), None, "error_both")
+
+    ops.append(ins_values())
+    kinds = [ins_values, ins_select, delete, read, read]
+    if has_pk:
+        kinds.append(replace)
+    for _ in range(rng.randint(6, 9)):
+        roll = rng.random()
+        if roll < 0.15:
+            ops.append(alter_op())
+        elif roll < 0.3:
+            e, _d, _k = error_stmt()
+            ops.append((e, e, "error"))
+        else:
+            ops.append(rng.choice(kinds)())
+    if rng.random() < 0.6:  # txn group with reads and maybe an error inside
+        commit = rng.random() < 0.5
+        ops.append(("BEGIN", None, "none"))
+        for _ in range(rng.randint(1, 3)):
+            roll = rng.random()
+            if roll < 0.2:
+                e, _d, _k = error_stmt()
+                # engine must raise mid-txn (statement-level rollback);
+                # DuckDB sees it only when the group commits
+                ops.append((e, e if commit else None, "error" if commit else "error_eng_only"))
+            else:
+                e, d, _k = (ins_values if roll < 0.7 else delete)()
+                ops.append((e, d if commit else None, "none"))
+                if commit and rng.random() < 0.5:
+                    e, d, _k = read()  # read-your-writes vs duck applied
+                    ops.append((e, d, "read"))
+        ops.append(("COMMIT" if commit else "ROLLBACK", None, "none"))
+        ops.append(ins_values())
+    return ops, ["k", "v", "s"] + extra
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_differential_mixed_fuzz(fuzz_eng, fuzz_duck, seed):
+    ops, cols = gen_mixed_sequence(seed)
+    for eng_sql, duck_sql, kind in ops:
+        if kind in ("error", "error_eng_only"):
+            with pytest.raises(Exception):
+                fuzz_eng.sql(eng_sql)
+            if kind == "error" and duck_sql is not None:
+                with pytest.raises(Exception):
+                    fuzz_duck.execute(duck_sql)
+            continue
+        r = fuzz_eng.sql(eng_sql)
+        if duck_sql is None:
+            continue
+        d = fuzz_duck.execute(duck_sql)
+        if kind == "dml_count":
+            n_duck = d.fetchall()[0][0]
+            assert r.rows_affected == n_duck, f"seed {seed} count diverged:\n{eng_sql}"
+        elif kind == "read":
+            a = _canon_rows(r.df.toPandas())
+            b = _canon_rows(d.df())
+            assert a == b, f"seed {seed} read diverged:\n{eng_sql}"
+    sel = f"SELECT {', '.join(cols)} FROM mx{seed}"
+    a = _canon_rows(fuzz_eng.sql(sel).df.toPandas())
+    b = _canon_rows(fuzz_duck.execute(sel).df())
+    assert a == b, f"seed {seed} final state diverged ({len(a)} vs {len(b)})"
+    chk = [tuple(r) for r in fuzz_eng.sql(f"ADMIN CHECK TABLE mx{seed}").df.collect()]
+    assert chk and all(r[-1] == "OK" for r in chk), (seed, chk)
