@@ -1862,3 +1862,50 @@ def test_txn_statement_failure_keeps_txn_consistent(eng):
     eng.sql("INSERT INTO txf VALUES (3, 30)")
     eng.sql("COMMIT")
     assert rows(eng.sql("SELECT k, v FROM txf")) == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_unsigned_bigint_true_semantics(eng):
+    """BIGINT UNSIGNED holds the full [0, 2^64) range exactly — the
+    formerly-accepted cut (reference: types/datum.go KindUint64,
+    parser/mysql/type.go UnsignedFlag) closed via a DECIMAL(20,0)
+    mapping: values above 2^63-1 round-trip without wrap, arithmetic
+    and ordering are exact, negative inserts are rejected with
+    MySQL's 1264, and the unique-key path works on the decimal key."""
+    import decimal
+
+    import pytest
+
+    eng.sql(
+        "CREATE TABLE uns (k BIGINT UNSIGNED PRIMARY KEY, "
+        "b INT UNSIGNED, c SMALLINT UNSIGNED, s VARCHAR(16))"
+    )
+    top = 18446744073709551615  # 2^64 - 1
+    eng.sql(f"INSERT INTO uns VALUES ({top}, 4294967295, 65535, 'max')")
+    eng.sql("INSERT INTO uns VALUES (0, 0, 0, 'min')")
+    got = rows(eng.sql("SELECT k, b, c FROM uns"))
+    assert got == [
+        (decimal.Decimal(0), 0, 0),
+        (decimal.Decimal(top), 4294967295, 65535),
+    ]
+    # arithmetic past int64 and predicates above the signed max
+    assert rows(eng.sql("SELECT k + 1 AS k1 FROM uns WHERE k > 9223372036854775807")) == [
+        (decimal.Decimal(top) + 1,)
+    ]
+    # strict-mode range enforcement, each unsigned width
+    for bad in (f"INSERT INTO uns VALUES (-1, 1, 1, 'x')",
+                f"INSERT INTO uns VALUES (5, -1, 1, 'x')",
+                f"INSERT INTO uns VALUES (5, 1, -1, 'x')"):
+        with pytest.raises(ValueError, match=r"\(errno 1264\) out of range"):
+            eng.sql(bad)
+    # unique/REPLACE/DELETE machinery on the decimal-mapped key
+    with pytest.raises(ValueError, match="duplicate key"):
+        eng.sql(f"INSERT INTO uns VALUES ({top}, 1, 1, 'dup')")
+    eng.sql(f"REPLACE INTO uns VALUES ({top}, 7, 7, 'rep')")
+    eng.sql("DELETE FROM uns WHERE k < 100")
+    assert rows(eng.sql("SELECT k, s FROM uns")) == [(decimal.Decimal(top), "rep")]
+    # ALTER ADD COLUMN keeps the modifier; SHOW CREATE round-trips it
+    eng.sql("ALTER TABLE uns ADD COLUMN d BIGINT UNSIGNED")
+    eng.sql(f"INSERT INTO uns (k, b, c, s, d) VALUES (9, 1, 1, 'y', {top - 1})")
+    assert rows(eng.sql("SELECT max(d) AS md FROM uns")) == [(decimal.Decimal(top - 1),)]
+    ddl = eng.sql("SHOW CREATE TABLE uns").df.collect()[0][1]
+    assert "BIGINT UNSIGNED" in ddl

@@ -53,6 +53,22 @@ _TYPE_MAP = {
 
 
 def sql_type_to_spark(type_str: str) -> T.DataType:
+    up = type_str.strip().upper()
+    if up.endswith(" UNSIGNED"):
+        # True unsigned semantics (reference: types/datum.go:36
+        # KindUint64, parser/mysql/type.go:60 UnsignedFlag — the
+        # former accepted cut): BIGINT UNSIGNED needs the full
+        # [0, 2^64) range, which no Spark integral type holds, so it
+        # maps to DECIMAL(20,0) — exact, order-correct, parquet-
+        # native. Smaller unsigned types fit the next signed size up.
+        base = up[:-len(" UNSIGNED")].split("(")[0].strip()
+        if base == "BIGINT":
+            return T.DecimalType(20, 0)
+        if base in ("INT", "INTEGER", "MEDIUMINT"):
+            return T.LongType()
+        if base in ("SMALLINT", "TINYINT"):
+            return T.IntegerType()
+        raise ValueError(f"unsupported unsigned column type: {type_str}")
     base = type_str.split("(")[0].strip().upper()
     if base in ("DECIMAL", "NUMERIC"):
         import re as _re
@@ -124,6 +140,10 @@ class ColumnInfo:
     @property
     def file_name(self) -> str:
         return self.physical or self.name
+
+    @property
+    def is_unsigned(self) -> bool:
+        return self.type.strip().upper().endswith(" UNSIGNED")
 
     def spark_type(self) -> T.DataType:
         return sql_type_to_spark(self.type)

@@ -1142,6 +1142,12 @@ class Engine:
                 raise ValueError(f"(errno 1060) column {col_name!r} already exists in {t}")
             col_type = cm.group(2).upper() + (cm.group(3) or "").replace(" ", "")
             rest = m.group(1)[cm.end() :]
+            # same UNSIGNED/SIGNED handling as CREATE TABLE column defs
+            um = P.re.match(r"\s*(UNSIGNED|SIGNED)\b", rest, P.re.I)
+            if um:
+                if um.group(1).upper() == "UNSIGNED":
+                    col_type += " UNSIGNED"
+                rest = rest[um.end() :]
             dm = P.re.search(r"DEFAULT\s+('(?:[^'\\]|\\.)*'|[\w.+-]+)", rest, P.re.I)
             # ADD COLUMN is metadata-only, so the new column must read
             # as NULL from existing files. If the name matches bytes
@@ -1410,6 +1416,9 @@ class Engine:
             for c in info.columns
             if not c.nullable and (auto is None or c.name != auto.name)
         ]
+        # unsigned range check (MySQL strict mode, errno 1264): rides
+        # the same single validation aggregate — no extra job
+        uns_cols = [c.name for c in info.columns if c.is_unsigned]
         auto_aggs = []
         if auto is not None:
             need = self._auto_need(auto.name)
@@ -1420,11 +1429,20 @@ class Engine:
         flags = out.agg(
             F.count(F.lit(1)).alias("__n"),
             *[F.max(F.col(c).isNull().cast("int")).alias(c) for c in nn_cols],
+            *[
+                F.max((F.col(c) < 0).cast("int")).alias(f"__neg_{c}")
+                for c in uns_cols
+            ],
             *auto_aggs,
         ).collect()[0]
         for c in nn_cols:
             if flags[c]:
                 raise ValueError(f"(errno 1048) column {c!r} cannot be null")
+        for c in uns_cols:
+            if flags[f"__neg_{c}"]:
+                raise ValueError(
+                    f"(errno 1264) out of range value for unsigned column {c!r}"
+                )
         n = int(flags["__n"])
         if auto is not None and n:
             base = max(

@@ -293,6 +293,17 @@ def parse_create_table(stmt: str) -> CreateTable:
             col_name = unquote_ident(cm.group(1))
             col_type = cm.group(2).upper() + (cm.group(3) or "").replace(" ", "")
             rest = item[cm.end() :].strip()
+            # integer display-width modifiers: UNSIGNED becomes part
+            # of the declared type (true uint64 semantics — BIGINT
+            # UNSIGNED maps to DECIMAL(20,0), see
+            # catalog.sql_type_to_spark); SIGNED is the default and
+            # strips. Consumed here so DEFAULT/UNIQUE parsing below
+            # sees only the attribute tail.
+            um = re.match(r"(UNSIGNED|SIGNED)\b\s*", rest, re.I)
+            if um:
+                if um.group(1).upper() == "UNSIGNED":
+                    col_type += " UNSIGNED"
+                rest = rest[um.end() :].strip()
             rest_up = rest.upper()
             nullable = "NOT NULL" not in rest_up
             default = None
