@@ -1025,3 +1025,37 @@ def test_differential_mixed_fuzz(fuzz_eng, fuzz_duck, seed):
     assert a == b, f"seed {seed} final state diverged ({len(a)} vs {len(b)})"
     chk = [tuple(r) for r in fuzz_eng.sql(f"ADMIN CHECK TABLE mx{seed}").df.collect()]
     assert chk and all(r[-1] == "OK" for r in chk), (seed, chk)
+
+
+def test_unsigned_differential_vs_duckdb(fuzz_eng, fuzz_duck):
+    """The round-10 unsigned close gets an EXTERNAL oracle: the same
+    statement sequence over the engine's BIGINT UNSIGNED (DECIMAL(20,0)
+    mapping) and DuckDB's native UBIGINT must agree on every read —
+    including values above 2^63 that the old LongType mapping wrapped
+    negative."""
+    fuzz_eng.sql("CREATE TABLE ub (k BIGINT UNSIGNED PRIMARY KEY, v BIGINT)")
+    fuzz_duck.execute("CREATE TABLE ub (k UBIGINT PRIMARY KEY, v BIGINT)")
+    top = 18446744073709551615
+    stmts = [
+        f"INSERT INTO ub VALUES ({top}, 1), ({top - 7}, 2), (42, 3), "
+        f"(9223372036854775808, 4)",  # 2^63: the wrap boundary
+        "DELETE FROM ub WHERE v = 2",
+        f"INSERT INTO ub VALUES (9223372036854775807, 5)",  # 2^63 - 1
+    ]
+    for s in stmts:
+        fuzz_eng.sql(s)
+        fuzz_duck.execute(s)
+    for sel in [
+        "SELECT k, v FROM ub",
+        "SELECT k, v FROM ub WHERE k > 9223372036854775807",
+        # VARCHAR casts: DuckDB's pandas bridge renders wide decimals
+        # as float64 and would lose exactness in the COMPARISON (the
+        # values themselves are exact in both engines)
+        "SELECT CAST(count(*) AS BIGINT) AS n, CAST(min(k) AS VARCHAR(64)) AS mn, "
+        "CAST(max(k) AS VARCHAR(64)) AS mx, "
+        "CAST(CAST(sum(k) AS DECIMAL(38,0)) AS VARCHAR(64)) AS sk FROM ub",
+        "SELECT CAST(k % 1000 AS BIGINT) AS km, v FROM ub WHERE k >= 42",
+    ]:
+        a = _canon_rows(fuzz_eng.sql(sel).df.toPandas())
+        b = _canon_rows(fuzz_duck.execute(sel).df())
+        assert a == b, (sel, a, b)
