@@ -669,3 +669,54 @@ def test_adaptive_bloom_sizing(spark, sf_dir):
     probes = probes[~np.isin(probes, hs)]
     measured = float(hit(probes, m).mean())
     assert measured <= max(0.02, 3 * fp), (measured, fp)
+
+
+def test_sharded_bloom_sizing_and_membership(spark, sf_dir):
+    """The sharded sketch must pick the analytic shard count (power of
+    two, recomputed independently here), produce no false negatives
+    on the index's own fingerprints, and keep the measured fp rate
+    over absent probes near the per-shard prediction — with a shard
+    size small enough (512 bits) that a SINGLE bitmap would be
+    saturated, so sharding is what carries the budget."""
+    import math
+    import os
+
+    import numpy as np
+
+    from tinysql_spark.operators.dedup import (
+        _D16_K,
+        _d18_incremental_index,
+        adaptive_bloom_from_index,
+        sharded_bloom_from_index,
+        sharded_bloom_might_contain,
+    )
+
+    idx = os.path.join(_d18_incremental_index(spark, sf_dir), "keepers")
+    m_shard = 512
+    maps, s, fp = sharded_bloom_from_index(spark, idx, m_shard=m_shard, fp_budget=0.01)
+    assert fp <= 0.01 and s & (s - 1) == 0 and len(maps) == s
+
+    hs = np.array(
+        [r["h"] for r in spark.read.parquet(idx).selectExpr("xxhash64(fp) AS h").collect()],
+        dtype=np.int64,
+    )
+    n = len(hs)
+    # independent analytic shard count (no measured-skew re-split at
+    # this scale: assert >=, equality when fills land as predicted)
+    s_exp = 1
+    while (1.0 - math.exp(-(n * _D16_K) / (s_exp * m_shard))) ** _D16_K > 0.01:
+        s_exp *= 2
+    assert s >= s_exp, (s, s_exp)
+    # a single 512-bit bitmap would be saturated (sharding earns the budget)
+    assert (1.0 - math.exp(-(n * _D16_K) / m_shard)) ** _D16_K > 0.5
+    # no false negatives
+    assert sharded_bloom_might_contain(maps, s, hs).all()
+    # measured fp over absent probes near prediction
+    rng = np.random.default_rng(11)
+    probes = rng.integers(1 << 40, 1 << 62, size=20000, dtype=np.int64)
+    probes = probes[~np.isin(probes, hs)]
+    measured = float(sharded_bloom_might_contain(maps, s, probes).mean())
+    assert measured <= max(0.02, 3 * fp), (measured, fp)
+    # and the unsharded adaptive build agrees on the no-FN property
+    bm, m, _fp2 = adaptive_bloom_from_index(spark, idx, m0=64, fp_budget=0.01)
+    assert sharded_bloom_might_contain([bm], 1, hs).all()

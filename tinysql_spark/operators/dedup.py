@@ -2657,3 +2657,86 @@ def adaptive_bloom_from_index(
         if fp <= fp_budget or m >= m_max:
             return bits.tobytes(), m, fp
         m *= 2
+
+
+def sharded_bloom_from_index(
+    spark: SparkSession,
+    idx_path: str,
+    m_shard: int = 1 << 17,
+    fp_budget: float = 0.01,
+    max_shards: int = 1 << 16,
+) -> tuple[list[bytes], int, float]:
+    """SHARDED sketch for key spaces past a single bitmap's ceiling
+    (SURVEY §7.20-r11 item 3, completing adaptive_bloom): the key
+    space splits by pmod(xxhash64, S), each shard owns an m_shard-bit
+    bitmap, so effective capacity is S x m_shard while any single
+    executor only ever materializes ONE shard bitmap. S is chosen
+    analytically from the index cardinality (fill ~ 1 - exp(-nk/Sm),
+    xxhash64 spreads shards uniformly), doubled until the predicted
+    fp rate (fill**k) is under budget, then the build is verified
+    against the MEASURED max shard fill (one pass: per-partition
+    per-shard partial bitmaps, OR-merged by shard at the driver).
+    Membership: test shard pmod(h, S)'s bitmap with the same k bit
+    positions. Returns (bitmaps, S, predicted fp from measured max
+    fill)."""
+    import math as _math
+
+    import numpy as np
+
+    hashes = spark.read.parquet(idx_path).select(F.xxhash64("fp").alias("h"))
+    n = hashes.count()
+    s = 1
+    while s < max_shards:
+        fill = 1.0 - _math.exp(-(n * _D16_K) / (s * m_shard))
+        if fill ** _D16_K <= fp_budget:
+            break
+        s *= 2
+    while True:
+
+        def partial(batches, s=s):
+            acc: dict[int, "np.ndarray"] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                h = pdf["h"].to_numpy()
+                shard = (h.view(np.uint64) % np.uint64(s)).astype(np.int64)
+                idx = _d16_bit_indices(h, m_shard)
+                for sh in np.unique(shard):
+                    bits = acc.setdefault(int(sh), np.zeros(m_shard // 8, dtype=np.uint8))
+                    i = idx[shard == sh].ravel()
+                    np.bitwise_or.at(bits, i >> 3, np.uint8(1) << (i & 7).astype(np.uint8))
+            if acc:
+                yield pd.DataFrame(
+                    {"shard": list(acc), "bm": [b.tobytes() for b in acc.values()]}
+                )
+
+        maps = [np.zeros(m_shard // 8, dtype=np.uint8) for _ in range(s)]
+        for r in hashes.mapInPandas(partial, "shard int, bm binary").collect():
+            maps[r["shard"]] |= np.frombuffer(r["bm"], dtype=np.uint8)
+        max_fill = max(
+            (float(np.unpackbits(b).sum()) / m_shard for b in maps), default=0.0
+        )
+        fp = max_fill ** _D16_K
+        if fp <= fp_budget or s >= max_shards:
+            return [b.tobytes() for b in maps], s, fp
+        s *= 2  # measured skew pushed a shard over budget: re-split
+
+
+def sharded_bloom_might_contain(
+    maps: list[bytes], s: int, h64
+) -> "np.ndarray":
+    """Vectorized membership over a sharded sketch (the executor-side
+    twin of the d16 probe): route each hash to its shard's bitmap,
+    test the k bit positions."""
+    import numpy as np
+
+    h = np.asarray(h64, dtype=np.int64)
+    shard = (h.view(np.uint64) % np.uint64(s)).astype(np.int64)
+    idx = _d16_bit_indices(h, len(maps[0]) * 8)
+    out = np.zeros(len(h), dtype=bool)
+    for sh in np.unique(shard):
+        bits = np.frombuffer(maps[sh], dtype=np.uint8)
+        sel = shard == sh
+        i = idx[sel]
+        out[sel] = ((bits[i >> 3] >> (i & 7).astype(np.uint8)) & 1).all(axis=1)
+    return out
