@@ -1891,12 +1891,21 @@ def test_unsigned_bigint_true_semantics(eng):
     assert rows(eng.sql("SELECT k + 1 AS k1 FROM uns WHERE k > 9223372036854775807")) == [
         (decimal.Decimal(top) + 1,)
     ]
-    # strict-mode range enforcement, each unsigned width
+    # strict-mode range enforcement, each unsigned width, BOTH bounds
+    # (the r10 close only rejected negatives; MySQL's errno 1264 also
+    # fires above each width's max — 2^64 and 4294967296 must fail)
     for bad in (f"INSERT INTO uns VALUES (-1, 1, 1, 'x')",
                 f"INSERT INTO uns VALUES (5, -1, 1, 'x')",
-                f"INSERT INTO uns VALUES (5, 1, -1, 'x')"):
+                f"INSERT INTO uns VALUES (5, 1, -1, 'x')",
+                f"INSERT INTO uns VALUES ({top + 1}, 1, 1, 'x')",  # 2^64
+                f"INSERT INTO uns VALUES (5, 4294967296, 1, 'x')",
+                f"INSERT INTO uns VALUES (5, 1, 65536, 'x')"):
         with pytest.raises(ValueError, match=r"\(errno 1264\) out of range"):
             eng.sql(bad)
+    # state unchanged on every reject, and the stored data passes the
+    # range invariant ADMIN CHECK TABLE now audits
+    assert rows(eng.sql("SELECT count(*) AS n FROM uns"))[0][0] == 2
+    assert eng.sql("ADMIN CHECK TABLE uns").rows()[0][2] == "OK"
     # unique/REPLACE/DELETE machinery on the decimal-mapped key
     with pytest.raises(ValueError, match="duplicate key"):
         eng.sql(f"INSERT INTO uns VALUES ({top}, 1, 1, 'dup')")

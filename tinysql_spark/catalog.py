@@ -52,6 +52,18 @@ _TYPE_MAP = {
 }
 
 
+# Upper bound of each MySQL unsigned integer width (strict-mode
+# inserts above these raise errno 1264, mirroring the negative side).
+_UNSIGNED_MAX = {
+    "TINYINT": 255,
+    "SMALLINT": 65535,
+    "MEDIUMINT": 16777215,
+    "INT": 4294967295,
+    "INTEGER": 4294967295,
+    "BIGINT": 18446744073709551615,
+}
+
+
 def sql_type_to_spark(type_str: str) -> T.DataType:
     up = type_str.strip().upper()
     if up.endswith(" UNSIGNED"):
@@ -144,6 +156,17 @@ class ColumnInfo:
     @property
     def is_unsigned(self) -> bool:
         return self.type.strip().upper().endswith(" UNSIGNED")
+
+    @property
+    def unsigned_max(self) -> int | None:
+        """Per-width maximum for an UNSIGNED column (MySQL strict mode
+        rejects values above it with errno 1264 — types/datum.go:36
+        KindUint64). None for signed columns."""
+        if not self.is_unsigned:
+            return None
+        up = self.type.strip().upper()
+        base = up[: -len(" UNSIGNED")].split("(")[0].strip()
+        return _UNSIGNED_MAX[base]
 
     def spark_type(self) -> T.DataType:
         return sql_type_to_spark(self.type)

@@ -42,6 +42,17 @@ from . import sqlparse as P
 from .catalog import ROWID, Catalog, ColumnInfo, IndexInfo, TableInfo
 
 
+def _unsigned_max_lit(mx: int):
+    """Literal for an unsigned width's upper bound. 2^64-1 exceeds
+    LongType, so BIGINT UNSIGNED's bound becomes a DECIMAL(20,0)
+    literal (the same type the column maps to)."""
+    if mx > 0x7FFFFFFFFFFFFFFF:
+        from decimal import Decimal
+
+        return F.lit(Decimal(mx))
+    return F.lit(mx)
+
+
 @dataclass
 class _TxnTable:
     """Per-table write buffer of an open transaction — the Spark
@@ -1416,9 +1427,14 @@ class Engine:
             for c in info.columns
             if not c.nullable and (auto is None or c.name != auto.name)
         ]
-        # unsigned range check (MySQL strict mode, errno 1264): rides
-        # the same single validation aggregate — no extra job
-        uns_cols = [c.name for c in info.columns if c.is_unsigned]
+        # unsigned range check, BOTH bounds (MySQL strict mode, errno
+        # 1264 — types/datum.go:36 KindUint64): rides the same single
+        # validation aggregate — no extra job. The upper bound is the
+        # declared width's max (255/65535/4294967295/2^64-1), not the
+        # mapped Spark type's: INT UNSIGNED stores in LongType and
+        # BIGINT UNSIGNED in DECIMAL(20,0), both of which physically
+        # hold over-max values MySQL must reject.
+        uns_cols = [(c.name, c.unsigned_max) for c in info.columns if c.is_unsigned]
         auto_aggs = []
         if auto is not None:
             need = self._auto_need(auto.name)
@@ -1430,16 +1446,18 @@ class Engine:
             F.count(F.lit(1)).alias("__n"),
             *[F.max(F.col(c).isNull().cast("int")).alias(c) for c in nn_cols],
             *[
-                F.max((F.col(c) < 0).cast("int")).alias(f"__neg_{c}")
-                for c in uns_cols
+                F.max(
+                    ((F.col(c) < 0) | (F.col(c) > _unsigned_max_lit(mx))).cast("int")
+                ).alias(f"__rng_{c}")
+                for c, mx in uns_cols
             ],
             *auto_aggs,
         ).collect()[0]
         for c in nn_cols:
             if flags[c]:
                 raise ValueError(f"(errno 1048) column {c!r} cannot be null")
-        for c in uns_cols:
-            if flags[f"__neg_{c}"]:
+        for c, _mx in uns_cols:
+            if flags[f"__rng_{c}"]:
                 raise ValueError(
                     f"(errno 1264) out of range value for unsigned column {c!r}"
                 )
@@ -1916,6 +1934,20 @@ class Engine:
         notnull = [] if only_index else [c.name for c in info.columns if not c.nullable]
         for c in notnull:
             aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+        # unsigned range invariant: stored values must sit in
+        # [0, width-max] — the same errno-1264 bound the write path
+        # enforces (types/datum.go:36 KindUint64)
+        unsigned = (
+            []
+            if only_index
+            else [(c.name, c.unsigned_max) for c in info.columns if c.is_unsigned]
+        )
+        for c, mx in unsigned:
+            aggs.append(
+                F.sum(
+                    ((F.col(c) < 0) | (F.col(c) > _unsigned_max_lit(mx))).cast("long")
+                ).alias(f"rng_{c}")
+            )
         s = raw.agg(*aggs).collect()[0]
         if s["n_rowid"] != s["n"]:
             raise ValueError(
@@ -1931,6 +1963,12 @@ class Engine:
             if s[f"nn_{c}"]:
                 raise ValueError(
                     f"admin check table {t} failed: {s[f'nn_{c}']} NULLs in NOT NULL column {c}"
+                )
+        for c, _mx in unsigned:
+            if s[f"rng_{c}"]:
+                raise ValueError(
+                    f"admin check table {t} failed: {s[f'rng_{c}']} out-of-range "
+                    f"values in unsigned column {c}"
                 )
         keys = [only_index.columns] if only_index and only_index.unique else (
             [] if only_index else info.unique_keys()
