@@ -1612,14 +1612,30 @@ def test_txn_model_random_sequences(eng):
 
 def test_mysql_cast_unsigned_signed(eng):
     """MySQL's CAST targets UNSIGNED/SIGNED [INTEGER] (parser.y
-    CastType) run end-to-end as 64-bit integer casts — Spark rejects
-    the keywords outright without the rewrite. Divergence pinned:
-    CAST(negative AS UNSIGNED) keeps the negative (no 2^64 wrap;
-    KindUint64 maps to signed 64-bit per the documented scope cut)."""
+    CastType) run end-to-end. Round 11 closes the former pinned
+    divergence: CAST(negative AS UNSIGNED) now wraps mod 2^64 into
+    DECIMAL(20,0) — true KindUint64 semantics (types/datum.go:36;
+    CAST(-1 AS UNSIGNED) = 18446744073709551615 in MySQL). Doubles
+    round before the wrap (MySQL rounds float->int on cast)."""
+    from decimal import Decimal
+
     eng.sql("CREATE TABLE uc (s string, d double)")
     eng.sql("INSERT INTO uc VALUES ('42', -1.7)")
-    assert rows(eng.sql("SELECT CAST(s AS UNSIGNED) AS u FROM uc")) == [(42,)]
+    assert rows(eng.sql("SELECT CAST(s AS UNSIGNED) AS u FROM uc")) == [
+        (Decimal(42),)
+    ]
     assert rows(eng.sql("SELECT CAST(d AS SIGNED INTEGER) AS i FROM uc")) == [(-1,)]
+    # the wrap side: -1 -> 2^64-1; -1.7 rounds to -2 -> 2^64-2
+    assert rows(eng.sql("SELECT CAST(0 - 1 AS UNSIGNED) AS u FROM uc")) == [
+        (Decimal(18446744073709551615),)
+    ]
+    assert rows(eng.sql("SELECT CAST(d AS UNSIGNED) AS u FROM uc")) == [
+        (Decimal(18446744073709551614),)
+    ]
+    # round-trip: a wrapped value re-cast to SIGNED comes back
+    assert rows(
+        eng.sql("SELECT CAST(CAST(0 - 1 AS UNSIGNED) - 18446744073709551616 AS SIGNED) AS i FROM uc")
+    ) == [(-1,)]
     # string literal containing the keyword passes through untouched
     assert rows(eng.sql("SELECT 'AS UNSIGNED' AS s FROM uc")) == [("AS UNSIGNED",)]
 

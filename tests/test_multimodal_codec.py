@@ -297,10 +297,12 @@ def test_m08_scrub_preserves_pixels_and_strips_metadata(spark, sf_dir):
     )
     for r in rows:
         raw = synth_png_bytes(r["text"] or "", meta={"lang": str(r["lang"]), "source": str(r["source"])})
-        scrubbed, removed = png_strip_metadata(raw)
+        scrubbed, removed, n_trailing = png_strip_metadata(raw)
         # twin recompute matches the operator output exactly
         g = got[r["doc_id"]]
         assert g["n_removed"] == removed and removed >= 1
+        # well-formed synthetic payloads carry no unvetted tail
+        assert g["n_trailing"] == n_trailing == 0
         assert g["bytes_before"] == len(raw) and g["bytes_after"] == len(scrubbed)
         assert g["scrubbed_md5"] == hashlib.md5(scrubbed).hexdigest()
         # no metadata chunks survive; pixels identical
@@ -322,13 +324,20 @@ def test_m08_scrub_preserves_post_iend_tail():
 
     raw = synth_png_bytes("tail test", meta={"k": "v"})
     tail = b"SMUGGLED-ZIP-PAYLOAD\x00\x01\x02"
-    scrubbed, removed = png_strip_metadata(raw + tail)
+    scrubbed, removed, n_trailing = png_strip_metadata(raw + tail)
     assert removed >= 1
     assert scrubbed.endswith(tail)
+    # the preserved tail is SURFACED, not just kept (ADVICE r10):
+    # a quarantine gate reads the count instead of diffing sizes
+    assert n_trailing == len(tail)
     # and the scrub of the tail-free payload is the prefix: the tail
     # passthrough changed nothing else
-    base, _ = png_strip_metadata(raw)
-    assert scrubbed == base + tail
+    base, _, base_trailing = png_strip_metadata(raw)
+    assert scrubbed == base + tail and base_trailing == 0
+    # truncated tails are likewise counted as unvetted bytes
+    cut = raw[: len(raw) - 5]
+    _, _, trunc_trailing = png_strip_metadata(cut)
+    assert trunc_trailing > 0
 
 
 def test_m09_wav_roundtrip_and_twin(spark, sf_dir):

@@ -1234,3 +1234,47 @@ def test_differential_typed_fuzz(fuzz_eng, fuzz_duck, seed):
     tbl = f"ty{seed}"
     chk = [tuple(r) for r in fuzz_eng.sql(f"ADMIN CHECK TABLE {tbl}").df.collect()]
     assert chk and all(r[-1] == "OK" for r in chk), (seed, chk)
+
+
+def test_cast_unsigned_wrap_differential(fuzz_eng, fuzz_duck):
+    """CAST(x AS UNSIGNED) parity vs DuckDB (VERDICT r10 item 2):
+    non-negatives compare against native CAST(x AS UBIGINT); the wrap
+    side (negative x -> x + 2^64) compares against explicit HUGEINT
+    arithmetic, since DuckDB's UBIGINT cast rejects negatives rather
+    than wrapping. VARCHAR render on both sides keeps the comparison
+    exact past float64 precision."""
+    fuzz_eng.sql("CREATE TABLE cw (k BIGINT PRIMARY KEY, x BIGINT)")
+    fuzz_duck.execute("CREATE TABLE cw (k BIGINT PRIMARY KEY, x BIGINT)")
+    vals = [0, 1, 42, 2**31, 2**63 - 1, -1, -2, -42, -(2**63), -(2**31)]
+    ins = "INSERT INTO cw VALUES " + ", ".join(
+        f"({i}, {v})" for i, v in enumerate(vals)
+    )
+    fuzz_eng.sql(ins)
+    fuzz_duck.execute(ins)
+    a = _canon_rows(
+        fuzz_eng.sql(
+            "SELECT k, CAST(CAST(x AS UNSIGNED) AS VARCHAR(32)) AS u FROM cw"
+        ).df.toPandas()
+    )
+    b = _canon_rows(
+        fuzz_duck.execute(
+            "SELECT k, CAST(CASE WHEN x < 0 "
+            "THEN CAST(x AS HUGEINT) + 18446744073709551616 "
+            "ELSE CAST(x AS UBIGINT) END AS VARCHAR) AS u FROM cw"
+        ).df()
+    )
+    assert a == b, (a, b)
+    # non-negative slice also agrees with DuckDB's NATIVE UBIGINT cast
+    a = _canon_rows(
+        fuzz_eng.sql(
+            "SELECT k, CAST(CAST(x AS UNSIGNED) AS VARCHAR(32)) AS u "
+            "FROM cw WHERE x >= 0"
+        ).df.toPandas()
+    )
+    b = _canon_rows(
+        fuzz_duck.execute(
+            "SELECT k, CAST(CAST(x AS UBIGINT) AS VARCHAR) AS u "
+            "FROM cw WHERE x >= 0"
+        ).df()
+    )
+    assert a == b, (a, b)

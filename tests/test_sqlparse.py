@@ -150,21 +150,37 @@ class TestDbQualifierRewrite:
 
 
 def test_rewrite_mysql_casts():
-    """CAST(... AS UNSIGNED|SIGNED [INTEGER]) maps to BIGINT (MySQL
-    cast-target grammar Spark rejects outright); string literals are
-    untouched; case-insensitive."""
+    """CAST(... AS SIGNED [INTEGER]) maps to BIGINT; CAST(... AS
+    UNSIGNED [INTEGER]) maps to the mod-2^64 pmod/DECIMAL(20,0) wrap
+    form (true KindUint64 semantics — the former no-wrap divergence is
+    closed); string literals are untouched; case-insensitive."""
     from tinysql_spark.sqlparse import rewrite_mysql_casts as rw
 
-    assert rw("SELECT CAST(x AS UNSIGNED) FROM t") == "SELECT CAST(x AS BIGINT) FROM t"
-    assert rw("CAST(x AS unsigned integer)") == "CAST(x AS BIGINT)"
+    U = (
+        "CAST(pmod(CAST(({}) AS DECIMAL(21,0)), "
+        "CAST(18446744073709551616 AS DECIMAL(21,0))) AS DECIMAL(20,0))"
+    )
+    assert rw("SELECT CAST(x AS UNSIGNED) FROM t") == f"SELECT {U.format('x')} FROM t"
+    assert rw("CAST(x AS unsigned integer)") == U.format("x")
     assert rw("CAST(-1 AS SIGNED)") == "CAST(-1 AS BIGINT)"
     assert rw("SELECT 'keep AS UNSIGNED' AS s") == "SELECT 'keep AS UNSIGNED' AS s"
     assert rw("CAST(a AS STRING)") == "CAST(a AS STRING)"
+    # nested parens inside the cast argument balance correctly
+    assert rw("CAST(f(a, b) - 1 AS UNSIGNED)") == U.format("f(a, b) - 1")
+    # two casts in one statement, each rewritten independently
+    assert (
+        rw("SELECT CAST(a AS UNSIGNED), CAST(b AS UNSIGNED) FROM t")
+        == f"SELECT {U.format('a')}, {U.format('b')} FROM t"
+    )
     # mixed: literal protected, cast outside rewritten
     assert (
         rw("SELECT CAST(n AS UNSIGNED), 'AS SIGNED' FROM t")
-        == "SELECT CAST(n AS BIGINT), 'AS SIGNED' FROM t"
+        == f"SELECT {U.format('n')}, 'AS SIGNED' FROM t"
     )
+    import pytest
+
+    with pytest.raises(ValueError, match="AS UNSIGNED outside a CAST"):
+        rw("SELECT x AS UNSIGNED)")
 
 
 def test_split_statements_comment_aware():

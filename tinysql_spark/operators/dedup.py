@@ -2208,7 +2208,15 @@ def _d18_incremental_index(spark: SparkSession, sf_dir: str) -> str:
         .agg(F.min("doc_id").alias("keeper"))
         .join(spark.read.parquet(idx).select("fp"), "fp", "left_anti")
     )
-    bucketed(a_new).write.mode("append").partitionBy("bkt").parquet(idx)
+    # stage the anti-joined increment BEFORE appending: the anti-join
+    # reads idx and the append writes idx — materializing via a
+    # sibling staging dir means the write never scans its own
+    # destination (Spark doesn't guarantee self-referential
+    # read-writes; today it only works because the input file list is
+    # snapshotted at plan time)
+    stage = os.path.join(d, "stage_a")
+    bucketed(a_new).write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage).write.mode("append").partitionBy("bkt").parquet(idx)
     appended = sorted(
         set(glob.glob(os.path.join(idx, "bkt=*", "*.parquet"))) - base_files
     )
@@ -2342,32 +2350,55 @@ def d18_compact_index(
     ``max_files`` parquet files is read back and rewritten as one —
     OPTIMIZE TABLE's rewrite (engine.py _exec_optimize) applied to
     the dedup index, scoped to the dirty partitions only. The rewrite
-    follows the prepare-then-swap discipline under a single-writer
-    maintenance window: new files land in a sibling temp dir first,
-    then replace the old ones (a reader mid-swap is the same exposure
-    OPTIMIZE TABLE documents; production wraps this in the catalog
-    lock). Returns {bkt: n_files_before} for every compacted bucket.
-    At 100 TB the cost is one read+write of the over-fragmented
-    buckets — never a full-index rewrite."""
+    follows the crash-safe prepare-then-swap discipline of
+    _compact_index_buckets (stage outside the root, rename aside,
+    rename in, then delete — every intermediate state recoverable)
+    under a single-writer maintenance window (production wraps this
+    in the catalog lock). Returns {bkt: n_files_before} for every
+    compacted bucket. At 100 TB the cost is one read+write of the
+    over-fragmented buckets — never a full-index rewrite."""
+    d = _d18_incremental_index(spark, sf_dir)
+    return _compact_index_buckets(spark, os.path.join(d, "keepers"), max_files)
+
+
+def _compact_index_buckets(
+    spark: SparkSession, idx: str, max_files: int
+) -> dict[int, int]:
+    """Crash-safe dirty-bucket compaction kernel shared by
+    d18_compact_index and the d19 ingest loop. Swap discipline (every
+    intermediate state is recoverable, and no malformed partition dir
+    is ever visible inside the dataset root):
+
+    1. write the compacted file to a dot-prefixed staging dir OUTSIDE
+       the dataset root (a concurrent partition-discovery read of the
+       index never sees it);
+    2. rename the old partition dir ASIDE (also outside the root) —
+       after this single rename both full copies exist on disk;
+    3. rename the staging dir into place as the new partition dir;
+    4. only then delete the aside copy.
+
+    A crash at any point leaves at least one complete copy of the
+    bucket's rows in a recoverable location — the previous version
+    removed the old files BEFORE moving replacements in, leaving a
+    crash window with the only copy in a temp dir inside the root."""
     import glob
     import shutil
     import uuid
 
-    d = _d18_incremental_index(spark, sf_dir)
-    idx = os.path.join(d, "keepers")
+    parent = os.path.dirname(idx)
     compacted: dict[int, int] = {}
     for part in sorted(glob.glob(os.path.join(idx, "bkt=*"))):
         files = glob.glob(os.path.join(part, "*.parquet"))
         if len(files) <= max_files:
             continue
         bkt = int(part.rsplit("=", 1)[1])
-        tmp = part + f".compact-{uuid.uuid4().hex[:6]}"
+        tag = uuid.uuid4().hex[:6]
+        tmp = os.path.join(parent, f".compact-bkt{bkt}-{tag}")
+        aside = os.path.join(parent, f".aside-bkt{bkt}-{tag}")
         spark.read.parquet(part).coalesce(1).write.mode("overwrite").parquet(tmp)
-        for old in files:
-            os.remove(old)
-        for new in glob.glob(os.path.join(tmp, "*.parquet")):
-            shutil.move(new, os.path.join(part, os.path.basename(new)))
-        shutil.rmtree(tmp, ignore_errors=True)
+        os.rename(part, aside)
+        os.rename(tmp, part)
+        shutil.rmtree(aside, ignore_errors=True)
         compacted[bkt] = len(files)
     return compacted
 
@@ -2425,7 +2456,6 @@ def _d19_ingest_state(spark: SparkSession, sf_dir: str) -> tuple[str, list[bytes
     covers history plus every batch BEFORE i (the sketch each batch's
     probe is allowed to see)."""
     import atexit
-    import glob as _glob
     import shutil
     import tempfile
 
@@ -2489,21 +2519,19 @@ def _d19_ingest_state(spark: SparkSession, sf_dir: str) -> tuple[str, list[bytes
                 .agg(F.min("doc_id").alias("keeper"))
                 .join(spark.read.parquet(idx).select("fp"), "fp", "left_anti")
             )
-            bucketed(new).write.mode("append").partitionBy("bkt").parquet(idx)
+            # stage-then-append: the anti-join reads idx, so the
+            # increment is materialized to a sibling dir first — the
+            # append never scans its own destination (same discipline
+            # as _d18_incremental_index)
+            stage = os.path.join(d, f"stage_{i}")
+            bucketed(new).write.mode("overwrite").parquet(stage)
+            spark.read.parquet(stage).write.mode("append").partitionBy(
+                "bkt"
+            ).parquet(idx)
             # compact any bucket the append fragmented (threshold 1:
-            # toy-scale files are tiny; production raises it)
-            for part in _glob.glob(os.path.join(idx, "bkt=*")):
-                files = _glob.glob(os.path.join(part, "*.parquet"))
-                if len(files) > 1:
-                    tmp = part + ".c"
-                    spark.read.parquet(part).coalesce(1).write.mode(
-                        "overwrite"
-                    ).parquet(tmp)
-                    for old in files:
-                        os.remove(old)
-                    for newf in _glob.glob(os.path.join(tmp, "*.parquet")):
-                        shutil.move(newf, os.path.join(part, os.path.basename(newf)))
-                    shutil.rmtree(tmp, ignore_errors=True)
+            # toy-scale files are tiny; production raises it) via the
+            # crash-safe swap kernel
+            _compact_index_buckets(spark, idx, max_files=1)
             bloom = or_partials(bloom, batch.select(F.xxhash64("fp").alias("h")))
             blooms.append(bloom.tobytes())
     _D19_STATE_MEMO[key] = (d, blooms)

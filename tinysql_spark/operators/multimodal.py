@@ -738,27 +738,34 @@ def m07_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _M08_STRIP = {b"tEXt", b"zTXt", b"iTXt", b"tIME"}  # ancillary metadata chunks
 
 
-def png_strip_metadata(data: bytes) -> tuple[bytes, int]:
+def png_strip_metadata(data: bytes) -> tuple[bytes, int, int]:
     """Re-emit the PNG without metadata chunks (tEXt/zTXt/iTXt/tIME),
     copying every other chunk BYTE-EXACT (length+tag+payload+crc are
     slices of the input, never re-encoded — pixels cannot change).
-    Returns (scrubbed bytes, chunks removed). Truncated/corrupt tails
-    are copied through verbatim: scrubbing must not destroy evidence
-    a quarantine step (m06) still needs."""
+    Returns (scrubbed bytes, chunks removed, n_trailing): n_trailing
+    counts bytes copied through VERBATIM without chunk validation —
+    post-IEND smuggled payloads and truncated/corrupt tails — so a
+    downstream quarantine gate can see that a 'scrubbed' artifact
+    still carries unvetted bytes instead of inferring it from size
+    diffs (scrubbing must not destroy evidence m06 still needs, but
+    it must not hide it either)."""
     if data[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     out = [_PNG_SIG]
     pos = len(_PNG_SIG)
     removed = 0
+    n_trailing = 0
     while pos < len(data):
         if pos + 8 > len(data):
             out.append(data[pos:])
+            n_trailing = len(data) - pos
             break
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         end = pos + 12 + length
         if end > len(data):
             out.append(data[pos:])
+            n_trailing = len(data) - pos
             break
         if tag in _M08_STRIP:
             removed += 1
@@ -771,9 +778,10 @@ def png_strip_metadata(data: bytes) -> tuple[bytes, int]:
             # must not silently destroy evidence (VERDICT r9 item 4).
             if end < len(data):
                 out.append(data[end:])
+                n_trailing = len(data) - end
             break
         pos = end
-    return b"".join(out), removed
+    return b"".join(out), removed, n_trailing
 
 
 @register(
@@ -788,10 +796,13 @@ def png_strip_metadata(data: bytes) -> tuple[bytes, int]:
     "chunk is copied as a byte slice of the input — length, payload "
     "and CRC untouched, so pixel data provably cannot change (the "
     "codec test decodes before and after and compares arrays). "
-    "Truncated tails pass through verbatim so scrubbing composes "
-    "with m06's quarantine instead of masking corruption. Output is "
-    "the audit row (chunks removed, bytes before/after, scrubbed "
-    "digest); the same Arrow mapInPandas shape as m02/m05 — "
+    "Truncated tails and post-IEND bytes pass through verbatim so "
+    "scrubbing composes with m06's quarantine instead of masking "
+    "corruption — and the audit row SURFACES them (n_trailing: bytes "
+    "preserved without chunk validation) so quarantine logic can "
+    "gate on the flag instead of byte-size diffs. Output is the "
+    "audit row (chunks removed, trailing bytes, bytes before/after, "
+    "scrubbed digest); the same Arrow mapInPandas shape as m02/m05 — "
     "map-only, no shuffle, O(bytes) per payload at 100 TB.",
 )
 def m08_metadata_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,11 +829,12 @@ def m08_metadata_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
-                scrubbed, removed = png_strip_metadata(raw)
+                scrubbed, removed, n_trailing = png_strip_metadata(raw)
                 rows.append(
                     (
                         doc_id,
                         removed,
+                        n_trailing,
                         len(raw),
                         len(scrubbed),
                         hashlib.md5(scrubbed).hexdigest(),
@@ -831,15 +843,15 @@ def m08_metadata_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "n_removed", "bytes_before", "bytes_after",
-                    "scrubbed_md5",
+                    "doc_id", "n_removed", "n_trailing", "bytes_before",
+                    "bytes_after", "scrubbed_md5",
                 ],
             )
 
     return payloads.mapInPandas(
         run,
-        schema="doc_id long, n_removed long, bytes_before long, "
-        "bytes_after long, scrubbed_md5 string",
+        schema="doc_id long, n_removed long, n_trailing long, "
+        "bytes_before long, bytes_after long, scrubbed_md5 string",
     )
 
 

@@ -562,24 +562,101 @@ def _sub_outside_quotes(sql: str, pat: "re.Pattern[str]", repl: str) -> str:
     return "".join(out)
 
 
-_MYSQL_CAST_RE = re.compile(r"\bAS\s+(?:UN)?SIGNED(?:\s+INTEGER)?\b", re.I)
+_MYSQL_SIGNED_CAST_RE = re.compile(r"\bAS\s+SIGNED(?:\s+INTEGER)?\b", re.I)
+_UNSIGNED_CAST_END_RE = re.compile(r"\bAS\s+UNSIGNED(?:\s+INTEGER)?\s*\)", re.I)
+_U64 = "18446744073709551616"  # 2^64
+
+
+def _quote_mask(sql: str) -> str:
+    """Copy of the SQL with string-literal INTERIORS blanked (quote
+    chars kept, same escape discipline as the splitter) so regex
+    positions and paren balancing computed on the mask are valid
+    indices into the original text."""
+    out = list(sql)
+    i, n, quote = 0, len(sql), None
+    while i < n:
+        ch = sql[i]
+        if quote:
+            if ch == "\\":
+                out[i] = " "
+                if i + 1 < n:
+                    out[i + 1] = " "
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+            else:
+                out[i] = " "
+        elif ch in ("'", '"'):
+            quote = ch
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_unsigned_casts(sql: str) -> str:
+    """CAST(x AS UNSIGNED [INTEGER]) -> true MySQL uint64 semantics:
+    the value lands in DECIMAL(20,0) (the BIGINT UNSIGNED column
+    mapping) and negatives wrap mod 2^64 (types/datum.go:36
+    KindUint64; CAST(-1 AS UNSIGNED) = 18446744073709551615). The
+    former pinned divergence (-> BIGINT, no wrap) is closed.
+
+    pmod does the wrap in one evaluation of x: pmod(-2, 2^64) =
+    2^64-2, non-negatives pass through. DECIMAL(21,0) is the operand
+    type so both the full uint64 range AND any int64 negative fit
+    pre-wrap. Doubles round half-up on the decimal cast, matching
+    MySQL's round-then-wrap (CAST(-1.7 AS UNSIGNED) = 2^64-2)."""
+    while True:
+        mask = _quote_mask(sql)
+        m = None
+        for m in _UNSIGNED_CAST_END_RE.finditer(mask):
+            pass  # rightmost match: rewrite inner/later casts first so
+            # earlier indices stay valid on the next pass
+        if m is None:
+            return sql
+        depth, j = 0, m.start() - 1
+        while j >= 0:
+            c = mask[j]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            j -= 1
+        k = j - 1
+        while k >= 0 and mask[k].isspace():
+            k -= 1
+        if (
+            j < 0
+            or k < 3
+            or mask[k - 3 : k + 1].upper() != "CAST"
+            or (k >= 4 and (mask[k - 4].isalnum() or mask[k - 4] == "_"))
+        ):
+            raise ValueError(
+                "AS UNSIGNED outside a CAST(...) expression is not supported: "
+                + sql[max(0, m.start() - 40) : m.end()]
+            )
+        inner = sql[j + 1 : m.start()].strip()
+        repl = (
+            f"CAST(pmod(CAST(({inner}) AS DECIMAL(21,0)), "
+            f"CAST({_U64} AS DECIMAL(21,0))) AS DECIMAL(20,0))"
+        )
+        sql = sql[: k - 3] + repl + sql[m.end() :]
 
 
 def rewrite_mysql_casts(sql: str) -> str:
-    """CAST(x AS UNSIGNED|SIGNED [INTEGER]) -> CAST(x AS BIGINT).
+    """MySQL cast-target grammar Spark rejects outright (reference:
+    parser/parser.y CastType, types/field_type.go):
 
-    MySQL's cast target grammar (reference: parser/parser.y CastType,
-    types/field_type.go) — Spark has no UNSIGNED/SIGNED type keyword
-    and would reject the statement outright. Both map to BIGINT:
-    KindUint64 is represented as signed 64-bit per the documented
-    scope cut (SURVEY — values >= 2^63 overflow), and the MySQL
-    behavior of CAST(negative AS UNSIGNED) wrapping to 2^64+x is a
-    pinned divergence (we keep the negative; the wrap answer is
-    usually a bug in the query, and a silent 1.8e19 is worse).
+    - CAST(x AS SIGNED [INTEGER]) -> CAST(x AS BIGINT).
+    - CAST(x AS UNSIGNED [INTEGER]) -> DECIMAL(20,0) with mod-2^64
+      wrap of negatives (_rewrite_unsigned_casts; KindUint64 parity).
+
     Quote-aware: `'cast me AS UNSIGNED'` string literals pass
     through untouched. `UNSIGNED`/`SIGNED` are MySQL reserved words,
     so a bare `expr AS unsigned` alias cannot appear in valid input."""
-    return _sub_outside_quotes(sql, _MYSQL_CAST_RE, "AS BIGINT")
+    sql = _rewrite_unsigned_casts(sql)
+    return _sub_outside_quotes(sql, _MYSQL_SIGNED_CAST_RE, "AS BIGINT")
 
 
 # MySQL DATE_FORMAT % specifiers -> Java DateTimeFormatter patterns
