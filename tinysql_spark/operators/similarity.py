@@ -180,6 +180,50 @@ _IVF_TRAIN_CAP = 65536  # k-means fit reads at most this many vectors
 _CENTROID_CACHE: dict[tuple[str, str], list[list[float]]] = {}
 
 
+def _ivf_assigned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARED per-(corpus, centroid-set) assignment persist (VERDICT
+    r10 item 4): the one corpus-side frame every trained-centroid IVF
+    entry starts from — vec_id, unit vector e, the top-_SQ_ASSIGN
+    centroid ids (cids; top-1 is element 1, so s03's single-assignment
+    read is a JVM element_at, not a second Arrow pass), and the 4-bit
+    scalar-quantized reconstruction c_code (pure Column transform —
+    free to carry). Persisted once per (application, sf_dir): warm
+    family calls skip the corpus-wide assignment matmul entirely.
+    A/B vs the per-call corpora recorded in BASELINE.md round 11."""
+    from .dedup import _LIVE_CACHES, _keyed_persist
+
+    key = f"ivf.assign.{spark.sparkContext.applicationId}.{os.path.abspath(sf_dir)}"
+    hit = _LIVE_CACHES.get(key)
+    if hit is not None:
+        return hit
+    assign2 = _make_nearest_centroids(_SQ_ASSIGN, _trained_centroids(spark, sf_dir))
+    emb = _unit_emb(spark, sf_dir)
+    dq = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.lit(_SQ_LO)
+        + (
+            F.greatest(
+                F.lit(0.0),
+                F.least(
+                    F.lit(float(_SQ_LEVELS - 1)),
+                    F.floor((x - F.lit(_SQ_LO)) / F.lit(_SQ_STEP)).cast("double"),
+                ),
+            )
+            + F.lit(0.5)
+        )
+        * F.lit(_SQ_STEP),
+    )
+    return _keyed_persist(
+        key,
+        emb.select(
+            "vec_id",
+            "e",
+            assign2(F.col("embedding")).alias("cids"),
+            dq.alias("c_code"),
+        ),
+    )
+
+
 def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """K-means-trained coarse centroids over (a capped sample of) the
     unit-normalized embeddings — the quantizer-training step every IVF
@@ -296,10 +340,14 @@ def s03_ann_ivf(
     if emb is None:
         emb = _unit_emb(spark, sf_dir)
     nearest = _make_nearest_centroids(_IVF_NPROBE, _trained_centroids(spark, sf_dir))
-    corpus = emb.select(
+    # corpus-side single assignment comes from the SHARED persisted
+    # frame: top-1 is element 1 of the family's top-2 assignment
+    # (identical ids — same centroids, same stable tie-break), read as
+    # a JVM element_at instead of a per-call corpus-wide Arrow matmul
+    corpus = _ivf_assigned_corpus(spark, sf_dir).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("e").alias("c_emb"),
-        F.element_at(nearest(F.col("embedding")), 1).alias("cid"),
+        F.element_at(F.col("cids"), 1).alias("cid"),
     )
     queries = (
         emb.filter(F.col("vec_id") < _N_QUERIES)
@@ -427,24 +475,7 @@ _SQ_ASSIGN = 2  # corpus multiple assignment: each vector in its top-2 lists
     "recall vs s01 measured in tests/test_similarity_quality.py.",
 )
 def s06_ann_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import cosine
-
     emb = load_table(spark, sf_dir, "embeddings")
-    dq = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda x: F.lit(_SQ_LO)
-        + (
-            F.greatest(
-                F.lit(0.0),
-                F.least(
-                    F.lit(float(_SQ_LEVELS - 1)),
-                    F.floor((x - F.lit(_SQ_LO)) / F.lit(_SQ_STEP)).cast("double"),
-                ),
-            )
-            + F.lit(0.5)
-        )
-        * F.lit(_SQ_STEP),
-    )
     cents = _trained_centroids(spark, sf_dir)
     probe4 = _make_nearest_centroids(_SQ_NPROBE, cents)
     # multiple assignment (Jégou et al., the IVF recall-vs-memory
@@ -452,17 +483,14 @@ def s06_ann_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # neighbor is found if EITHER of its lists is among the query's
     # nprobe probes — 2x index size, large recall gain on corpora with
     # weak cluster structure; candidates stay one equi-join and the
-    # pool .distinct() collapses double-listed hits
-    assign2 = _make_nearest_centroids(_SQ_ASSIGN, cents)
-    corpus = emb.select(
+    # pool .distinct() collapses double-listed hits. The assignment
+    # and SQ codes come from the SHARED persisted family frame (warm
+    # calls skip the corpus-wide Arrow matmul; VERDICT r10 item 4)
+    corpus = _ivf_assigned_corpus(spark, sf_dir).select(
         F.col("vec_id").alias("neighbor_id"),
-        dq.alias("c_code"),
-        unit_vec(F.col("embedding")).alias("c_exact"),
-        # separate Project: nondeterministic expressions cannot sit
-        # inside the Generate node explode() produces
-        assign2(F.col("embedding")).alias("cids"),
-    ).select(
-        "neighbor_id", "c_code", "c_exact", F.explode("cids").alias("cid")
+        "c_code",
+        F.col("e").alias("c_exact"),
+        F.explode("cids").alias("cid"),
     )
     queries = (
         emb.filter(F.col("vec_id") < _N_QUERIES)
@@ -553,27 +581,19 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
     return got
 
 
-@register(
-    "s07_ann_pq",
-    late=True,
-    oracle=None,  # trained codebooks — rows-only; recall measured in tests
-    doc="Product-quantized ANN (Jégou et al. 2011, the FAISS PQ "
-    "shape): 64 dims split into 16 subspaces x 16 codes = 64-bit "
-    "codes, a 32x shrink of the resident corpus vs float32 — the "
-    "memory end-game at 100 TB (s05's scalar quantizer stops at 8x). "
-    "Encoding is one vectorized matmul per subspace in an Arrow "
-    "pandas_udf; scoring is ASYMMETRIC (ADC): each query precomputes "
-    "its M x Ks lookup table of exact-query x centroid dot products "
-    "(a 128-double literal per query), and per-candidate scoring is "
-    "M array lookups summed — pure JVM Column algebra "
-    "(aggregate + element_at), no per-pair float vector math at all. "
-    "Top 3k survivors per query get the exact float rerank (s06's "
-    "discipline), so emitted cos_sim is exact. Corpus stays "
-    "partitioned, queries + LUTs broadcast; candidate scan is the "
-    "compressed-code sweep a RAM-resident PQ index does.",
-)
-def s07_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    books = _pq_codebooks(spark, sf_dir)  # (M, Ks, sub)
+def _pq_encoded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted PQ-encoded corpus (vec_id, codes, e) — the s07 analog
+    of _ivf_assigned_corpus: the corpus-wide encode matmul runs once
+    per (application, sf_dir); warm calls sweep the materialized
+    codes. At 100 TB this is the RAM-resident code array every PQ
+    index keeps (FAISS stores codes, not vectors)."""
+    from .dedup import _LIVE_CACHES, _keyed_persist
+
+    key = f"pq.codes.{spark.sparkContext.applicationId}.{os.path.abspath(sf_dir)}"
+    hit = _LIVE_CACHES.get(key)
+    if hit is not None:
+        return hit
+    books = _pq_codebooks(spark, sf_dir)
     sub = books.shape[2]
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -591,6 +611,41 @@ def s07_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes[:, i] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _keyed_persist(
+        key,
+        emb.select(
+            "vec_id",
+            encode(F.col("embedding")).alias("codes"),
+            unit_vec(F.col("embedding")).alias("e"),
+        ),
+    )
+
+
+@register(
+    "s07_ann_pq",
+    late=True,
+    oracle=None,  # trained codebooks — rows-only; recall measured in tests
+    doc="Product-quantized ANN (Jégou et al. 2011, the FAISS PQ "
+    "shape): 64 dims split into 16 subspaces x 16 codes = 64-bit "
+    "codes, a 32x shrink of the resident corpus vs float32 — the "
+    "memory end-game at 100 TB (s05's scalar quantizer stops at 8x). "
+    "Encoding is one vectorized matmul per subspace in an Arrow "
+    "pandas_udf, run ONCE per corpus into the persisted code frame "
+    "(_pq_encoded_corpus); scoring is ASYMMETRIC (ADC): each query "
+    "precomputes its M x Ks lookup table of exact-query x centroid "
+    "dot products (a 128-double literal per query), and per-candidate "
+    "scoring is M array lookups summed — pure JVM Column algebra "
+    "(aggregate + element_at), no per-pair float vector math at all. "
+    "Top 3k survivors per query get the exact float rerank (s06's "
+    "discipline), so emitted cos_sim is exact. Corpus stays "
+    "partitioned, queries + LUTs broadcast; candidate scan is the "
+    "compressed-code sweep a RAM-resident PQ index does.",
+)
+def s07_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    books = _pq_codebooks(spark, sf_dir)  # (M, Ks, sub)
+    sub = books.shape[2]
+
     @F.pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
     def lut(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.to_numpy())
@@ -607,10 +662,10 @@ def s07_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(out)
 
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select(
+    corpus = _pq_encoded_corpus(spark, sf_dir).select(
         F.col("vec_id").alias("neighbor_id"),
-        encode(F.col("embedding")).alias("codes"),
-        unit_vec(F.col("embedding")).alias("c_emb"),
+        "codes",
+        F.col("e").alias("c_emb"),
     )
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
