@@ -56,7 +56,9 @@ def test_oracle_backed_entries_fit_driver_window():
                  "p16_curriculum_order",
                  "d17_indexed_incremental_dedup", "p18_decontaminate",
                  # round-10 rotation: windowed on landing
-                 "d18_index_maintained_dedup", "t19_nb_langid"):
+                 "d18_index_maintained_dedup", "t19_nb_langid",
+                 # round-11 rotation: the CAST(AS UNSIGNED) wrap close
+                 "q70_unsigned_wrap"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
@@ -72,7 +74,8 @@ def test_oracle_backed_entries_fit_driver_window():
                 "p11_data_quality_checks", "t13_unigram_nll",
                 "p10_leakage_safe_split", "q55_market_share",
                 "p04_contamination", "q38_correlated_scalar",
-                "t09_gopher_gates", "d16_bloom_incremental_dedup"):
+                "t09_gopher_gates", "d16_bloom_incremental_dedup",
+                "st04_stream_parquet_sink"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

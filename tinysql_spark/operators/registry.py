@@ -141,6 +141,12 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # swaps for d16_bloom_incremental_dedup, whose entire bloom+keeper
 # path d17, d18 AND d19 contain by construction (d16 stays
 # hash-checked in parity).
+# Round-11 rotation (window-on-landing): q70_unsigned_wrap (the
+# CAST(AS UNSIGNED) mod-2^64 wrap close — engine rewrite exercised
+# through the public registry, DuckDB-HUGEINT oracled) swaps for
+# st04_stream_parquet_sink, whose file-sink shape st06_stream_upsert
+# keeps evidenced in-window (st04 stays hash-checked in parity; the
+# streaming class keeps 7 window slots).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -171,9 +177,9 @@ WINDOW: tuple[str, ...] = (
     "q67_ohlc_bars",
     "q68_order_batch_packing",
     "q69_typed_ctas",
+    "q70_unsigned_wrap",
     # streaming additions (rounds 3-5)
     "st03_stream_join",
-    "st04_stream_parquet_sink",
     "st06_stream_upsert",
     "st07_stream_sessions",
     "st08_stream_left_join",

@@ -2449,3 +2449,41 @@ def q69_typed_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       CAST(SUM(price) AS STRING) AS rev "
         "FROM typed_orders GROUP BY DATE_FORMAT(od, '%Y-%m'), big"
     ).df
+
+
+@register(
+    "q70_unsigned_wrap",
+    late=True,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_custkey - o_orderkey * 3 < 0
+                     THEN CAST(o_custkey - o_orderkey * 3 AS HUGEINT)
+                          + 18446744073709551616
+                     ELSE CAST(o_custkey - o_orderkey * 3 AS HUGEINT)
+                END AS VARCHAR) AS wrapped
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    doc="MySQL CAST(x AS UNSIGNED) with true KindUint64 wrap semantics "
+    "(reference: types/datum.go:36 KindUint64; the round-11 close of "
+    "the last SURVEY §1.2 divergence): negative int64 expressions wrap "
+    "mod 2^64 into DECIMAL(20,0) — CAST(-1 AS UNSIGNED) is "
+    "18446744073709551615, exactly MySQL. The entry runs the engine's "
+    "actual rewrite (sqlparse.rewrite_mysql_casts: paren-balanced, "
+    "quote-aware CAST detection -> pmod(x, 2^64) over DECIMAL(21,0)) "
+    "against a mixed-sign expression over orders; the oracle computes "
+    "the wrap independently via DuckDB HUGEINT arithmetic, VARCHAR-"
+    "rendered on both sides so values past float64 precision compare "
+    "exactly. Pure Column algebra after the rewrite — whole-stage "
+    "codegen, no UDF, scan-parallel at any corpus size.",
+)
+def q70_unsigned_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import sqlparse as P
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q70_orders")
+    sql = P.rewrite_mysql_casts(
+        "SELECT o_orderkey, "
+        "CAST(CAST(o_custkey - o_orderkey * 3 AS UNSIGNED) AS STRING) AS wrapped "
+        "FROM q70_orders WHERE o_orderkey < 2000"
+    )
+    return spark.sql(sql)
