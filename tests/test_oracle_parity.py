@@ -47,7 +47,7 @@ def test_oracle_backed_entries_fit_driver_window():
                  "st11_stream_incremental_dedup", "q68_order_batch_packing",
                  "p12_dedup_weighted_sample", "q69_typed_ctas",
                  "d19_ingest_loop_dedup",
-                 "s12_ann_persisted_ivf", "t14_repetition_filters",
+                 "t14_repetition_filters",
                  "p13_temperature_mix",
                  # round-9 rotation: the round-8 closer + every new op
                  "d14_semdedup", "t16_pii_scrub",
@@ -58,7 +58,9 @@ def test_oracle_backed_entries_fit_driver_window():
                  # round-10 rotation: windowed on landing
                  "d18_index_maintained_dedup", "t19_nb_langid",
                  # round-11 rotation: the CAST(AS UNSIGNED) wrap close
-                 "q70_unsigned_wrap"):
+                 # + the maintained-IVF ingest (contains s12's probe
+                 # path by construction via the shared _probe_ivf_dir)
+                 "q70_unsigned_wrap", "s14_ann_maintained_ivf"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
@@ -75,7 +77,7 @@ def test_oracle_backed_entries_fit_driver_window():
                 "p10_leakage_safe_split", "q55_market_share",
                 "p04_contamination", "q38_correlated_scalar",
                 "t09_gopher_gates", "d16_bloom_incremental_dedup",
-                "st04_stream_parquet_sink"):
+                "st04_stream_parquet_sink", "s12_ann_persisted_ivf"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

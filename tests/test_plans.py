@@ -281,6 +281,9 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
                 # probe ids must become a literal partition filter —
                 # the bounded |queries| x nprobe collect IS the design
                 "s12_ann_persisted_ivf",
+                # index build + frozen-centroid batch appends ARE the
+                # operator (s12's probe against the maintained layout)
+                "s14_ann_maintained_ivf",
             ):
                 continue
             spec.fn(spark, sf_dir)

@@ -202,3 +202,76 @@ def test_s11_index_memoized_no_rebuild(spark, sf_dir):
         f"warm s11 scheduled {len(warm_jobs)} jobs vs cold "
         f"{len(cold_jobs)} — index likely rebuilt"
     )
+
+
+def test_s14_maintained_index_equals_scratch(spark, sf_dir):
+    """The maintained layout (base build + two frozen-centroid batch
+    appends) must hold exactly the rows a from-scratch assignment of
+    the FULL corpus to the same base-trained centroids would produce —
+    i.e. appending never loses, duplicates, or mis-assigns a vector."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tinysql_spark.operators.similarity import (
+        _lloyd_centroids,
+        _nearest_cid,
+        _s11_corpus,
+        _s14_index_dir,
+        _S14_TRAIN_MOD,
+    )
+
+    d = _s14_index_dir(spark, sf_dir)
+    stored = {
+        (int(r["cid"]), int(r["vec_id"]))
+        for r in spark.read.parquet(os.path.join(d, "lists"))
+        .select("cid", "vec_id")
+        .collect()
+    }
+    u_corp = _s11_corpus(spark, sf_dir)
+    centn = _lloyd_centroids(u_corp.filter(F.col("vec_id") % 5 < _S14_TRAIN_MOD))
+    scratch = {
+        (int(r["cid"]), int(r["vec_id"]))
+        for r in _nearest_cid(u_corp, centn, "vec_id", 1).collect()
+    }
+    assert stored == scratch
+    # and the layout holds the corpus exactly once
+    assert len(stored) == u_corp.count()
+
+
+def test_s14_dirty_list_discipline_and_drift_gate(spark, sf_dir):
+    """Batch appends touch ONLY the list partitions the batch assigned
+    into (dirty set derived from the assignment, file delta from the
+    filesystem — independent sources), base files are never rewritten,
+    and the manifest's drift audit is consistent with the stored
+    lists."""
+    import json
+    import os
+
+    from tinysql_spark.operators.similarity import (
+        _s14_index_dir,
+        s14_needs_recluster,
+    )
+
+    d = _s14_index_dir(spark, sf_dir)
+    m = json.load(open(os.path.join(d, "manifest.json")))
+    assert len(m["batches"]) == 2
+    for b in m["batches"]:
+        assert b["appended"], "append produced no files"
+        under = {int(p.split("cid=")[1].split(os.sep)[0]) for p in b["appended"]}
+        assert under <= set(b["dirty_cids"])
+    # base files all survive both appends (append never rewrites)
+    for p in m["base"]:
+        assert os.path.exists(p), p
+    # drift audit: sizes sum to the corpus, gate agrees with the sizes
+    sizes = {int(k): v for k, v in m["list_sizes"].items()}
+    total = spark.read.parquet(os.path.join(d, "lists")).count()
+    assert sum(sizes.values()) == total
+    assert m["needs_recluster"] == s14_needs_recluster(sizes)
+    # pure-gate sanity: balanced lists pass, one runaway list trips.
+    # (max/mean is bounded by the list COUNT, so the K=8 gate at
+    # threshold 4 needs >4 lists before it can trip at all — the
+    # skew must be concentrated, exactly the drift it exists for.)
+    assert not s14_needs_recluster({i: 10 + i for i in range(8)})
+    assert s14_needs_recluster({**{i: 10 for i in range(7)}, 7: 1000})
+    assert not s14_needs_recluster({})

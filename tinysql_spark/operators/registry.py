@@ -147,6 +147,13 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # st04_stream_parquet_sink, whose file-sink shape st06_stream_upsert
 # keeps evidenced in-window (st04 stays hash-checked in parity; the
 # streaming class keeps 7 window slots).
+# s14_ann_maintained_ivf (incremental vector ingest into the s12
+# layout: base-slice-trained centroids, frozen-centroid batch appends
+# to dirty lists only, drift-gated recluster audit) swaps for
+# s12_ann_persisted_ivf, whose entire partition-pruned probe path s14
+# contains by construction via the shared _probe_ivf_dir (the
+# d16->d19 precedent; s12 stays hash-checked in parity and its
+# PartitionFilters plan pin stays in tests/test_plans.py).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -190,8 +197,8 @@ WINDOW: tuple[str, ...] = (
     "s05_ann_scalar_quant",
     "s09_ann_filtered",
     "s11_hybrid_search",
-    "s12_ann_persisted_ivf",
     "s13_knn_graph",
+    "s14_ann_maintained_ivf",
     # training-pipeline additions (rounds 4-5)
     "p05_sequence_packing",
     "p08_training_export",

@@ -871,6 +871,70 @@ _IVF_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 _IVF_BUILDS = 0  # build counter, asserted by tests/test_similarity_quality.py
 
 
+def _nearest_cid(
+    points: DataFrame, cents: DataFrame, id_col: str, top: int
+) -> DataFrame:
+    """Broadcast-K argmax assignment: each point's ``top`` nearest
+    centroids by rounded dot product (6 decimals — both engines rank
+    the same key), cid as the deterministic tiebreak. Map-only over
+    the points; the K-row centroid frame is the broadcast side."""
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cid"))
+    return (
+        points.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "cid",
+            F.round(dot(F.col("e"), F.col("ce")), 6).alias("score"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= top)
+        .select(id_col, "cid")
+    )
+
+
+def _lloyd_centroids(u_train: DataFrame) -> DataFrame:
+    """Deterministic, oracle-expressible Lloyd training over the given
+    unit-normalized (vec_id, e) frame: K seeds picked by rank spacing
+    over train vec_ids (the deterministic stand-in for sampled
+    k-means++ init — the id-only rank is the one bounded
+    single-reducer step; at 100 TB you'd sample ids instead), then
+    _HS_IVF_ROUNDS rounds where assignment is a broadcast-K argmax
+    (map-only over the train set) and the new centroid is a
+    partial-agg average. Centroid components round to 6 decimals so
+    both engines see bit-identical centroids. Shared by the s11/s12
+    full-corpus index and s14's base-slice training."""
+    n_corp = u_train.agg(F.count(F.lit(1)).alias("n"))
+    step = F.ceil(F.col("n") * 1.0 / _HS_IVF_K).cast("long")
+    rn = u_train.select(
+        "vec_id",
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("rn"),
+    )
+    centn = (
+        rn.crossJoin(F.broadcast(n_corp))
+        .filter(F.col("rn") % step == 0)
+        .select((F.col("rn") / step).cast("int").alias("cid"), "vec_id")
+        .join(u_train, "vec_id")
+        .select("cid", F.col("e").alias("ce"))
+    )
+    for _ in range(_HS_IVF_ROUNDS):
+        assign_r = _nearest_cid(u_train, centn, "vec_id", 1)
+        centn = (
+            assign_r.join(u_train, "vec_id")
+            .select("cid", F.posexplode("e").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.round(F.avg("x"), 6).alias("v"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "v"))),
+                    lambda s: s["v"],
+                ).alias("ce0")
+            )
+            .select("cid", unit_vec(F.col("ce0")).alias("ce"))
+        )
+    return centn
+
+
 def _s11_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Build (or fetch the memoized) s11 IVF index for the corpus at
     ``sf_dir``: returns (centn, assign) — the trained unit centroids
@@ -899,57 +963,14 @@ def _s11_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     from .dedup import _keyed_persist
 
     u_corp = _s11_corpus(spark, sf_dir)
-    n_corp = u_corp.agg(F.count(F.lit(1)).alias("n"))
-    step = F.ceil(F.col("n") * 1.0 / _HS_IVF_K).cast("long")
-    rn = u_corp.select(
-        "vec_id",
-        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("rn"),
-    )
-    centn = (
-        rn.crossJoin(F.broadcast(n_corp))
-        .filter(F.col("rn") % step == 0)
-        .select((F.col("rn") / step).cast("int").alias("cid"), "vec_id")
-        .join(u_corp, "vec_id")
-        .select("cid", F.col("e").alias("ce"))
-    )
-
-    def nearest_cid(points: DataFrame, cents: DataFrame, id_col: str, top: int):
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("score").desc(), F.col("cid")
-        )
-        return (
-            points.crossJoin(F.broadcast(cents))
-            .select(
-                id_col,
-                "cid",
-                F.round(dot(F.col("e"), F.col("ce")), 6).alias("score"),
-            )
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= top)
-            .select(id_col, "cid")
-        )
-
-    for _ in range(_HS_IVF_ROUNDS):
-        assign_r = nearest_cid(u_corp, centn, "vec_id", 1)
-        centn = (
-            assign_r.join(u_corp, "vec_id")
-            .select("cid", F.posexplode("e").alias("i", "x"))
-            .groupBy("cid", "i")
-            .agg(F.round(F.avg("x"), 6).alias("v"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "v"))),
-                    lambda s: s["v"],
-                ).alias("ce0")
-            )
-            .select("cid", unit_vec(F.col("ce0")).alias("ce"))
-        )
+    centn = _lloyd_centroids(u_corp)
     # the trained centroids are 8 rows but carry the whole Lloyd-loop
     # lineage — persisting them (keyed, like corpus/assign) keeps the
     # index build from re-executing under every downstream reference
     centn = _keyed_persist(f"s11.cent.{key[1]}", centn)
-    assign = _keyed_persist(f"s11.assign.{key[1]}", nearest_cid(u_corp, centn, "vec_id", 1))
+    assign = _keyed_persist(
+        f"s11.assign.{key[1]}", _nearest_cid(u_corp, centn, "vec_id", 1)
+    )
     # the persisted frames materialize at the FIRST downstream action
     # (plan construction itself stays job-free — the house laziness
     # discipline, tests/test_plans.py); later invocations' plans read
@@ -1381,7 +1402,17 @@ def _s12_index_dir(spark: SparkSession, sf_dir: str) -> str:
     "persisted topology is oracle-checked end to end.",
 )
 def s12_ann_persisted_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _s12_index_dir(spark, sf_dir)
+    return _probe_ivf_dir(spark, sf_dir, _s12_index_dir(spark, sf_dir))
+
+
+def _probe_ivf_dir(spark: SparkSession, sf_dir: str, d: str) -> DataFrame:
+    """The partition-pruned probe over an on-disk IVF layout (lists
+    partitioned by cid + a centroids file) — shared by s12 (built
+    index) and s14 (maintained index): queries rank the stored
+    centroids, the union of their top-nprobe list ids becomes a
+    literal cid IN (...) filter (static partition pruning), rerank is
+    the exact dot product inside the probed lists. The probe collect
+    is |queries| x nprobe ids — never corpus-scaled."""
     cents = spark.read.parquet(os.path.join(d, "centroids"))
     u_q = (
         load_table(spark, sf_dir, "embeddings")
@@ -1513,3 +1544,215 @@ def s13_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _S13_K)
         .select("vec_id", "nbr_id", F.round("sim", 4).alias("cos_sim"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# s14 — MAINTAINED persisted IVF index: incremental vector ingest into
+# the s12 layout (the ANN mirror of d18's maintained keeper index)
+# --------------------------------------------------------------------------
+
+_S14_DIR_MEMO: dict[str, str] = {}
+_S14_TRAIN_MOD = 3  # vec_id % 5 < 3 is the base build; 3 and 4 are batches
+_S14_REBAL = 4.0  # max/mean list-size ratio that flags a recluster
+
+
+def s14_needs_recluster(sizes: dict[int, int], threshold: float = _S14_REBAL) -> bool:
+    """Drift gate for the maintained index: appends assign to FROZEN
+    centroids, so a shifting ingest distribution shows up as list-size
+    skew. max/mean above the threshold flags a retrain+rewrite (the
+    d18-compaction analog for the ANN side). The maintained layout
+    stays exact either way — probes rerank with true dot products
+    inside the probed lists — so the gate guards recall/balance, not
+    correctness."""
+    if not sizes:
+        return False
+    mean = sum(sizes.values()) / len(sizes)
+    return max(sizes.values()) > threshold * mean
+
+
+def _s14_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build the BASE IVF index from the training slice, then APPEND
+    two ingest batches — the maintenance step s12 declares out of
+    scope (s12 builds once from the full corpus; a production ingest
+    assigns each batch to the FROZEN trained centroids and appends).
+
+    Physical shape: lists live as parquet PARTITIONED BY cid (s12's
+    layout, the one st09's streaming job maintains); each batch is a
+    broadcast-K argmax assignment (map-only over the batch — the
+    history corpus is never re-read) written with mode=append +
+    partitionBy, so Spark adds files ONLY under the list partitions
+    the batch actually assigned into (the dirty-list property; the
+    manifest records assignment-derived dirty cids AND the appended
+    file paths separately so the test's containment check is
+    non-vacuous). A per-list size audit + drift gate
+    (s14_needs_recluster) closes the loop: frozen-centroid appends
+    skew list sizes as the ingest distribution drifts, and past the
+    threshold a production deployment retrains + rewrites (d18's
+    compaction analog). Reference analog: ADD INDEX backfill +
+    incremental write (ddl/index.go:428); IVF list layout after
+    Jegou et al. 2011 (FAISS keeps codes + assignments resident and
+    appends to lists; it does not re-cluster per batch)."""
+    import atexit
+    import glob
+    import json
+    import shutil
+    import tempfile
+
+    from .dedup import _keyed_persist
+
+    key = os.path.abspath(sf_dir)
+    d = _S14_DIR_MEMO.get(key)
+    if d is not None and os.path.isdir(os.path.join(d, "lists")):
+        return d
+    u_corp = _s11_corpus(spark, sf_dir)
+    base = u_corp.filter(F.col("vec_id") % 5 < _S14_TRAIN_MOD)
+    centn = _keyed_persist(
+        f"s14.cent.{spark.sparkContext.applicationId}.{key}",
+        _lloyd_centroids(base),
+    )
+    d = tempfile.mkdtemp(prefix="tinysql_s14_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    lists = os.path.join(d, "lists")
+
+    def assigned(part: DataFrame) -> DataFrame:
+        return (
+            _nearest_cid(part, centn, "vec_id", 1)
+            .join(part, "vec_id")
+            .select("cid", "vec_id", "e")
+        )
+
+    assigned(base).write.mode("overwrite").partitionBy("cid").parquet(lists)
+    manifest: dict = {
+        "base": sorted(glob.glob(os.path.join(lists, "cid=*", "*.parquet"))),
+        "batches": [],
+    }
+    for m in range(_S14_TRAIN_MOD, 5):
+        batch = assigned(u_corp.filter(F.col("vec_id") % 5 == m))
+        # dirty list ids come from the ASSIGNMENT (bounded by K rows),
+        # not from the filesystem delta, so the test's "appended files
+        # live only under dirty lists" check is non-vacuous
+        dirty = sorted(
+            int(r["cid"]) for r in batch.select("cid").distinct().collect()
+        )
+        pre = set(glob.glob(os.path.join(lists, "cid=*", "*.parquet")))
+        batch.write.mode("append").partitionBy("cid").parquet(lists)
+        post = set(glob.glob(os.path.join(lists, "cid=*", "*.parquet")))
+        manifest["batches"].append(
+            {"mod": m, "dirty_cids": dirty, "appended": sorted(post - pre)}
+        )
+    sizes = {
+        int(r["cid"]): int(r["n"])
+        for r in spark.read.parquet(lists)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    manifest["list_sizes"] = {str(k): v for k, v in sorted(sizes.items())}
+    mean = sum(sizes.values()) / max(len(sizes), 1)
+    manifest["imbalance"] = round(max(sizes.values()) / mean, 4) if sizes else 0.0
+    manifest["needs_recluster"] = s14_needs_recluster(sizes)
+    centn.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+    with open(os.path.join(d, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    _S14_DIR_MEMO[key] = d
+    return d
+
+
+@register(
+    "s14_ann_maintained_ivf",
+    late=True,
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) AS e
+      FROM embeddings
+    ), ucorp AS (
+      SELECT vec_id, e FROM u WHERE vec_id >= {_HS_NQ}
+    ), tr AS (
+      SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+      FROM ucorp WHERE vec_id % 5 < {_S14_TRAIN_MOD}
+    ), ntr AS (
+      SELECT count(*) AS n FROM tr
+    ), c0 AS (
+      SELECT CAST(rn / CAST(ceil(n * 1.0 / {_HS_IVF_K}) AS BIGINT) AS INT) AS cid,
+             e AS ce
+      FROM tr, ntr
+      WHERE rn % CAST(ceil(n * 1.0 / {_HS_IVF_K}) AS BIGINT) = 0
+    ), a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT c.vec_id, s.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(c.e, s.ce), 6) DESC, s.cid) AS r
+        FROM tr c CROSS JOIN c0 s) WHERE r = 1
+    ), c1 AS (
+      SELECT cid, list_transform(ce0, x -> x / sqrt(list_dot_product(ce0, ce0))) AS ce
+      FROM (
+        SELECT cid, list(v ORDER BY i) AS ce0 FROM (
+          SELECT a0.cid, i, round(avg(x), 6) AS v FROM a0
+            JOIN tr c USING (vec_id),
+            LATERAL (SELECT unnest(c.e) AS x, generate_subscripts(c.e, 1) AS i) t
+          GROUP BY a0.cid, i) GROUP BY cid)
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT c.vec_id, s.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(c.e, s.ce), 6) DESC, s.cid) AS r
+        FROM tr c CROSS JOIN c1 s) WHERE r = 1
+    ), c2 AS (
+      SELECT cid, list_transform(ce0, x -> x / sqrt(list_dot_product(ce0, ce0))) AS ce
+      FROM (
+        SELECT cid, list(v ORDER BY i) AS ce0 FROM (
+          SELECT a1.cid, i, round(avg(x), 6) AS v FROM a1
+            JOIN tr c USING (vec_id),
+            LATERAL (SELECT unnest(c.e) AS x, generate_subscripts(c.e, 1) AS i) t
+          GROUP BY a1.cid, i) GROUP BY cid)
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT c.vec_id, s.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(c.e, s.ce), 6) DESC, s.cid) AS r
+        FROM ucorp c CROSS JOIN c2 s) WHERE r = 1
+    ), probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, s.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.e, s.ce), 6) DESC, s.cid) AS r
+        FROM u q CROSS JOIN c2 s WHERE q.vec_id < {_HS_NQ}) WHERE r <= {_HS_IVF_P}
+    ), sims AS (
+      SELECT p.query_id, a.vec_id AS doc_id,
+             round(list_dot_product(q.e, c.e), 6) AS sim
+      FROM probes p JOIN assign a USING (cid)
+        JOIN u q ON q.vec_id = p.query_id
+        JOIN ucorp c ON c.vec_id = a.vec_id
+    )
+    SELECT query_id, doc_id, round(sim, 4) AS cos_sim
+    FROM sims
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, doc_id) <= {_TOP_K}
+    """,
+    doc="ANN against a MAINTAINED persisted index — the ingest step "
+    "s12 leaves out (s12 trains and writes once; production appends "
+    "every batch): centroids train on the BASE slice only (vec_id % "
+    "5 < 3, the deterministic stand-in for 'the corpus as of "
+    "yesterday'), the base writes as cid-partitioned inverted lists, "
+    "and two ingest batches are each assigned to the FROZEN trained "
+    "centroids (broadcast-8 argmax, map-only over the batch — the "
+    "indexed corpus is never re-read) and appended so only DIRTY "
+    "list partitions receive files (asserted by test from the build "
+    "manifest, dirty set derived from the assignment, not the "
+    "filesystem). A per-list size audit + drift gate "
+    "(s14_needs_recluster) flags when frozen-centroid appends have "
+    "skewed the lists enough to warrant retrain+rewrite — d18's "
+    "compaction analog; the layout stays exact regardless (probes "
+    "rerank with true dot products). Probing is the s12 "
+    "partition-pruned path against the maintained layout, so the "
+    "oracle checks the END STATE of build+two-appends end to end: "
+    "the maintained index must equal the index you'd get assigning "
+    "the full corpus to the same base-trained centroids. Reference "
+    "analog: ADD INDEX backfill (ddl/index.go:428); st09 is the "
+    "streaming formulation, d18 the dedup-index mirror.",
+)
+def s14_ann_maintained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _probe_ivf_dir(spark, sf_dir, _s14_index_dir(spark, sf_dir))
