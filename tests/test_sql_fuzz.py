@@ -1278,3 +1278,164 @@ def test_cast_unsigned_wrap_differential(fuzz_eng, fuzz_duck):
         ).df()
     )
     assert a == b, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# TYPED schema-EVOLUTION fuzz (round 11): the evolution corpus above
+# ALTERs only BIGINT columns; this one ADDs randomly-TYPED columns
+# (DECIMAL/DATETIME/BOOLEAN/VARCHAR + every unsigned width) mid-
+# sequence, writes through them, renames/drops them, and injects
+# unsigned boundary must-fails AFTER the ALTER — so the ALTER ADD
+# COLUMN ... UNSIGNED close and the cast-on-write path get randomized
+# signal on the evolved-schema surface too. Same dialect constraints
+# as gen_evolve_sequence (no DEFAULT, ALTERs never inside a txn,
+# explicit column lists after an ALTER); reads cast to the stable
+# comparison types the typed corpus uses.
+# ---------------------------------------------------------------------------
+
+
+def gen_typed_evolution(seed: int):
+    """Return ops as (eng_sql, duck_sql, kind) with kind in
+    none/read/error over a fresh table tev{seed} whose schema evolves
+    with typed columns."""
+    rng = random.Random(seed * 700921 + 13)
+    tbl = f"tev{seed}"
+    ddl = f"CREATE TABLE {tbl} (k BIGINT PRIMARY KEY, v BIGINT)"
+    ops: list[tuple[str, str, str]] = [(ddl, ddl, "none")]
+    # (colname, pool kind, engine type, duck type, unsigned max)
+    extras: list[tuple[str, str, str, str, int | None]] = []
+    hi = 0
+    n_named = 0
+
+    def sel_cols() -> str:
+        casts = ["k", "v"]
+        for n, kind, _te, _td, mx in extras:
+            if kind == "dc":
+                casts.append(f"CAST({n} AS DOUBLE) AS {n}")
+            elif kind == "dt":
+                casts.append(f"CAST({n} AS VARCHAR(32)) AS {n}")
+            elif mx is not None and mx > 2**32:
+                casts.append(f"CAST({n} AS VARCHAR(32)) AS {n}")
+            elif mx is not None:
+                casts.append(f"CAST({n} AS BIGINT) AS {n}")
+            else:
+                casts.append(n)
+        return ", ".join(casts)
+
+    def insert():
+        nonlocal hi
+        rows = []
+        for _ in range(rng.randint(1, 4)):
+            hi += 1
+            vals = [str(hi), str(rng.randrange(1000))]
+            for _n, kind, _te, _td, mx in extras:
+                vals.append(_typed_value(rng, kind, mx))
+            rows.append("(" + ", ".join(vals) + ")")
+        cols = ["k", "v"] + [n for n, *_ in extras]
+        sql = f"INSERT INTO {tbl} ({', '.join(cols)}) VALUES {', '.join(rows)}"
+        ops.append((sql, sql, "none"))
+
+    def alter_add():
+        nonlocal n_named
+        n_named += 1
+        kind, te, td, mx = rng.choice(_TYPED_POOL)
+        name = f"tc{n_named}"
+        extras.append((name, kind, te, td, mx))
+        ops.append(
+            (
+                f"ALTER TABLE {tbl} ADD COLUMN {name} {te}",
+                f"ALTER TABLE {tbl} ADD COLUMN {name} {td}",
+                "none",
+            )
+        )
+
+    def alter_rename():
+        nonlocal n_named
+        i = rng.randrange(len(extras))
+        old, kind, te, td, mx = extras[i]
+        n_named += 1
+        new = f"tr{n_named}"
+        extras[i] = (new, kind, te, td, mx)
+        sql = f"ALTER TABLE {tbl} RENAME COLUMN {old} TO {new}"
+        ops.append((sql, sql, "none"))
+
+    def alter_drop():
+        n, *_ = extras.pop(rng.randrange(len(extras)))
+        sql = f"ALTER TABLE {tbl} DROP COLUMN {n}"
+        ops.append((sql, sql, "none"))
+
+    def delete():
+        preds = [f"k % {rng.choice([2, 3, 5])} = 0", "v < 300"]
+        for n, kind, _te, _td, mx in extras:
+            if kind == "dc":
+                preds.append(f"{n} < 0")
+            elif kind == "dt":
+                preds.append(f"{n} < '2024-06-01 00:00:00'")
+            elif kind == "ok":
+                preds.append(f"{n} = TRUE")
+            elif kind == "vs":
+                preds.append(f"{n} = 'beta'")
+            elif mx is not None:
+                preds.append(f"{n} > {mx // 2}")
+            preds.append(f"{n} IS NULL")
+        sql = f"DELETE FROM {tbl} WHERE {rng.choice(preds)}"
+        ops.append((sql, sql, "none"))
+
+    def read():
+        sql = f"SELECT {sel_cols()} FROM {tbl}"
+        ops.append((sql, sql, "read"))
+
+    def boundary_error():
+        uns = [(n, mx) for n, _k, _te, _td, mx in extras if mx is not None]
+        if not uns:
+            return
+        nonlocal hi
+        hi += 1
+        n, mx = rng.choice(uns)
+        bad = rng.choice([-1, mx + 1])
+        sql = f"INSERT INTO {tbl} (k, {n}) VALUES ({hi}, {bad})"
+        ops.append((sql, sql, "error"))
+
+    insert()
+    alter_add()  # every sequence evolves with at least one typed column
+    insert()
+    for _ in range(rng.randint(6, 9)):
+        roll = rng.random()
+        if roll < 0.16 and len(extras) < 4:
+            alter_add()
+        elif roll < 0.24 and extras:
+            alter_rename()
+        elif roll < 0.30 and len(extras) > 1:
+            alter_drop()
+        elif roll < 0.42:
+            delete()
+        elif roll < 0.58:
+            read()
+        elif roll < 0.68 and any(mx is not None for *_x, mx in extras):
+            boundary_error()
+        else:
+            insert()
+    read()
+    return tbl, ops
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_differential_typed_evolution_fuzz(fuzz_eng, fuzz_duck, seed):
+    tbl, ops = gen_typed_evolution(seed)
+    for step, (e_sql, d_sql, kind) in enumerate(ops):
+        if kind == "error":
+            with pytest.raises(Exception):
+                fuzz_eng.sql(e_sql)
+            with pytest.raises(Exception):
+                fuzz_duck.execute(d_sql)
+            continue
+        fuzz_eng.sql(e_sql)
+        fuzz_duck.execute(d_sql)
+        if kind == "read":
+            a = _canon_rows(fuzz_eng.sql(e_sql).df.toPandas())
+            b = _canon_rows(fuzz_duck.execute(d_sql).df())
+            assert a == b, f"seed {seed} step {step} diverged:\n{e_sql}"
+    chk = [
+        tuple(r) for r in fuzz_eng.sql(f"ADMIN CHECK TABLE {tbl}").df.collect()
+    ]
+    assert chk and all(r[-1] == "OK" for r in chk), (seed, chk)
