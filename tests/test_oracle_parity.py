@@ -60,7 +60,8 @@ def test_oracle_backed_entries_fit_driver_window():
                  # round-11 rotation: the CAST(AS UNSIGNED) wrap close
                  # + the maintained-IVF ingest (contains s12's probe
                  # path by construction via the shared _probe_ivf_dir)
-                 "q70_unsigned_wrap", "s14_ann_maintained_ivf"):
+                 "q70_unsigned_wrap", "s14_ann_maintained_ivf",
+                 "t21_unicode_normalize"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
@@ -77,7 +78,8 @@ def test_oracle_backed_entries_fit_driver_window():
                 "p10_leakage_safe_split", "q55_market_share",
                 "p04_contamination", "q38_correlated_scalar",
                 "t09_gopher_gates", "d16_bloom_incremental_dedup",
-                "st04_stream_parquet_sink", "s12_ann_persisted_ivf"):
+                "st04_stream_parquet_sink", "s12_ann_persisted_ivf",
+                "q21_hypertable_rollup"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

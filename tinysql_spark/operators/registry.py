@@ -154,6 +154,11 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # contains by construction via the shared _probe_ivf_dir (the
 # d16->d19 precedent; s12 stays hash-checked in parity and its
 # PartitionFilters plan pin stays in tests/test_plans.py).
+# t21_unicode_normalize (NFC canonicalization + control strip +
+# collapse, md5-audited rewrite) swaps for q21_hypertable_rollup,
+# whose time-bucket rollup shape q67_ohlc_bars keeps evidenced
+# in-window (richer: OHLC first/last/min/max per bucket; q21 stays
+# hash-checked in parity).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -163,7 +168,6 @@ WINDOW: tuple[str, ...] = (
     "q07_five_way_join",
     "q18_sessionization",
     "q19_asof_join",
-    "q21_hypertable_rollup",
     "q22_salted_join",
     "d07_embedding_cluster",
     "st01_stream_hourly",
@@ -215,6 +219,7 @@ WINDOW: tuple[str, ...] = (
     "t17_blocklist_gate",
     "t18_source_drift",
     "t19_nb_langid",
+    "t21_unicode_normalize",
 )
 
 

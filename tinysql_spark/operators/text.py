@@ -1233,3 +1233,124 @@ def compression_gate(docs: DataFrame) -> DataFrame:
 )
 def t20_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_gate(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# t21 — Unicode normalization pass (NFC + control strip + whitespace
+# collapse): the canonicalization step that runs BEFORE any
+# fingerprint/dedup/tokenize stage so byte-different but canonically-
+# equal texts hash identically
+# --------------------------------------------------------------------------
+
+
+def _t21_augmented_sql() -> str:
+    """Deterministic non-ASCII augmentation (DuckDB side) — the
+    synthetic corpus is pure ASCII, so an un-augmented entry would
+    never exercise composition, control stripping, or collapse (the
+    t16 anti-vacuousness discipline). chr(769) is the combining acute
+    (NFC composes 'e'+U+0301 into U+00E9), chr(65316) a fullwidth 'D'
+    (non-ASCII that NFC must PRESERVE — NFC is not NFKC), chr(7) a
+    control byte in front of a space run."""
+    return """
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769) ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN ' ' || chr(65316) || 'ata' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN chr(7) || '  spaced' ELSE '' END
+             AS text
+      FROM documents
+    """
+
+
+def _t21_augment(docs: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_t21_augmented_sql` — note the DECOMPOSED
+    accent (e + combining acute) and the control byte are written as
+    escape sequences; NFC must compose the former, the strip must
+    remove the latter."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 2 == 0, F.lit(" cafe\u0301")).otherwise(F.lit("")),
+            F.when(d % 3 == 0, F.lit(" \uFF24ata")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("\u0007  spaced")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+# shared pattern strings — Spark (Java regex) and DuckDB (RE2) run the
+# identical bytes; \x0B-\x1F deliberately EXCLUDES tab (\x09) and
+# newline (\x0A): document structure survives, invisible controls die
+_T21_CTRL = r"[\x00-\x08\x0B-\x1F\x7F]"
+_T21_MULTISPACE = " {2,}"
+
+
+def nfc_normalize_col(col: Column) -> Column:
+    """Arrow-batched NFC normalization (Spark has no builtin Unicode
+    normalizer; pandas' .str.normalize wraps unicodedata, and both
+    Python and DuckDB implement UAX#15 — parity pinned by the t21
+    oracle hash over augmented combining sequences)."""
+
+    @F.pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    return _nfc(col)
+
+
+@register(
+    "t21_unicode_normalize",
+    late=True,
+    oracle=f"""
+    WITH aug AS ({_t21_augmented_sql()}),
+    norm AS (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(nfc_normalize(text),
+               '{_T21_CTRL}', '', 'g'), '{_T21_MULTISPACE}', ' ', 'g') AS clean
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_before,
+           CAST(length(clean) AS BIGINT) AS n_after,
+           clean <> text AS changed,
+           md5(clean) AS norm_md5
+    FROM norm
+    """,
+    doc="Unicode canonicalization — the normalization pass a training "
+    "pipeline runs BEFORE fingerprinting/dedup/tokenization so "
+    "byte-different but canonically-equal texts (composed vs "
+    "decomposed accents) hash identically and invisible control "
+    "bytes can't smuggle divergence into downstream stages: NFC "
+    "normalization (UAX#15 — composition only, NOT the lossy NFKC "
+    "fold: fullwidth forms survive, checked by the augmented "
+    "fullwidth char), then control-char strip (tab/newline kept — "
+    "document structure survives) and space-run collapse, with a "
+    "per-doc audit (char counts before/after, changed flag) and an "
+    "md5 of the cleaned text so the oracle verifies the REWRITE, "
+    "not just the counts. The ASCII-only corpus is deterministically "
+    "augmented with combining sequences / fullwidth chars / control "
+    "bytes keyed by doc_id, identically on both engines (the t16 "
+    "anti-vacuousness discipline). NFC itself is the one Arrow "
+    "pandas_udf stage (Spark has no builtin normalizer; pandas wraps "
+    "unicodedata, and Python + DuckDB both implement UAX#15); the "
+    "augment/strip/collapse/audit stay JVM Column algebra. Map-only: "
+    "zero shuffles, linear in corpus bytes — the 100 TB plan is one "
+    "scan with a single Arrow exchange.",
+)
+def t21_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _t21_augment(load_table(spark, sf_dir, "documents"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            nfc_normalize_col(F.col("text")), F.lit(_T21_CTRL), F.lit("")
+        ),
+        F.lit(_T21_MULTISPACE),
+        F.lit(" "),
+    )
+    return aug.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_before"),
+        F.length(clean).cast("long").alias("n_after"),
+        (clean != F.col("text")).alias("changed"),
+        F.md5(clean).alias("norm_md5"),
+    )
