@@ -275,3 +275,36 @@ def test_s14_dirty_list_discipline_and_drift_gate(spark, sf_dir):
     assert not s14_needs_recluster({i: 10 + i for i in range(8)})
     assert s14_needs_recluster({**{i: 10 for i in range(7)}, 7: 1000})
     assert not s14_needs_recluster({})
+
+
+def test_s14_list_compaction_preserves_probe(spark, sf_dir):
+    """After two batch appends every dirty list holds 3 files (base +
+    2 increments); compaction rewrites each to one file via the
+    crash-safe shared kernel and the probe result is unchanged."""
+    import glob
+    import os
+
+    from tinysql_spark.operators.similarity import (
+        _s14_index_dir,
+        s14_ann_maintained_ivf,
+        s14_compact_lists,
+    )
+
+    before = {
+        (r["query_id"], r["doc_id"], float(r["cos_sim"]))
+        for r in s14_ann_maintained_ivf(spark, sf_dir).collect()
+    }
+    d = _s14_index_dir(spark, sf_dir)
+    compacted = s14_compact_lists(spark, sf_dir, max_files=1)
+    assert compacted, "appends should have fragmented at least one list"
+    assert all(n > 1 for n in compacted.values())
+    for part in glob.glob(os.path.join(d, "lists", "cid=*")):
+        assert len(glob.glob(os.path.join(part, "*.parquet"))) == 1
+    # no staging/aside residue inside or beside the dataset root
+    assert not glob.glob(os.path.join(d, ".compact-*"))
+    assert not glob.glob(os.path.join(d, ".aside-*"))
+    after = {
+        (r["query_id"], r["doc_id"], float(r["cos_sim"]))
+        for r in s14_ann_maintained_ivf(spark, sf_dir).collect()
+    }
+    assert before == after

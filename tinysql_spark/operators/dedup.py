@@ -2362,10 +2362,11 @@ def d18_compact_index(
 
 
 def _compact_index_buckets(
-    spark: SparkSession, idx: str, max_files: int
+    spark: SparkSession, idx: str, max_files: int, part_col: str = "bkt"
 ) -> dict[int, int]:
-    """Crash-safe dirty-bucket compaction kernel shared by
-    d18_compact_index and the d19 ingest loop. Swap discipline (every
+    """Crash-safe dirty-partition compaction kernel shared by
+    d18_compact_index, the d19 ingest loop, and s14's maintained IVF
+    lists (``part_col="cid"``). Swap discipline (every
     intermediate state is recoverable, and no malformed partition dir
     is ever visible inside the dataset root):
 
@@ -2387,14 +2388,14 @@ def _compact_index_buckets(
 
     parent = os.path.dirname(idx)
     compacted: dict[int, int] = {}
-    for part in sorted(glob.glob(os.path.join(idx, "bkt=*"))):
+    for part in sorted(glob.glob(os.path.join(idx, f"{part_col}=*"))):
         files = glob.glob(os.path.join(part, "*.parquet"))
         if len(files) <= max_files:
             continue
         bkt = int(part.rsplit("=", 1)[1])
         tag = uuid.uuid4().hex[:6]
-        tmp = os.path.join(parent, f".compact-bkt{bkt}-{tag}")
-        aside = os.path.join(parent, f".aside-bkt{bkt}-{tag}")
+        tmp = os.path.join(parent, f".compact-{part_col}{bkt}-{tag}")
+        aside = os.path.join(parent, f".aside-{part_col}{bkt}-{tag}")
         spark.read.parquet(part).coalesce(1).write.mode("overwrite").parquet(tmp)
         os.rename(part, aside)
         os.rename(tmp, part)

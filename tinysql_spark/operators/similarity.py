@@ -1756,3 +1756,26 @@ def _s14_index_dir(spark: SparkSession, sf_dir: str) -> str:
 )
 def s14_ann_maintained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_ivf_dir(spark, sf_dir, _s14_index_dir(spark, sf_dir))
+
+
+def s14_compact_lists(
+    spark: SparkSession, sf_dir: str, max_files: int = 1
+) -> dict[int, int]:
+    """Compaction for the maintained IVF lists: every per-batch append
+    adds one file per dirty cid partition, so a long ingest history
+    fragments the lists the probe reads. Any cid partition holding
+    more than ``max_files`` parquet files is rewritten as one via the
+    crash-safe prepare-then-swap kernel shared with d18/d19
+    (_compact_index_buckets — stage outside the root, rename aside,
+    rename in, delete last; every intermediate state recoverable,
+    no malformed partition visible to a concurrent probe). Returns
+    {cid: n_files_before} for every compacted list. At 100 TB the
+    cost is one read+write of the over-fragmented lists only — never
+    a full-index rewrite; probe results are unchanged by construction
+    (same rows, fewer files), pinned by test."""
+    from .dedup import _compact_index_buckets
+
+    d = _s14_index_dir(spark, sf_dir)
+    return _compact_index_buckets(
+        spark, os.path.join(d, "lists"), max_files, part_col="cid"
+    )
