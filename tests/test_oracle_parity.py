@@ -37,7 +37,7 @@ def test_oracle_backed_entries_fit_driver_window():
     for must in ("d09_fuzzy_dedup_scaled", "d10_exact_substring",
                  "d11_fuzzy_clusters", "st03_stream_join",
                  "st08_stream_left_join", "s05_ann_scalar_quant",
-                 "s09_ann_filtered", "p05_sequence_packing",
+                 "s09_ann_filtered",
                  "p08_training_export",
                  "d12_incremental_dedup", "s11_hybrid_search",
                  "st10_stream_quality_gate", "p17_dsir_weights",
@@ -61,7 +61,7 @@ def test_oracle_backed_entries_fit_driver_window():
                  # + the maintained-IVF ingest (contains s12's probe
                  # path by construction via the shared _probe_ivf_dir)
                  "q70_unsigned_wrap", "s14_ann_maintained_ivf",
-                 "t21_unicode_normalize"):
+                 "t21_unicode_normalize", "p21_pack_attention_spans"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
@@ -79,7 +79,7 @@ def test_oracle_backed_entries_fit_driver_window():
                 "p04_contamination", "q38_correlated_scalar",
                 "t09_gopher_gates", "d16_bloom_incremental_dedup",
                 "st04_stream_parquet_sink", "s12_ann_persisted_ivf",
-                "q21_hypertable_rollup"):
+                "q21_hypertable_rollup", "p05_sequence_packing"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

@@ -1527,3 +1527,80 @@ def p20_bpe_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tok") <= 500)
         .drop("n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# p21 — per-doc attention-boundary spans inside packed sequences (the
+# collator metadata p05's bin aggregates summarize away)
+# --------------------------------------------------------------------------
+
+# p21 packs at a SMALLER budget than p05's 2048 so the oracle data
+# actually exercises bin boundaries and spill docs at sf0.01 (where
+# every source totals < 2048 tokens and p05's budget would leave the
+# whole corpus in bin 0 — a vacuously-green boundary path; the t16
+# anti-vacuousness discipline applied to parameter choice)
+_P21_BUDGET = 256
+
+
+@register(
+    "p21_pack_attention_spans",
+    late=True,
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok_cnt
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, tok_cnt,
+             sum(tok_cnt) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT source, doc_id,
+           CAST((cum - tok_cnt) // {_P21_BUDGET} AS BIGINT) AS bin_id,
+           CAST((cum - tok_cnt) % {_P21_BUDGET} AS BIGINT) AS start_off,
+           CAST((cum - tok_cnt) % {_P21_BUDGET} + tok_cnt AS BIGINT) AS end_off,
+           (cum - tok_cnt) % {_P21_BUDGET} + tok_cnt > {_P21_BUDGET} AS spills
+    FROM c
+    """,
+    doc=f"Attention-boundary spans for the packed export: per document "
+    f"its [start_off, end_off) token placement inside its "
+    f"{_P21_BUDGET}-token packed sequence (p05's streaming packing — "
+    "a doc belongs to the bin where its tokens start), plus the "
+    "spills flag for boundary docs whose tail crosses into the next "
+    "bin (the collator truncates or continues them). This is the "
+    "metadata a document-masked packed-pretraining collator actually "
+    "consumes: packing without per-doc spans forces either cross-"
+    "document attention contamination or a re-tokenization pass at "
+    "batch-assembly time, so the spans ship WITH the export. Same "
+    "plan as p05 minus its final aggregate (one window shuffle on "
+    "source; start/end/spill are map-side arithmetic over the "
+    "running sum); the same sub-sharding note applies for hot "
+    "sources at 100 TB. p05's bin aggregate is this frame's "
+    "groupBy(source, bin_id) by construction.",
+)
+def p21_pack_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("tok_cnt"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("tok_cnt").over(w))
+    start_global = F.col("cum") - F.col("tok_cnt")
+    start_off = F.pmod(start_global, F.lit(_P21_BUDGET)).cast("long")
+    end_off = (start_off + F.col("tok_cnt")).cast("long")
+    return c.select(
+        "source",
+        "doc_id",
+        F.floor(start_global / _P21_BUDGET).cast("long").alias("bin_id"),
+        start_off.alias("start_off"),
+        end_off.alias("end_off"),
+        (end_off > F.lit(_P21_BUDGET)).alias("spills"),
+    )

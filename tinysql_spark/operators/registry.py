@@ -159,6 +159,11 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # whose time-bucket rollup shape q67_ohlc_bars keeps evidenced
 # in-window (richer: OHLC first/last/min/max per bucket; q21 stays
 # hash-checked in parity).
+# p21_pack_attention_spans (per-doc [start,end) placement inside the
+# packed sequence + spill flag — the collator metadata) swaps for
+# p05_sequence_packing, whose bin aggregate is p21's
+# groupBy(source, bin_id) by construction (the t18/t13 containment
+# pattern; p05 stays hash-checked in parity).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -204,7 +209,6 @@ WINDOW: tuple[str, ...] = (
     "s13_knn_graph",
     "s14_ann_maintained_ivf",
     # training-pipeline additions (rounds 4-5)
-    "p05_sequence_packing",
     "p08_training_export",
     "p12_dedup_weighted_sample",
     "p13_temperature_mix",
@@ -220,6 +224,7 @@ WINDOW: tuple[str, ...] = (
     "t18_source_drift",
     "t19_nb_langid",
     "t21_unicode_normalize",
+    "p21_pack_attention_spans",
 )
 
 
