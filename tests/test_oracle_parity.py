@@ -35,11 +35,11 @@ def test_oracle_backed_entries_fit_driver_window():
     # pipeline, the round-5/6 headliners, and every round-7 addition
     # (rotated in the round they landed — the VERDICT hygiene rule)
     for must in ("d09_fuzzy_dedup_scaled", "d10_exact_substring",
-                 "d11_fuzzy_clusters", "st03_stream_join",
-                 "st08_stream_left_join", "s05_ann_scalar_quant",
+                 "d11_fuzzy_clusters",
+                 "st08_stream_left_join",
                  "s09_ann_filtered",
                  "p08_training_export",
-                 "d12_incremental_dedup", "s11_hybrid_search",
+                 "s11_hybrid_search",
                  "st10_stream_quality_gate", "p17_dsir_weights",
                  "t18_source_drift",
                  "q63_product_type_profit", "q64_excess_volume_suppliers",
@@ -47,7 +47,6 @@ def test_oracle_backed_entries_fit_driver_window():
                  "st11_stream_incremental_dedup", "q68_order_batch_packing",
                  "p12_dedup_weighted_sample", "q69_typed_ctas",
                  "d19_ingest_loop_dedup",
-                 "t14_repetition_filters",
                  "p13_temperature_mix",
                  # round-9 rotation: the round-8 closer + every new op
                  "d14_semdedup", "t16_pii_scrub",
@@ -61,7 +60,12 @@ def test_oracle_backed_entries_fit_driver_window():
                  # + the maintained-IVF ingest (contains s12's probe
                  # path by construction via the shared _probe_ivf_dir)
                  "q70_unsigned_wrap", "s14_ann_maintained_ivf",
-                 "t21_unicode_normalize", "p21_pack_attention_spans"):
+                 "t21_unicode_normalize", "p21_pack_attention_spans",
+                 # round-11 second batch: SCD-2 pair + streaming twin,
+                 # line dedup, maintained-index deletes
+                 "q71_scd2_build", "q72_scd2_asof_enrich",
+                 "st14_stream_scd2_enrich", "t22_line_dedup",
+                 "s15_ann_tombstone_delete"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
@@ -79,7 +83,10 @@ def test_oracle_backed_entries_fit_driver_window():
                 "p04_contamination", "q38_correlated_scalar",
                 "t09_gopher_gates", "d16_bloom_incremental_dedup",
                 "st04_stream_parquet_sink", "s12_ann_persisted_ivf",
-                "q21_hypertable_rollup", "p05_sequence_packing"):
+                "q21_hypertable_rollup", "p05_sequence_packing",
+                "q19_asof_join", "d12_incremental_dedup",
+                "st03_stream_join", "s05_ann_scalar_quant",
+                "t14_repetition_filters"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

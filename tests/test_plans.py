@@ -933,3 +933,46 @@ def test_p17_t18_bounded_broadcasts_and_partial_aggs(q):
         js = join_strategies(df)
         assert js and all(j != "CartesianProduct" for j in js), (name, js)
         assert "BroadcastHashJoin" in js or "BroadcastNestedLoopJoin" in js, (name, js)
+
+
+def test_q71_scd2_single_exchange_shared_sort(q):
+    """q71's two window passes (lag change-detect, lead/row_number
+    versioning) run over the same (user_id) partitioning — Catalyst
+    must plan ONE shuffle exchange and reuse the sort; a second
+    exchange would double the 100 TB cost for nothing."""
+    import re
+
+    from tinysql_spark.plans import plan_string
+
+    p = plan_string(q("q71_scd2_build"))
+    # formatted mode: one detail header per physical node
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 1, p
+
+
+def test_q72_st14_interval_join_carries_equi_key(q):
+    """The SCD-2 as-of lookup must join on the user_id EQUI key with
+    the interval test as residual — a pure-inequality join would plan
+    BroadcastNestedLoop/Cartesian and blow up at scale."""
+    from tinysql_spark.plans import join_strategies, plan_string
+
+    df = q("q72_scd2_asof_enrich")
+    js = join_strategies(df)
+    assert js and all(
+        j not in ("CartesianProduct", "BroadcastNestedLoopJoin") for j in js
+    ), js
+    assert "user_id" in plan_string(df)
+
+
+def test_t22_line_df_broadcast_antijoin_and_partial_aggs(q):
+    """t22's common-line set (df >= 3 survivors — a vanishing
+    fraction of distinct lines) must come back as a BROADCAST
+    anti-join, never a second corpus-wide shuffle; the line-frequency
+    and regroup aggregations must both carry partial stages."""
+    from tinysql_spark.plans import has_partial_aggregate, plan_string
+
+    df = q("t22_line_dedup")
+    p = plan_string(df)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in p

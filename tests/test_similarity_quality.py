@@ -308,3 +308,55 @@ def test_s14_list_compaction_preserves_probe(spark, sf_dir):
         for r in s14_ann_maintained_ivf(spark, sf_dir).collect()
     }
     assert before == after
+
+
+def test_s15_tombstone_probe_and_purge_identity(spark, sf_dir):
+    """The maintained-index DELETE contract: (1) no tombstoned vector
+    ever surfaces from the probe; (2) the physical purge rewrites
+    EXACTLY the manifest's dirty lists through the crash-safe kernel
+    (no staging/aside residue) and truncates the tombstone set;
+    (3) probe results are identical before and after the purge —
+    logical delete == physical delete."""
+    import glob
+    import json
+    import os
+
+    from tinysql_spark.operators.similarity import (
+        _S15_TOMB_MODS,
+        _s15_index_dir,
+        s15_ann_tombstone_delete,
+        s15_purge_tombstones,
+    )
+
+    before_rows = s15_ann_tombstone_delete(spark, sf_dir).collect()
+    for r in before_rows:
+        for m in _S15_TOMB_MODS:
+            assert r["doc_id"] % m != 0, f"tombstoned vec {r['doc_id']} surfaced"
+    before = {(r["query_id"], r["doc_id"], float(r["cos_sim"])) for r in before_rows}
+
+    d = _s15_index_dir(spark, sf_dir)
+    with open(os.path.join(d, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    dirty = {c for b in manifest["batches"] for c in b["dirty_cids"]}
+    assert manifest["batches"][0]["n_deleted"] > 0
+
+    rewritten = s15_purge_tombstones(spark, sf_dir)
+    assert set(rewritten) == dirty
+    assert not glob.glob(os.path.join(d, ".compact-*"))
+    assert not glob.glob(os.path.join(d, ".aside-*"))
+    assert not glob.glob(os.path.join(d, "tombstones", "*.parquet"))
+
+    # the physical state must now contain zero tombstoned vectors
+    lists = spark.read.parquet(os.path.join(d, "lists"))
+    from pyspark.sql import functions as F
+
+    n_bad = 0
+    for m in _S15_TOMB_MODS:
+        n_bad += lists.filter(F.col("vec_id") % m == 0).count()
+    assert n_bad == 0
+
+    after = {
+        (r["query_id"], r["doc_id"], float(r["cos_sim"]))
+        for r in s15_ann_tombstone_delete(spark, sf_dir).collect()
+    }
+    assert before == after

@@ -2362,11 +2362,19 @@ def d18_compact_index(
 
 
 def _compact_index_buckets(
-    spark: SparkSession, idx: str, max_files: int, part_col: str = "bkt"
+    spark: SparkSession,
+    idx: str,
+    max_files: int,
+    part_col: str = "bkt",
+    only_parts: set[int] | None = None,
+    transform=None,
 ) -> dict[int, int]:
     """Crash-safe dirty-partition compaction kernel shared by
-    d18_compact_index, the d19 ingest loop, and s14's maintained IVF
-    lists (``part_col="cid"``). Swap discipline (every
+    d18_compact_index, the d19 ingest loop, s14's maintained IVF
+    lists (``part_col="cid"``), and s15's tombstone purge
+    (``only_parts`` = the dirty cids, ``transform`` = the tombstone
+    anti-join — a REWRITE through the same swap, not just a file
+    merge). Swap discipline (every
     intermediate state is recoverable, and no malformed partition dir
     is ever visible inside the dataset root):
 
@@ -2390,13 +2398,19 @@ def _compact_index_buckets(
     compacted: dict[int, int] = {}
     for part in sorted(glob.glob(os.path.join(idx, f"{part_col}=*"))):
         files = glob.glob(os.path.join(part, "*.parquet"))
-        if len(files) <= max_files:
-            continue
         bkt = int(part.rsplit("=", 1)[1])
+        if only_parts is not None:
+            if bkt not in only_parts:
+                continue
+        elif len(files) <= max_files:
+            continue
         tag = uuid.uuid4().hex[:6]
         tmp = os.path.join(parent, f".compact-{part_col}{bkt}-{tag}")
         aside = os.path.join(parent, f".aside-{part_col}{bkt}-{tag}")
-        spark.read.parquet(part).coalesce(1).write.mode("overwrite").parquet(tmp)
+        df = spark.read.parquet(part)
+        if transform is not None:
+            df = transform(df)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
         os.rename(part, aside)
         os.rename(tmp, part)
         shutil.rmtree(aside, ignore_errors=True)

@@ -164,6 +164,25 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # p05_sequence_packing, whose bin aggregate is p21's
 # groupBy(source, bin_id) by construction (the t18/t13 containment
 # pattern; p05 stays hash-checked in parity).
+# Round-11 second batch (window-on-landing): q71_scd2_build +
+# q72_scd2_asof_enrich (SCD Type-2 change capture and the as-of
+# interval lookup over it) swap for q19_asof_join — q72 is the
+# strictly richer as-of shape (interval tiling + contingency agg vs
+# running-max; q19 stays hash-checked in parity) — and for
+# d12_incremental_dedup, whose probe-vs-history path d17/d18/d19
+# contain by construction (the d16 precedent; d12 stays in parity).
+# st14_stream_scd2_enrich (stream-static TEMPORAL join — the st05
+# topology upgraded to interval matching) swaps for st03_stream_join:
+# st08 keeps the stream-stream interval-join family in-window (the
+# left-outer superset), st03 stays in parity; streaming keeps 7
+# slots. t22_line_dedup (C4/RefinedWeb cross-document line removal
+# with md5-audited rewrite) swaps for t14_repetition_filters — t17
+# keeps the threshold-gate family in-window, t08/t09/t14 all stay in
+# parity. s15_ann_tombstone_delete (maintained-index DELETES:
+# tombstone anti-join probe + dirty-list purge, completing the
+# build/append/delete triad) swaps for s05_ann_scalar_quant — the
+# quantization family stays evidenced by s06/s07's quality tests and
+# s05's parity hash; the ANN window keeps 5 slots.
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -172,7 +191,6 @@ WINDOW: tuple[str, ...] = (
     "q01_pricing_summary",
     "q07_five_way_join",
     "q18_sessionization",
-    "q19_asof_join",
     "q22_salted_join",
     "d07_embedding_cluster",
     "st01_stream_hourly",
@@ -180,7 +198,6 @@ WINDOW: tuple[str, ...] = (
     "d09_fuzzy_dedup_scaled",
     "d10_exact_substring",
     "d11_fuzzy_clusters",
-    "d12_incremental_dedup",
     "d13_span_scrub",
     "d14_semdedup",
     "d15_exactsubstr_excision",
@@ -194,20 +211,22 @@ WINDOW: tuple[str, ...] = (
     "q68_order_batch_packing",
     "q69_typed_ctas",
     "q70_unsigned_wrap",
+    "q71_scd2_build",
+    "q72_scd2_asof_enrich",
     # streaming additions (rounds 3-5)
-    "st03_stream_join",
     "st06_stream_upsert",
     "st07_stream_sessions",
     "st08_stream_left_join",
     "st10_stream_quality_gate",
     "st11_stream_incremental_dedup",
     "st12_stream_pii_scrub",
+    "st14_stream_scd2_enrich",
     # ANN / hybrid-retrieval additions with oracles
-    "s05_ann_scalar_quant",
     "s09_ann_filtered",
     "s11_hybrid_search",
     "s13_knn_graph",
     "s14_ann_maintained_ivf",
+    "s15_ann_tombstone_delete",
     # training-pipeline additions (rounds 4-5)
     "p08_training_export",
     "p12_dedup_weighted_sample",
@@ -217,13 +236,13 @@ WINDOW: tuple[str, ...] = (
     "p17_dsir_weights",
     "p18_decontaminate",
     # text-quality gates (rounds 3, 5)
-    "t14_repetition_filters",
     "t15_bigram_nll",
     "t16_pii_scrub",
     "t17_blocklist_gate",
     "t18_source_drift",
     "t19_nb_langid",
     "t21_unicode_normalize",
+    "t22_line_dedup",
     "p21_pack_attention_spans",
 )
 
@@ -258,7 +277,6 @@ _PAIR_GEN = {
     "d08_fuzzy_pairs",
     "d09_fuzzy_dedup_scaled",
     "d10_exact_substring",
-    "d12_incremental_dedup",
     "d13_span_scrub",
     "d14_semdedup",
     "d15_exactsubstr_excision",

@@ -1405,14 +1405,20 @@ def s12_ann_persisted_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_ivf_dir(spark, sf_dir, _s12_index_dir(spark, sf_dir))
 
 
-def _probe_ivf_dir(spark: SparkSession, sf_dir: str, d: str) -> DataFrame:
+def _probe_ivf_dir(
+    spark: SparkSession, sf_dir: str, d: str, tombstones: DataFrame | None = None
+) -> DataFrame:
     """The partition-pruned probe over an on-disk IVF layout (lists
     partitioned by cid + a centroids file) — shared by s12 (built
-    index) and s14 (maintained index): queries rank the stored
-    centroids, the union of their top-nprobe list ids becomes a
-    literal cid IN (...) filter (static partition pruning), rerank is
-    the exact dot product inside the probed lists. The probe collect
-    is |queries| x nprobe ids — never corpus-scaled."""
+    index), s14 (maintained index) and s15 (maintained index with
+    deletes): queries rank the stored centroids, the union of their
+    top-nprobe list ids becomes a literal cid IN (...) filter (static
+    partition pruning), rerank is the exact dot product inside the
+    probed lists. The probe collect is |queries| x nprobe ids — never
+    corpus-scaled. ``tombstones`` (a vec_id DataFrame) is
+    broadcast-anti-joined against the probed lists BEFORE ranking —
+    the logical-delete read path; bounded by delete volume, and past
+    a broadcast ceiling production swaps in d16's bloom prefilter."""
     cents = spark.read.parquet(os.path.join(d, "centroids"))
     u_q = (
         load_table(spark, sf_dir, "embeddings")
@@ -1443,6 +1449,10 @@ def _probe_ivf_dir(spark: SparkSession, sf_dir: str, d: str) -> DataFrame:
     lists = spark.read.parquet(os.path.join(d, "lists")).filter(
         F.col("cid").isin(*[int(c) for c in cids])
     )
+    if tombstones is not None:
+        lists = lists.join(
+            F.broadcast(tombstones.select("vec_id")), "vec_id", "left_anti"
+        )
     sims = (
         lists.join(F.broadcast(pairs), "cid")
         .join(
@@ -1779,3 +1789,214 @@ def s14_compact_lists(
     return _compact_index_buckets(
         spark, os.path.join(d, "lists"), max_files, part_col="cid"
     )
+
+
+# --------------------------------------------------------------------------
+# s15 — maintained IVF index with DELETES: tombstone batches shadow
+# vectors at probe time (logical delete), a purge pass physically
+# rewrites only the dirty lists (the d18-compaction analog for
+# removals; completes the s12 build / s14 append / s15 delete triad)
+# --------------------------------------------------------------------------
+
+_S15_DIR_MEMO: dict[str, str] = {}
+_S15_TOMB_MODS = (7, 11)  # two delete batches: vec_id % 7, then % 11
+
+
+def _s15_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build s15's OWN copy of the s12 layout (the purge pass mutates
+    it — s12/s14's memoized dirs must stay pristine for their own
+    oracles) from the memoized (centroids, assignment), then apply
+    two tombstone batches: each batch appends its deleted vec_ids to
+    a ``tombstones/`` parquet dir (an O(batch) metadata write — the
+    index itself is untouched; FAISS's remove_ids and every
+    LSM-flavored store make the same logical-first choice) and the
+    manifest records the batch's dirty cids FROM THE ASSIGNMENT (a
+    bounded map-only join — never an index scan)."""
+    import atexit
+    import glob
+    import json
+    import shutil
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    d = _S15_DIR_MEMO.get(key)
+    if d is not None and os.path.isdir(os.path.join(d, "lists")):
+        return d
+    centn, assign = _s11_ivf_index(spark, sf_dir)
+    u_corp = _s11_corpus(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="tinysql_s15_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    lists = os.path.join(d, "lists")
+    (
+        assign.join(u_corp, "vec_id")
+        .select("cid", "vec_id", "e")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(lists)
+    )
+    centn.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+    tombs = os.path.join(d, "tombstones")
+    manifest: dict = {"batches": [], "n_lists": len(glob.glob(lists + "/cid=*"))}
+    for m in _S15_TOMB_MODS:
+        batch = assign.filter(F.col("vec_id") % m == 0).select("vec_id", "cid")
+        dirty = sorted(int(r["cid"]) for r in batch.select("cid").distinct().collect())
+        batch.select("vec_id").write.mode("append").parquet(tombs)
+        manifest["batches"].append(
+            {"mod": m, "n_deleted": batch.count(), "dirty_cids": dirty}
+        )
+    with open(os.path.join(d, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    _S15_DIR_MEMO[key] = d
+    return d
+
+
+def _s15_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    d = _s15_index_dir(spark, sf_dir)
+    tombs = os.path.join(d, "tombstones")
+    if not glob.glob(os.path.join(tombs, "*.parquet")):
+        # post-purge: the logical delete set is empty
+        return spark.createDataFrame([], "vec_id long")
+    return spark.read.parquet(tombs)
+
+
+@register(
+    "s15_ann_tombstone_delete",
+    late=True,
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) AS e
+      FROM embeddings
+    ), ucorp AS (
+      SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+      FROM u WHERE vec_id >= {_HS_NQ}
+    ), ncorp AS (
+      SELECT count(*) AS n FROM ucorp
+    ), c0 AS (
+      SELECT CAST(rn / CAST(ceil(n * 1.0 / {_HS_IVF_K}) AS BIGINT) AS INT) AS cid,
+             e AS ce
+      FROM ucorp, ncorp
+      WHERE rn % CAST(ceil(n * 1.0 / {_HS_IVF_K}) AS BIGINT) = 0
+    ), a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT c.vec_id, s.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(c.e, s.ce), 6) DESC, s.cid) AS r
+        FROM ucorp c CROSS JOIN c0 s) WHERE r = 1
+    ), c1 AS (
+      SELECT cid, list_transform(ce0, x -> x / sqrt(list_dot_product(ce0, ce0))) AS ce
+      FROM (
+        SELECT cid, list(v ORDER BY i) AS ce0 FROM (
+          SELECT a0.cid, i, round(avg(x), 6) AS v FROM a0
+            JOIN ucorp c USING (vec_id),
+            LATERAL (SELECT unnest(c.e) AS x, generate_subscripts(c.e, 1) AS i) t
+          GROUP BY a0.cid, i) GROUP BY cid)
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT c.vec_id, s.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(c.e, s.ce), 6) DESC, s.cid) AS r
+        FROM ucorp c CROSS JOIN c1 s) WHERE r = 1
+    ), c2 AS (
+      SELECT cid, list_transform(ce0, x -> x / sqrt(list_dot_product(ce0, ce0))) AS ce
+      FROM (
+        SELECT cid, list(v ORDER BY i) AS ce0 FROM (
+          SELECT a1.cid, i, round(avg(x), 6) AS v FROM a1
+            JOIN ucorp c USING (vec_id),
+            LATERAL (SELECT unnest(c.e) AS x, generate_subscripts(c.e, 1) AS i) t
+          GROUP BY a1.cid, i) GROUP BY cid)
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT c.vec_id, s.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(c.e, s.ce), 6) DESC, s.cid) AS r
+        FROM ucorp c CROSS JOIN c2 s) WHERE r = 1
+    ), probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, s.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.e, s.ce), 6) DESC, s.cid) AS r
+        FROM u q CROSS JOIN c2 s WHERE q.vec_id < {_HS_NQ}) WHERE r <= {_HS_IVF_P}
+    ), sims AS (
+      SELECT p.query_id, a.vec_id AS doc_id,
+             round(list_dot_product(q.e, c.e), 6) AS sim
+      FROM probes p JOIN assign a USING (cid)
+        JOIN u q ON q.vec_id = p.query_id
+        JOIN ucorp c ON c.vec_id = a.vec_id
+      WHERE a.vec_id % {_S15_TOMB_MODS[0]} <> 0
+        AND a.vec_id % {_S15_TOMB_MODS[1]} <> 0
+    )
+    SELECT query_id, doc_id, round(sim, 4) AS cos_sim
+    FROM sims
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, doc_id) <= {_TOP_K}
+    """,
+    doc="ANN against a maintained index WITH DELETES — the operation "
+    "the s12 build / s14 append pair leaves out, and the one every "
+    "right-to-be-forgotten / retraction pipeline needs: two delete "
+    "batches append their vec_ids to a TOMBSTONE set (an O(batch) "
+    "metadata write — the cid-partitioned lists are untouched; "
+    "FAISS remove_ids and every LSM-flavored store make the same "
+    "logical-first choice), and the probe — s12's partition-pruned "
+    "path via the shared _probe_ivf_dir — broadcast-anti-joins the "
+    "tombstones against the probed lists BEFORE ranking, so deleted "
+    "vectors can never surface (bounded by delete volume; past a "
+    "broadcast ceiling production swaps in d16's bloom prefilter). "
+    "The companion purge pass (s15_purge_tombstones, pinned by "
+    "test) physically rewrites ONLY the dirty lists — dirty cids "
+    "derived from the bounded assignment join, never an index scan "
+    "— through the crash-safe prepare-then-swap kernel shared with "
+    "d18/s14, then truncates the tombstone set; probe results are "
+    "identical before and after by construction (logical == "
+    "physical delete), which the test asserts. The oracle pins the "
+    "END STATE: probe(build + 2 delete batches) must equal a "
+    "from-scratch probe over the surviving vectors against the SAME "
+    "full-corpus-trained centroids (deletes never retrain — the "
+    "maintained-index semantics). Reference analog: DeleteExec's "
+    "handle-based removal (executor/delete.go:28) applied to the "
+    "index layout, d18's maintenance mirror on the removal side.",
+)
+def s15_ann_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _s15_index_dir(spark, sf_dir)
+    return _probe_ivf_dir(spark, sf_dir, d, tombstones=_s15_tombstones(spark, sf_dir))
+
+
+def s15_purge_tombstones(spark: SparkSession, sf_dir: str) -> dict[int, int]:
+    """Physically remove tombstoned vectors from the lists: dirty cids
+    come from the manifest (assignment-derived at delete time — never
+    an index scan), each dirty cid partition is rewritten through the
+    shared crash-safe swap kernel with the tombstone anti-join as the
+    rewrite, and the tombstone set is then truncated (the logical
+    delete set is empty once the physical state caught up). At 100 TB
+    the cost is one read+write of the dirty lists only. Returns
+    {cid: n_files_before} for every rewritten list."""
+    import glob
+    import json
+    import shutil
+
+    from .dedup import _compact_index_buckets
+
+    d = _s15_index_dir(spark, sf_dir)
+    with open(os.path.join(d, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    dirty = {c for b in manifest["batches"] for c in b["dirty_cids"]}
+    tomb = _s15_tombstones(spark, sf_dir)
+    rewritten = _compact_index_buckets(
+        spark,
+        os.path.join(d, "lists"),
+        max_files=0,
+        part_col="cid",
+        only_parts=dirty,
+        transform=lambda df: df.join(
+            F.broadcast(tomb.select("vec_id")), "vec_id", "left_anti"
+        ),
+    )
+    # physical state caught up -> truncate the logical delete set
+    tombs = os.path.join(d, "tombstones")
+    for f in glob.glob(os.path.join(tombs, "*")):
+        (shutil.rmtree if os.path.isdir(f) else os.remove)(f)
+    return rewritten

@@ -989,3 +989,60 @@ def st13_stream_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "st13_comp_" + uuid.uuid4().hex[:8]
     run_to_memory(out, name, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "st14_stream_scd2_enrich",
+    late=True,
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ), chg AS (
+      SELECT user_id, ts, event_id, event_type FROM o
+      WHERE prev IS NULL OR prev <> event_type
+    ), dim AS (
+      SELECT user_id, event_type AS attr, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM chg
+    )
+    SELECT d.attr AS state, e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN dim d
+      ON d.user_id = e.user_id
+         AND e.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    GROUP BY 1, 2
+    """,
+    doc="Streaming TEMPORAL-VALIDITY enrichment — q72's as-of "
+    "dimension lookup placed where a production pipeline runs it: "
+    "the events stream joins the q71 SCD-2 dimension (batch-built "
+    "validity intervals, the st05 stream-static topology upgraded "
+    "from a point lookup to an interval match) so every arriving "
+    "event reads the user state valid AT ITS OWN event time, then "
+    "the (state, event_type) contingency aggregates under complete "
+    "mode. The stream-static inner join is STATELESS (the static "
+    "side re-plans per micro-batch — dimension updates between "
+    "batches are picked up, the property a 24/7 enrichment pipeline "
+    "relies on; no watermark, no join state; only the final agg "
+    "keeps state), and the user_id equi-key carries the join with "
+    "the interval test as residual — never an inequality join. "
+    "Finite replay under complete mode must equal the batch q72 "
+    "oracle exactly; shared transform (scd2_asof_enrich) makes the "
+    "batch/stream pair the same code path.",
+)
+def st14_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+    from .temporal import scd2_asof_enrich, scd2_dimension
+
+    dim = scd2_dimension(load_table(spark, sf_dir, "events"))
+    stream = read_event_stream(spark, _stage_events(sf_dir))
+    out = scd2_asof_enrich(stream, dim)
+    name = "st14_scd2_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="complete")
+    return spark.table(name)

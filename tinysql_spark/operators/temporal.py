@@ -392,3 +392,163 @@ def q67_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q71 — SCD Type-2 dimension build (change capture -> validity
+# intervals), the warehouse operator every event-sourced dimension
+# needs; q72/st14 consume the intervals it produces
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q71_scd2_build",
+    late=True,
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ), chg AS (
+      SELECT user_id, ts, event_id, event_type FROM o
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id,
+           event_type AS attr,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS BIGINT) AS version_no,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM chg
+    """,
+    doc="SCD Type-2 dimension build — change-data capture into "
+    "validity intervals (Kimball's slowly-changing-dimension type 2, "
+    "the shape every event-sourced warehouse dimension takes): the "
+    "LIFECYCLE events (signup/purchase — the sparse subset that "
+    "defines a user's state, vs the click/view fact firehose) are "
+    "change-detected per user (a version starts where the state "
+    "differs from the previous one, lag() over (user, ts, event_id) "
+    "— the event_id tiebreak makes equal-timestamp rows "
+    "deterministic across engines and partitionings; consecutive "
+    "same-state events collapse into one version), then "
+    "each change row becomes a version with [valid_from, valid_to) "
+    "from its own ts and the NEXT change's ts (lead(); NULL marks "
+    "the open current version) plus a per-user version_no. Two "
+    "window passes over ONE partitioning (user_id) — Catalyst "
+    "plans a single exchange and reuses the sort for the second "
+    "Window, so the 100 TB cost is one shuffle of the change rows. "
+    "No reference analog (no window functions in the grammar — "
+    "SURVEY §2.1); q72_scd2_asof_enrich and st14 consume these "
+    "intervals.",
+)
+def q71_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_dimension(load_table(spark, sf_dir, "events"))
+
+
+# the sparse state-defining subset: lifecycle actions, not the
+# click/view fact firehose (a dimension that changed on every fact
+# row would degenerate the q72/st14 contingency to its diagonal)
+_SCD2_STATES = ("signup", "purchase")
+
+
+def scd2_dimension(ev: DataFrame) -> DataFrame:
+    """The SCD-2 build as a reusable transform over (user_id, ts,
+    event_id, event_type) — shared by q71 (the dimension itself),
+    q72 (batch as-of enrichment) and st14 (the stream-static
+    temporal join). Both windows share one (user_id)-partitioned
+    sort, so the plan carries a single exchange."""
+    ev = ev.filter(F.col("event_type").isin(*_SCD2_STATES))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    return chg.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version_no"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "q72_scd2_asof_enrich",
+    late=True,
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ), chg AS (
+      SELECT user_id, ts, event_id, event_type FROM o
+      WHERE prev IS NULL OR prev <> event_type
+    ), dim AS (
+      SELECT user_id, event_type AS attr, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM chg
+    )
+    SELECT d.attr AS state, e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN dim d
+      ON d.user_id = e.user_id
+         AND e.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    GROUP BY 1, 2
+    """,
+    doc="As-of DIMENSION LOOKUP against the q71 SCD-2 intervals — the "
+    "consumption side of slowly-changing dimensions: every event "
+    "joins the version of the user's lifecycle state (last signup/"
+    "purchase) that was valid AT ITS OWN event time ([valid_from, "
+    "valid_to) — valid_from inclusive, so the event that caused a "
+    "change reads its own new state; the open current version "
+    "matches via NULL valid_to; facts before a user's first "
+    "lifecycle event have no state and drop from the inner join), "
+    "then the (state, event_type) contingency aggregate answers "
+    "'what happens while users are in state X'. NOT executed as an "
+    "inequality join: the user_id equi-key carries the join (one "
+    "shuffle on user_id; versions-per-user is bounded by the "
+    "change count, so the per-key candidate set stays small), with "
+    "the interval test as the residual — the plan a 100 TB "
+    "event-x-dimension lookup needs. Each event matches exactly "
+    "one interval by construction (intervals tile the user's "
+    "timeline; zero-length intervals from equal-ts changes match "
+    "nothing on both engines).",
+)
+def q72_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_asof_enrich(ev, scd2_dimension(ev))
+
+
+def scd2_asof_enrich(ev: DataFrame, dim: DataFrame) -> DataFrame:
+    """The temporal-validity join + contingency agg shared by q72
+    (batch) and st14 (the same transform over a streaming events
+    DataFrame — stateless inner stream-static join, so it applies
+    unchanged)."""
+    d = dim.select(
+        F.col("user_id").alias("d_user"), "attr", "valid_from", "valid_to"
+    )
+    return (
+        ev.join(
+            d,
+            (ev["user_id"] == d["d_user"])
+            & (ev["ts"] >= d["valid_from"])
+            & (d["valid_to"].isNull() | (ev["ts"] < d["valid_to"])),
+        )
+        .groupBy(F.col("attr").alias("state"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

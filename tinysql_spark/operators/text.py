@@ -1354,3 +1354,153 @@ def t21_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (clean != F.col("text")).alias("changed"),
         F.md5(clean).alias("norm_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# t22 — corpus LINE-LEVEL dedup (the C4/RefinedWeb boilerplate-line
+# removal): drop every line whose exact text appears in >= 3 distinct
+# documents, rewrite each doc from its surviving lines
+# --------------------------------------------------------------------------
+
+_T22_LINE_TOKENS = 10  # tokens per line in the synthetic line structure
+_T22_DF_MIN = 3  # document-frequency threshold: a line in >= 3 docs dies
+
+# exactly 10 tokens each, so a prepended boilerplate fills line 0 (or
+# lines 0-1 when both apply) and duplicates EXACTLY across documents
+_T22_BOILER_A = "subscribe to our newsletter for all the latest updates"
+_T22_BOILER_B = "copyright notice all rights reserved by the site owner"
+
+
+def _t22_augmented_sql() -> str:
+    """Boilerplate augmentation (DuckDB side) — the synthetic corpus
+    has no repeated lines (10-token lines over the vocab virtually
+    never collide), so the dedup would be vacuous without injected
+    boilerplate (the t16/t21 discipline). Boilerplates PREPEND as
+    exact 10-token units so they align to line boundaries and
+    duplicate verbatim across the docs that carry them; B-then-A
+    order is fixed so both engines build the identical string."""
+    return f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 = 0 THEN '{_T22_BOILER_B} ' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN '{_T22_BOILER_A} ' ELSE '' END
+             || text AS text
+      FROM documents
+    """
+
+
+def _t22_augment(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.when(d % 6 == 0, F.lit(_T22_BOILER_B + " ")).otherwise(F.lit("")),
+            F.when(d % 4 == 0, F.lit(_T22_BOILER_A + " ")).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+@register(
+    "t22_line_dedup",
+    late=True,
+    oracle=f"""
+    WITH aug AS ({_t22_augmented_sql()}),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS tk FROM aug
+    ),
+    lines AS (
+      SELECT doc_id, i AS line_no,
+             array_to_string(tk[(i * {_T22_LINE_TOKENS} + 1):
+                               ((i + 1) * {_T22_LINE_TOKENS})], ' ') AS line
+      FROM toks,
+           LATERAL (SELECT unnest(range(CAST(ceil(len(tk) * 1.0
+                      / {_T22_LINE_TOKENS}) AS BIGINT))) AS i) t
+    ),
+    common AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) >= {_T22_DF_MIN}
+    ),
+    kept AS (
+      SELECT l.doc_id, l.line_no, l.line
+      FROM lines l ANTI JOIN common c USING (line)
+    ),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS n_after,
+             md5(string_agg(line, chr(10) ORDER BY line_no)) AS clean_md5
+      FROM kept GROUP BY doc_id
+    ),
+    before AS (
+      SELECT doc_id, count(*) AS n_before FROM lines GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.n_before,
+           COALESCE(a.n_after, 0) AS n_after,
+           COALESCE(a.n_after, 0) < b.n_before AS changed,
+           COALESCE(a.clean_md5, md5('')) AS clean_md5
+    FROM before b LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Corpus LINE-LEVEL dedup — the C4/RefinedWeb boilerplate "
+    "remover (Raffel et al. 2020 drop repeated 3-sentence spans; "
+    "Penedo et al. 2023 drop duplicated lines): every line whose "
+    "exact text appears in >= 3 DISTINCT documents is dropped from "
+    "ALL of them, and each document is rewritten from its surviving "
+    "lines — the cross-document complement to t08/t14's within-doc "
+    "repetition gates and a different granularity from d10's "
+    "suffix-array substrings (lines are cheap and structural; "
+    "substrings are exact but quadratic-adjacent). Lines are "
+    "10-token units (the corpus ships as single-line docs, so line "
+    "structure is synthesized by token count — identically on both "
+    "engines); boilerplate lines are prepended to every 4th/6th doc "
+    "as exact 10-token units so the duplicate set is non-vacuous "
+    "(the t16/t21 augmentation discipline). Audit output per doc: "
+    "line counts before/after, changed flag, md5 of the rewritten "
+    "text — the oracle verifies the REWRITE. Plan: one explode into "
+    "lines, one groupBy(line) for document frequency (map-side "
+    "combine; the only corpus-wide shuffle), the tiny df>=3 "
+    "survivor set broadcast anti-joined back (boilerplate lines are "
+    "a vanishing fraction of distinct lines), one groupBy(doc_id) "
+    "regroup — linear at 100 TB, and the regroup shuffle carries "
+    "only kept lines.",
+)
+def t22_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _T22_LINE_TOKENS
+    aug = _t22_augment(load_table(spark, sf_dir, "documents"))
+    toks = aug.select("doc_id", F.split(F.trim(F.col("text")), " +").alias("tk"))
+    lines = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(tk) / {n}.0)) - 1),"
+                f" i -> array_join(slice(tk, i * {n} + 1, {n}), ' '))"
+            )
+        ).alias("line_no", "line"),
+    )
+    common = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _T22_DF_MIN)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(common), "line", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            )
+        ).alias("clean_md5"),
+    )
+    before = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_before"))
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5('')
+    return before.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_before",
+        F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        (F.coalesce("n_after", F.lit(0)) < F.col("n_before")).alias("changed"),
+        F.coalesce("clean_md5", F.lit(empty_md5)).alias("clean_md5"),
+    )
