@@ -229,3 +229,100 @@ def test_optimize_table_compacts(spark, bkeng):
         assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 0
     finally:
         eng.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    """The composite-index capability: a lexicographic sort gives
+    file-level min/max pruning on the LEADING column only (every file
+    spans the trailing column's full range); the Morton z-order layout
+    gives it on BOTH. Judged from the same parquet footers a scan's
+    file skipping consults: a 1/16-range predicate on the trailing
+    column must read (nearly) all lexicographic files but only a
+    minority of z-ordered ones."""
+    from pyspark.sql import functions as F
+
+    from tinysql_spark.sources.layout import (
+        files_overlapping,
+        sorted_parquet,
+        zorder_parquet,
+    )
+
+    n = 1 << 14
+    df = (
+        spark.range(n)
+        .select(
+            # two independent uniform dims (decorrelated by hashing)
+            (F.abs(F.xxhash64("id")) % 1000).alias("a"),
+            (F.abs(F.xxhash64((F.col("id") + 1).cast("string"))) % 1000).alias("b"),
+        )
+    )
+    lex = str(tmp_path / "lex")
+    zed = str(tmp_path / "zed")
+    n_files = 16
+    sorted_parquet(df.repartition(n_files), lex, ["a", "b"])
+    zorder_parquet(df, zed, ["a", "b"], n_files=n_files)
+
+    import glob
+
+    assert len(glob.glob(zed + "/*.parquet")) == n_files
+    lo, hi = 400, 462  # ~1/16 of the b range
+    lex_files = len(glob.glob(lex + "/*.parquet"))
+    lex_read = files_overlapping(lex, "b", lo, hi)
+    z_read = files_overlapping(zed, "b", lo, hi)
+    # lexicographic: b spans its full range in every a-sorted file
+    assert lex_read >= lex_files - 1, (lex_read, lex_files)
+    # z-order: each file covers ~a quarter of each dimension (16 files
+    # across 2 dims -> 4x4 grid), so a 1/16-range predicate touches
+    # at most half the files
+    assert z_read <= n_files // 2, (z_read, n_files)
+    # and the leading column still prunes on BOTH layouts
+    assert files_overlapping(zed, "a", lo, hi) <= n_files // 2
+    # correctness: same rows either way
+    assert (
+        spark.read.parquet(zed).orderBy("a", "b").collect()
+        == spark.read.parquet(lex).orderBy("a", "b").collect()
+    )
+
+
+def test_optimize_zorder_by(spark, bkeng):
+    """OPTIMIZE TABLE ... ZORDER BY (a, b) rewrites the table
+    clustered by the Morton key: footer min/max must prune range
+    predicates on BOTH columns (a plain sort covers the leading one
+    only), rows survive the rewrite exactly, and bucketed tables /
+    unknown or non-numeric columns are rejected loudly."""
+    import glob as g
+
+    import pytest as _pytest
+
+    from tinysql_spark.sources.layout import files_overlapping
+
+    eng, tmp_path = bkeng
+    eng.sql("CREATE TABLE zt (a INT, b INT, s VARCHAR(20))")
+    eng.sql(
+        "INSERT INTO zt SELECT"
+        " CAST(abs(xxhash64(CAST(id AS STRING))) % 1000 AS INT),"
+        " CAST(abs(xxhash64(CAST(id + 1 AS STRING))) % 1000 AS INT),"
+        " CAST(id AS STRING)"
+        " FROM range(16384)"
+    )
+    n_total = eng.sql("SELECT count(*) AS n FROM zt").df.collect()[0][0]
+    checksum = eng.sql("SELECT sum(a*31 + b) AS c FROM zt").df.collect()[0][0]
+    eng.sql("SET @@optimize_target_mb = 1")  # force a multi-file rewrite
+    # make each file small enough that the target yields a grid
+    msg = eng.sql("OPTIMIZE TABLE zt ZORDER BY (a, b)").message
+    assert "zorder by a, b" in msg
+    zdir = str(tmp_path / "wh" / "default" / "zt" / "data")
+    n_files = len(g.glob(zdir + "/part-*"))
+    if n_files >= 4:
+        # with a z-grid, a narrow range on EITHER column skips files
+        assert files_overlapping(zdir, "b", 400, 430) < n_files
+        assert files_overlapping(zdir, "a", 400, 430) < n_files
+    assert eng.sql("SELECT count(*) AS n FROM zt").df.collect()[0][0] == n_total
+    assert eng.sql("SELECT sum(a*31 + b) AS c FROM zt").df.collect()[0][0] == checksum
+    with _pytest.raises(ValueError, match="unknown column"):
+        eng.sql("OPTIMIZE TABLE zt ZORDER BY (zz)")
+    with _pytest.raises(ValueError, match="numeric"):
+        eng.sql("OPTIMIZE TABLE zt ZORDER BY (s)")
+    _load_bucketed(eng)
+    with _pytest.raises(ValueError, match="bucket"):
+        eng.sql("OPTIMIZE TABLE fact ZORDER BY (k)")

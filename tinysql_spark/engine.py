@@ -1068,7 +1068,15 @@ class Engine:
         overhead. Bucketed tables rewrite to one file per bucket;
         indexed tables restore the range-partitioned + sorted backfill
         layout; plain tables coalesce (no shuffle) to
-        ceil(bytes / @@optimize_target_mb, default 128 MiB)."""
+        ceil(bytes / @@optimize_target_mb, default 128 MiB).
+
+        OPTIMIZE TABLE t ZORDER BY (a, b) instead rewrites clustered
+        by the Morton key over the named numeric columns, giving
+        file-level min/max pruning on EVERY z-ordered column — the
+        composite-index capability (reference: multi-column
+        EncodeIndexSeekKey, tablecodec/tablecodec.go:80-87) a
+        single-column sort only provides for the leading column.
+        Pruning evidence: tests/test_layout.py."""
         m = P._OPTIMIZE_RE.match(stmt)
         if not m:
             raise ValueError(f"cannot parse OPTIMIZE: {stmt[:60]}")
@@ -1088,6 +1096,43 @@ class Engine:
         target = int(self.sys_vars.get("optimize_target_mb", "128")) << 20
         n = max(1, -(-total_bytes // target))
         raw = self._raw(db, t)
+        if m.group(2):
+            from .sources.layout import zorder_keys
+
+            cols = [P.unquote_ident(c.strip()) for c in m.group(2).split(",")]
+            by_name = {c.name: c for c in info.columns}
+            bad = [c for c in cols if c not in by_name]
+            if bad:
+                raise ValueError(f"ZORDER BY unknown column(s): {', '.join(bad)}")
+            non_num = [
+                c
+                for c in cols
+                if not by_name[c].type.upper().startswith(
+                    ("INT", "BIGINT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "DECIMAL")
+                )
+            ]
+            if non_num:
+                raise ValueError(
+                    f"ZORDER BY needs numeric columns, got: {', '.join(non_num)}"
+                )
+            if info.bucket:
+                raise ValueError(
+                    "ZORDER BY conflicts with the table's CLUSTERED BY bucket "
+                    "layout (bucketed joins require hash placement)"
+                )
+            zk = zorder_keys(raw, cols)
+            self._write_swap(
+                db,
+                t,
+                raw.withColumn("__zk", zk)
+                .repartitionByRange(n, "__zk")
+                .sortWithinPartitions("__zk")
+                .drop("__zk"),
+            )
+            return Result(
+                message=f"table {t} optimized: {before} -> {_n_files()} files"
+                f" (zorder by {', '.join(cols)})"
+            )
         if info.bucket:
             self._write_swap(db, t, raw)  # bucketed writer: 1 file/bucket
         elif info.indexes:

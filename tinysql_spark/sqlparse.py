@@ -513,7 +513,11 @@ def parse_delete(stmt: str) -> tuple[str, str | None, str | None, str | None]:
     return table, where, order_by, limit
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([`\w.]+)\s*$", re.I)
 _USE_RE = re.compile(r"^\s*USE\s+([`\w]+)\s*$", re.I)
-_OPTIMIZE_RE = re.compile(r"^\s*OPTIMIZE\s+(?:TABLE\s+)?([`\w.]+)\s*$", re.I)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?:TABLE\s+)?([`\w.]+)"
+    r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*$",
+    re.I,
+)
 
 _CREATE_DB_RE = re.compile(
     r"^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?([`\w]+)\s*$", re.I
