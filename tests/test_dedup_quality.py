@@ -720,3 +720,66 @@ def test_sharded_bloom_sizing_and_membership(spark, sf_dir):
     # and the unsharded adaptive build agrees on the no-FN property
     bm, m, _fp2 = adaptive_bloom_from_index(spark, idx, m0=64, fp_budget=0.01)
     assert sharded_bloom_might_contain([bm], 1, hs).all()
+
+
+def test_d20_prefix_filter_lossless_and_cheaper(spark, sf_dir):
+    """The prefix theorem in practice: d20's prefix-filtered join
+    must return EXACTLY d02's result set (zero false negatives — the
+    filter is lossless for J >= t), while the candidate join's
+    input/output volume shrinks to ~(1-t) of all-token blocking (the
+    100 TB shuffle argument; measured ~0.20 at t=0.8 here). On this
+    tiny ~30-word vocabulary the DISTINCT-pair reduction is small —
+    every prefix still collides broadly — so the honest metric is
+    join volume; a Zipfian real vocabulary shrinks both."""
+    from pyspark.sql import functions as F
+
+    from tinysql_spark.operators.dedup import (
+        _d20_candidates,
+        _d20_token_arrays,
+        d02_ngram_jaccard,
+        d20_prefix_filter_jaccard,
+    )
+
+    d02 = {
+        (r["a_id"], r["b_id"], round(r["jaccard"], 9))
+        for r in d02_ngram_jaccard(spark, sf_dir).collect()
+    }
+    d20 = {
+        (r["a_id"], r["b_id"], round(r["jaccard"], 9))
+        for r in d20_prefix_filter_jaccard(spark, sf_dir).collect()
+    }
+    assert d02 and d20 == d02
+
+    # join-volume measurement: pre-distinct equi-join output rows
+    toks = _d20_token_arrays(spark, sf_dir)
+    tok = toks.select("doc_id", "source", F.explode("toks").alias("w"))
+
+    def joinvol(t):
+        a = t.select(F.col("doc_id").alias("a_id"), F.col("source").alias("s"), "w")
+        b = t.select(F.col("doc_id").alias("b_id"), F.col("source").alias("s2"), "w")
+        return (
+            a.join(b, "w")
+            .filter((F.col("s") == F.col("s2")) & (F.col("a_id") < F.col("b_id")))
+            .count()
+        )
+
+    # reconstruct the prefix relation the candidate generator uses
+    from pyspark.sql import Window
+
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "w")
+    ranked = (
+        tok.join(freq, "w")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(0.8) * F.col("n")) + 1
+    ).select("doc_id", "source", "w")
+    ratio = joinvol(prefix) / joinvol(tok)
+    assert ratio < 0.3, ratio
+    # and the candidate set still covers every true pair
+    cands = {
+        (r["a_id"], r["b_id"]) for r in _d20_candidates(spark, sf_dir).collect()
+    }
+    assert {(a, b) for a, b, _ in d02} <= cands

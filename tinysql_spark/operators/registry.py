@@ -190,7 +190,6 @@ WINDOW: tuple[str, ...] = (
     # round-1 core keepers
     "q01_pricing_summary",
     "q07_five_way_join",
-    "q18_sessionization",
     "q22_salted_join",
     "d07_embedding_cluster",
     "st01_stream_hourly",
@@ -204,6 +203,7 @@ WINDOW: tuple[str, ...] = (
     "d17_indexed_incremental_dedup",
     "d18_index_maintained_dedup",
     "d19_ingest_loop_dedup",
+    "d20_prefix_filter_jaccard",
     # relational additions (rounds 5-6)
     "q63_product_type_profit",
     "q64_excess_volume_suppliers",
