@@ -277,9 +277,11 @@ _PAIR_GEN = {
     "d08_fuzzy_pairs",
     "d09_fuzzy_dedup_scaled",
     "d10_exact_substring",
+    "d12_incremental_dedup",
     "d13_span_scrub",
     "d14_semdedup",
     "d15_exactsubstr_excision",
+    "d20_prefix_filter_jaccard",
     "s04_ann_recall",
     "s13_knn_graph",
     "p04_contamination",
