@@ -66,7 +66,8 @@ def test_oracle_backed_entries_fit_driver_window():
                  "q71_scd2_build", "q72_scd2_asof_enrich",
                  "st14_stream_scd2_enrich", "t22_line_dedup",
                  "s15_ann_tombstone_delete",
-                 "d20_prefix_filter_jaccard"):
+                 "d20_prefix_filter_jaccard",
+                 "q73_important_stock", "m10_chunk_dedup"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
@@ -87,7 +88,8 @@ def test_oracle_backed_entries_fit_driver_window():
                 "q21_hypertable_rollup", "p05_sequence_packing",
                 "q19_asof_join", "d12_incremental_dedup",
                 "st03_stream_join", "s05_ann_scalar_quant",
-                "t14_repetition_filters", "q18_sessionization"):
+                "t14_repetition_filters", "q18_sessionization",
+                "q07_five_way_join", "st01_stream_hourly"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

@@ -405,7 +405,13 @@ _CHUNK_BYTES = 100
     "same text both sides).",
 )
 def m04_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return payload_chunks(load_table(spark, sf_dir, "documents"))
+
+
+def payload_chunks(docs: DataFrame) -> DataFrame:
+    """The content-addressed chunk manifest as a reusable transform
+    over (doc_id, text) — shared by m04 (the manifest itself) and m10
+    (cross-payload chunk-level dedup over it)."""
     hx = F.upper(F.hex(F.encode("text", "UTF-8")))
     step = 2 * _CHUNK_BYTES
     h = docs.select("doc_id", hx.alias("hx"))
@@ -958,4 +964,103 @@ def m09_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan,
         "doc_id long, sr int, n_samples long, n_frames long, "
         "n_silent long, peak_abs long, total_sumsq long",
+    )
+
+
+# -- m10: cross-payload chunk-level storage dedup over the m04 manifest ----
+
+_M10_MIRROR = 5  # every 5th doc's payload mirrors a base doc's
+
+
+def _m10_augmented_sql() -> str:
+    """Shared-payload augmentation (DuckDB side): every 5th doc's
+    payload becomes a byte-exact copy of a base doc's (doc_id % 50 —
+    the d16-style history-duplicate injection), because the synthetic
+    corpus has no exact duplicate payloads and chunk-level dedup
+    would otherwise only see the 22 natural first-chunk collisions
+    (the t16 anti-vacuousness discipline)."""
+    return f"""
+      SELECT d.doc_id, coalesce(o.text, d.text) AS text
+      FROM documents d
+      LEFT JOIN documents o
+        ON d.doc_id % {_M10_MIRROR} = 0 AND d.doc_id >= 50
+       AND o.doc_id = d.doc_id % 50
+    """
+
+
+def _m10_augment(docs: DataFrame) -> DataFrame:
+    base = docs.select(F.col("doc_id").alias("o_id"), F.col("text").alias("o_text"))
+    d = F.col("doc_id")
+    return (
+        docs.join(
+            base,
+            (d % _M10_MIRROR == 0) & (d >= 50) & (base["o_id"] == d % 50),
+            "left",
+        )
+        .select("doc_id", F.coalesce("o_text", "text").alias("text"))
+    )
+
+
+@register(
+    "m10_chunk_dedup",
+    late=True,
+    oracle=f"""
+    WITH aug AS ({_m10_augmented_sql()}),
+    h AS (
+      SELECT doc_id, upper(hex(encode(text))) AS hx FROM aug
+    ), c AS (
+      SELECT doc_id, hx,
+             unnest(generate_series(1, greatest((length(hx) + {2 * _CHUNK_BYTES} - 1)
+                                                // {2 * _CHUNK_BYTES}, 1))) AS chunk_idx
+      FROM h
+    ), chunks AS (
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             CAST(length(substring(hx, (chunk_idx - 1) * {2 * _CHUNK_BYTES} + 1,
+                                   {2 * _CHUNK_BYTES})) // 2 AS BIGINT) AS chunk_bytes,
+             md5(substring(hx, (chunk_idx - 1) * {2 * _CHUNK_BYTES} + 1,
+                           {2 * _CHUNK_BYTES})) AS chunk_md5
+      FROM c
+    ), owned AS (
+      SELECT doc_id, chunk_idx, chunk_bytes,
+             (doc_id, chunk_idx) <> min((doc_id, chunk_idx))
+               OVER (PARTITION BY chunk_md5) AS is_dup
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(sum(CASE WHEN is_dup THEN chunk_bytes ELSE 0 END) AS BIGINT)
+             AS bytes_saved
+    FROM owned
+    GROUP BY doc_id
+    """,
+    doc="Cross-payload CHUNK-LEVEL storage dedup over the m04 "
+    "content-addressed manifest — the blob-store savings analysis "
+    "(every CAS / backup / container registry runs it; the media "
+    "analog of d01's document dedup at sub-object granularity): "
+    "each chunk hash gets ONE canonical owner (the minimum "
+    "(doc_id, chunk_idx) instance — deterministic under any "
+    "partitioning), every other instance is a dedupable duplicate, "
+    "and the per-payload rollup reports duplicate chunk counts and "
+    "bytes saved. Shared payloads are injected (every 5th doc "
+    "mirrors a base doc, byte-exact on both engines) because the "
+    "synthetic corpus has no exact duplicate payloads — the "
+    "t16/d16 discipline. Plan: the m04 map-only chunker, ONE "
+    "shuffle on chunk_md5 for canonical ownership (a min window — "
+    "partial-agg friendly), one regroup by doc — linear in corpus "
+    "bytes at 100 TB, and the md5 key spreads uniformly (no skew).",
+)
+def m10_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    chunks = payload_chunks(_m10_augment(load_table(spark, sf_dir, "documents")))
+    w = Window.partitionBy("chunk_md5")
+    inst = F.struct("doc_id", "chunk_idx")
+    owned = chunks.withColumn("is_dup", inst != F.min(inst).over(w))
+    return owned.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+        F.sum(F.when(F.col("is_dup"), F.col("chunk_bytes")).otherwise(0))
+        .cast("long")
+        .alias("bytes_saved"),
     )

@@ -183,16 +183,29 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # build/append/delete triad) swaps for s05_ann_scalar_quant — the
 # quantization family stays evidenced by s06/s07's quality tests and
 # s05's parity hash; the ANN window keeps 5 slots.
+# d20_prefix_filter_jaccard (PPJoin-style lossless prefix-filtered
+# candidate generation — measured 5x join-volume cut at t=0.8, zero
+# recall loss, pinned equal to d02's exact result) swaps for
+# q18_sessionization: st07's streaming session windows keep the
+# richer exact-session shape in-window, q18 stays in parity.
+# q73_important_stock (TPC-H Q11 shape — group-agg vs an
+# uncorrelated scalar total, closing the last uncovered TPC-H shape)
+# swaps for q07_five_way_join: q63's TPC-H Q9 is itself a 5-way
+# join, keeping the multi-join reorder family in-window (q07 stays
+# in parity, its broadcast plan pin stays in tests/test_plans.py).
+# m10_chunk_dedup (cross-payload chunk-level storage dedup over the
+# m04 manifest — the multimodal family's first window slot) swaps
+# for st01_stream_hourly, whose watermarked hourly-agg shape st04
+# hash-checks in parity through the durable sink and st07/st11 keep
+# stateful streaming in-window (streaming retains 7 slots).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
 WINDOW: tuple[str, ...] = (
     # round-1 core keepers
     "q01_pricing_summary",
-    "q07_five_way_join",
     "q22_salted_join",
     "d07_embedding_cluster",
-    "st01_stream_hourly",
     # fuzzy-dedup pipeline (rounds 3-5)
     "d09_fuzzy_dedup_scaled",
     "d10_exact_substring",
@@ -212,6 +225,7 @@ WINDOW: tuple[str, ...] = (
     "q69_typed_ctas",
     "q70_unsigned_wrap",
     "q71_scd2_build",
+    "q73_important_stock",
     "q72_scd2_asof_enrich",
     # streaming additions (rounds 3-5)
     "st06_stream_upsert",
@@ -244,6 +258,7 @@ WINDOW: tuple[str, ...] = (
     "t21_unicode_normalize",
     "t22_line_dedup",
     "p21_pack_attention_spans",
+    "m10_chunk_dedup",
 )
 
 

@@ -2487,3 +2487,57 @@ def q70_unsigned_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM q70_orders WHERE o_orderkey < 2000"
     )
     return spark.sql(sql)
+
+
+@register(
+    "q73_important_stock",
+    late=True,
+    oracle="""
+    WITH nval AS (
+      SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    ), tot AS (
+      SELECT round(sum(value), 2) AS t FROM nval
+    )
+    SELECT l_partkey, value
+    FROM nval, tot
+    WHERE value > 0.002 * t
+    """,
+    doc="TPC-H Q11 shape (important stock identification — the LAST "
+    "uncovered TPC-H shape; Q11 is partsupp-only, so ps_supplycost * "
+    "ps_availqty maps to l_extendedprice * l_quantity over one "
+    "nation's suppliers): per-part inventory value grouped over the "
+    "nation-filtered fact, kept where the part exceeds a FRACTION of "
+    "the nation's total — the group-agg + uncorrelated-scalar-"
+    "subquery-in-HAVING pattern. Spark computes the per-part values "
+    "once, derives the 1-row total from them (broadcast into the "
+    "filter — never a second fact scan), and both engines compare on "
+    "2dp-ROUNDED sums (the q58/q62 cut-line discipline: double "
+    "sum-order noise ~1e-6 cannot flip a 2dp-rounded comparison). "
+    "With this, all 22 TPC-H query shapes are covered "
+    "(q01/q03/q40/q48-q52/q55-q65 + this). Plan: dims broadcast into "
+    "the fact scan, one partial->final agg, 1-row broadcast join.",
+)
+def q73_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nval = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias(
+                "value"
+            )
+        )
+    )
+    tot = nval.agg(F.round(F.sum("value"), 2).alias("t"))
+    return (
+        nval.join(F.broadcast(tot))
+        .filter(F.col("value") > 0.002 * F.col("t"))
+        .select("l_partkey", "value")
+    )
