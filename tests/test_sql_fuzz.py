@@ -963,6 +963,19 @@ def gen_mixed_sequence(
             pool.append(f"INSERT INTO {tbl} (k, v, s) VALUES ({x}, 1, 'a'), ({x}, 2, 'b')")
         return (rng.choice(pool), None, "error_both")
 
+    def optimize_op() -> tuple[str, str | None, str]:
+        # layout rewrite must be INVISIBLE to every later read and to
+        # the final-state compare — DuckDB never sees it (no analog);
+        # the zorder form exercises the Morton rewrite on the two
+        # always-present numeric columns (v is nullable — the
+        # null-key path rides along)
+        sql = (
+            f"OPTIMIZE TABLE {tbl} ZORDER BY (k, v)"
+            if rng.random() < 0.5
+            else f"OPTIMIZE TABLE {tbl}"
+        )
+        return (sql, None, "none")
+
     ops.append(ins_values())
     kinds = [ins_values, ins_select, delete, read, read]
     if has_pk:
@@ -971,7 +984,9 @@ def gen_mixed_sequence(
         roll = rng.random()
         if roll < 0.15:
             ops.append(alter_op())
-        elif roll < 0.3:
+        elif roll < 0.22:
+            ops.append(optimize_op())
+        elif roll < 0.35:
             e, _d, _k = error_stmt()
             ops.append((e, e, "error"))
         else:

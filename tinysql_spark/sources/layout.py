@@ -80,8 +80,12 @@ def zorder_keys(df: DataFrame, cols: list[str], bits: int = 16):
     n = len(cols)
     scaled = []
     for i, c in enumerate(cols):
-        mn = float(stats[f"mn_{i}"])
-        span = max(float(stats[f"mx_{i}"]) - mn, 1e-300)
+        # empty table / all-NULL column: no range to scale — constant
+        # bucket 0 (NULL values yield a NULL key either way, which
+        # range-partitioning groups first; rewrite stays correct)
+        mn = float(stats[f"mn_{i}"]) if stats[f"mn_{i}"] is not None else 0.0
+        mx = float(stats[f"mx_{i}"]) if stats[f"mx_{i}"] is not None else 0.0
+        span = max(mx - mn, 1e-300)
         b = F.least(
             F.lit((1 << bits) - 1),
             ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * ((1 << bits) - 1))
