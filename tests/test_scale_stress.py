@@ -368,3 +368,49 @@ def test_d16_bloom_stays_fixed_under_amplification(spark, tmp_path):
             assert ok, f"false negative for doc {r['doc_id']}"
     n_true = sum(1 for r in rows if r["fp"] in hist_fps)
     assert n_true > 0 and passed.sum() <= n_true + max(5, len(rows) // 10)
+
+
+def test_d20_prefix_excludes_hot_tokens(spark):
+    """The prefix filter's built-in skew guard: prefixes take the
+    RAREST tokens first (frequency-ascending global order), so a
+    corpus-wide hot token enters a doc's prefix only when the doc
+    has almost nothing rarer — the hot blocking keys that force
+    d09's explicit stop-shingle cap never form here. The driver
+    corpus can't show this (its ~30-word vocab has UNIFORM document
+    frequencies — nothing is hot relative to anything else, and the
+    win there is the 5x volume cut measured in test_dedup_quality),
+    so this builds the Zipfian shape the guard exists for: every doc
+    shares two corpus-wide hot tokens, the rest are doc-local rare
+    tokens. The hot tokens' prefix blocks must be EMPTY while their
+    full-token blocks span the corpus."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tinysql_spark.operators.dedup import _D20_T
+
+    n_docs = 400
+    rows = [
+        (
+            i,
+            ["the", "and"] + [f"w{i}_{j}" for j in range(19)],
+        )
+        for i in range(n_docs)
+    ]
+    tok = (
+        spark.createDataFrame(rows, "doc_id long, toks array<string>")
+        .select("doc_id", F.explode("toks").alias("w"))
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "w")
+    prefix = (
+        tok.join(freq, "w")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(_D20_T) * F.col("n")) + 1)
+    )
+    hot_prefix = prefix.filter(F.col("w").isin("the", "and")).count()
+    hot_full = tok.filter(F.col("w").isin("the", "and")).count()
+    assert hot_full == 2 * n_docs
+    assert hot_prefix == 0, hot_prefix
+    # and the prefix relation still covers every doc (no doc starved)
+    assert prefix.select("doc_id").distinct().count() == n_docs
