@@ -284,6 +284,9 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
                 # index build + frozen-centroid batch appends ARE the
                 # operator (s12's probe against the maintained layout)
                 "s14_ann_maintained_ivf",
+                # index build + tombstone-batch writes ARE the operator
+                # (the delete-side mirror of s14's exemption)
+                "s15_ann_tombstone_delete",
             ):
                 continue
             spec.fn(spark, sf_dir)
