@@ -163,3 +163,93 @@ def test_x16_headliners_parity(spark, x16_dir, x16_duck):
             x16_duck.execute(render_oracle(spec.oracle, x16_dir)).df(),
             f"{name}@x{LAYOUT_N}",
         )
+
+
+# ---------------------------------------------------------------------------
+# Z-ORDERED layout variant: the round-11 Morton rewrite is a layout
+# the engine itself can produce (OPTIMIZE ... ZORDER BY), so the
+# layout-independence gate must cover it — rows arrive in an order
+# correlated with NEITHER key alone, the adversarial case for any
+# scan-order or partition-local assumption.
+# ---------------------------------------------------------------------------
+
+_Z_KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "events": ["user_id", "event_id"],
+}
+
+
+@pytest.fixture(scope="module")
+def zorder_dir(spark, tmp_path_factory) -> str:
+    from tinysql_spark.sources.layout import zorder_parquet
+    from tinysql_spark.sources.tables import load_table
+
+    base = str(tmp_path_factory.mktemp("zlayout"))
+    for t in _TABLES:
+        df = load_table(spark, SF_SMALL, t)
+        dst = os.path.join(base, f"{t}.parquet")
+        keys = _Z_KEYS.get(t)
+        if keys:
+            zorder_parquet(df, dst, keys, n_files=4)
+        else:
+            df.coalesce(1).write.mode("overwrite").parquet(dst)
+    return base
+
+
+@pytest.fixture(scope="module")
+def z_eng(spark, zorder_dir, tmp_path_factory) -> Engine:
+    e = Engine(spark, str(tmp_path_factory.mktemp("zwh")))
+    e.attach_testdata(zorder_dir)
+    return e
+
+
+@pytest.fixture(scope="module")
+def z_duck(zorder_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{zorder_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_zorder_scan_agg_fuzz(z_eng, z_duck, seed):
+    sql = gen_query(seed)
+    a = _canon_rows(z_eng.sql(sql).df.toPandas())
+    b = _canon_rows(z_duck.execute(sql).df())
+    assert a == b, f"seed {seed} diverged on z-order layout:\n{sql}"
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_zorder_join_fuzz(z_eng, z_duck, seed):
+    sql = gen_join_query(seed)
+    a = _canon_rows(z_eng.sql(sql).df.toPandas())
+    b = _canon_rows(z_duck.execute(sql).df())
+    assert a == b, f"seed {seed} diverged on z-order layout:\n{sql}"
+
+
+def test_zorder_first_row_scan_order(spark, zorder_dir):
+    """q36 on the Morton layout: rows are ordered by NEITHER
+    (file, position) key's natural column order, so the scan-order
+    FIRST_ROW must still agree file-for-file with DuckDB."""
+    import duckdb
+
+    from tinysql_spark.operators import REGISTRY
+    from tinysql_spark.operators.registry import render_oracle
+
+    from .parity import assert_match
+
+    spec = REGISTRY["q36_first_row"]
+    oracle = render_oracle(spec.oracle, zorder_dir).replace(
+        "lineitem.parquet'", "lineitem.parquet/*.parquet'"
+    )
+    con = duckdb.connect()
+    try:
+        assert_match(spec.fn(spark, zorder_dir), con.execute(oracle).df(), "q36@zorder")
+    finally:
+        con.close()
