@@ -1934,3 +1934,17 @@ def test_unsigned_bigint_true_semantics(eng):
     assert rows(eng.sql("SELECT max(d) AS md FROM uns")) == [(decimal.Decimal(top - 1),)]
     ddl = eng.sql("SHOW CREATE TABLE uns").df.collect()[0][1]
     assert "BIGINT UNSIGNED" in ddl
+
+
+def test_optimize_logged_as_ddl_job(eng):
+    """Table-maintenance rewrites (compaction / ZORDER re-clustering)
+    must leave an audit row in ADMIN SHOW DDL JOBS like any DDL — the
+    reference's job queue records reorganization work the same way."""
+    eng.sql("CREATE TABLE zj (a BIGINT, b BIGINT)")
+    eng.sql("INSERT INTO zj VALUES (1, 2), (3, 4)")
+    eng.sql("OPTIMIZE TABLE zj")
+    eng.sql("OPTIMIZE TABLE zj ZORDER BY (a, b)")
+    rows = [tuple(r) for r in eng.sql("ADMIN SHOW DDL JOBS").df.collect()]
+    opt = [r for r in rows if r[1] == "optimize"]
+    assert len(opt) == 2
+    assert any("ZORDER BY (a, b)" in r[-1] for r in opt)

@@ -320,6 +320,11 @@ class Engine:
             "create_index",
             "drop_index",
             "alter_table",
+            # table-maintenance rewrites (plain compaction and ZORDER
+            # BY re-clustering) are jobs a DBA audits like any DDL —
+            # the reference's job queue records reorganization work
+            # the same way (ddl/ddl_worker.go)
+            "optimize",
         }
     )
 
