@@ -1454,3 +1454,119 @@ def test_differential_typed_evolution_fuzz(fuzz_eng, fuzz_duck, seed):
         tuple(r) for r in fuzz_eng.sql(f"ADMIN CHECK TABLE {tbl}").df.collect()
     ]
     assert chk and all(r[-1] == "OK" for r in chk), (seed, chk)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned-table differential fuzz: hive-style PARTITIONED BY is its
+# own write path (partition dirs, recovery-on-write, pruned reads and
+# deletes, the __phys backing + view indirection) and none of the other
+# corpora touch it. DuckDB twin: the same table UNPARTITIONED —
+# partitioning must be semantically invisible.
+# ---------------------------------------------------------------------------
+
+
+def gen_partitioned_sequence(seed: int) -> list[tuple[str, str | None, str]]:
+    """[(engine_sql, duck_sql | None, kind)] over a fresh hive-
+    partitioned table pt{seed}; kind as in gen_mixed_sequence."""
+    rng = random.Random(seed * 7673 + 29)
+    tbl = f"pt{seed}"
+    ddl_eng = (
+        f"CREATE TABLE {tbl} (k BIGINT, v BIGINT, s VARCHAR(255), p BIGINT) "
+        f"PARTITIONED BY (p)"
+    )
+    ddl_duck = f"CREATE TABLE {tbl} (k BIGINT, v BIGINT, s VARCHAR(255), p BIGINT)"
+    ops: list[tuple[str, str | None, str]] = [(ddl_eng, ddl_duck, "none")]
+    hi = 0
+    extra: list[str] = []
+    n_named = 0
+
+    def fresh(n: int) -> list[int]:
+        nonlocal hi
+        ks = list(range(hi, hi + n))
+        hi += n
+        return ks
+
+    def ins() -> tuple[str, str, str]:
+        n = rng.randint(1, 5)
+        cols = ["k", "v", "s", "p"] + extra
+        rows = []
+        for k in fresh(n):
+            vals = [str(k)]
+            vals.append("NULL" if rng.random() < 0.15 else str(rng.randrange(2000)))
+            vals.append("NULL" if rng.random() < 0.1 else rng.choice(["'O'", "'F'", "'x'"]))
+            vals.append(str(rng.randrange(5)))  # partition value 0-4
+            vals += [
+                "NULL" if rng.random() < 0.3 else str(rng.randrange(100))
+                for _ in extra
+            ]
+            rows.append(f"({', '.join(vals)})")
+        sql = f"INSERT INTO {tbl} ({', '.join(cols)}) VALUES {', '.join(rows)}"
+        return (sql, sql, "dml_count")
+
+    def delete() -> tuple[str, str, str]:
+        preds = [
+            f"p = {rng.randrange(5)}",  # whole-partition delete (pruned)
+            f"p = {rng.randrange(5)} AND v < {rng.choice([500, 1200])}",
+            f"k % {rng.choice([2, 3])} = 0",  # cross-partition
+        ]
+        sql = f"DELETE FROM {tbl} WHERE {rng.choice(preds)}"
+        return (sql, sql, "dml_count")
+
+    def read() -> tuple[str, str, str]:
+        form = rng.random()
+        if form < 0.5:
+            # partition-literal filter: the PRUNED read path
+            sql = (
+                f"SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv "
+                f"FROM {tbl} WHERE p = {rng.randrange(5)}"
+            )
+        elif form < 0.8:
+            sql = (
+                f"SELECT p, CAST(count(*) AS BIGINT) AS n, "
+                f"CAST(min(k) AS BIGINT) AS mn FROM {tbl} GROUP BY p"
+            )
+        else:
+            sql = f"SELECT k, v, p FROM {tbl} WHERE k % 3 = 0"
+        return (sql, sql, "read")
+
+    def alter_add() -> tuple[str, str, str]:
+        nonlocal n_named
+        n_named += 1
+        extra.append(f"c{n_named}")
+        sql = f"ALTER TABLE {tbl} ADD COLUMN c{n_named} BIGINT"
+        return (sql, sql, "none")
+
+    ops.append(ins())
+    for _ in range(rng.randint(6, 9)):
+        roll = rng.random()
+        if roll < 0.1:
+            ops.append(alter_add())
+        elif roll < 0.35:
+            ops.append(delete())
+        elif roll < 0.6:
+            ops.append(read())
+        else:
+            ops.append(ins())
+    return ops
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_differential_partitioned_fuzz(fuzz_eng, fuzz_duck, seed):
+    ops = gen_partitioned_sequence(seed)
+    for eng_sql, duck_sql, kind in ops:
+        r = fuzz_eng.sql(eng_sql)
+        d = fuzz_duck.execute(duck_sql)
+        if kind == "dml_count":
+            n_duck = d.fetchall()[0][0]
+            assert r.rows_affected == n_duck, f"seed {seed} count diverged:\n{eng_sql}"
+        elif kind == "read":
+            a = _canon_rows(r.df.toPandas())
+            b = _canon_rows(d.df())
+            assert a == b, f"seed {seed} read diverged:\n{eng_sql}"
+    cols = "k, v, s, p"
+    sel = f"SELECT {cols} FROM pt{seed}"
+    a = _canon_rows(fuzz_eng.sql(sel).df.toPandas())
+    b = _canon_rows(fuzz_duck.execute(sel).df())
+    assert a == b, f"seed {seed} final state diverged ({len(a)} vs {len(b)})"
+    chk = [tuple(r) for r in fuzz_eng.sql(f"ADMIN CHECK TABLE pt{seed}").df.collect()]
+    assert chk and all(r[-1] == "OK" for r in chk), (seed, chk)

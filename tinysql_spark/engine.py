@@ -552,10 +552,20 @@ class Engine:
         """Full-schema read (rowid included) straight from parquet,
         renamed physical -> logical (metadata-only RENAME COLUMN)."""
         info = self.catalog.get_table(db, table)
-        df = self.spark.read.schema(info.physical_schema()).parquet(
-            self.catalog.data_dir(db, table)
+        return self._read_physical(self.catalog.data_dir(db, table), info)
+
+    def _read_physical(self, path: str, info: TableInfo) -> DataFrame:
+        """Explicit-schema parquet read renamed physical -> logical BY
+        NAME, never by position: Spark returns hive partition columns
+        LAST regardless of where the declared schema places them, so a
+        positional toDF mislabels every column declared after the
+        partition key — exactly what happens on a partitioned table
+        after ALTER ADD COLUMN (the p/c1 value swap the partitioned
+        differential fuzz caught)."""
+        df = self.spark.read.schema(info.physical_schema()).parquet(path)
+        return df.select(
+            df[ROWID], *[df[c.file_name].alias(c.name) for c in info.columns]
         )
-        return df.toDF(ROWID, *[c.name for c in info.columns])
 
     def _layout(self, df: DataFrame, info: TableInfo) -> DataFrame:
         """Sort within partitions on the first declared index's columns
@@ -2240,9 +2250,7 @@ class Engine:
             return raw
         info = self.catalog.get_table(db, t)
         if buf.has_adds:
-            add = self.spark.read.schema(info.physical_schema()).parquet(
-                buf.add_dir
-            ).toDF(ROWID, *[c.name for c in info.columns])
+            add = self._read_physical(buf.add_dir, info)
             raw = raw.unionByName(add)
         if buf.has_dels:
             dels = self.spark.read.parquet(buf.del_dir).select(ROWID)
@@ -2350,9 +2358,7 @@ class Engine:
                     )
                 elif buf.has_adds:
                     info = self.catalog.get_table(db, t)
-                    add = self.spark.read.schema(info.physical_schema()).parquet(
-                        buf.add_dir
-                    ).toDF(ROWID, *[c.name for c in info.columns])
+                    add = self._read_physical(buf.add_dir, info)
                     prepared_adds.append((db, t, self._prepare_append(db, t, add)))
         except BaseException:
             for _, _, tmp in prepared + prepared_adds:
