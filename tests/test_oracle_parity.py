@@ -67,7 +67,8 @@ def test_oracle_backed_entries_fit_driver_window():
                  "st14_stream_scd2_enrich", "t22_line_dedup",
                  "s15_ann_tombstone_delete",
                  "d20_prefix_filter_jaccard",
-                 "q73_important_stock", "m10_chunk_dedup"):
+                 "q73_important_stock", "m10_chunk_dedup",
+                 "st15_stream_tombstone_delete"):
         assert must in names[:50], must
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
@@ -89,7 +90,8 @@ def test_oracle_backed_entries_fit_driver_window():
                 "q19_asof_join", "d12_incremental_dedup",
                 "st03_stream_join", "s05_ann_scalar_quant",
                 "t14_repetition_filters", "q18_sessionization",
-                "q07_five_way_join", "st01_stream_hourly"):
+                "q07_five_way_join", "st01_stream_hourly",
+                "p14_epoch_repeat_plan"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 

@@ -198,6 +198,13 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # for st01_stream_hourly, whose watermarked hourly-agg shape st04
 # hash-checks in parity through the durable sink and st07/st11 keep
 # stateful streaming in-window (streaming retains 7 slots).
+# st15_stream_tombstone_delete (streaming retraction requests over
+# the maintained ANN index — the last maintenance verb without a
+# streaming twin; its oracle is s15's verbatim, the d19 end-state
+# precedent) swaps for p14_epoch_repeat_plan: p13/p16/p17/p18 keep
+# the pipeline-arithmetic family in-window, p14 stays hash-checked
+# in parity and p20 is its tokenizer-faithful twin in the twin
+# suite; streaming grows to 8 slots.
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -235,6 +242,7 @@ WINDOW: tuple[str, ...] = (
     "st11_stream_incremental_dedup",
     "st12_stream_pii_scrub",
     "st14_stream_scd2_enrich",
+    "st15_stream_tombstone_delete",
     # ANN / hybrid-retrieval additions with oracles
     "s09_ann_filtered",
     "s11_hybrid_search",
@@ -245,7 +253,6 @@ WINDOW: tuple[str, ...] = (
     "p08_training_export",
     "p12_dedup_weighted_sample",
     "p13_temperature_mix",
-    "p14_epoch_repeat_plan",
     "p16_curriculum_order",
     "p17_dsir_weights",
     "p18_decontaminate",

@@ -1046,3 +1046,134 @@ def st14_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "st14_scd2_" + uuid.uuid4().hex[:8]
     run_to_memory(out, name, output_mode="complete")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# st15 — streaming DELETES against the maintained ANN index: retraction
+# requests arrive as a stream, each micro-batch appends its vec_ids to
+# the tombstone set (s15's logical-delete write, placed where a GDPR /
+# takedown pipeline actually runs it). Completes the maintenance verbs'
+# streaming twins: st09 builds, s14 appends, st15 retracts.
+# ---------------------------------------------------------------------------
+
+
+def _stage_delete_requests(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet slices of vec_ids to retract (the s15 tombstone
+    mods — 7 then 11 over corpus ids), mtime-ordered so
+    maxFilesPerTrigger=1 replays them as two retraction batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import load_table
+    from .similarity import _HS_NQ, _S15_TOMB_MODS
+
+    def build() -> str:
+        d = _tmpdir("tinysql_st15_req_")
+        ids = [
+            r["vec_id"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("vec_id")
+            .filter(F.col("vec_id") >= _HS_NQ)
+            .collect()
+        ]
+        base = None
+        for i, m in enumerate(_S15_TOMB_MODS):
+            batch = sorted(v for v in ids if v % m == 0)
+            path = os.path.join(d, f"{i:04d}.parquet")
+            pq.write_table(
+                pa.table({"vec_id": pa.array(batch, pa.int64())}), path
+            )
+            if base is None:
+                base = os.path.getmtime(path)
+            os.utime(path, (base + i, base + i))
+        return d
+
+    return _stage_cached(("st15req", os.path.abspath(sf_dir)), build)
+
+
+@register(
+    "st15_stream_tombstone_delete",
+    late=True,
+    oracle=None,  # set dynamically below: s15's oracle verbatim (the
+    # end state is identical by design)
+    doc="",  # set below with the oracle
+)
+def st15_stream_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+
+    from ..sources.tables import load_table  # noqa: F401  (parity w/ st05)
+    from .similarity import _probe_ivf_dir, _s11_corpus, _s11_ivf_index
+
+    # fresh s12-layout index copy (st15 owns its tombstone state; the
+    # batch s15's memoized dir must stay pristine for its own oracle)
+    centn, assign = _s11_ivf_index(spark, sf_dir)
+    u_corp = _s11_corpus(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="tinysql_st15_")
+    import atexit
+
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    (
+        assign.join(u_corp, "vec_id")
+        .select("cid", "vec_id", "e")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(d, "lists"))
+    )
+    centn.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+    tombs = os.path.join(d, "tombstones")
+
+    src = _stage_delete_requests(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("vec_id long")
+        .options(**stream_trigger_options())
+        .parquet(src)
+    )
+
+    def _append_tombstones(batch: DataFrame, batch_id: int) -> None:
+        # the s15 logical-delete write: O(batch) metadata append — the
+        # index lists are never touched by a retraction micro-batch
+        batch.select("vec_id").write.mode("append").parquet(tombs)
+
+    q = (
+        stream.writeStream.foreachBatch(_append_tombstones)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="tinysql_st15_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert glob.glob(os.path.join(tombs, "*.parquet")), "no retraction batch landed"
+    return _probe_ivf_dir(
+        spark, sf_dir, d, tombstones=spark.read.parquet(tombs)
+    )
+
+
+# st15's end state is BY DESIGN s15's: replaying the retraction stream
+# must leave the index answering exactly like the batch two-delete
+# sequence — so the oracle is shared verbatim (the d16->d19 precedent:
+# composition entries pin end-state equality through the same oracle).
+from .registry import REGISTRY as _REG  # noqa: E402
+from .registry import QuerySpec as _QS  # noqa: E402
+
+_REG["st15_stream_tombstone_delete"] = _QS(
+    fn=st15_stream_tombstone_delete,
+    oracle=_REG["s15_ann_tombstone_delete"].oracle,
+    doc="Streaming TOMBSTONE DELETES against the maintained ANN index "
+    "— the retraction-request topology a GDPR/takedown pipeline runs "
+    "(completing the maintenance verbs' streaming twins: st09 builds, "
+    "s14 appends, st15 retracts): deletion requests replay as two "
+    "micro-batches, each foreachBatch appends its vec_ids to the "
+    "tombstone set (s15's O(batch) logical-delete write — the "
+    "cid-partitioned lists are never touched by a retraction batch), "
+    "and the probe is the shared partition-pruned path with the "
+    "tombstone anti-join. The oracle is s15's VERBATIM: the replayed "
+    "stream must leave the index answering exactly like the batch "
+    "two-delete sequence (end-state equality through one oracle — "
+    "the d19 precedent). s15_purge_tombstones applies unchanged for "
+    "the physical catch-up (pinned by the s15 test).",
+    late=True,
+)
