@@ -1,0 +1,357 @@
+"""Online DDL — the F1 schema-change protocol over the parquet
+warehouse (reference: ddl/ddl_worker.go:299 handleDDLJobQueue,
+parser/model/model.go:32-40 SchemaState, ddl/index.go onCreateIndex).
+
+What these tests pin:
+- CREATE INDEX walks delete-only -> write-only -> write-reorg ->
+  public, each transition its own catalog publish, observable from a
+  SECOND session between phases (the two-version invariant).
+- The long backfill holds NO lock: a concurrent session can INSERT
+  mid-backfill and the publish step catches the rows up.
+- From write-only on, concurrent writers ENFORCE a unique index under
+  construction; rows from before write-only are audited by the
+  backfill, which rolls the job back on duplicates.
+- A concurrent full rewrite (DELETE) during the backfill invalidates
+  the snapshot; publish redoes the work under the lock — rows never
+  lost.
+- A crashed job (owner PID dead) is adopted and rolled FORWARD by the
+  next engine over the warehouse (worker-restart path).
+- DDL on a table with a live in-flight job is refused.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import pytest
+
+from tinysql_spark import catalog as C
+from tinysql_spark.engine import Engine
+
+
+@pytest.fixture()
+def wh(tmp_path):
+    return str(tmp_path / "warehouse")
+
+
+@pytest.fixture()
+def eng(spark, wh):
+    e = Engine(spark, wh)
+    yield e
+    e.close()
+
+
+def _vals(e, sql):
+    return sorted(tuple(r) for r in e.sql(sql).df.collect())
+
+
+def _disk_index_state(wh, table, idx):
+    """The index state a brand-new session would load — read straight
+    from catalog.json, no engine caching involved."""
+    with open(os.path.join(wh, "catalog.json")) as f:
+        raw = json.load(f)
+    for i in raw["default"][table].get("indexes", []):
+        if i["name"] == idx:
+            return i.get("state", C.STATE_PUBLIC)
+    return C.STATE_NONE
+
+
+def test_index_states_published_one_at_a_time(eng, wh):
+    """Every F1 transition is its own on-disk catalog publish: the
+    state visible to a new session advances delete-only -> write-only
+    -> write-reorg -> public with no skipped step (model.go:32-40)."""
+    eng.sql("CREATE TABLE s1 (a INT, b INT)")
+    eng.sql("INSERT INTO s1 VALUES (1, 1), (2, 2)")
+    seen = []
+
+    def hook(phase, job):
+        seen.append((phase, _disk_index_state(wh, "s1", "ia")))
+
+    eng.ddl_phase_hook = hook
+    eng.sql("CREATE INDEX ia ON s1 (a)")
+    assert seen == [
+        ("create_index:delete only", C.STATE_DELETE_ONLY),
+        ("create_index:write only", C.STATE_WRITE_ONLY),
+        ("create_index:write reorganization", C.STATE_WRITE_REORG),
+        ("create_index:backfill done", C.STATE_WRITE_REORG),
+        ("create_index:public", C.STATE_PUBLIC),
+    ]
+
+
+def test_concurrent_insert_during_backfill_is_not_lost(spark, eng, wh):
+    """The backfill holds no lock; a second session INSERTs between
+    the snapshot and the publish. The publish moves the appended files
+    into the staged layout — all rows survive, and ADMIN CHECK TABLE
+    stays clean."""
+    eng.sql("CREATE TABLE cb (a INT, b INT)")
+    eng.sql("INSERT INTO cb VALUES (1, 10), (2, 20)")
+    other = Engine(spark, wh)
+
+    def hook(phase, job):
+        if phase == "create_index:backfill done":
+            other.sql("INSERT INTO cb VALUES (3, 30), (4, 40)")
+
+    eng.ddl_phase_hook = hook
+    eng.sql("CREATE INDEX ia ON cb (a)")
+    assert _vals(eng, "SELECT a, b FROM cb") == [(1, 10), (2, 20), (3, 30), (4, 40)]
+    assert eng.sql("ADMIN CHECK TABLE cb").df.collect()[0]["STATUS"] == "OK"
+    assert _disk_index_state(wh, "cb", "ia") == C.STATE_PUBLIC
+    other.close()
+
+
+def test_write_only_unique_enforced_by_concurrent_writer(spark, eng, wh):
+    """From write-only on, OTHER sessions' inserts maintain the
+    not-yet-public unique index (F1's whole point): a duplicate is
+    rejected with errno 1062 even though the index is still mid-job,
+    and SHOW INDEX does not list it yet."""
+    eng.sql("CREATE TABLE wo (a INT)")
+    eng.sql("INSERT INTO wo VALUES (1), (2)")
+    other = Engine(spark, wh)
+    checked = {}
+
+    def hook(phase, job):
+        if phase == "create_index:write only":
+            with pytest.raises(ValueError, match="1062"):
+                other.sql("INSERT INTO wo VALUES (2)")
+            other.sql("INSERT INTO wo VALUES (3)")  # non-dup passes
+            checked["invisible"] = other.sql("SHOW INDEX FROM wo").df.count() == 0
+
+    eng.ddl_phase_hook = hook
+    eng.sql("CREATE UNIQUE INDEX ua ON wo (a)")
+    assert checked["invisible"]
+    assert _vals(eng, "SELECT a FROM wo") == [(1,), (2,), (3,)]
+
+
+def test_delete_only_insert_still_audited_by_backfill(spark, eng, wh):
+    """An insert that lands while the index is DELETE-ONLY does not
+    self-enforce (writes don't maintain the index yet) — but it is in
+    the backfill snapshot, so a duplicate it creates rolls the whole
+    job back and removes the half-built index."""
+    eng.sql("CREATE TABLE dl (a INT)")
+    eng.sql("INSERT INTO dl VALUES (1)")
+    other = Engine(spark, wh)
+
+    def hook(phase, job):
+        if phase == "create_index:delete only":
+            other.sql("INSERT INTO dl VALUES (1)")  # dup, unenforced here
+
+    eng.ddl_phase_hook = hook
+    with pytest.raises(ValueError, match="duplicate entries violate unique index"):
+        eng.sql("CREATE UNIQUE INDEX ua ON dl (a)")
+    assert _disk_index_state(wh, "dl", "ua") == C.STATE_NONE
+    jobs = eng.sql("ADMIN SHOW DDL JOBS").df.collect()
+    assert jobs[-1]["STATE"] == "rollback done"
+    # both rows kept — rollback cancels the INDEX, never user data
+    assert _vals(eng, "SELECT a FROM dl") == [(1,), (1,)]
+    other.close()
+
+
+def test_concurrent_full_rewrite_invalidates_snapshot(spark, eng, wh):
+    """A DELETE (full dir swap) during the unlocked backfill removes
+    snapshot files; the publish detects it and redoes the work under
+    the lock — the final table matches the rewrite, not the stale
+    snapshot."""
+    eng.sql("CREATE TABLE rw (a INT, b INT)")
+    eng.sql("INSERT INTO rw VALUES (1, 1), (2, 2), (3, 3)")
+    other = Engine(spark, wh)
+
+    def hook(phase, job):
+        if phase == "create_index:backfill done":
+            other.sql("DELETE FROM rw WHERE a = 2")
+
+    eng.ddl_phase_hook = hook
+    eng.sql("CREATE INDEX ia ON rw (a)")
+    assert _vals(eng, "SELECT a, b FROM rw") == [(1, 1), (3, 3)]
+    assert eng.sql("ADMIN CHECK TABLE rw").df.collect()[0]["STATUS"] == "OK"
+    other.close()
+
+
+def test_replace_during_backfill_redo_path(spark, eng, wh):
+    """REPLACE is a full dir swap, so it too invalidates the snapshot
+    — and because the unique index is write-visible from write-only
+    on, the REPLACE maintains it (replaces instead of duplicating).
+    The publish redo re-audits the live table and the job lands."""
+    eng.sql("CREATE TABLE ru (a INT, b INT)")
+    eng.sql("INSERT INTO ru VALUES (1, 10), (2, 20), (3, 30)")
+    other = Engine(spark, wh)
+
+    def hook(phase, job):
+        if phase == "create_index:backfill done":
+            # conflicts on the MID-JOB unique index: must replace, not dup
+            other.sql("REPLACE INTO ru VALUES (2, 99)")
+
+    eng.ddl_phase_hook = hook
+    eng.sql("CREATE UNIQUE INDEX ua ON ru (a)")
+    assert _disk_index_state(wh, "ru", "ua") == C.STATE_PUBLIC
+    assert _vals(eng, "SELECT a, b FROM ru") == [(1, 10), (2, 99), (3, 30)]
+    assert eng.sql("ADMIN CHECK TABLE ru").df.collect()[0]["STATUS"] == "OK"
+    other.close()
+
+
+def test_ddl_refused_while_job_in_flight(spark, eng, wh):
+    """Per-table DDL serialization (ddl/ddl.go ErrRunMultiSchemaChanges):
+    a second session's DDL on the same table is refused while a job is
+    live; DML is NOT refused (that is the point of online DDL)."""
+    eng.sql("CREATE TABLE g1 (a INT)")
+    eng.sql("INSERT INTO g1 VALUES (1)")
+    other = Engine(spark, wh)
+    hit = {}
+
+    def hook(phase, job):
+        if phase == "create_index:write only":
+            with pytest.raises(ValueError, match="DDL job is already running"):
+                other.sql("CREATE INDEX ib ON g1 (a)")
+            with pytest.raises(ValueError, match="DDL job is already running"):
+                other.sql("ALTER TABLE g1 ADD COLUMN c INT")
+            with pytest.raises(ValueError, match="DDL job is already running"):
+                other.sql("DROP INDEX ia ON g1")
+            other.sql("INSERT INTO g1 VALUES (2)")  # DML flows freely
+            hit["done"] = True
+
+    eng.ddl_phase_hook = hook
+    eng.sql("CREATE INDEX ia ON g1 (a)")
+    assert hit["done"]
+    assert _vals(eng, "SELECT a FROM g1") == [(1,), (2,)]
+    other.close()
+
+
+def test_crash_resume_rolls_index_job_forward(spark, eng, wh):
+    """Worker-restart path (ddl_worker.go:299): a job whose owner died
+    mid-chain (here: after write-only published) is adopted by the
+    next engine over the warehouse and driven to public — index
+    usable, data intact, job synced."""
+    eng.sql("CREATE TABLE cr (a INT, b INT)")
+    eng.sql("INSERT INTO cr VALUES (1, 1), (2, 2)")
+
+    class Crash(RuntimeError):
+        pass
+
+    def hook(phase, job):
+        if phase == "create_index:write only":
+            raise Crash()
+
+    eng.ddl_phase_hook = hook
+    with pytest.raises(Crash):
+        eng.sql("CREATE UNIQUE INDEX ua ON cr (a)")
+    assert _disk_index_state(wh, "cr", "ua") == C.STATE_WRITE_ONLY
+
+    # forge the owner's death: repoint the job at a PID that is gone
+    p = subprocess.Popen(["sleep", "0"])
+    p.wait()
+    jobs_path = os.path.join(wh, "ddl_jobs.json")
+    with open(jobs_path) as f:
+        jobs = json.load(f)
+    assert jobs[-1]["status"] == "running"
+    jobs[-1]["pid"] = p.pid
+    with open(jobs_path, "w") as f:
+        json.dump(jobs, f)
+
+    e2 = Engine(spark, wh)  # init adopts + rolls forward
+    assert _disk_index_state(wh, "cr", "ua") == C.STATE_PUBLIC
+    got = e2.sql("ADMIN SHOW DDL JOBS").df.collect()
+    assert got[-1]["STATE"] == "synced"
+    # the resumed unique index enforces
+    with pytest.raises(ValueError, match="1062"):
+        e2.sql("INSERT INTO cr VALUES (1, 9)")
+    assert _vals(e2, "SELECT a, b FROM cr") == [(1, 1), (2, 2)]
+    e2.close()
+
+
+def test_crash_resume_cancels_optimize(spark, eng, wh):
+    """A crashed OPTIMIZE leaves no schema inconsistency, so the
+    restart path cancels it (and removes its staging dir) instead of
+    re-running a maintenance rewrite at startup."""
+    eng.sql("CREATE TABLE co (a INT)")
+    for i in range(3):
+        eng.sql(f"INSERT INTO co VALUES ({i})")
+
+    class Crash(RuntimeError):
+        pass
+
+    def hook(phase, job):
+        if phase == "optimize:staged":
+            raise Crash()
+
+    eng.ddl_phase_hook = hook
+    with pytest.raises(Crash):
+        eng.sql("OPTIMIZE TABLE co")
+    jobs_path = os.path.join(wh, "ddl_jobs.json")
+    with open(jobs_path) as f:
+        jobs = json.load(f)
+    staging = jobs[-1]["staging"]
+    assert staging and os.path.exists(staging)
+    p = subprocess.Popen(["sleep", "0"])
+    p.wait()
+    jobs[-1]["pid"] = p.pid
+    with open(jobs_path, "w") as f:
+        json.dump(jobs, f)
+
+    e2 = Engine(spark, wh)
+    got = e2.sql("ADMIN SHOW DDL JOBS").df.collect()
+    assert got[-1]["STATE"] == "cancelled"
+    assert not os.path.exists(staging)
+    assert _vals(e2, "SELECT a FROM co") == [(0,), (1,), (2,)]
+    e2.close()
+
+
+def test_optimize_concurrent_append_survives(spark, eng, wh):
+    """Online compaction: rows appended while the rewrite ran move
+    into the published layout untouched."""
+    eng.sql("CREATE TABLE oc (a INT)")
+    for i in range(4):
+        eng.sql(f"INSERT INTO oc VALUES ({i})")
+    other = Engine(spark, wh)
+
+    def hook(phase, job):
+        if phase == "optimize:staged":
+            other.sql("INSERT INTO oc VALUES (100)")
+
+    eng.ddl_phase_hook = hook
+    msg = eng.sql("OPTIMIZE TABLE oc").message
+    assert "optimized" in msg
+    assert _vals(eng, "SELECT a FROM oc") == [(0,), (1,), (2,), (3,), (100,)]
+    assert eng.sql("ADMIN CHECK TABLE oc").df.collect()[0]["STATUS"] == "OK"
+    other.close()
+
+
+def test_admin_show_ddl_jobs_shows_live_schema_state(spark, eng, wh):
+    """Mid-job, ADMIN SHOW DDL JOBS from ANOTHER session shows the
+    running job with its current F1 state — the queue is shared
+    warehouse state, not session memory."""
+    eng.sql("CREATE TABLE js (a INT)")
+    eng.sql("INSERT INTO js VALUES (1)")
+    other = Engine(spark, wh)
+    seen = {}
+
+    def hook(phase, job):
+        if phase == "create_index:write reorganization":
+            row = other.sql(
+                "ADMIN SHOW DDL JOBS WHERE JOB_TYPE = 'create_index'"
+            ).df.collect()[-1]
+            seen["state"] = (row["STATE"], row["SCHEMA_STATE"])
+
+    eng.ddl_phase_hook = hook
+    eng.sql("CREATE INDEX ia ON js (a)")
+    assert seen["state"] == ("running", C.STATE_WRITE_REORG)
+    other.close()
+
+
+def test_partitioned_table_online_index_keeps_partitions(spark, eng, wh):
+    """Delta catch-up walks hive partition subdirectories: appends
+    into partition dirs during the backfill survive the swap with
+    their partition values intact."""
+    eng.sql("CREATE TABLE pt (a INT, p INT) PARTITIONED BY (p)")
+    eng.sql("INSERT INTO pt VALUES (1, 1), (2, 2)")
+    other = Engine(spark, wh)
+
+    def hook(phase, job):
+        if phase == "create_index:backfill done":
+            other.sql("INSERT INTO pt VALUES (3, 1), (4, 3)")
+
+    eng.ddl_phase_hook = hook
+    eng.sql("CREATE INDEX ia ON pt (a)")
+    assert _vals(eng, "SELECT a, p FROM pt") == [(1, 1), (2, 2), (3, 1), (4, 3)]
+    assert eng.sql("ADMIN CHECK TABLE pt").df.collect()[0]["STATUS"] == "OK"
+    other.close()

@@ -7,9 +7,13 @@ Spark-native storage mapping: one parquet directory per table plus an
 internal `_rowid` handle column (the reference's int64 row handle,
 `table/tables/tables.go:378`) used by DELETE/REPLACE.
 
-DDL here is synchronous catalog mutation — the reference's async DDL
-job queue / F1 online schema change (`ddl/ddl_worker.go:300`) is a
-distributed-systems concern Spark doesn't need (SURVEY §3.3).
+Short DDL (CREATE/DROP/ALTER metadata) is synchronous catalog
+mutation under the engine's cross-process lock. Long DDL — index
+backfill and OPTIMIZE rewrites — runs ONLINE through the F1 schema
+states declared here (`STATE_*`, reference `ddl/ddl_worker.go:300`,
+`parser/model/model.go:32-40`): the rewrite itself holds no lock, so
+writers never block behind a 100 TB reorganization (engine.py
+`_exec_create_index` / `_exec_optimize`).
 """
 
 from __future__ import annotations
@@ -24,6 +28,26 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import types as T
 
 ROWID = "_rowid"
+
+# F1 online-schema-change states (reference: parser/model/model.go:32-40
+# SchemaState; the protocol ddl/ddl_worker.go drives). An index being
+# built transitions delete-only -> write-only -> write-reorganization ->
+# public, each transition published as its own catalog commit, so a
+# concurrent session never observes a jump of more than one state.
+# String values match TiDB's ADMIN SHOW DDL JOBS SCHEMA_STATE column.
+STATE_NONE = "none"
+STATE_DELETE_ONLY = "delete only"
+STATE_WRITE_ONLY = "write only"
+STATE_WRITE_REORG = "write reorganization"
+STATE_PUBLIC = "public"
+
+# States whose elements every WRITE must maintain (model.go: from
+# write-only on, inserts/updates keep the element consistent; in
+# delete-only, only deletes do — which a layout-index satisfies
+# trivially, so writes simply skip it).
+WRITE_VISIBLE_STATES = frozenset(
+    {STATE_WRITE_ONLY, STATE_WRITE_REORG, STATE_PUBLIC}
+)
 
 _TYPE_MAP = {
     "TINYINT": T.IntegerType(),
@@ -177,6 +201,15 @@ class IndexInfo:
     name: str
     columns: list[str]
     unique: bool = False
+    # F1 schema state (model.go:32-40). Synchronously-created indexes
+    # and catalogs written before states existed load as public (the
+    # dataclass default); an online CREATE INDEX walks the full chain.
+    state: str = STATE_PUBLIC
+
+    @property
+    def write_visible(self) -> bool:
+        """True when writes must maintain this index (state >= write-only)."""
+        return self.state in WRITE_VISIBLE_STATES
 
 
 @dataclass
@@ -253,15 +286,31 @@ class TableInfo:
         return any(c.physical and c.physical != c.name for c in self.columns)
 
     def unique_keys(self) -> list[list[str]]:
-        """PK + unique indexes — the conflict targets for REPLACE
-        (reference: executor/replace.go:29 removeRow on dup key)."""
+        """PK + write-visible unique indexes — the conflict targets for
+        REPLACE and the INSERT dup-key check (reference:
+        executor/replace.go:29 removeRow on dup key). An index still in
+        delete-only state is NOT enforced on writes (F1: inserts do not
+        maintain it yet — model.go:32-40); from write-only on it is,
+        which is what lets the online backfill audit only the rows that
+        existed before write-only published."""
         keys = []
         if self.primary_key:
             keys.append(self.primary_key)
         for idx in self.indexes:
-            if idx.unique:
+            if idx.unique and idx.write_visible:
                 keys.append(idx.columns)
         return keys
+
+    def public_indexes(self) -> list[IndexInfo]:
+        """Indexes the READ side may use (SHOW/plan layout hints): only
+        fully-published ones — a mid-DDL index is incomplete over
+        existing rows until its backfill lands."""
+        return [i for i in self.indexes if i.state == STATE_PUBLIC]
+
+    def write_indexes(self) -> list[IndexInfo]:
+        """Indexes the WRITE side must maintain (sorted-append layout):
+        write-only and later states."""
+        return [i for i in self.indexes if i.write_visible]
 
 
 class Catalog:

@@ -39,7 +39,27 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import sqlparse as P
-from .catalog import ROWID, Catalog, ColumnInfo, IndexInfo, TableInfo
+from .catalog import (
+    ROWID,
+    STATE_DELETE_ONLY,
+    STATE_NONE,
+    STATE_PUBLIC,
+    STATE_WRITE_ONLY,
+    STATE_WRITE_REORG,
+    Catalog,
+    ColumnInfo,
+    IndexInfo,
+    TableInfo,
+)
+from .ddljobs import DDLJobLog
+
+
+class _UniqueBackfillDup(Exception):
+    """Internal: the online index backfill found duplicate keys."""
+
+
+class _IndexJobGone(Exception):
+    """Internal: the index under an online job vanished (table dropped)."""
 
 
 def _unsigned_max_lit(mx: int):
@@ -120,7 +140,12 @@ class Engine:
         self.sys_vars: dict[str, str] = {}
         self.external_tables: set[str] = set()
         self.table_stats: dict[tuple[str, str], dict] = {}
-        self.ddl_jobs: list[dict] = []
+        self.ddl_log = DDLJobLog(warehouse)
+        # test/instrumentation hook: called (phase, job) at every online
+        # DDL phase boundary, always OUTSIDE the catalog lock, so a
+        # hook can run concurrent statements through another Engine
+        # without deadlocking (tests/test_online_ddl.py)
+        self.ddl_phase_hook = None
         self.txn: _Txn | None = None
         # stale staging from a CRASHED session: committed data is never
         # under .txn-*, so removal == rollback of the dead transaction.
@@ -159,6 +184,9 @@ class Engine:
         # they are never referenced once the owning process dies.
         self._sweep_orphan_prepare_dirs()
         self._register_all()
+        # adopt DDL jobs a crashed engine left mid-flight (the
+        # reference's worker-restart path, ddl/ddl_worker.go:299)
+        self._resume_orphan_ddl()
 
     def _sweep_orphan_prepare_dirs(self) -> None:
         """Remove crash leftovers next to table data dirs: `data.trash-*`
@@ -337,6 +365,13 @@ class Engine:
     # under the cross-process write lock
     _WRITER_KINDS = _DDL_KINDS | {"optimize", "analyze", "insert", "replace", "delete", "txn"}
 
+    # ONLINE DDL (F1 — ddl/ddl_worker.go:299, model.go:32-40): kinds
+    # whose handler manages the catalog lock ITSELF, holding it only
+    # across each short state transition while the long reorganization
+    # (index backfill, compaction rewrite) runs unlocked, so concurrent
+    # writers never block behind a 100 TB rewrite
+    _ONLINE_KINDS = frozenset({"create_index", "optimize"})
+
     @contextlib.contextmanager
     def _catalog_write_lock(self):
         """Cross-process exclusive lock serializing catalog-mutating
@@ -371,6 +406,118 @@ class Engine:
         except OSError:
             return None
 
+    @contextlib.contextmanager
+    def _locked_catalog_step(self):
+        """One short online-DDL transition: take the cross-process
+        lock, absorb any external commit (stamp-check-and-reload —
+        the F1 lease boundary: every transition starts from the
+        current schema version), yield for the mutation, then absorb
+        our own write into the stamp."""
+        with self._catalog_write_lock():
+            if self._catalog_stamp() != self._cat_stamp:
+                self.reload()
+            yield
+            self._cat_stamp = self._catalog_stamp()
+
+    def _ddl_hook(self, phase: str, job: dict) -> None:
+        """Phase-boundary callback, always invoked OUTSIDE the lock."""
+        if self.ddl_phase_hook is not None:
+            self.ddl_phase_hook(phase, job)
+
+    def _guard_no_running_job(self, db: str, t: str) -> None:
+        """Refuse DDL on a table with a live in-flight DDL job (the
+        reference serializes per-table DDL through the job queue —
+        ddl/ddl.go:63 ErrRunMultiSchemaChanges). Jobs whose owner
+        crashed do not block: the resume path adopts them."""
+        j = self.ddl_log.running_on(f"{db}.{t}")
+        if j is not None:
+            raise ValueError(
+                f"a DDL job is already running on {t} "
+                f"(job {j['id']}: {j['type']}, {j['schema_state']}) — "
+                "wait for it to finish"
+            )
+
+    def _list_data_files(self, db: str, t: str) -> frozenset:
+        """Relative paths of every data file under the table's data
+        dir — the reorganization snapshot unit. Hive partition
+        subdirectories are walked so partitioned tables snapshot and
+        catch up the same way."""
+        data = self.catalog.data_dir(db, t)
+        out = []
+        for root, _dirs, files in os.walk(data):
+            rel = os.path.relpath(root, data)
+            for f in files:
+                if f.startswith("part-") and not f.endswith((".crc", ".tmp")):
+                    out.append(f if rel == "." else os.path.join(rel, f))
+        return frozenset(out)
+
+    def _read_files(self, db: str, t: str, relpaths) -> DataFrame:
+        """Full-schema read of an EXPLICIT file set (the snapshot),
+        renamed physical -> logical. basePath keeps hive partition
+        columns resolvable when reading leaf files directly."""
+        info = self.catalog.get_table(db, t)
+        data = self.catalog.data_dir(db, t)
+        paths = [os.path.join(data, p) for p in sorted(relpaths)]
+        df = (
+            self.spark.read.option("basePath", data)
+            .schema(info.physical_schema())
+            .parquet(*paths)
+        )
+        return df.select(
+            df[ROWID], *[df[c.file_name].alias(c.name) for c in info.columns]
+        )
+
+    def _adopt_delta_files(self, db: str, t: str, delta, staging: str) -> None:
+        """Move files appended to the live data dir since the snapshot
+        into the staging dir (relative paths preserved), so the swap
+        publishes reorganized-snapshot + untouched-delta. Delta files
+        keep their append layout — layout is advisory, rows are not."""
+        data = self.catalog.data_dir(db, t)
+        for rel in sorted(delta):
+            src = os.path.join(data, rel)
+            dst = os.path.join(staging, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.exists(dst):  # defensive: part names are UUID-unique
+                dst = dst + f".delta-{uuid.uuid4().hex[:6]}.parquet"
+            shutil.move(src, dst)
+
+    def _resume_orphan_ddl(self) -> None:
+        """Adopt `running` jobs whose owner died (ddl_worker restart
+        path). Index builds roll FORWARD from their recorded schema
+        state — the catalog already holds the index mid-chain and the
+        backfill is idempotent. OPTIMIZE jobs are CANCELLED: a
+        maintenance rewrite leaves no schema inconsistency behind, so
+        re-running it is the DBA's call, not startup work."""
+        if not self.ddl_log.orphans():
+            return
+        with self._catalog_write_lock():
+            if self._catalog_stamp() != self._cat_stamp:
+                self.reload()
+            orphans = self.ddl_log.orphans()  # re-check under the lock
+            for j in orphans:
+                if j.get("staging"):
+                    shutil.rmtree(j["staging"], ignore_errors=True)
+                self.ddl_log.update(j["id"], pid=os.getpid(), staging=None)
+            self._cat_stamp = self._catalog_stamp()
+        for j in orphans:
+            if j["type"] != "create_index":
+                with self._locked_catalog_step():
+                    self.ddl_log.update(j["id"], status="cancelled")
+                continue
+            db, t = j["table"].split(".", 1)
+            try:
+                info = self.catalog.get_table(db, t)
+                idx = next(
+                    (i for i in info.indexes if i.name == j["index"]), None
+                )
+            except ValueError:
+                idx = None  # table dropped after the crash window
+            if idx is None:
+                with self._locked_catalog_step():
+                    self.ddl_log.update(j["id"], status="cancelled")
+                continue
+            self._drive_index_job(db, t, idx.name, j)
+
     def _execute_one(self, stmt: str) -> Result:
         kind = P.statement_kind(stmt)
         handler = getattr(self, f"_exec_{kind}", None)
@@ -387,6 +534,17 @@ class Engine:
         # observed BEFORE re-reading the catalog); only WRITER kinds —
         # which hold the cross-process lock, so no external write can
         # interleave — re-stat at the end to absorb their own write.
+        if kind in self._ONLINE_KINDS:
+            # online DDL: the handler locks per phase (flock is not
+            # re-entrant across fds in one process, so the outer
+            # statement lock must NOT be held). The implicit txn
+            # commit still happens first, under its own short hold.
+            if self.txn is not None:
+                with self._catalog_write_lock():
+                    self._txn_commit()
+            # the handler records its own job entry (with the full
+            # schema-state history), so no _log_ddl here
+            return handler(stmt)
         lock = (
             self._catalog_write_lock()
             if kind in self._WRITER_KINDS
@@ -572,9 +730,12 @@ class Engine:
         (no shuffle) so parquet min/max row-group stats stay selective
         on indexed columns across incremental writes — the standing
         half of index parity; CREATE INDEX does the full
-        range-partitioned backfill."""
-        if info.indexes:
-            return df.sortWithinPartitions(*info.indexes[0].columns)
+        range-partitioned backfill. Only write-visible indexes apply
+        (F1: writes maintain an index from write-only on — a
+        delete-only index is not yet the writer's job)."""
+        widx = info.write_indexes()
+        if widx:
+            return df.sortWithinPartitions(*widx[0].columns)
         return df
 
     def _refresh_table(self, db: str, table: str) -> None:
@@ -1012,6 +1173,7 @@ class Engine:
                 if if_exists:
                     continue
                 raise ValueError(f"(errno 1146) table {db}.{t} does not exist")
+            self._guard_no_running_job(db, t)
             self._drop_spark_entry(self._spark_name(db, t))
             self.spark.sql(f"DROP TABLE IF EXISTS {self._spark_name(db, t + '__phys')}")
             self.catalog.drop_table(db, t)
@@ -1022,6 +1184,7 @@ class Engine:
         m = P._TRUNCATE_RE.match(stmt)
         db, t = self._qualify(m.group(1))
         info = self.catalog.get_table(db, t)
+        self._guard_no_running_job(db, t)
         empty = self.spark.createDataFrame([], info.full_schema())
         self._write_swap(db, t, empty)
         info.next_rowid = 1
@@ -1029,47 +1192,220 @@ class Engine:
         return Result(message=f"table {t} truncated")
 
     def _exec_create_index(self, stmt: str) -> Result:
-        """CREATE INDEX: metadata only (reference: ddl/index.go). Spark
-        has no secondary indexes; the declared index is recorded and
-        exploitable as a layout/stats hint (SURVEY §4.4)."""
+        """CREATE [UNIQUE] INDEX — ONLINE, via the F1 schema-change
+        protocol (reference: ddl/ddl_worker.go:299 handleDDLJobQueue,
+        parser/model/model.go:32-40 SchemaState, ddl/index.go
+        onCreateIndex).
+
+        The index walks delete-only -> write-only -> write-reorg ->
+        public; every transition is its own catalog publish under the
+        cross-process lock, so concurrent sessions (which stamp-check
+        and reload at statement start) never observe a jump of more
+        than one state, and from write-only on their INSERT/REPLACE
+        maintain the index (unique enforcement + sorted appends).
+
+        The LONG work — the unique audit over existing rows and the
+        physical backfill (range-partition + sort on the index columns
+        so parquet min/max stats prune point/range reads — SURVEY
+        §4.4) — runs with NO lock held: at 100 TB an index backfill is
+        an hours-long rewrite, and writers must not block behind it.
+        The publish step catches up rows appended meanwhile by
+        file-listing diff (append-only deltas move into the staged
+        layout untouched); if a concurrent full rewrite (DELETE/
+        UPDATE/REPLACE) replaced snapshot files, the backfill is
+        redone under the lock — correct first, fast when possible.
+        Rows appended before write-only published are part of the
+        snapshot (it is listed after write-reorg), so the audit
+        covers exactly the rows whose writes did not self-enforce.
+        """
         m = P._CREATE_INDEX_RE.match(stmt)
         unique, idx_name, table, cols = m.groups()
         db, t = self._qualify(table)
-        info = self.catalog.get_table(db, t)
         idx_name = P.unquote_ident(idx_name)
-        if any(i.name == idx_name for i in info.indexes):
-            raise ValueError(f"index {idx_name} already exists on {t}")
         col_list = [P.unquote_ident(c) for c in P.split_top_level(cols)]
-        for c in col_list:
-            if info.column(c) is None:
-                raise ValueError(f"(errno 1054) no column {c!r} in table {t}")
-        info.indexes.append(IndexInfo(name=idx_name, columns=col_list, unique=bool(unique)))
-        if unique:
-            # enforce uniqueness over existing data (backfill check —
-            # reference: ddl/index.go:428 addTableIndex)
-            nn = self._raw(db, t)
+        with self._locked_catalog_step():
+            info = self.catalog.get_table(db, t)
+            if any(i.name == idx_name for i in info.indexes):
+                raise ValueError(f"index {idx_name} already exists on {t}")
+            for c in col_list:
+                if info.column(c) is None:
+                    raise ValueError(f"(errno 1054) no column {c!r} in table {t}")
+            self._guard_no_running_job(db, t)
+            info.indexes.append(
+                IndexInfo(
+                    name=idx_name,
+                    columns=col_list,
+                    unique=bool(unique),
+                    state=STATE_DELETE_ONLY,
+                )
+            )
+            self.catalog.update()
+            job = self.ddl_log.append(
+                type="create_index",
+                target=t,
+                table=f"{db}.{t}",
+                query=stmt.strip(),
+                status="running",
+                schema_state=STATE_DELETE_ONLY,
+                index=idx_name,
+            )
+        self._ddl_hook(f"create_index:{STATE_DELETE_ONLY}", job)
+        return self._drive_index_job(db, t, idx_name, job)
+
+    def _find_index(self, db: str, t: str, idx_name: str) -> tuple[TableInfo, IndexInfo | None]:
+        try:
+            info = self.catalog.get_table(db, t)
+        except ValueError:
+            return None, None  # table dropped mid-job
+        return info, next((i for i in info.indexes if i.name == idx_name), None)
+
+    def _cancel_index_job(self, job: dict, *, rollback: bool) -> None:
+        """Terminal bookkeeping under the lock: on rollback also remove
+        the half-built index from the catalog (the reference's
+        convertAddIdxJob2RollbackJob path, ddl/rollingback.go)."""
+        db, t = job["table"].split(".", 1)
+        with self._locked_catalog_step():
+            if rollback:
+                info, idx = self._find_index(db, t, job["index"])
+                if idx is not None:
+                    info.indexes.remove(idx)
+                    self.catalog.update()
+            self.ddl_log.update(
+                job["id"],
+                status="rollback done" if rollback else "cancelled",
+                schema_state=STATE_NONE,
+                staging=None,
+            )
+
+    def _drive_index_job(self, db: str, t: str, idx_name: str, job: dict) -> Result:
+        """Run an index job forward from its CURRENT state to public —
+        both the fresh path and the crash-resume path (ddl_worker
+        restarts drive the queue the same way)."""
+        # short transitions, one publish each
+        while True:
+            info, idx = self._find_index(db, t, idx_name)
+            if idx is None:
+                self._cancel_index_job(job, rollback=False)
+                raise ValueError(f"index {idx_name} vanished mid-job (table dropped?)")
+            if idx.state == STATE_WRITE_REORG:
+                break
+            nxt = (
+                STATE_WRITE_ONLY
+                if idx.state == STATE_DELETE_ONLY
+                else STATE_WRITE_REORG
+            )
+            with self._locked_catalog_step():
+                info, idx = self._find_index(db, t, idx_name)
+                if idx is None:
+                    break  # handled above on re-entry
+                idx.state = nxt
+                self.catalog.update()
+                self.ddl_log.update(job["id"], schema_state=nxt)
+            self._ddl_hook(f"create_index:{nxt}", job)
+
+        info, idx = self._find_index(db, t, idx_name)
+        if idx is None:
+            self._cancel_index_job(job, rollback=False)
+            raise ValueError(f"index {idx_name} vanished mid-job (table dropped?)")
+        unique, col_list = idx.unique, list(idx.columns)
+        # re-layout only when this is the table's sole index; bucketed
+        # tables keep their CLUSTERED BY file contract (re-bucketing
+        # already happens in every _write_swap)
+        relayout = len(info.indexes) == 1 and not info.bucket
+
+        def _audit(src: DataFrame) -> None:
+            nn = src
             for c in col_list:
                 nn = nn.filter(F.col(c).isNotNull())
-            dup = nn.groupBy(*col_list).count().filter(F.col("count") > 1).count()
-            if dup:
-                info.indexes.pop()
-                raise ValueError(f"duplicate entries violate unique index {idx_name}")
-        # backfill = physical re-layout (the Spark analog of the
-        # reference's row backfill): range-partition + sort existing
-        # data on the index columns so every file covers a narrow key
-        # range and parquet min/max row-group stats prune point/range
-        # reads on them (SURVEY §4.4 index access-path parity).
-        # Bucketed tables keep their declared CLUSTERED BY layout —
-        # re-bucketing already happens in _write_swap, and a range
-        # re-layout would destroy the bucket file contract.
-        if len(info.indexes) == 1 and not info.bucket and self._raw(db, t).limit(1).count():
-            relaid = (
-                self._raw(db, t)
-                .repartitionByRange(*col_list)
-                .sortWithinPartitions(*col_list)
+            dup = (
+                nn.groupBy(*col_list).count().filter(F.col("count") > 1).limit(1).count()
             )
-            self._write_swap(db, t, relaid)
-        self.catalog.update()
+            if dup:
+                raise _UniqueBackfillDup()
+
+        def _stage(src: DataFrame) -> str:
+            return self._prepare_swap(
+                db,
+                t,
+                src.repartitionByRange(*col_list).sortWithinPartitions(*col_list),
+            )
+
+        # ---- backfill: NO lock held -----------------------------------
+        snapshot = self._list_data_files(db, t)
+        staging: str | None = None
+        rows = 0
+        try:
+            if snapshot:
+                src = self._read_files(db, t, snapshot)
+                if unique:
+                    _audit(src)
+                if relayout:
+                    rows = src.count()  # parquet-footer count: metadata-only
+                    staging = _stage(src)
+        except _UniqueBackfillDup:
+            self._cancel_index_job(job, rollback=True)
+            raise ValueError(
+                f"duplicate entries violate unique index {idx_name}"
+            ) from None
+        if staging:
+            # record for crash cleanup (a crash before this record
+            # leaves a .tmp dir the age sweeper collects)
+            with self._locked_catalog_step():
+                self.ddl_log.update(job["id"], staging=staging)
+        self._ddl_hook("create_index:backfill done", job)
+
+        # ---- publish: short lock, delta catch-up, swap -----------------
+        try:
+            with self._locked_catalog_step():
+                info, idx = self._find_index(db, t, idx_name)
+                if idx is None:
+                    raise _IndexJobGone()
+                current = self._list_data_files(db, t)
+                if not snapshot <= current:
+                    # a concurrent full rewrite replaced snapshot files:
+                    # the unlocked work is stale — redo it here (rare;
+                    # writers pay once, correctness never)
+                    if staging:
+                        shutil.rmtree(staging, ignore_errors=True)
+                        staging = None
+                    if current:
+                        src = self._raw(db, t)
+                        if unique:
+                            _audit(src)
+                        if relayout:
+                            rows = src.count()
+                            staging = _stage(src)
+                else:
+                    delta = current - snapshot
+                    if staging and delta:
+                        self._adopt_delta_files(db, t, delta, staging)
+                if staging:
+                    self.catalog.swap_data_dir(db, t, staging)
+                    self._refresh_table(db, t)
+                idx.state = STATE_PUBLIC
+                self.catalog.update()
+                self.ddl_log.update(
+                    job["id"],
+                    schema_state=STATE_PUBLIC,
+                    status="synced",
+                    row_count=rows,
+                    staging=None,
+                )
+        except _UniqueBackfillDup:
+            if staging:
+                shutil.rmtree(staging, ignore_errors=True)
+            self._cancel_index_job(job, rollback=True)
+            raise ValueError(
+                f"duplicate entries violate unique index {idx_name}"
+            ) from None
+        except _IndexJobGone:
+            if staging:
+                shutil.rmtree(staging, ignore_errors=True)
+            self._cancel_index_job(job, rollback=False)
+            raise ValueError(
+                f"index {idx_name} vanished mid-job (table dropped?)"
+            ) from None
+        self._ddl_hook(f"create_index:{STATE_PUBLIC}", job)
         return Result(message=f"index {idx_name} created on {t}")
 
     def _exec_optimize(self, stmt: str) -> Result:
@@ -1091,77 +1427,142 @@ class Engine:
         composite-index capability (reference: multi-column
         EncodeIndexSeekKey, tablecodec/tablecodec.go:80-87) a
         single-column sort only provides for the leading column.
-        Pruning evidence: tests/test_layout.py."""
+        Pruning evidence: tests/test_layout.py.
+
+        ONLINE (same kernel as the index backfill, F1 —
+        ddl/ddl_worker.go:299): the rewrite reads a file-listing
+        SNAPSHOT with no lock held, so concurrent writers never block
+        behind a 100 TB compaction; the publish step moves files
+        appended meanwhile into the staged layout and swaps, or redoes
+        the rewrite under the lock iff a concurrent full rewrite
+        replaced snapshot files."""
         m = P._OPTIMIZE_RE.match(stmt)
         if not m:
             raise ValueError(f"cannot parse OPTIMIZE: {stmt[:60]}")
         db, t = self._qualify(m.group(1))
-        info = self.catalog.get_table(db, t)
+        zcols: list[str] | None = None
+        with self._locked_catalog_step():
+            info = self.catalog.get_table(db, t)
+            self._guard_no_running_job(db, t)
+            if m.group(2):
+                zcols = [P.unquote_ident(c.strip()) for c in m.group(2).split(",")]
+                by_name = {c.name: c for c in info.columns}
+                bad = [c for c in zcols if c not in by_name]
+                if bad:
+                    raise ValueError(f"ZORDER BY unknown column(s): {', '.join(bad)}")
+                non_num = [
+                    c
+                    for c in zcols
+                    if not by_name[c].type.upper().startswith(
+                        ("INT", "BIGINT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "DECIMAL")
+                    )
+                ]
+                if non_num:
+                    raise ValueError(
+                        f"ZORDER BY needs numeric columns, got: {', '.join(non_num)}"
+                    )
+                if info.bucket:
+                    raise ValueError(
+                        "ZORDER BY conflicts with the table's CLUSTERED BY bucket "
+                        "layout (bucketed joins require hash placement)"
+                    )
+            job = self.ddl_log.append(
+                type="optimize",
+                target=t,
+                table=f"{db}.{t}",
+                query=stmt.strip(),
+                status="running",
+                schema_state=STATE_WRITE_REORG,
+            )
+
         data = self.catalog.data_dir(db, t)
-
-        def _n_files() -> int:
-            return sum(1 for f in os.listdir(data) if f.startswith("part-"))
-
-        before = _n_files()
-        total_bytes = sum(
-            os.path.getsize(os.path.join(data, f))
-            for f in os.listdir(data)
-            if f.startswith("part-")
-        )
+        snapshot = self._list_data_files(db, t)
+        before = len(snapshot)
+        total_bytes = 0
+        for rel in snapshot:
+            try:
+                total_bytes += os.path.getsize(os.path.join(data, rel))
+            except OSError:
+                pass  # vanished under a concurrent rewrite — publish redoes
         target = int(self.sys_vars.get("optimize_target_mb", "128")) << 20
         n = max(1, -(-total_bytes // target))
-        raw = self._raw(db, t)
-        if m.group(2):
-            from .sources.layout import zorder_keys
 
-            cols = [P.unquote_ident(c.strip()) for c in m.group(2).split(",")]
-            by_name = {c.name: c for c in info.columns}
-            bad = [c for c in cols if c not in by_name]
-            if bad:
-                raise ValueError(f"ZORDER BY unknown column(s): {', '.join(bad)}")
-            non_num = [
-                c
-                for c in cols
-                if not by_name[c].type.upper().startswith(
-                    ("INT", "BIGINT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "DECIMAL")
+        def _build(src: DataFrame) -> DataFrame:
+            inf = self.catalog.get_table(db, t)
+            if zcols:
+                from .sources.layout import zorder_keys
+
+                zk = zorder_keys(src, zcols)
+                return (
+                    src.withColumn("__zk", zk)
+                    .repartitionByRange(n, "__zk")
+                    .sortWithinPartitions("__zk")
+                    .drop("__zk")
                 )
-            ]
-            if non_num:
-                raise ValueError(
-                    f"ZORDER BY needs numeric columns, got: {', '.join(non_num)}"
+            if inf.bucket:
+                return src  # bucketed writer: 1 file/bucket
+            widx = inf.write_indexes()
+            if widx:
+                return src.repartitionByRange(n, *widx[0].columns)
+            return src.coalesce(n)
+
+        # ---- rewrite: NO lock held -------------------------------------
+        staging: str | None = None
+        if snapshot:
+            staging = self._prepare_swap(db, t, _build(self._read_files(db, t, snapshot)))
+            with self._locked_catalog_step():
+                self.ddl_log.update(job["id"], staging=staging)
+        self._ddl_hook("optimize:staged", job)
+
+        # ---- publish: short lock, delta catch-up, swap -----------------
+        try:
+            with self._locked_catalog_step():
+                self.catalog.get_table(db, t)  # raises if dropped mid-job
+                current = self._list_data_files(db, t)
+                if not snapshot <= current:
+                    if staging:
+                        shutil.rmtree(staging, ignore_errors=True)
+                        staging = None
+                    if current:
+                        staging = self._prepare_swap(db, t, _build(self._raw(db, t)))
+                else:
+                    delta = current - snapshot
+                    if staging and delta:
+                        self._adopt_delta_files(db, t, delta, staging)
+                if staging:
+                    self.catalog.swap_data_dir(db, t, staging)
+                    self._refresh_table(db, t)
+                after = len(self._list_data_files(db, t))
+                self.ddl_log.update(
+                    job["id"],
+                    status="synced",
+                    schema_state=STATE_PUBLIC,
+                    row_count=0,
+                    staging=None,
                 )
-            if info.bucket:
-                raise ValueError(
-                    "ZORDER BY conflicts with the table's CLUSTERED BY bucket "
-                    "layout (bucketed joins require hash placement)"
-                )
-            zk = zorder_keys(raw, cols)
-            self._write_swap(
-                db,
-                t,
-                raw.withColumn("__zk", zk)
-                .repartitionByRange(n, "__zk")
-                .sortWithinPartitions("__zk")
-                .drop("__zk"),
+        except ValueError:
+            if staging:
+                shutil.rmtree(staging, ignore_errors=True)
+            self._cancel_plain_job(job)
+            raise
+        self._ddl_hook("optimize:done", job)
+        suffix = f" (zorder by {', '.join(zcols)})" if zcols else ""
+        return Result(
+            message=f"table {t} optimized: {before} -> {after} files{suffix}"
+        )
+
+    def _cancel_plain_job(self, job: dict) -> None:
+        with self._locked_catalog_step():
+            self.ddl_log.update(
+                job["id"], status="cancelled", schema_state=STATE_NONE, staging=None
             )
-            return Result(
-                message=f"table {t} optimized: {before} -> {_n_files()} files"
-                f" (zorder by {', '.join(cols)})"
-            )
-        if info.bucket:
-            self._write_swap(db, t, raw)  # bucketed writer: 1 file/bucket
-        elif info.indexes:
-            cols = info.indexes[0].columns
-            self._write_swap(db, t, raw.repartitionByRange(n, *cols))
-        else:
-            self._write_swap(db, t, raw.coalesce(n))
-        return Result(message=f"table {t} optimized: {before} -> {_n_files()} files")
 
     def _exec_drop_index(self, stmt: str) -> Result:
         m = P._DROP_INDEX_RE.match(stmt)
         idx_name, table = P.unquote_ident(m.group(1)), m.group(2)
         db, t = self._qualify(table)
         info = self.catalog.get_table(db, t)
+        self._guard_no_running_job(db, t)
         before = len(info.indexes)
         info.indexes = [i for i in info.indexes if i.name != idx_name]
         if len(info.indexes) == before:
@@ -1188,6 +1589,8 @@ class Engine:
         if not m:
             raise ValueError(f"cannot parse ALTER TABLE: {stmt[:60]}")
         db, t = self._qualify(m.group(1))
+        self.catalog.get_table(db, t)  # errno 1146 before the job guard
+        self._guard_no_running_job(db, t)
         messages = [self._alter_one(db, t, spec.strip()) for spec in P.split_top_level(m.group(2))]
         self.catalog.update()
         self._register_table(db, t)
@@ -1803,7 +2206,10 @@ class Engine:
             rows = []
             for seq, col in enumerate(info.primary_key, start=1):
                 rows.append((t, 0, "PRIMARY", seq, col))
-            for idx in info.indexes:
+            # public only: a mid-DDL index is not yet part of the
+            # table's visible definition (F1 — it is incomplete over
+            # existing rows until its backfill publishes)
+            for idx in info.public_indexes():
                 for seq, col in enumerate(idx.columns, start=1):
                     rows.append((t, 0 if idx.unique else 1, idx.name, seq, col))
             df = self.spark.createDataFrame(
@@ -1864,7 +2270,7 @@ class Engine:
                 parts.append(f"  `{c.name}` {c.type}{null_sql}{default_sql}{auto_sql}")
             if info.primary_key:
                 parts.append("  PRIMARY KEY (" + ", ".join(f"`{k}`" for k in info.primary_key) + ")")
-            for i in info.indexes:
+            for i in info.public_indexes():
                 kw = "UNIQUE KEY" if i.unique else "KEY"
                 parts.append(
                     f"  {kw} `{i.name}` (" + ", ".join(f"`{c}`" for c in i.columns) + ")"
@@ -1931,8 +2337,11 @@ class Engine:
 
         - ``ADMIN SHOW DDL`` / ``ADMIN SHOW DDL JOBS [n] [WHERE ...]``
           (executor/executor.go:165 ShowDDLExec, :205 ShowDDLJobsExec;
-          JobNumber + Where per parser.y:4383-4392). DDL here is
-          synchronous, so every job is 'synced'.
+          JobNumber + Where per parser.y:4383-4392). One-shot metadata
+          DDL is born 'synced'; online jobs (CREATE INDEX, OPTIMIZE)
+          show their live STATE (running/synced/cancelled/rollback
+          done) and F1 SCHEMA_STATE, across sessions — the job file is
+          per-warehouse.
         - ``ADMIN CHECK TABLE t[, ...]`` / ``ADMIN CHECK INDEX t idx``
           — data/constraint consistency audit, the surface behind
           ErrAdminCheckTable (executor/errors.go:37). Validates, in ONE
@@ -1942,15 +2351,28 @@ class Engine:
         norm = P.re.sub(r"\s+", " ", stmt.strip())
         m = P.re.match(r"(?i)^ADMIN SHOW DDL( JOBS(?: (\d+))?( WHERE .+)?)?$", norm)
         if m:
+            # the persistent per-warehouse job file: includes OTHER
+            # sessions' jobs and in-flight online DDL with its current
+            # F1 SCHEMA_STATE (the reference's ShowDDLJobsExec reads
+            # queue + history the same way)
             rows = [
-                (i + 1, j["type"], j["target"], "synced", j["query"])
-                for i, j in enumerate(self.ddl_jobs)
+                (
+                    j["id"],
+                    j["type"],
+                    j["target"],
+                    j["status"],
+                    j.get("schema_state", "public"),
+                    j.get("row_count", 0),
+                    j["query"],
+                )
+                for j in self.ddl_log.load()
             ]
             if m.group(2):  # JOBS n — the most recent n jobs
                 rows = rows[-int(m.group(2)) :]
             df = self.spark.createDataFrame(
                 rows or [],
-                "JOB_ID: bigint, JOB_TYPE: string, TARGET: string, STATE: string, QUERY: string",
+                "JOB_ID: bigint, JOB_TYPE: string, TARGET: string, STATE: string, "
+                "SCHEMA_STATE: string, ROW_COUNT: bigint, QUERY: string",
             )
             if m.group(3):  # WHERE on the result columns
                 df = df.filter(m.group(3)[7:])
@@ -2046,7 +2468,10 @@ class Engine:
         return (t, s["n"], "OK")
 
     def _log_ddl(self, type_: str, target: str, query: str) -> None:
-        self.ddl_jobs.append({"type": type_, "target": target, "query": query.strip()})
+        """Record a synchronously-completed DDL in the persistent job
+        history (one-shot metadata DDL skips the state chain — it is
+        born synced). Callers hold the catalog write lock."""
+        self.ddl_log.append(type=type_, target=target, query=query.strip())
 
     def _exec_analyze(self, stmt: str) -> Result:
         """ANALYZE TABLE → Spark column stats + histograms for the CBO
