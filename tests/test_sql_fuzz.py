@@ -1570,3 +1570,130 @@ def test_differential_partitioned_fuzz(fuzz_eng, fuzz_duck, seed):
     assert a == b, f"seed {seed} final state diverged ({len(a)} vs {len(b)})"
     chk = [tuple(r) for r in fuzz_eng.sql(f"ADMIN CHECK TABLE pt{seed}").df.collect()]
     assert chk and all(r[-1] == "OK" for r in chk), (seed, chk)
+
+
+# ---------------------------------------------------------------------------
+# ONLINE-DDL interleaving fuzz (round-11 continuation): a SECOND
+# session fires random DML at seeded points INSIDE a running online
+# CREATE INDEX job (the F1 state machine — engine.py _drive_index_job),
+# and the final table must match DuckDB executing the same serialized
+# statement order. This randomizes exactly the windows the directed
+# tests in test_online_ddl.py pin one at a time: delete-only /
+# write-only appends, mid-backfill appends (delta catch-up), and
+# full-rewrite snapshot invalidation (DELETE / REPLACE during
+# write-reorg).
+#
+# Semantics-preserving constraints: the table always has PRIMARY KEY k
+# (REPLACE conflicts resolve identically in both engines regardless of
+# the mid-job index's state), and when the fuzzed index is UNIQUE its
+# column v draws from a no-repeat pool so the backfill never rolls the
+# job back (rollback is example-tested; here the job must LAND so the
+# final states are comparable).
+# ---------------------------------------------------------------------------
+
+_ODDL_PHASES = [
+    "create_index:delete only",
+    "create_index:write only",
+    "create_index:write reorganization",
+    "create_index:backfill done",
+]
+
+
+def gen_online_ddl_case(seed: int):
+    rng = random.Random(seed * 611953 + 41)
+    tbl = f"od{seed}"
+    unique = rng.random() < 0.4
+    ddl = f"CREATE TABLE {tbl} (k BIGINT PRIMARY KEY, v BIGINT, s VARCHAR(255))"
+    kpool = iter(rng.sample(range(1, 500), 60))
+    vpool = iter(rng.sample(range(1000, 9999), 60))
+    used_ks: list[int] = []
+
+    def fresh_rows(n: int) -> str:
+        rows = []
+        for _ in range(n):
+            k = next(kpool)
+            used_ks.append(k)
+            rows.append(f"({k}, {next(vpool)}, 's{rng.randint(0, 9)}')")
+        return ", ".join(rows)
+
+    seed_ops = [(ddl, ddl)] + [
+        (lambda r: (f"INSERT INTO {tbl} VALUES {r}",) * 2)(fresh_rows(rng.randint(1, 3)))
+        for _ in range(rng.randint(1, 3))
+    ]
+    phases = sorted(
+        rng.sample(_ODDL_PHASES, rng.randint(1, 3)), key=_ODDL_PHASES.index
+    )
+    phase_ops: dict[str, list[tuple[str, str]]] = {}
+    for ph in phases:
+        ops = []
+        for _ in range(rng.randint(1, 2)):
+            kind = rng.choice(["ins", "ins", "del", "rep_new", "rep_used"])
+            if kind == "ins":
+                r = fresh_rows(rng.randint(1, 2))
+                ops.append((f"INSERT INTO {tbl} VALUES {r}",) * 2)
+            elif kind == "del":
+                lo = rng.randint(1, 400)
+                hi = lo + rng.randint(10, 80)
+                ops.append((f"DELETE FROM {tbl} WHERE k BETWEEN {lo} AND {hi}",) * 2)
+            else:
+                k = rng.choice(used_ks) if kind == "rep_used" and used_ks else next(kpool)
+                if k not in used_ks:
+                    used_ks.append(k)
+                # duck twin is delete-then-insert: INSERT OR REPLACE
+                # refuses tables with TWO unique constraints (PK + the
+                # fuzzed unique index), and the REPLACE rows' v is
+                # always fresh, so only the PK can conflict
+                row = f"({k}, {next(vpool)}, 'r{rng.randint(0, 9)}')"
+                ops.append(
+                    (
+                        f"REPLACE INTO {tbl} VALUES {row}",
+                        [
+                            f"DELETE FROM {tbl} WHERE k = {k}",
+                            f"INSERT INTO {tbl} VALUES {row}",
+                        ],
+                    )
+                )
+        phase_ops[ph] = ops
+    idx_sql = f"CREATE {'UNIQUE ' if unique else ''}INDEX oi{seed} ON {tbl} (v)"
+    return tbl, seed_ops, idx_sql, phase_ops
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_differential_online_ddl_fuzz(spark, fuzz_eng, fuzz_duck, seed):
+    tbl, seed_ops, idx_sql, phase_ops = gen_online_ddl_case(seed)
+    for eng_sql, duck_sql in seed_ops:
+        fuzz_eng.sql(eng_sql)
+        fuzz_duck.execute(duck_sql)
+    # DuckDB applies the index up front: the corpus is dup-free by
+    # construction, so the index is data-transparent and only the
+    # serialized DML order matters
+    fuzz_duck.execute(idx_sql)
+    second = Engine(spark, fuzz_eng.catalog.warehouse)
+
+    def hook(phase, job):
+        for eng_sql, duck_sql in phase_ops.get(phase, []):
+            second.sql(eng_sql)
+            for d in [duck_sql] if isinstance(duck_sql, str) else duck_sql:
+                fuzz_duck.execute(d)
+
+    fuzz_eng.ddl_phase_hook = hook
+    try:
+        fuzz_eng.sql(idx_sql)
+    finally:
+        fuzz_eng.ddl_phase_hook = None
+        second.close()
+    sel = f"SELECT k, v, s FROM {tbl}"
+    a = _canon_rows(fuzz_eng.sql(sel).df.toPandas())
+    b = _canon_rows(fuzz_duck.execute(sel).df())
+    assert a == b, (
+        f"seed {seed} final state diverged ({len(a)} vs {len(b)} rows) after "
+        f"interleaving at {sorted(phase_ops)}"
+    )
+    # the job landed public and the table's invariants (rowid handles,
+    # PK, the new unique index) audit clean
+    jobs = fuzz_eng.sql(
+        "ADMIN SHOW DDL JOBS WHERE JOB_TYPE = 'create_index'"
+    ).df.collect()
+    assert jobs[-1]["STATE"] == "synced" and jobs[-1]["SCHEMA_STATE"] == "public"
+    chk = [tuple(r) for r in fuzz_eng.sql(f"ADMIN CHECK TABLE {tbl}").df.collect()]
+    assert chk and all(r[-1] == "OK" for r in chk), (seed, chk)
