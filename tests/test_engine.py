@@ -1948,3 +1948,77 @@ def test_optimize_logged_as_ddl_job(eng):
     opt = [r for r in rows if r[1] == "optimize"]
     assert len(opt) == 2
     assert any("ZORDER BY (a, b)" in r[-1] for r in opt)
+
+
+# ---------------------------------------------------------------------------
+# ALTER ADD COLUMN initial-default fill (round-11 continuation):
+# MySQL fills PRE-EXISTING rows with the DEFAULT (implicit type
+# default under NOT NULL) — ddl/column.go backfill. The engine records
+# the literal plus a rowid watermark at ALTER time and fills at read,
+# so the 100 TB table is never rewritten (Iceberg v3 initial_default
+# is the same design).
+# ---------------------------------------------------------------------------
+
+
+def test_add_column_default_fills_existing_rows(eng):
+    eng.sql("CREATE TABLE idf (a INT)")
+    eng.sql("INSERT INTO idf VALUES (1), (2)")
+    eng.sql("ALTER TABLE idf ADD COLUMN c INT DEFAULT 5")
+    # pre-existing rows read the default; the fill works in
+    # projections AND predicates (the DELETE/REPLACE planning paths)
+    assert sorted((r.a, r.c) for r in eng.sql("SELECT a, c FROM idf").df.collect()) == [
+        (1, 5),
+        (2, 5),
+    ]
+    assert sorted(r.a for r in eng.sql("SELECT a FROM idf WHERE c = 5").df.collect()) == [1, 2]
+    # post-ALTER rows keep what they write: explicit NULL stays NULL,
+    # omitted fills the declared default — the fill applies ONLY below
+    # the ALTER's rowid watermark
+    eng.sql("INSERT INTO idf (a, c) VALUES (3, NULL)")
+    eng.sql("INSERT INTO idf (a) VALUES (4)")
+    got = dict((r.a, r.c) for r in eng.sql("SELECT a, c FROM idf").df.collect())
+    assert got == {1: 5, 2: 5, 3: None, 4: 5}
+    ddl = eng.sql("SHOW CREATE TABLE idf").df.collect()[0][1]
+    assert "DEFAULT 5" in ddl
+
+
+def test_add_column_not_null_implicit_defaults(eng):
+    """NOT NULL without DEFAULT fills the MySQL implicit type default
+    (numeric 0, string '', boolean FALSE) for pre-existing rows — and
+    the table passes its own ADMIN CHECK immediately after the ALTER
+    (previously the NULLs made the audit fail its NOT NULL invariant)."""
+    eng.sql("CREATE TABLE inn (a INT)")
+    eng.sql("INSERT INTO inn VALUES (1)")
+    eng.sql("ALTER TABLE inn ADD COLUMN n BIGINT NOT NULL")
+    eng.sql("ALTER TABLE inn ADD COLUMN s VARCHAR(8) NOT NULL")
+    eng.sql("ALTER TABLE inn ADD COLUMN b BOOLEAN NOT NULL")
+    row = eng.sql("SELECT n, s, b FROM inn").df.collect()[0]
+    assert (row.n, row.s, row.b) == (0, "", False)
+    assert eng.sql("ADMIN CHECK TABLE inn").df.collect()[0]["STATUS"] == "OK"
+    # temporal types have no representable zero-date: designed error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="declare an explicit DEFAULT"):
+        eng.sql("ALTER TABLE inn ADD COLUMN ts DATETIME NOT NULL")
+    # ... but with an explicit DEFAULT the fill works for temporals too
+    eng.sql("ALTER TABLE inn ADD COLUMN d DATE NOT NULL DEFAULT '2020-01-02'")
+    assert str(eng.sql("SELECT d FROM inn").df.collect()[0].d) == "2020-01-02"
+
+
+def test_initial_default_survives_rewrite_and_reload(spark, eng):
+    """The fill is pure metadata: it round-trips through catalog.json
+    to a fresh session, and a full-rewrite DML (DELETE) materializes
+    the filled values without changing what any read returns."""
+    eng.sql("CREATE TABLE isr (a INT)")
+    eng.sql("INSERT INTO isr VALUES (1), (2), (3)")
+    eng.sql("ALTER TABLE isr ADD COLUMN c INT DEFAULT 7")
+    eng.sql("DELETE FROM isr WHERE a = 2")  # rewrite materializes fills
+    from tinysql_spark.engine import Engine
+
+    e2 = Engine(spark, eng.catalog.warehouse)
+    assert sorted((r.a, r.c) for r in e2.sql("SELECT a, c FROM isr").df.collect()) == [
+        (1, 7),
+        (3, 7),
+    ]
+    assert e2.sql("ADMIN CHECK TABLE isr").df.collect()[0]["STATUS"] == "OK"
+    e2.close()

@@ -355,3 +355,16 @@ def test_partitioned_table_online_index_keeps_partitions(spark, eng, wh):
     assert _vals(eng, "SELECT a, p FROM pt") == [(1, 1), (2, 2), (3, 1), (4, 3)]
     assert eng.sql("ADMIN CHECK TABLE pt").df.collect()[0]["STATUS"] == "OK"
     other.close()
+
+
+def test_unique_backfill_sees_initial_default_fill(eng):
+    """The backfill audit reads through the initial-default fill: two
+    pre-ALTER rows both reading the filled DEFAULT are duplicates, so
+    a UNIQUE index on that column must roll back — even though the
+    physical bytes are NULL (which never conflict)."""
+    eng.sql("CREATE TABLE ud (a INT)")
+    eng.sql("INSERT INTO ud VALUES (1), (2)")
+    eng.sql("ALTER TABLE ud ADD COLUMN c INT DEFAULT 5")
+    with pytest.raises(ValueError, match="duplicate entries violate unique index"):
+        eng.sql("CREATE UNIQUE INDEX uc ON ud (c)")
+    assert eng.sql("SHOW INDEX FROM ud").df.count() == 0

@@ -1697,3 +1697,134 @@ def test_differential_online_ddl_fuzz(spark, fuzz_eng, fuzz_duck, seed):
     assert jobs[-1]["STATE"] == "synced" and jobs[-1]["SCHEMA_STATE"] == "public"
     chk = [tuple(r) for r in fuzz_eng.sql(f"ADMIN CHECK TABLE {tbl}").df.collect()]
     assert chk and all(r[-1] == "OK" for r in chk), (seed, chk)
+
+
+# ---------------------------------------------------------------------------
+# Initial-DEFAULT evolution fuzz (round-11 continuation): ALTER ADD
+# COLUMN with DEFAULT / NOT NULL mid-sequence. MySQL fills PRE-EXISTING
+# rows with the default (implicit type default under NOT NULL); the
+# engine now does the same via the metadata-only rowid-watermark fill
+# (catalog.ColumnInfo.initial_default — no table rewrite), and DuckDB
+# fills physically on ALTER, so the two must agree row-for-row. The
+# original schema-evolution corpus above deliberately EXCLUDED
+# DEFAULT (it predates the fill and is byte-stable by contract); this
+# is the separate corpus that covers it, including the fill as seen
+# through predicates (WHERE c = default / c IS NULL) and through
+# full-rewrite materialization (DELETE after the ALTER).
+# NOT NULL's DuckDB twin is ADD COLUMN ... DEFAULT 0 + SET NOT NULL:
+# DuckDB refuses a bare NOT NULL add on a non-empty table, while
+# MySQL (and the engine) fill the implicit default.
+# ---------------------------------------------------------------------------
+
+
+def gen_default_evolution_sequence(seed: int):
+    rng = random.Random(seed * 415229 + 59)
+    tbl = f"df{seed}"
+    ddl = f"CREATE TABLE {tbl} (k BIGINT PRIMARY KEY, v BIGINT)"
+    ops: list[tuple[str, str, bool]] = [(ddl, ddl, False)]
+    hi = 0
+    # name -> (type, declared default or None, not_null)
+    added: dict[str, tuple[str, str | None, bool]] = {}
+    n = 0
+
+    def ins() -> tuple[str, str, bool]:
+        nonlocal hi
+        cnt = rng.randint(1, 3)
+        cols = ["k", "v"]
+        omit = set()
+        for c, (_t, d, nn) in added.items():
+            if d is not None and rng.random() < 0.3:
+                omit.add(c)  # both engines fill the declared default
+            else:
+                cols.append(c)
+        rows = []
+        for _ in range(cnt):
+            hi += 1
+            vals = [str(hi), str(rng.randrange(1000))]
+            for c in cols[2:]:
+                typ, d, nn = added[c]
+                if typ == "BIGINT":
+                    vals.append(str(rng.randrange(100)))
+                else:
+                    vals.append(rng.choice(["'a'", "'b'", "'zz'"]))
+            rows.append(f"({', '.join(vals)})")
+        sql = f"INSERT INTO {tbl} ({', '.join(cols)}) VALUES {', '.join(rows)}"
+        return (sql, sql, True)
+
+    def alter_add() -> tuple[str, str, bool]:
+        nonlocal n
+        n += 1
+        name = f"c{n}"
+        kind = rng.choice(["int_default", "str_default", "int_notnull", "str_notnull"])
+        if kind == "int_default":
+            d = str(rng.randrange(1, 9))
+            added[name] = ("BIGINT", d, False)
+            sql = f"ALTER TABLE {tbl} ADD COLUMN {name} BIGINT DEFAULT {d}"
+            return (sql, sql, False)
+        if kind == "str_default":
+            d = rng.choice(["'x'", "'y'"])
+            added[name] = ("VARCHAR(16)", d, False)
+            sql = f"ALTER TABLE {tbl} ADD COLUMN {name} VARCHAR(16) DEFAULT {d}"
+            return (sql, sql, False)
+        if kind == "int_notnull":
+            added[name] = ("BIGINT", None, True)
+            return (
+                f"ALTER TABLE {tbl} ADD COLUMN {name} BIGINT NOT NULL",
+                f"ALTER TABLE {tbl} ADD COLUMN {name} BIGINT DEFAULT 0; "
+                f"ALTER TABLE {tbl} ALTER COLUMN {name} SET NOT NULL",
+                False,
+            )
+        added[name] = ("VARCHAR(16)", None, True)
+        return (
+            f"ALTER TABLE {tbl} ADD COLUMN {name} VARCHAR(16) NOT NULL",
+            f"ALTER TABLE {tbl} ADD COLUMN {name} VARCHAR(16) DEFAULT ''; "
+            f"ALTER TABLE {tbl} ALTER COLUMN {name} SET NOT NULL",
+            False,
+        )
+
+    def delete() -> tuple[str, str, bool]:
+        preds = [f"k % {rng.choice([2, 3, 5])} = 0", f"v < {rng.choice([200, 600])}"]
+        for c, (typ, d, nn) in added.items():
+            if typ == "BIGINT":
+                preds.append(rng.choice([f"{c} IS NULL", f"{c} < 5", f"{c} = 0"]))
+            else:
+                preds.append(rng.choice([f"{c} IS NULL", f"{c} = ''", f"{c} = 'x'"]))
+        pred = f" {rng.choice(['AND', 'OR'])} ".join(
+            rng.sample(preds, rng.choice([1, 2]))
+        )
+        sql = f"DELETE FROM {tbl} WHERE {pred}"
+        return (sql, sql, True)
+
+    ops.append(ins())
+    ops.append(alter_add())  # every sequence fills at least once
+    for _ in range(rng.randint(4, 6)):
+        roll = rng.random()
+        if roll < 0.25 and len(added) < 3:
+            ops.append(alter_add())
+        elif roll < 0.45:
+            ops.append(delete())
+        else:
+            ops.append(ins())
+    return tbl, ops, ["k", "v"] + list(added)
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_differential_default_evolution_fuzz(fuzz_eng, fuzz_duck, seed):
+    tbl, ops, cols = gen_default_evolution_sequence(seed)
+    for eng_sql, duck_sql, check in ops:
+        r = fuzz_eng.sql(eng_sql)
+        d = None
+        for stmt in duck_sql.split("; "):
+            d = fuzz_duck.execute(stmt)
+        if check:
+            n_duck = d.fetchall()[0][0]
+            assert r.rows_affected == n_duck, f"seed {seed} count diverged:\n{eng_sql}"
+    sel = f"SELECT {', '.join(cols)} FROM {tbl}"
+    a = _canon_rows(fuzz_eng.sql(sel).df.toPandas())
+    b = _canon_rows(fuzz_duck.execute(sel).df())
+    assert a == b, (
+        f"seed {seed} final state diverged ({len(a)} vs {len(b)} rows):\n"
+        + "\n".join(e for e, _, _ in ops)
+    )
+    chk = [tuple(r) for r in fuzz_eng.sql(f"ADMIN CHECK TABLE {tbl}").df.collect()]
+    assert chk and all(r[-1] == "OK" for r in chk), (seed, chk)

@@ -172,6 +172,17 @@ class ColumnInfo:
     # rows by column ID for the same reason (parser/model/model.go
     # ColumnInfo.ID); Iceberg/Delta field IDs are the same idea.
     physical: str | None = None
+    # MySQL fills PRE-EXISTING rows on ALTER ADD COLUMN with the
+    # declared DEFAULT (or the type's implicit default under NOT
+    # NULL) — ddl/column.go backfills them. Here the fill is
+    # metadata-only (no 100 TB rewrite): rows with
+    # _rowid < initial_default_below predate the column (rowids are
+    # monotone and immutable, and there is no UPDATE statement, so an
+    # old rowid can never carry a genuinely-written value) and read
+    # COALESCE to this SQL literal. Iceberg v3's initial_default vs
+    # write_default split is the same idea.
+    initial_default: str | None = None
+    initial_default_below: int | None = None
 
     @property
     def file_name(self) -> str:
@@ -306,6 +317,14 @@ class TableInfo:
         fully-published ones — a mid-DDL index is incomplete over
         existing rows until its backfill lands."""
         return [i for i in self.indexes if i.state == STATE_PUBLIC]
+
+    def initial_default_columns(self) -> list[ColumnInfo]:
+        """Columns whose pre-ALTER rows need the read-time default fill."""
+        return [
+            c
+            for c in self.columns
+            if c.initial_default is not None and c.initial_default_below
+        ]
 
     def write_indexes(self) -> list[IndexInfo]:
         """Indexes the WRITE side must maintain (sorted-append layout):

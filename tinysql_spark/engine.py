@@ -54,6 +54,35 @@ from .catalog import (
 from .ddljobs import DDLJobLog
 
 
+def _implicit_default(col_type: str) -> str | None:
+    """MySQL's implicit default for a NOT NULL column added without an
+    explicit DEFAULT (strict mode fills pre-existing rows with it —
+    numeric 0, string '', boolean FALSE). Temporal types return None:
+    their MySQL implicit default is the zero date, which has no
+    representable value here (a designed error instead)."""
+    up = col_type.upper()
+    base = up.replace(" UNSIGNED", "").split("(")[0].strip()
+    if base in (
+        "TINYINT", "SMALLINT", "MEDIUMINT", "INT", "INTEGER", "BIGINT",
+        "FLOAT", "DOUBLE", "REAL", "DECIMAL", "NUMERIC",
+    ):
+        return "0"
+    if base in ("VARCHAR", "CHAR", "TEXT", "STRING"):
+        return "''"
+    if base in ("BOOLEAN", "BOOL"):
+        return "FALSE"
+    return None
+
+
+# defaults safe to re-evaluate at READ time for the metadata-only
+# initial-default fill: plain literals only (an expression default
+# like CURRENT_TIMESTAMP is evaluated per statement in MySQL and
+# would drift if re-run per read)
+_LITERAL_DEFAULT_RE = P.re.compile(
+    r"^('(?:[^'\\]|\\.)*'|[-+]?\d+(?:\.\d+)?|TRUE|FALSE)$", P.re.I
+)
+
+
 class _UniqueBackfillDup(Exception):
     """Internal: the online index backfill found duplicate keys."""
 
@@ -463,9 +492,10 @@ class Engine:
             .schema(info.physical_schema())
             .parquet(*paths)
         )
-        return df.select(
-            df[ROWID], *[df[c.file_name].alias(c.name) for c in info.columns]
-        )
+        # _logical_columns applies the initial-default fill here too:
+        # the unique-index backfill audit must see what the USER sees
+        # (two pre-ALTER rows both reading the default ARE duplicates)
+        return df.select(df[ROWID], *self._logical_columns(df, info))
 
     def _adopt_delta_files(self, db: str, t: str, delta, staging: str) -> None:
         """Move files appended to the live data dir since the snapshot
@@ -623,7 +653,7 @@ class Engine:
         backing = self._spark_name(db, table + "__phys")
         self._drop_spark_entry(name)
         self.spark.sql(f"DROP TABLE IF EXISTS {backing}")
-        if info.has_name_mapping() or info.partition_by:
+        if info.has_name_mapping() or info.partition_by or info.initial_default_columns():
             phys = {c.name: c.file_name for c in info.columns}
             b = info.bucket
             bucket_ddl = ""
@@ -641,7 +671,11 @@ class Engine:
                 part_ddl = " PARTITIONED BY (" + ", ".join(
                     f"`{phys.get(c, c)}`" for c in info.partition_by
                 ) + ")"
-            ddl_cols = ", ".join(
+            # the initial-default fill needs the hidden rowid in the
+            # backing schema (the view compares it to each column's
+            # ALTER watermark, then hides it)
+            need_rowid = bool(info.initial_default_columns())
+            ddl_cols = (f"`{ROWID}` bigint, " if need_rowid else "") + ", ".join(
                 f"`{c.file_name}` {c.spark_type().simpleString()}" for c in info.columns
             )
             self.spark.sql(
@@ -651,7 +685,7 @@ class Engine:
             )
             if info.partition_by:
                 self.spark.sql(f"ALTER TABLE {backing} RECOVER PARTITIONS")
-            sel = ", ".join(f"`{c.file_name}` AS `{c.name}`" for c in info.columns)
+            sel = ", ".join(self._view_col_sql(c) for c in info.columns)
             self.spark.sql(f"CREATE VIEW {name} AS SELECT {sel} FROM {backing}")
             return
         ddl_cols = ", ".join(
@@ -721,9 +755,41 @@ class Engine:
         after ALTER ADD COLUMN (the p/c1 value swap the partitioned
         differential fuzz caught)."""
         df = self.spark.read.schema(info.physical_schema()).parquet(path)
-        return df.select(
-            df[ROWID], *[df[c.file_name].alias(c.name) for c in info.columns]
-        )
+        return df.select(df[ROWID], *self._logical_columns(df, info))
+
+    @staticmethod
+    def _view_col_sql(c: ColumnInfo) -> str:
+        """One view column: the SQL twin of _logical_columns' fill."""
+        if c.initial_default is not None and c.initial_default_below:
+            st = c.spark_type().simpleString()
+            return (
+                f"CASE WHEN `{ROWID}` < {c.initial_default_below} AND "
+                f"`{c.file_name}` IS NULL THEN CAST({c.initial_default} AS {st}) "
+                f"ELSE `{c.file_name}` END AS `{c.name}`"
+            )
+        return f"`{c.file_name}` AS `{c.name}`"
+
+    @staticmethod
+    def _logical_columns(df: DataFrame, info: TableInfo) -> list:
+        """Physical -> logical projection incl. the initial-default
+        fill: rows that predate an ADD COLUMN (rowid below the ALTER's
+        watermark) read the recorded DEFAULT instead of the physical
+        NULL — the metadata-only MySQL backfill (ddl/column.go).
+        Immutable monotone rowids + no UPDATE statement make 'old
+        rowid and NULL' equivalent to 'never written'."""
+        out = []
+        for c in info.columns:
+            col = df[c.file_name]
+            if c.initial_default is not None and c.initial_default_below:
+                col = (
+                    F.when(
+                        (df[ROWID] < c.initial_default_below) & col.isNull(),
+                        F.expr(c.initial_default).cast(c.spark_type()),
+                    )
+                    .otherwise(col)
+                )
+            out.append(col.alias(c.name))
+        return out
 
     def _layout(self, df: DataFrame, info: TableInfo) -> DataFrame:
         """Sort within partitions on the first declared index's columns
@@ -1635,13 +1701,37 @@ class Engine:
             physical = None
             if col_name.lower() in taken:
                 physical = f"{col_name}__{uuid.uuid4().hex[:8]}"
+            nullable = "NOT NULL" not in rest.upper()
+            # MySQL fills PRE-EXISTING rows with the DEFAULT (or the
+            # type's implicit default under NOT NULL) — ddl/column.go
+            # backfill. Metadata-only here: record the literal plus a
+            # rowid watermark; reads COALESCE rows below it
+            # (_read_physical / _register_table). Non-literal defaults
+            # (CURRENT_TIMESTAMP) are not re-evaluable at read time and
+            # keep NULL for old rows; NOT NULL temporals without a
+            # DEFAULT have no representable zero-date — designed error.
+            init = None
+            if dm and _LITERAL_DEFAULT_RE.match(dm.group(1)) and dm.group(1).upper() != "NULL":
+                init = dm.group(1)
+            elif dm is None and not nullable:
+                init = _implicit_default(col_type)
+                if init is None and info.next_rowid > 1:
+                    raise ValueError(
+                        f"cannot ADD COLUMN {col_name} {col_type} NOT NULL to a "
+                        "non-empty table without a DEFAULT: the MySQL implicit "
+                        "default for temporal types is the zero date, which is "
+                        "not representable here — declare an explicit DEFAULT"
+                    )
+            wm = info.next_rowid if init is not None and info.next_rowid > 1 else None
             info.columns.append(
                 ColumnInfo(
                     name=col_name,
                     type=col_type,
-                    nullable="NOT NULL" not in rest.upper(),
+                    nullable=nullable,
                     default=dm.group(1) if dm else None,
                     physical=physical,
+                    initial_default=init if wm else None,
+                    initial_default_below=wm,
                 )
             )
             return f"column {col_name} added to {t}"
