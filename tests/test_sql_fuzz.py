@@ -497,9 +497,11 @@ def test_differential_write_fuzz(fuzz_eng, fuzz_duck, seed):
 # metadata-only physical-name mapping layer against DuckDB's rewrite
 # — reads of the surviving columns must agree exactly).
 # Constraints that keep the dialect mapping
-# semantic-preserving: no DEFAULT (the engine's metadata-only ALTER
-# reads NULL for existing rows, which DuckDB matches only without
-# one), ALTERs never inside a txn group (the engine's DDL implicitly
+# semantic-preserving: no DEFAULT (a HISTORICAL constraint kept for
+# corpus byte-stability — the engine now fills pre-existing rows
+# MySQL-style via the initial-default watermark, and the separate
+# default-evolution corpus below covers exactly that),
+# ALTERs never inside a txn group (the engine's DDL implicitly
 # commits — MySQL semantics DuckDB's session txns don't share), and
 # inserts after an ALTER list their columns explicitly.
 # A separate generator so the original 50-sequence corpus stays
