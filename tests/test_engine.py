@@ -70,8 +70,9 @@ def test_alter_add_column(eng):
     eng.sql("CREATE TABLE t (a int)")
     eng.sql("INSERT INTO t VALUES (1), (2)")
     eng.sql("ALTER TABLE t ADD COLUMN b varchar(255) DEFAULT 'x'")
-    # existing rows read NULL for the new column (metadata-only ALTER)
-    assert rows(eng.sql("SELECT a, b FROM t")) == [(1, None), (2, None)]
+    # existing rows read the DEFAULT (MySQL fills pre-existing rows —
+    # metadata-only here via the initial-default rowid watermark)
+    assert rows(eng.sql("SELECT a, b FROM t")) == [(1, "x"), (2, "x")]
     eng.sql("INSERT INTO t (a) VALUES (3)")
     assert (3, "x") in rows(eng.sql("SELECT a, b FROM t"))
 
@@ -2022,3 +2023,40 @@ def test_initial_default_survives_rewrite_and_reload(spark, eng):
     ]
     assert e2.sql("ADMIN CHECK TABLE isr").df.collect()[0]["STATUS"] == "OK"
     e2.close()
+
+
+def test_insert_omitted_no_default_not_null_is_1364(eng):
+    """MySQL strict mode separates the two NOT NULL failure modes:
+    writing an explicit NULL is errno 1048, OMITTING a no-default NOT
+    NULL column from the column list is errno 1364 ('doesn't have a
+    default value') — and the latter is a static check, no scan."""
+    eng.sql("CREATE TABLE nn64 (a INT, d INT NOT NULL)")
+    with pytest.raises(ValueError, match="1364"):
+        eng.sql("INSERT INTO nn64 (a) VALUES (1)")
+    with pytest.raises(ValueError, match="1048"):
+        eng.sql("INSERT INTO nn64 (a, d) VALUES (1, NULL)")
+    # a declared DEFAULT or nullable column keeps omission legal
+    eng.sql("ALTER TABLE nn64 ADD COLUMN e INT DEFAULT 3")
+    eng.sql("INSERT INTO nn64 (a, d) VALUES (1, 2)")
+    assert rows(eng.sql("SELECT a, d, e FROM nn64")) == [(1, 2, 3)]
+
+
+def test_add_column_current_timestamp_fills_alter_time(eng):
+    """ALTER ADD COLUMN ... DEFAULT CURRENT_TIMESTAMP fills
+    pre-existing rows with the ALTER's own execution time,
+    materialized once (MySQL re-evaluates per STATEMENT, never per
+    read — a read-time re-evaluation would drift)."""
+    import datetime
+
+    eng.sql("CREATE TABLE cts (a INT)")
+    eng.sql("INSERT INTO cts VALUES (1)")
+    before = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    eng.sql("ALTER TABLE cts ADD COLUMN dt DATETIME DEFAULT CURRENT_TIMESTAMP")
+    after = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    v1 = eng.sql("SELECT dt FROM cts").df.collect()[0].dt
+    assert before.replace(microsecond=0) <= v1 <= after.replace(microsecond=0) + datetime.timedelta(seconds=1)
+    # the fill is frozen: the same row reads the same value later
+    import time
+
+    time.sleep(1.1)
+    assert eng.sql("SELECT dt FROM cts").df.collect()[0].dt == v1

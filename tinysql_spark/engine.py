@@ -1713,6 +1713,15 @@ class Engine:
             init = None
             if dm and _LITERAL_DEFAULT_RE.match(dm.group(1)) and dm.group(1).upper() != "NULL":
                 init = dm.group(1)
+            elif dm and dm.group(1).upper() == "CURRENT_TIMESTAMP":
+                # MySQL fills pre-existing rows with the ALTER's own
+                # execution timestamp, materialized once — not
+                # re-evaluated per read
+                import datetime as _dt
+
+                init = "'" + _dt.datetime.now(_dt.timezone.utc).strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                ) + "'"
             elif dm is None and not nullable:
                 init = _implicit_default(col_type)
                 if init is None and info.next_rowid > 1:
@@ -1909,13 +1918,21 @@ class Engine:
             if len(src.columns) != len(target_cols):
                 raise ValueError("(errno 1136) INSERT ... SELECT column count mismatch")
             src = src.toDF(*target_cols)
-        # defaults / NULL for omitted columns, then cast to declared types
+        # defaults / NULL for omitted columns, then cast to declared
+        # types. An OMITTED no-default NOT NULL column is a static
+        # strict-mode error (errno 1364 'doesn't have a default
+        # value'), distinct from writing an explicit NULL (errno 1048
+        # in the validation aggregate) — MySQL separates the two.
         exprs = []
         for c in info.columns:
             if c.name in target_cols:
                 e = F.col(c.name)
             elif c.default is not None:
                 e = F.expr(c.default)
+            elif not c.nullable and not c.auto_increment:
+                raise ValueError(
+                    f"(errno 1364) field {c.name!r} doesn't have a default value"
+                )
             else:
                 e = F.lit(None)
             exprs.append(e.cast(c.spark_type()).alias(c.name))
