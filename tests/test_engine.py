@@ -2060,3 +2060,63 @@ def test_add_column_current_timestamp_fills_alter_time(eng):
 
     time.sleep(1.1)
     assert eng.sql("SELECT dt FROM cts").df.collect()[0].dt == v1
+
+
+# ---------------------------------------------------------------------------
+# Commit-time schema validation (round-11 continuation) — the
+# reference's SchemaChecker (domain/schema_checker.go:45 Check ->
+# ErrInfoSchemaChanged, TiDB errno 8028): a txn spanning a schema
+# change of a touched table aborts at COMMIT; data-level concurrency
+# keeps the merge-on-commit contract. Closes the SURVEY §7.12 residue
+# ("concurrent DDL during someone else's open txn out of contract").
+# ---------------------------------------------------------------------------
+
+
+def test_txn_aborts_when_concurrent_ddl_touches_its_table(spark, eng):
+    from tinysql_spark.engine import Engine
+
+    eng.sql("CREATE TABLE sc (a INT)")
+    eng.sql("INSERT INTO sc VALUES (1)")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO sc VALUES (2)")
+    other = Engine(spark, eng.catalog.warehouse)
+    other.sql("ALTER TABLE sc ADD COLUMN b INT DEFAULT 9")
+    with pytest.raises(ValueError, match="8028"):
+        eng.sql("COMMIT")
+    # the txn was rolled back: the buffered row never landed, and the
+    # session is usable against the NEW schema immediately
+    assert rows(eng.sql("SELECT a, b FROM sc")) == [(1, 9)]
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO sc (a, b) VALUES (2, 2)")
+    eng.sql("COMMIT")  # retry against the new schema succeeds
+    assert sorted(rows(eng.sql("SELECT a, b FROM sc"))) == [(1, 9), (2, 2)]
+    other.close()
+
+
+def test_txn_merges_when_concurrency_is_data_only(spark, eng):
+    """A concurrent plain INSERT moves the catalog stamp (allocator
+    counters) but not the schema — the txn must still merge, not
+    abort (the established interleaved-write contract)."""
+    from tinysql_spark.engine import Engine
+
+    eng.sql("CREATE TABLE scm (a INT)")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO scm VALUES (1)")
+    other = Engine(spark, eng.catalog.warehouse)
+    other.sql("INSERT INTO scm VALUES (100)")
+    eng.sql("COMMIT")
+    assert sorted(rows(eng.sql("SELECT a FROM scm"))) == [(1,), (100,)]
+    other.close()
+
+
+def test_txn_aborts_when_table_dropped_mid_txn(spark, eng):
+    from tinysql_spark.engine import Engine
+
+    eng.sql("CREATE TABLE scd (a INT)")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO scd VALUES (1)")
+    other = Engine(spark, eng.catalog.warehouse)
+    other.sql("DROP TABLE scd")
+    with pytest.raises(ValueError, match="8028"):
+        eng.sql("COMMIT")
+    other.close()

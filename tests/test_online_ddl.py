@@ -368,3 +368,23 @@ def test_unique_backfill_sees_initial_default_fill(eng):
     with pytest.raises(ValueError, match="duplicate entries violate unique index"):
         eng.sql("CREATE UNIQUE INDEX uc ON ud (c)")
     assert eng.sql("SHOW INDEX FROM ud").df.count() == 0
+
+
+def test_txn_buffered_dup_cannot_outrun_online_unique_index(spark, eng, wh):
+    """The soundness hole the commit-time SchemaChecker closes: a txn
+    buffers a duplicate BEFORE the index job starts (so neither the
+    backfill — which reads committed data only — nor the write-only
+    enforcement — which the txn's old-schema statement never saw —
+    catches it). The index lands; the txn's COMMIT must then abort
+    with errno 8028, keeping the unique invariant intact."""
+    eng.sql("CREATE TABLE tq (a INT)")
+    eng.sql("INSERT INTO tq VALUES (1), (2)")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO tq VALUES (2)")  # dup, legal under old schema
+    other = Engine(spark, wh)
+    other.sql("CREATE UNIQUE INDEX ua ON tq (a)")  # full online job lands
+    with pytest.raises(ValueError, match="8028"):
+        eng.sql("COMMIT")
+    assert _vals(eng, "SELECT a FROM tq") == [(1,), (2,)]
+    assert eng.sql("ADMIN CHECK TABLE tq").df.collect()[0]["STATUS"] == "OK"
+    other.close()

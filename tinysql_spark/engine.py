@@ -119,10 +119,13 @@ class _TxnTable:
 class _Txn:
     """Session transaction: staging root + touched-table buffers
     (reference: kv.MemBuffer / kv.UnionStore, kv/kv.go:139 — reads
-    union the snapshot with the in-txn buffer)."""
+    union the snapshot with the in-txn buffer). ``start_stamp`` is the
+    on-disk catalog stamp at BEGIN — the schema version the commit-time
+    SchemaChecker validates against (domain/schema_checker.go:45)."""
 
     dir: str
     tables: dict
+    start_stamp: tuple | None = None
 
 
 @dataclass
@@ -410,11 +413,14 @@ class Engine:
         that runs UNDER the lock, two sessions' interleaved writes
         merge instead of last-write-wins clobbering catalog.json.
         Coarse by design (held for the statement, Spark jobs
-        included): writer throughput is not the contended resource at
-        this layer. Known residue: a transaction COMMIT applies its
-        buffers onto the catalog state snapshotted at its own
-        statements' time — concurrent DDL *during* someone else's
-        open txn remains out of contract (SURVEY §7.12)."""
+        included, EXCEPT online-DDL reorganizations which self-lock
+        per phase): writer throughput is not the contended resource
+        at this layer. A transaction COMMIT applies its buffers onto
+        the catalog state snapshotted at its own statements' time —
+        sound because the commit-time SchemaChecker
+        (_txn_schema_check, errno 8028) aborts any txn whose touched
+        tables changed SCHEMA since BEGIN; data-level concurrency
+        still merges."""
         import fcntl
 
         path = os.path.join(self.catalog.warehouse, ".catalog.lock")
@@ -2695,6 +2701,7 @@ class Engine:
             self.txn = _Txn(
                 dir=os.path.join(self.catalog.warehouse, f".txn-{uuid.uuid4().hex[:8]}"),
                 tables={},
+                start_stamp=self._catalog_stamp(),
             )
             os.makedirs(self.txn.dir, exist_ok=True)
             with open(os.path.join(self.txn.dir, "PID"), "w") as f:
@@ -2868,6 +2875,53 @@ class Engine:
         shutil.rmtree(tmp, ignore_errors=True)
         self._refresh_table(db, table)
 
+    @staticmethod
+    def _schema_sig(info: TableInfo):
+        """Schema identity of a table — everything a txn's buffered
+        writes were validated against. Allocator counters
+        (next_rowid/next_auto) are data-level state and excluded: a
+        concurrent session's plain INSERT must NOT abort the txn (the
+        merge-on-commit contract)."""
+        return (
+            [(c.name, c.type, c.nullable, c.default, c.physical) for c in info.columns],
+            list(info.primary_key),
+            [(i.name, tuple(i.columns), i.unique, i.state) for i in info.indexes],
+            (info.bucket.columns, info.bucket.num_buckets) if info.bucket else None,
+            list(info.partition_by),
+        )
+
+    def _txn_schema_check(self, txn: _Txn) -> None:
+        """Commit-time schema validation — the reference's
+        SchemaChecker (domain/schema_checker.go:45 Check →
+        ErrInfoSchemaChanged; TiDB errno 8028): a transaction whose
+        touched tables changed SCHEMA since it began must abort,
+        because its buffered writes were validated against the old
+        definition (e.g. a unique index that went public mid-txn never
+        saw them — letting the commit through would corrupt the
+        index's invariant). Data-level concurrent writes (stamp moved
+        but schemas equal) keep the documented merge-on-commit
+        behavior. Closes the SURVEY §7.12 residue."""
+        if self._catalog_stamp() == txn.start_stamp:
+            return  # nothing external landed since BEGIN
+        disk = Catalog(self.catalog.warehouse)
+        changed = None
+        for (db, t) in txn.tables:
+            try:
+                cur = disk.dbs[db][t.lower()]
+            except KeyError:
+                changed = f"{t} (dropped)"
+                break
+            if self._schema_sig(cur) != self._schema_sig(self.catalog.get_table(db, t)):
+                changed = t
+                break
+        if changed is not None:
+            self._txn_rollback()
+            raise ValueError(
+                "(errno 8028) Information schema is changed during the "
+                f"execution of the transaction (table {changed}) — the "
+                "transaction was rolled back; retry it against the new schema"
+            )
+
     def _txn_commit(self) -> Result:
         """Publish the transaction: phase 1 PREPARES every touched
         table — delete-touched tables write their final contents to a
@@ -2880,6 +2934,7 @@ class Engine:
         txn = self.txn
         if txn is None:
             return Result(message="commit: no active transaction")
+        self._txn_schema_check(txn)
         prepared: list[tuple[str, str, str]] = []
         prepared_adds: list[tuple[str, str, str]] = []
         try:
