@@ -388,3 +388,54 @@ def test_txn_buffered_dup_cannot_outrun_online_unique_index(spark, eng, wh):
     assert _vals(eng, "SELECT a FROM tq") == [(1,), (2,)]
     assert eng.sql("ADMIN CHECK TABLE tq").df.collect()[0]["STATUS"] == "OK"
     other.close()
+
+
+@pytest.mark.parametrize(
+    "crash_at",
+    [
+        "create_index:delete only",
+        "create_index:write only",
+        "create_index:write reorganization",
+        "create_index:backfill done",
+    ],
+)
+def test_crash_at_every_phase_resumes_to_public(spark, eng, wh, crash_at):
+    """Systematic crash-window sweep: kill the owner at EACH phase
+    boundary of an online unique-index build; the next engine adopts
+    the orphan and rolls it forward to the identical end state —
+    index public and enforcing, all rows intact, job synced.
+    (ddl_worker.go:299 — the restart path must work from every
+    intermediate state, not just the ones that are easy.)"""
+    eng.sql("CREATE TABLE cw (a INT, b INT)")
+    eng.sql("INSERT INTO cw VALUES (1, 1), (2, 2), (3, 3)")
+
+    class Crash(RuntimeError):
+        pass
+
+    def hook(phase, job):
+        if phase == crash_at:
+            raise Crash()
+
+    eng.ddl_phase_hook = hook
+    with pytest.raises(Crash):
+        eng.sql("CREATE UNIQUE INDEX ua ON cw (a)")
+
+    p = subprocess.Popen(["sleep", "0"])
+    p.wait()
+    jobs_path = os.path.join(wh, "ddl_jobs.json")
+    with open(jobs_path) as f:
+        jobs = json.load(f)
+    assert jobs[-1]["status"] == "running"
+    jobs[-1]["pid"] = p.pid
+    with open(jobs_path, "w") as f:
+        json.dump(jobs, f)
+
+    e2 = Engine(spark, wh)
+    assert _disk_index_state(wh, "cw", "ua") == C.STATE_PUBLIC
+    got = e2.sql("ADMIN SHOW DDL JOBS").df.collect()
+    assert got[-1]["STATE"] == "synced"
+    with pytest.raises(ValueError, match="1062"):
+        e2.sql("INSERT INTO cw VALUES (3, 9)")
+    assert _vals(e2, "SELECT a, b FROM cw") == [(1, 1), (2, 2), (3, 3)]
+    assert e2.sql("ADMIN CHECK TABLE cw").df.collect()[0]["STATUS"] == "OK"
+    e2.close()

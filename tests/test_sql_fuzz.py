@@ -810,6 +810,10 @@ _ERR_CASES = [
     ("arity_less", "INSERT INTO err_t VALUES (95)"),
     ("unknown_table", "INSERT INTO err_nosuch VALUES (1)"),
     ("delete_unknown_col", "DELETE FROM err_t WHERE nope = 1"),
+    # omitted no-default NOT NULL column: errno 1364 in the engine
+    # (static strict-mode check, distinct from not_null's 1048 above);
+    # DuckDB rejects it as a NOT NULL violation at execution
+    ("omitted_not_null_1364", "INSERT INTO err_t (k, s) VALUES (99, 'x')"),
 ]
 
 
