@@ -198,6 +198,14 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # for st01_stream_hourly, whose watermarked hourly-agg shape st04
 # hash-checks in parity through the durable sink and st07/st11 keep
 # stateful streaming in-window (streaming retains 7 slots).
+# Round-11 continuation (window-on-landing): q74_online_index_build
+# (the F1 online-DDL close driven end-to-end through the external
+# gate: unlocked backfill + mid-backfill delta insert from a second
+# session + the ALTER initial-default fill, oracled by direct
+# reconstruction from orders) swaps for q64_excess_volume_suppliers
+# — the group-having join family stays evidenced in-window by q73
+# (TPC-H Q11's HAVING-vs-scalar-total is the richer shape) and q64
+# stays hash-checked in parity.
 # st15_stream_tombstone_delete (streaming retraction requests over
 # the maintained ANN index — the last maintenance verb without a
 # streaming twin; its oracle is s15's verbatim, the d19 end-state
@@ -226,7 +234,7 @@ WINDOW: tuple[str, ...] = (
     "d20_prefix_filter_jaccard",
     # relational additions (rounds 5-6)
     "q63_product_type_profit",
-    "q64_excess_volume_suppliers",
+    "q74_online_index_build",
     "q67_ohlc_bars",
     "q68_order_batch_packing",
     "q69_typed_ctas",
