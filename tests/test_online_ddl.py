@@ -225,7 +225,10 @@ def test_crash_resume_rolls_index_job_forward(spark, eng, wh):
     eng.sql("CREATE TABLE cr (a INT, b INT)")
     eng.sql("INSERT INTO cr VALUES (1, 1), (2, 2)")
 
-    class Crash(RuntimeError):
+    # BaseException: models PROCESS DEATH. An Exception-derived error
+    # would be caught by the terminal-state wrapper and roll the job
+    # back instead of leaving it running for the resume path.
+    class Crash(BaseException):
         pass
 
     def hook(phase, job):
@@ -267,7 +270,10 @@ def test_crash_resume_cancels_optimize(spark, eng, wh):
     for i in range(3):
         eng.sql(f"INSERT INTO co VALUES ({i})")
 
-    class Crash(RuntimeError):
+    # BaseException: models PROCESS DEATH. An Exception-derived error
+    # would be caught by the terminal-state wrapper and roll the job
+    # back instead of leaving it running for the resume path.
+    class Crash(BaseException):
         pass
 
     def hook(phase, job):
@@ -409,7 +415,10 @@ def test_crash_at_every_phase_resumes_to_public(spark, eng, wh, crash_at):
     eng.sql("CREATE TABLE cw (a INT, b INT)")
     eng.sql("INSERT INTO cw VALUES (1, 1), (2, 2), (3, 3)")
 
-    class Crash(RuntimeError):
+    # BaseException: models PROCESS DEATH. An Exception-derived error
+    # would be caught by the terminal-state wrapper and roll the job
+    # back instead of leaving it running for the resume path.
+    class Crash(BaseException):
         pass
 
     def hook(phase, job):
@@ -439,3 +448,117 @@ def test_crash_at_every_phase_resumes_to_public(spark, eng, wh, crash_at):
     assert _vals(e2, "SELECT a, b FROM cw") == [(1, 1), (2, 2), (3, 3)]
     assert e2.sql("ADMIN CHECK TABLE cw").df.collect()[0]["STATUS"] == "OK"
     e2.close()
+
+
+# ---------------------------------------------------------------------------
+# Review-hardening cases (round-11 continuation): terminal-state
+# guarantee for in-process failures, resume of an already-public
+# index, and sweeper-vs-live-staging coexistence.
+# ---------------------------------------------------------------------------
+
+
+def test_inprocess_failure_rolls_job_back_not_wedged(eng):
+    """An Exception during the job (here: a hook failure standing in
+    for a Spark stage error) must NOT leave the job 'running' with a
+    live pid — that would refuse all DDL on the table for the life of
+    the process. The wrapper rolls the half-built index back; the
+    table is immediately DDL-able again."""
+    eng.sql("CREATE TABLE ipf (a INT)")
+    eng.sql("INSERT INTO ipf VALUES (1)")
+
+    def hook(phase, job):
+        if phase == "create_index:write only":
+            raise ValueError("injected stage failure")
+
+    eng.ddl_phase_hook = hook
+    with pytest.raises(ValueError, match="injected stage failure"):
+        eng.sql("CREATE INDEX ia ON ipf (a)")
+    eng.ddl_phase_hook = None
+    jobs = eng.sql("ADMIN SHOW DDL JOBS").df.collect()
+    assert jobs[-1]["STATE"] == "rollback done"
+    assert _disk_index_state(eng.catalog.warehouse, "ipf", "ia") == C.STATE_NONE
+    # not wedged: DDL on the table proceeds at once
+    eng.sql("CREATE INDEX ia ON ipf (a)")
+    assert _disk_index_state(eng.catalog.warehouse, "ipf", "ia") == C.STATE_PUBLIC
+
+
+def test_resume_of_already_public_index_just_closes_job(spark, eng, wh):
+    """Crash window between the catalog publish (state=public) and the
+    job-file write: the resume path must close the job out, NOT demote
+    the completed index back to write-reorg and redo the backfill."""
+    eng.sql("CREATE TABLE rp (a INT)")
+    eng.sql("INSERT INTO rp VALUES (1), (2)")
+    eng.sql("CREATE UNIQUE INDEX ua ON rp (a)")  # completes normally
+    # forge the crash window: catalog says public, job says running+dead
+    p = subprocess.Popen(["sleep", "0"])
+    p.wait()
+    jobs_path = os.path.join(wh, "ddl_jobs.json")
+    with open(jobs_path) as f:
+        jobs = json.load(f)
+    assert jobs[-1]["type"] == "create_index"
+    jobs[-1]["status"] = "running"
+    jobs[-1]["schema_state"] = C.STATE_PUBLIC
+    jobs[-1]["pid"] = p.pid
+    with open(jobs_path, "w") as f:
+        json.dump(jobs, f)
+    files_before = sorted(os.listdir(os.path.join(wh, "default", "rp", "data")))
+    e2 = Engine(spark, wh)
+    got = e2.sql("ADMIN SHOW DDL JOBS").df.collect()
+    assert got[-1]["STATE"] == "synced"
+    assert _disk_index_state(wh, "rp", "ua") == C.STATE_PUBLIC
+    # no re-backfill: the data files were not rewritten
+    files_after = sorted(os.listdir(os.path.join(wh, "default", "rp", "data")))
+    assert files_before == files_after
+    e2.close()
+
+
+def test_sweeper_spares_live_reorg_staging(spark, eng, wh):
+    """data.reorg-* staging belongs to an hours-long ONLINE job; the
+    orphan sweeper must spare it while a running job with a live owner
+    claims it, and collect it once the claim is gone."""
+    eng.sql("CREATE TABLE sw (a INT)")
+    eng.sql("INSERT INTO sw VALUES (1)")
+    tdir = os.path.join(wh, "default", "sw")
+    live = os.path.join(tdir, "data.reorg-livejob1")
+    dead = os.path.join(tdir, "data.reorg-deadjob1")
+    os.makedirs(live)
+    os.makedirs(dead)
+    jobs_path = os.path.join(wh, "ddl_jobs.json")
+    with open(jobs_path) as f:
+        jobs = json.load(f)
+    jobs.append(
+        {
+            "id": len(jobs) + 1,
+            "type": "create_index",
+            "target": "sw",
+            "table": "default.sw",
+            "query": "CREATE INDEX fake ON sw (a)",
+            "status": "running",
+            "schema_state": C.STATE_WRITE_REORG,
+            "row_count": 0,
+            "pid": os.getpid(),  # alive: this claim protects `live`
+            "staging": live,
+            "index": "fake",
+        }
+    )
+    with open(jobs_path, "w") as f:
+        json.dump(jobs, f)
+    e2 = Engine(spark, wh)  # init runs the sweeper
+    assert os.path.isdir(live), "live staging must survive the sweep"
+    assert not os.path.exists(dead), "unclaimed reorg dir is crash litter"
+    e2.close()
+
+
+def test_truncate_clears_initial_default_watermarks(eng):
+    """TRUNCATE resets rowids to 1; stale fill watermarks would make
+    brand-new rows below the old watermark read the DEFAULT instead of
+    their real NULL (review finding) — truncation voids the fills."""
+    eng.sql("CREATE TABLE twm (k INT)")
+    eng.sql("INSERT INTO twm VALUES (1), (2), (3)")
+    eng.sql("ALTER TABLE twm ADD COLUMN tag INT DEFAULT 7")
+    assert {r.tag for r in eng.sql("SELECT tag FROM twm").df.collect()} == {7}
+    eng.sql("TRUNCATE TABLE twm")
+    eng.sql("INSERT INTO twm (k, tag) VALUES (1, NULL)")
+    eng.sql("INSERT INTO twm (k) VALUES (2)")  # omitted -> declared default
+    got = {r.k: r.tag for r in eng.sql("SELECT k, tag FROM twm").df.collect()}
+    assert got == {1: None, 2: 7}

@@ -446,6 +446,12 @@ class Catalog:
         write-new-dir-then-rename (SURVEY §7.3.1): the data dir is
         replaced in two renames; the trash dir is cleaned best-effort.
         """
+        if not os.path.isdir(new_dir):
+            # NEVER rename the live data dir aside for a staging dir
+            # that is gone (e.g. swept or deleted by a racing cleanup)
+            # — failing after the first rename would leave the table
+            # with no data dir at all
+            raise ValueError(f"swap source missing: {new_dir}")
         data = self.data_dir(db, table)
         trash = data + f".trash-{uuid.uuid4().hex[:8]}"
         if os.path.exists(data):

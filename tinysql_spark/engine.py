@@ -51,7 +51,7 @@ from .catalog import (
     IndexInfo,
     TableInfo,
 )
-from .ddljobs import DDLJobLog
+from .ddljobs import DDLJobLog, pid_alive as _job_pid_alive
 
 
 def _implicit_default(col_type: str) -> str | None:
@@ -226,9 +226,20 @@ class Engine:
         and `data.tmp-*` / `data.append-*` only when old enough (1 h)
         that no live commit can still be writing them — prepare dirs
         are sub-commit-lived, so age is a safe liveness proxy where a
-        PID marker would race the Spark write that creates the dir."""
+        PID marker would race the Spark write that creates the dir.
+        `data.reorg-*` dirs are ONLINE-DDL staging — hours-long by
+        design, so age proves nothing; each is claimed by a DDL job
+        record (written BEFORE the first byte) and is removed only
+        when no running job with a live owner claims it."""
         import time
 
+        live_reorg = {
+            j["staging"]
+            for j in self.ddl_log.load()
+            if j["status"] == "running"
+            and j.get("staging")
+            and _job_pid_alive(j.get("pid", 0))
+        }
         cutoff = time.time() - 3600
         for db, tables in self.catalog.dbs.items():
             for t in tables:
@@ -241,6 +252,9 @@ class Engine:
                     path = os.path.join(tdir, e)
                     if e.startswith("data.trash-"):
                         shutil.rmtree(path, ignore_errors=True)
+                    elif e.startswith("data.reorg-"):
+                        if path not in live_reorg:
+                            shutil.rmtree(path, ignore_errors=True)
                     elif e.startswith(("data.tmp-", "data.append-")):
                         try:
                             if os.path.getmtime(path) < cutoff:
@@ -504,10 +518,16 @@ class Engine:
         return df.select(df[ROWID], *self._logical_columns(df, info))
 
     def _adopt_delta_files(self, db: str, t: str, delta, staging: str) -> None:
-        """Move files appended to the live data dir since the snapshot
+        """COPY files appended to the live data dir since the snapshot
         into the staging dir (relative paths preserved), so the swap
-        publishes reorganized-snapshot + untouched-delta. Delta files
-        keep their append layout — layout is advisory, rows are not."""
+        publishes reorganized-snapshot + untouched-delta. Copy, not
+        move: until the swap lands, the live data dir must keep the
+        only committed copy of those rows — a crash between adoption
+        and swap deletes the staging dir on resume, and a MOVE would
+        take the concurrent writers' committed rows with it. The
+        originals die naturally with the old dir at swap time. Delta
+        files keep their append layout — layout is advisory, rows are
+        not."""
         data = self.catalog.data_dir(db, t)
         for rel in sorted(delta):
             src = os.path.join(data, rel)
@@ -515,7 +535,7 @@ class Engine:
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             if os.path.exists(dst):  # defensive: part names are UUID-unique
                 dst = dst + f".delta-{uuid.uuid4().hex[:6]}.parquet"
-            shutil.move(src, dst)
+            shutil.copy2(src, dst)
 
     def _resume_orphan_ddl(self) -> None:
         """Adopt `running` jobs whose owner died (ddl_worker restart
@@ -552,7 +572,13 @@ class Engine:
                 with self._locked_catalog_step():
                     self.ddl_log.update(j["id"], status="cancelled")
                 continue
-            self._drive_index_job(db, t, idx.name, j)
+            try:
+                self._drive_index_job(db, t, idx.name, j)
+            except Exception:
+                # a failed resume must not prevent the engine from
+                # starting, and must not re-wedge the table: roll the
+                # half-built index back and move on
+                self._ensure_index_job_terminal(j)
 
     def _execute_one(self, stmt: str) -> Result:
         kind = P.statement_kind(stmt)
@@ -826,14 +852,18 @@ class Engine:
         """Rename logical -> in-file column names just before a write."""
         return df.toDF(ROWID, *[c.file_name for c in info.columns])
 
-    def _prepare_swap(self, db: str, table: str, df: DataFrame) -> str:
+    def _prepare_swap(self, db: str, table: str, df: DataFrame, tmp: str | None = None) -> str:
         """Write df (full schema) to a tmp dir in the table's declared
         layout and return the tmp path — the PREPARE half of the
         write-then-rename commit protocol (the swap itself is a
         metadata rename). Split out so multi-table COMMIT can prepare
-        every table before publishing any of them."""
+        every table before publishing any of them. Online DDL passes
+        an explicit ``tmp`` (a `data.reorg-*` path pre-recorded in its
+        job entry) so the orphan sweeper can tell a LIVE hours-long
+        reorganization from crash litter."""
         info = self.catalog.get_table(db, table)
-        tmp = self.catalog.data_dir(db, table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        if tmp is None:
+            tmp = self.catalog.data_dir(db, table) + f".tmp-{uuid.uuid4().hex[:8]}"
         try:
             cols = [F.col(ROWID).cast("long")] + [
                 F.col(c.name).cast(c.spark_type()) for c in info.columns
@@ -1260,7 +1290,19 @@ class Engine:
         empty = self.spark.createDataFrame([], info.full_schema())
         self._write_swap(db, t, empty)
         info.next_rowid = 1
+        # rowids restart at 1, so stale initial-default watermarks
+        # would FILL brand-new rows below the old watermark (a
+        # post-truncate explicit NULL silently reading the DEFAULT);
+        # all pre-ALTER rows are gone, so the fills are void
+        dropped_fill = False
+        for c in info.columns:
+            if c.initial_default is not None or c.initial_default_below:
+                c.initial_default = None
+                c.initial_default_below = None
+                dropped_fill = True
         self.catalog.update()
+        if dropped_fill:
+            self._register_table(db, t)  # drop the stale CASE view
         return Result(message=f"table {t} truncated")
 
     def _exec_create_index(self, stmt: str) -> Result:
@@ -1322,7 +1364,27 @@ class Engine:
                 index=idx_name,
             )
         self._ddl_hook(f"create_index:{STATE_DELETE_ONLY}", job)
-        return self._drive_index_job(db, t, idx_name, job)
+        try:
+            return self._drive_index_job(db, t, idx_name, job)
+        except Exception:
+            # terminal-state guarantee: an in-process failure (Spark
+            # job error, disk full, ...) must never leave the job
+            # 'running' with a live pid — that would wedge all DDL on
+            # the table for the life of the process. True crashes
+            # (process death) are the orphan-resume path's business.
+            self._ensure_index_job_terminal(job)
+            raise
+
+    def _ensure_index_job_terminal(self, job: dict) -> None:
+        """Roll back a failed index job unless a code path already
+        closed it out (the dup-rollback / cancelled paths raise AFTER
+        marking the job, so this is their no-op)."""
+        current = next((j for j in self.ddl_log.load() if j["id"] == job["id"]), None)
+        if current is None or current["status"] != "running":
+            return
+        if current.get("staging"):
+            shutil.rmtree(current["staging"], ignore_errors=True)
+        self._cancel_index_job(job, rollback=True)
 
     def _find_index(self, db: str, t: str, idx_name: str) -> tuple[TableInfo, IndexInfo | None]:
         try:
@@ -1359,6 +1421,15 @@ class Engine:
             if idx is None:
                 self._cancel_index_job(job, rollback=False)
                 raise ValueError(f"index {idx_name} vanished mid-job (table dropped?)")
+            if idx.state == STATE_PUBLIC:
+                # crash window between the catalog publish and the job
+                # record (same locked step, two file writes): the index
+                # is already complete — just close the job out
+                with self._locked_catalog_step():
+                    self.ddl_log.update(
+                        job["id"], schema_state=STATE_PUBLIC, status="synced", staging=None
+                    )
+                return Result(message=f"index {idx_name} created on {t}")
             if idx.state == STATE_WRITE_REORG:
                 break
             nxt = (
@@ -1395,12 +1466,16 @@ class Engine:
             if dup:
                 raise _UniqueBackfillDup()
 
-        def _stage(src: DataFrame) -> str:
+        def _stage(src: DataFrame, tmp: str) -> str:
             return self._prepare_swap(
                 db,
                 t,
                 src.repartitionByRange(*col_list).sortWithinPartitions(*col_list),
+                tmp=tmp,
             )
+
+        def _new_reorg_dir() -> str:
+            return self.catalog.data_dir(db, t) + f".reorg-{uuid.uuid4().hex[:8]}"
 
         # ---- backfill: NO lock held -----------------------------------
         snapshot = self._list_data_files(db, t)
@@ -1413,17 +1488,18 @@ class Engine:
                     _audit(src)
                 if relayout:
                     rows = src.count()  # parquet-footer count: metadata-only
-                    staging = _stage(src)
+                    reorg = _new_reorg_dir()
+                    # record BEFORE the hours-long build: the sweeper
+                    # must see a live job claiming this dir from the
+                    # first byte written
+                    with self._locked_catalog_step():
+                        self.ddl_log.update(job["id"], staging=reorg)
+                    staging = _stage(src, reorg)
         except _UniqueBackfillDup:
             self._cancel_index_job(job, rollback=True)
             raise ValueError(
                 f"duplicate entries violate unique index {idx_name}"
             ) from None
-        if staging:
-            # record for crash cleanup (a crash before this record
-            # leaves a .tmp dir the age sweeper collects)
-            with self._locked_catalog_step():
-                self.ddl_log.update(job["id"], staging=staging)
         self._ddl_hook("create_index:backfill done", job)
 
         # ---- publish: short lock, delta catch-up, swap -----------------
@@ -1446,7 +1522,9 @@ class Engine:
                             _audit(src)
                         if relayout:
                             rows = src.count()
-                            staging = _stage(src)
+                            reorg = _new_reorg_dir()
+                            self.ddl_log.update(job["id"], staging=reorg)
+                            staging = _stage(src, reorg)
                 else:
                     delta = current - snapshot
                     if staging and delta:
@@ -1538,6 +1616,15 @@ class Engine:
                         "ZORDER BY conflicts with the table's CLUSTERED BY bucket "
                         "layout (bucketed joins require hash placement)"
                     )
+            # validate BEFORE the job is appended: a failure past this
+            # point must never leave a 'running' job wedging the table
+            try:
+                target = int(self.sys_vars.get("optimize_target_mb", "128")) << 20
+            except ValueError:
+                raise ValueError(
+                    f"optimize_target_mb must be an integer, got "
+                    f"{self.sys_vars.get('optimize_target_mb')!r}"
+                ) from None
             job = self.ddl_log.append(
                 type="optimize",
                 target=t,
@@ -1548,6 +1635,23 @@ class Engine:
             )
 
         data = self.catalog.data_dir(db, t)
+        try:
+            return self._optimize_run(db, t, data, job, zcols, target)
+        except Exception:
+            # terminal-state guarantee (same as the index path): an
+            # in-process failure must never leave the job 'running'
+            cur = next(
+                (j for j in self.ddl_log.load() if j["id"] == job["id"]), None
+            )
+            if cur is not None and cur["status"] == "running":
+                if cur.get("staging"):
+                    shutil.rmtree(cur["staging"], ignore_errors=True)
+                self._cancel_plain_job(job)
+            raise
+
+    def _optimize_run(
+        self, db: str, t: str, data: str, job: dict, zcols, target: int
+    ) -> Result:
         snapshot = self._list_data_files(db, t)
         before = len(snapshot)
         total_bytes = 0
@@ -1556,7 +1660,6 @@ class Engine:
                 total_bytes += os.path.getsize(os.path.join(data, rel))
             except OSError:
                 pass  # vanished under a concurrent rewrite — publish redoes
-        target = int(self.sys_vars.get("optimize_target_mb", "128")) << 20
         n = max(1, -(-total_bytes // target))
 
         def _build(src: DataFrame) -> DataFrame:
@@ -1581,42 +1684,45 @@ class Engine:
         # ---- rewrite: NO lock held -------------------------------------
         staging: str | None = None
         if snapshot:
-            staging = self._prepare_swap(db, t, _build(self._read_files(db, t, snapshot)))
+            reorg = data + f".reorg-{uuid.uuid4().hex[:8]}"
             with self._locked_catalog_step():
-                self.ddl_log.update(job["id"], staging=staging)
+                self.ddl_log.update(job["id"], staging=reorg)
+            staging = self._prepare_swap(
+                db, t, _build(self._read_files(db, t, snapshot)), tmp=reorg
+            )
         self._ddl_hook("optimize:staged", job)
 
         # ---- publish: short lock, delta catch-up, swap -----------------
-        try:
-            with self._locked_catalog_step():
-                self.catalog.get_table(db, t)  # raises if dropped mid-job
-                current = self._list_data_files(db, t)
-                if not snapshot <= current:
-                    if staging:
-                        shutil.rmtree(staging, ignore_errors=True)
-                        staging = None
-                    if current:
-                        staging = self._prepare_swap(db, t, _build(self._raw(db, t)))
-                else:
-                    delta = current - snapshot
-                    if staging and delta:
-                        self._adopt_delta_files(db, t, delta, staging)
+        # (failures here, incl. table-dropped, propagate to the
+        # terminal-state wrapper in _exec_optimize)
+        with self._locked_catalog_step():
+            self.catalog.get_table(db, t)  # raises if dropped mid-job
+            current = self._list_data_files(db, t)
+            if not snapshot <= current:
                 if staging:
-                    self.catalog.swap_data_dir(db, t, staging)
-                    self._refresh_table(db, t)
-                after = len(self._list_data_files(db, t))
-                self.ddl_log.update(
-                    job["id"],
-                    status="synced",
-                    schema_state=STATE_PUBLIC,
-                    row_count=0,
-                    staging=None,
-                )
-        except ValueError:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    staging = None
+                if current:
+                    reorg = data + f".reorg-{uuid.uuid4().hex[:8]}"
+                    self.ddl_log.update(job["id"], staging=reorg)
+                    staging = self._prepare_swap(
+                        db, t, _build(self._raw(db, t)), tmp=reorg
+                    )
+            else:
+                delta = current - snapshot
+                if staging and delta:
+                    self._adopt_delta_files(db, t, delta, staging)
             if staging:
-                shutil.rmtree(staging, ignore_errors=True)
-            self._cancel_plain_job(job)
-            raise
+                self.catalog.swap_data_dir(db, t, staging)
+                self._refresh_table(db, t)
+            after = len(self._list_data_files(db, t))
+            self.ddl_log.update(
+                job["id"],
+                status="synced",
+                schema_state=STATE_PUBLIC,
+                row_count=0,
+                staging=None,
+            )
         self._ddl_hook("optimize:done", job)
         suffix = f" (zorder by {', '.join(zcols)})" if zcols else ""
         return Result(
@@ -1722,12 +1828,19 @@ class Engine:
             elif dm and dm.group(1).upper() == "CURRENT_TIMESTAMP":
                 # MySQL fills pre-existing rows with the ALTER's own
                 # execution timestamp, materialized once — not
-                # re-evaluated per read
+                # re-evaluated per read. Rendered in the SPARK
+                # SESSION's timezone (the literal is later CAST in
+                # that zone; a UTC wall-time string under a non-UTC
+                # session would skew old rows by the offset)
                 import datetime as _dt
+                import zoneinfo as _zi
 
-                init = "'" + _dt.datetime.now(_dt.timezone.utc).strftime(
-                    "%Y-%m-%d %H:%M:%S"
-                ) + "'"
+                tz_name = self.spark.conf.get("spark.sql.session.timeZone")
+                try:
+                    tz = _zi.ZoneInfo(tz_name)
+                except Exception:
+                    tz = _dt.timezone.utc
+                init = "'" + _dt.datetime.now(tz).strftime("%Y-%m-%d %H:%M:%S") + "'"
             elif dm is None and not nullable:
                 init = _implicit_default(col_type)
                 if init is None and info.next_rowid > 1:
