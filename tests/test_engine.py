@@ -2120,3 +2120,16 @@ def test_txn_aborts_when_table_dropped_mid_txn(spark, eng):
     with pytest.raises(ValueError, match="8028"):
         eng.sql("COMMIT")
     other.close()
+
+
+def test_analyze_works_on_initial_default_table(eng):
+    """A table with an initial-default fill registers as backing+view;
+    ANALYZE must target the __phys backing (Spark rejects ANALYZE on a
+    view) — the needs_backing() predicate keeps registration, refresh
+    and ANALYZE agreeing on which tables are backed."""
+    eng.sql("CREATE TABLE anb (a INT)")
+    eng.sql("INSERT INTO anb VALUES (1), (2)")
+    eng.sql("ALTER TABLE anb ADD COLUMN c INT DEFAULT 5")
+    eng.sql("ANALYZE TABLE anb")
+    st = eng.table_stats.get(("default", "anb"))
+    assert st and "c" in st

@@ -318,6 +318,19 @@ class TableInfo:
         existing rows until its backfill lands."""
         return [i for i in self.indexes if i.state == STATE_PUBLIC]
 
+    def needs_backing(self) -> bool:
+        """True when the table registers as a __phys backing table
+        behind a view (physical-name mapping, hive partitioning, or
+        the initial-default fill — which needs _rowid in the backing
+        schema). Every site that special-cases 'the logical name is a
+        VIEW' (registration, refresh, ANALYZE) must use this ONE
+        predicate, or a new backing reason silently breaks them."""
+        return bool(
+            self.has_name_mapping()
+            or self.partition_by
+            or self.initial_default_columns()
+        )
+
     def initial_default_columns(self) -> list[ColumnInfo]:
         """Columns whose pre-ALTER rows need the read-time default fill."""
         return [

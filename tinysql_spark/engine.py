@@ -685,7 +685,7 @@ class Engine:
         backing = self._spark_name(db, table + "__phys")
         self._drop_spark_entry(name)
         self.spark.sql(f"DROP TABLE IF EXISTS {backing}")
-        if info.has_name_mapping() or info.partition_by or info.initial_default_columns():
+        if info.needs_backing():
             phys = {c.name: c.file_name for c in info.columns}
             b = info.bucket
             bucket_ddl = ""
@@ -838,7 +838,7 @@ class Engine:
 
     def _refresh_table(self, db: str, table: str) -> None:
         info = self.catalog.get_table(db, table)
-        backed = info.has_name_mapping() or bool(info.partition_by)
+        backed = info.needs_backing()
         name = self._spark_name(db, table + "__phys" if backed else table)
         if info.partition_by:
             # hive-style partition dirs register in the metastore via
@@ -2716,7 +2716,7 @@ class Engine:
             # table, and Spark rejects ANALYZE TABLE on a view — stats
             # go on the backing table (same data; the CBO reads them
             # through the view's aliases)
-            backed = info.has_name_mapping() or bool(info.partition_by)
+            backed = info.needs_backing()
             target = t + "__phys" if backed else t
             self.spark.sql(
                 f"ANALYZE TABLE {self._spark_name(db, target)} COMPUTE STATISTICS FOR ALL COLUMNS"
