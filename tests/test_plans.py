@@ -259,6 +259,10 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
                 "q68_order_batch_packing",  # bounded 1-row depth pre-check
                 # engine-path op: DDL + INSERT ARE the operator
                 "q69_typed_ctas",
+                # engine-path op: the online index build (CTAS + ALTER
+                # fill + F1 job with mid-backfill insert) IS the
+                # operator; the read itself is lazy (q69 discipline)
+                "q74_online_index_build",
                 # bounded tokenizer-training sample collect IS the design
                 "p15_bpe_epoch_repeat_plan",
                 # same bounded training collect, distinct merge budget
