@@ -2133,3 +2133,19 @@ def test_analyze_works_on_initial_default_table(eng):
     eng.sql("ANALYZE TABLE anb")
     st = eng.table_stats.get(("default", "anb"))
     assert st and "c" in st
+
+
+def test_optimize_target_mb_validated_before_enqueue(eng):
+    """Zero/negative/non-numeric optimize_target_mb must fail BEFORE
+    a job is enqueued (a failure past that point would leave a
+    cancelled job row for a statement that never did anything)."""
+    eng.sql("CREATE TABLE otv (a INT)")
+    eng.sql("INSERT INTO otv VALUES (1)")
+    jobs_before = eng.sql("ADMIN SHOW DDL JOBS").df.count()
+    for bad in ("'abc'", "0", "-4"):
+        eng.sql(f"SET optimize_target_mb = {bad}")
+        with pytest.raises(ValueError, match="positive integer"):
+            eng.sql("OPTIMIZE TABLE otv")
+    assert eng.sql("ADMIN SHOW DDL JOBS").df.count() == jobs_before
+    eng.sql("SET optimize_target_mb = 128")
+    assert "optimized" in eng.sql("OPTIMIZE TABLE otv").message

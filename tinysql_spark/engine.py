@@ -83,6 +83,13 @@ _LITERAL_DEFAULT_RE = P.re.compile(
 )
 
 
+# online-DDL staging dir prefix — ONE spelling shared by the two
+# constructors and the sweeper's claim check (a drifted copy would
+# either leak staging dirs forever or let the sweeper collect live
+# ones)
+_REORG_PREFIX = "data.reorg-"
+
+
 class _UniqueBackfillDup(Exception):
     """Internal: the online index backfill found duplicate keys."""
 
@@ -233,13 +240,19 @@ class Engine:
         when no running job with a live owner claims it."""
         import time
 
-        live_reorg = {
-            j["staging"]
-            for j in self.ddl_log.load()
-            if j["status"] == "running"
-            and j.get("staging")
-            and _job_pid_alive(j.get("pid", 0))
-        }
+        def _reorg_is_claimed(path: str) -> bool:
+            # re-read the job log AT DECISION TIME, not once up front:
+            # a job records its staging path (under the flock) BEFORE
+            # creating the dir, so any dir that exists when we test it
+            # has its claim on disk already — a snapshot taken before
+            # the walk would miss claims recorded mid-sweep (TOCTOU)
+            return any(
+                j["status"] == "running"
+                and j.get("staging") == path
+                and _job_pid_alive(j.get("pid", 0))
+                for j in self.ddl_log.load()
+            )
+
         cutoff = time.time() - 3600
         for db, tables in self.catalog.dbs.items():
             for t in tables:
@@ -252,8 +265,8 @@ class Engine:
                     path = os.path.join(tdir, e)
                     if e.startswith("data.trash-"):
                         shutil.rmtree(path, ignore_errors=True)
-                    elif e.startswith("data.reorg-"):
-                        if path not in live_reorg:
+                    elif e.startswith(_REORG_PREFIX):
+                        if not _reorg_is_claimed(path):
                             shutil.rmtree(path, ignore_errors=True)
                     elif e.startswith(("data.tmp-", "data.append-")):
                         try:
@@ -485,6 +498,14 @@ class Engine:
                 f"(job {j['id']}: {j['type']}, {j['schema_state']}) — "
                 "wait for it to finish"
             )
+
+    def _new_reorg_path(self, db: str, t: str) -> str:
+        """A fresh online-staging path in the table dir — the ONE
+        constructor for the _REORG_PREFIX naming the sweeper's claim
+        check recognizes."""
+        return os.path.join(
+            self.catalog.table_dir(db, t), _REORG_PREFIX + uuid.uuid4().hex[:8]
+        )
 
     def _list_data_files(self, db: str, t: str) -> frozenset:
         """Relative paths of every data file under the table's data
@@ -1375,16 +1396,23 @@ class Engine:
             self._ensure_index_job_terminal(job)
             raise
 
-    def _ensure_index_job_terminal(self, job: dict) -> None:
-        """Roll back a failed index job unless a code path already
+    def _ensure_job_terminal(self, job: dict, cancel) -> None:
+        """Roll back a failed online job unless a code path already
         closed it out (the dup-rollback / cancelled paths raise AFTER
-        marking the job, so this is their no-op)."""
+        marking the job, so this is their no-op). Shared by the index
+        and optimize wrappers — ``cancel`` is the job-type-specific
+        terminal write."""
         current = next((j for j in self.ddl_log.load() if j["id"] == job["id"]), None)
         if current is None or current["status"] != "running":
             return
         if current.get("staging"):
             shutil.rmtree(current["staging"], ignore_errors=True)
-        self._cancel_index_job(job, rollback=True)
+        cancel()
+
+    def _ensure_index_job_terminal(self, job: dict) -> None:
+        self._ensure_job_terminal(
+            job, lambda: self._cancel_index_job(job, rollback=True)
+        )
 
     def _find_index(self, db: str, t: str, idx_name: str) -> tuple[TableInfo, IndexInfo | None]:
         try:
@@ -1474,8 +1502,6 @@ class Engine:
                 tmp=tmp,
             )
 
-        def _new_reorg_dir() -> str:
-            return self.catalog.data_dir(db, t) + f".reorg-{uuid.uuid4().hex[:8]}"
 
         # ---- backfill: NO lock held -----------------------------------
         snapshot = self._list_data_files(db, t)
@@ -1488,7 +1514,7 @@ class Engine:
                     _audit(src)
                 if relayout:
                     rows = src.count()  # parquet-footer count: metadata-only
-                    reorg = _new_reorg_dir()
+                    reorg = self._new_reorg_path(db, t)
                     # record BEFORE the hours-long build: the sweeper
                     # must see a live job claiming this dir from the
                     # first byte written
@@ -1522,7 +1548,7 @@ class Engine:
                             _audit(src)
                         if relayout:
                             rows = src.count()
-                            reorg = _new_reorg_dir()
+                            reorg = self._new_reorg_path(db, t)
                             self.ddl_log.update(job["id"], staging=reorg)
                             staging = _stage(src, reorg)
                 else:
@@ -1619,12 +1645,15 @@ class Engine:
             # validate BEFORE the job is appended: a failure past this
             # point must never leave a 'running' job wedging the table
             try:
-                target = int(self.sys_vars.get("optimize_target_mb", "128")) << 20
+                target_mb = int(self.sys_vars.get("optimize_target_mb", "128"))
             except ValueError:
+                target_mb = 0
+            if target_mb <= 0:
                 raise ValueError(
-                    f"optimize_target_mb must be an integer, got "
+                    f"optimize_target_mb must be a positive integer, got "
                     f"{self.sys_vars.get('optimize_target_mb')!r}"
-                ) from None
+                )
+            target = target_mb << 20
             job = self.ddl_log.append(
                 type="optimize",
                 target=t,
@@ -1640,13 +1669,7 @@ class Engine:
         except Exception:
             # terminal-state guarantee (same as the index path): an
             # in-process failure must never leave the job 'running'
-            cur = next(
-                (j for j in self.ddl_log.load() if j["id"] == job["id"]), None
-            )
-            if cur is not None and cur["status"] == "running":
-                if cur.get("staging"):
-                    shutil.rmtree(cur["staging"], ignore_errors=True)
-                self._cancel_plain_job(job)
+            self._ensure_job_terminal(job, lambda: self._cancel_plain_job(job))
             raise
 
     def _optimize_run(
@@ -1684,7 +1707,7 @@ class Engine:
         # ---- rewrite: NO lock held -------------------------------------
         staging: str | None = None
         if snapshot:
-            reorg = data + f".reorg-{uuid.uuid4().hex[:8]}"
+            reorg = self._new_reorg_path(db, t)
             with self._locked_catalog_step():
                 self.ddl_log.update(job["id"], staging=reorg)
             staging = self._prepare_swap(
@@ -1703,7 +1726,7 @@ class Engine:
                     shutil.rmtree(staging, ignore_errors=True)
                     staging = None
                 if current:
-                    reorg = data + f".reorg-{uuid.uuid4().hex[:8]}"
+                    reorg = self._new_reorg_path(db, t)
                     self.ddl_log.update(job["id"], staging=reorg)
                     staging = self._prepare_swap(
                         db, t, _build(self._raw(db, t)), tmp=reorg
@@ -1828,19 +1851,15 @@ class Engine:
             elif dm and dm.group(1).upper() == "CURRENT_TIMESTAMP":
                 # MySQL fills pre-existing rows with the ALTER's own
                 # execution timestamp, materialized once — not
-                # re-evaluated per read. Rendered in the SPARK
-                # SESSION's timezone (the literal is later CAST in
-                # that zone; a UTC wall-time string under a non-UTC
-                # session would skew old rows by the offset)
-                import datetime as _dt
-                import zoneinfo as _zi
-
-                tz_name = self.spark.conf.get("spark.sql.session.timeZone")
-                try:
-                    tz = _zi.ZoneInfo(tz_name)
-                except Exception:
-                    tz = _dt.timezone.utc
-                init = "'" + _dt.datetime.now(tz).strftime("%Y-%m-%d %H:%M:%S") + "'"
+                # re-evaluated per read. Rendered BY SPARK so the
+                # string is in the session timezone for every format
+                # Spark accepts (region names, 'GMT+8', '+08:00' —
+                # zoneinfo parses only the first; the literal is later
+                # CAST in the session zone, so any other rendering
+                # would skew old rows by the offset)
+                init = "'" + self.spark.sql(
+                    "SELECT date_format(current_timestamp(), 'yyyy-MM-dd HH:mm:ss')"
+                ).collect()[0][0] + "'"
             elif dm is None and not nullable:
                 init = _implicit_default(col_type)
                 if init is None and info.next_rowid > 1:
