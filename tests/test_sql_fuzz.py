@@ -1834,3 +1834,102 @@ def test_differential_default_evolution_fuzz(fuzz_eng, fuzz_duck, seed):
     )
     chk = [tuple(r) for r in fuzz_eng.sql(f"ADMIN CHECK TABLE {tbl}").df.collect()]
     assert chk and all(r[-1] == "OK" for r in chk), (seed, chk)
+
+
+# ---------------------------------------------------------------------------
+# CRASH-RESUME fuzz (round-11 continuation): combines the online-DDL
+# interleaving corpus with the crash-window sweep — a seeded case
+# fires concurrent DML at one phase, "kills" the owner (BaseException
+# from the hook + forged dead pid) at the same or a later phase, then
+# a fresh engine adopts the orphan and rolls the index job forward.
+# The final table must match DuckDB executing exactly the statements
+# that actually ran before the crash, the job must land synced, and
+# the table must audit clean — i.e. recovery is correct from ANY
+# (phase, concurrent-DML) combination, not just the directed ones.
+# ---------------------------------------------------------------------------
+
+
+class _FuzzCrash(BaseException):
+    """Models process death (BaseException: the terminal-state wrapper
+    must NOT catch it — a caught crash would roll the job back instead
+    of leaving it for the resume path)."""
+
+
+def test_differential_crash_resume_fuzz(spark, fuzz_eng, fuzz_duck):
+    import json as _json
+    import os as _os
+    import subprocess as _sp
+
+    wh = fuzz_eng.catalog.warehouse
+    for seed in range(10):
+        rng = random.Random(seed * 292241 + 7)
+        tbl = f"cr{seed}"
+        unique = rng.random() < 0.5
+        ddl = f"CREATE TABLE {tbl} (k BIGINT PRIMARY KEY, v BIGINT)"
+        fuzz_eng.sql(ddl)
+        fuzz_duck.execute(ddl)
+        kpool = iter(rng.sample(range(1, 400), 40))
+
+        def rows_sql(n):
+            return ", ".join(f"({next(kpool)}, {rng.randrange(1000)})" for _ in range(n))
+
+        base = f"INSERT INTO {tbl} VALUES {rows_sql(rng.randint(2, 5))}"
+        fuzz_eng.sql(base)
+        fuzz_duck.execute(base)
+
+        phases = _ODDL_PHASES
+        dml_at = rng.choice(phases)
+        crash_at = rng.choice(phases[phases.index(dml_at):])
+        dml = (
+            f"INSERT INTO {tbl} VALUES {rows_sql(rng.randint(1, 3))}"
+            if rng.random() < 0.7
+            else f"DELETE FROM {tbl} WHERE k < {rng.randrange(50, 300)}"
+        )
+        second = Engine(spark, wh)
+        ran: list[str] = []
+
+        def hook(phase, job):
+            if phase == dml_at:
+                second.sql(dml)
+                ran.append(dml)
+            if phase == crash_at:
+                raise _FuzzCrash()
+
+        fuzz_eng.ddl_phase_hook = hook
+        idx_sql = f"CREATE {'UNIQUE ' if unique else ''}INDEX ci{seed} ON {tbl} (k)"
+        try:
+            fuzz_eng.sql(idx_sql)
+            crashed = False
+        except _FuzzCrash:
+            crashed = True
+        finally:
+            fuzz_eng.ddl_phase_hook = None
+            second.close()
+        assert crashed, f"seed {seed}: crash hook did not fire"
+        # mirror to DuckDB only what actually ran before the "death"
+        for d in ran:
+            fuzz_duck.execute(d)
+        fuzz_duck.execute(idx_sql)
+        # forge the owner's death, then resume
+        p = _sp.Popen(["sleep", "0"])
+        p.wait()
+        jobs_path = _os.path.join(wh, "ddl_jobs.json")
+        with open(jobs_path) as f:
+            jobs = _json.load(f)
+        assert jobs[-1]["status"] == "running", (seed, jobs[-1])
+        jobs[-1]["pid"] = p.pid
+        with open(jobs_path, "w") as f:
+            _json.dump(jobs, f)
+        e2 = Engine(spark, wh)
+        sel = f"SELECT k, v FROM {tbl}"
+        a = _canon_rows(e2.sql(sel).df.toPandas())
+        b = _canon_rows(fuzz_duck.execute(sel).df())
+        assert a == b, (
+            f"seed {seed} diverged after crash@{crash_at} dml@{dml_at} "
+            f"({len(a)} vs {len(b)} rows)"
+        )
+        got = e2.sql("ADMIN SHOW DDL JOBS").df.collect()
+        assert got[-1]["STATE"] == "synced", (seed, got[-1])
+        chk = [tuple(r) for r in e2.sql(f"ADMIN CHECK TABLE {tbl}").df.collect()]
+        assert chk and all(r[-1] == "OK" for r in chk), (seed, chk)
+        e2.close()
