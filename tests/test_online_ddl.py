@@ -562,3 +562,130 @@ def test_truncate_clears_initial_default_watermarks(eng):
     eng.sql("INSERT INTO twm (k) VALUES (2)")  # omitted -> declared default
     got = {r.k: r.tag for r in eng.sql("SELECT k, tag FROM twm").df.collect()}
     assert got == {1: None, 2: 7}
+
+
+# ---------------------------------------------------------------------------
+# round-12 hardening (ADVICE r11): snapshot vs in-flight committers,
+# job-before-publish crash window, PID reuse, realpath claims
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_skips_inflight_committer_files(eng):
+    """_list_data_files must prune Spark committer staging: a
+    concurrent append's task files live under data/_temporary/ (names
+    start with part-) until the job commits, then MOVE away — a
+    snapshot that includes them fails later when the explicit file-set
+    read finds them gone, spuriously rolling an index job back."""
+    eng.sql("CREATE TABLE snp (a INT)")
+    eng.sql("INSERT INTO snp VALUES (1), (2)")
+    data = eng.catalog.data_dir("default", "snp")
+    tmpdir = os.path.join(data, "_temporary", "0", "task_x", "attempt_1")
+    os.makedirs(tmpdir)
+    with open(os.path.join(tmpdir, "part-00000-inflight.parquet"), "wb") as f:
+        f.write(b"not yet committed")
+    snap = eng._list_data_files("default", "snp")
+    assert snap, "committed files still snapshot"
+    assert not any("_temporary" in p for p in snap), snap
+    # the fake staging must not break reads or maintenance either
+    assert _vals(eng, "SELECT a FROM snp") == [(1,), (2,)]
+    eng.sql("CREATE INDEX isnp ON snp (a)")
+    assert eng.sql("ADMIN CHECK TABLE snp").df.collect()[0]["STATUS"] == "OK"
+
+
+def test_crash_between_job_record_and_catalog_publish_cancels(spark, eng, wh):
+    """The job record lands BEFORE the catalog publishes the
+    delete-only index (reference: ddl/ddl.go enqueues the job first).
+    The crash window therefore leaves a running job with NO index —
+    adopted by the next engine as a cancel, after which the index name
+    is immediately reusable (the reverse order left an invisible,
+    job-less index that blocked the name until a manual DROP)."""
+    eng.sql("CREATE TABLE jw (a INT)")
+    eng.sql("INSERT INTO jw VALUES (1), (2)")
+    # simulate the crash shape directly: a dead-owner running job
+    # whose index never reached the catalog
+    jobs_path = os.path.join(wh, "ddl_jobs.json")
+    with open(jobs_path) as f:
+        jobs = json.load(f)
+    jobs.append(
+        {
+            "id": len(jobs) + 1,
+            "type": "create_index",
+            "target": "jw",
+            "table": "default.jw",
+            "query": "CREATE INDEX ijw ON jw (a)",
+            "status": "running",
+            "schema_state": C.STATE_DELETE_ONLY,
+            "row_count": 0,
+            "pid": 2**22 + 12345,  # no such process: owner crashed
+            "staging": None,
+            "index": "ijw",
+        }
+    )
+    with open(jobs_path, "w") as f:
+        json.dump(jobs, f)
+    e2 = Engine(spark, wh)  # adoption runs at init
+    states = {j["id"]: j["status"] for j in e2.ddl_log.load()}
+    assert states[jobs[-1]["id"]] == "cancelled"
+    # the name is reusable right away
+    e2.sql("CREATE INDEX ijw ON jw (a)")
+    assert _disk_index_state(wh, "jw", "ijw") == C.STATE_PUBLIC
+    e2.close()
+
+
+def test_pid_reuse_does_not_keep_dead_job_alive():
+    """(pid, pid_start) identifies one process INCARNATION: a job
+    record whose pid now belongs to a different process (recycled PID
+    -> different /proc start time) must read as dead, so running_on
+    stops refusing DDL and orphan adoption proceeds (ADVICE r11)."""
+    from tinysql_spark.ddljobs import pid_alive, proc_start
+
+    me = os.getpid()
+    mine = proc_start(me)
+    assert mine is not None, "/proc start time must be readable on linux"
+    assert pid_alive(me, mine), "correct incarnation is alive"
+    assert not pid_alive(me, mine - 1), "same pid, older start = recycled"
+    # records without a start time (pre-round-12 jobs) keep the
+    # kill-0 fallback
+    assert pid_alive(me, None)
+
+
+def test_reorg_claim_matched_by_realpath(spark, eng, wh):
+    """A live job's staging claim recorded under one path spelling
+    must protect the dir from a sweeper that resolves it through a
+    symlink (two engines over the same warehouse, different mounts) —
+    string equality deleted the other engine's live backfill."""
+    eng.sql("CREATE TABLE rp (a INT)")
+    eng.sql("INSERT INTO rp VALUES (1)")
+    tdir = os.path.join(wh, "default", "rp")
+    live = os.path.join(tdir, "data.reorg-realpathjob")
+    os.makedirs(live)
+    # claim it under a DIFFERENT spelling: via a symlink to the warehouse
+    alias = wh + ".alias"
+    os.symlink(wh, alias)
+    spelled = os.path.join(alias, "default", "rp", "data.reorg-realpathjob")
+    from tinysql_spark.ddljobs import proc_start
+
+    jobs_path = os.path.join(wh, "ddl_jobs.json")
+    with open(jobs_path) as f:
+        jobs = json.load(f)
+    jobs.append(
+        {
+            "id": len(jobs) + 1,
+            "type": "create_index",
+            "target": "rp",
+            "table": "default.rp",
+            "query": "CREATE INDEX fake ON rp (a)",
+            "status": "running",
+            "schema_state": C.STATE_WRITE_REORG,
+            "row_count": 0,
+            "pid": os.getpid(),
+            "pid_start": proc_start(os.getpid()),
+            "staging": spelled,
+            "index": "fake",
+        }
+    )
+    with open(jobs_path, "w") as f:
+        json.dump(jobs, f)
+    e2 = Engine(spark, wh)  # init runs the sweeper
+    assert os.path.isdir(live), "realpath-equal claim must protect the dir"
+    e2.close()

@@ -25,15 +25,42 @@ import os
 import tempfile
 
 
-def pid_alive(pid: int) -> bool:
+def proc_start(pid: int) -> int | None:
+    """The process's kernel start time (clock ticks since boot,
+    /proc/<pid>/stat field 22) — the disambiguator that makes PID
+    liveness robust to PID reuse: a recycled PID gets a NEW start
+    time, so (pid, start) identifies one process incarnation.
+    Returns None where /proc is unavailable (then liveness falls
+    back to the kill-0 probe alone)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read()
+        # comm (field 2) may contain spaces/parens — split AFTER the
+        # last ')' per proc(5); start time is field 22 overall, i.e.
+        # index 19 of the post-comm fields
+        return int(stat.rsplit(b")", 1)[1].split()[19])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def pid_alive(pid: int, start: int | None = None) -> bool:
+    """Is the process incarnation (pid, start) still running? A bare
+    kill-0 probe is vulnerable to PID reuse — a recycled PID would
+    make a crashed job's record look live forever (blocking all DDL
+    on its table) — so when the record carries the owner's start
+    time, BOTH must match (ADVICE r11)."""
     try:
         os.kill(pid, 0)
     except ProcessLookupError:
         return False
     except PermissionError:
-        return True
+        pass  # alive under another user — still check the start time
     except OSError:
         return False
+    if start is not None:
+        current = proc_start(pid)
+        if current is not None and current != start:
+            return False  # PID recycled: same number, new process
     return True
 
 
@@ -74,6 +101,7 @@ class DDLJobLog:
             "schema_state": "public",
             "row_count": 0,
             "pid": os.getpid(),
+            "pid_start": proc_start(os.getpid()),
             "staging": None,
         }
         job.update(fields)
@@ -100,7 +128,7 @@ class DDLJobLog:
             if (
                 j["status"] == "running"
                 and j.get("table") == table
-                and pid_alive(j.get("pid", 0))
+                and pid_alive(j.get("pid", 0), j.get("pid_start"))
             ):
                 return j
         return None
@@ -110,5 +138,6 @@ class DDLJobLog:
         return [
             j
             for j in self.load()
-            if j["status"] == "running" and not pid_alive(j.get("pid", 0))
+            if j["status"] == "running"
+            and not pid_alive(j.get("pid", 0), j.get("pid_start"))
         ]

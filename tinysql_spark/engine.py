@@ -51,7 +51,7 @@ from .catalog import (
     IndexInfo,
     TableInfo,
 )
-from .ddljobs import DDLJobLog, pid_alive as _job_pid_alive
+from .ddljobs import DDLJobLog, pid_alive as _job_pid_alive, proc_start as _proc_start
 
 
 def _implicit_default(col_type: str) -> str | None:
@@ -245,11 +245,18 @@ class Engine:
             # a job records its staging path (under the flock) BEFORE
             # creating the dir, so any dir that exists when we test it
             # has its claim on disk already — a snapshot taken before
-            # the walk would miss claims recorded mid-sweep (TOCTOU)
+            # the walk would miss claims recorded mid-sweep (TOCTOU).
+            # Compare REALPATHS, not strings (ADVICE r11): two engines
+            # opened over the same warehouse via different spellings
+            # (relative vs absolute, symlinked) must still recognize
+            # each other's claims, or one sweeper deletes the other's
+            # live hours-long reorg staging.
+            canon = os.path.realpath(path)
             return any(
                 j["status"] == "running"
-                and j.get("staging") == path
-                and _job_pid_alive(j.get("pid", 0))
+                and j.get("staging")
+                and os.path.realpath(j["staging"]) == canon
+                and _job_pid_alive(j.get("pid", 0), j.get("pid_start"))
                 for j in self.ddl_log.load()
             )
 
@@ -503,8 +510,12 @@ class Engine:
         """A fresh online-staging path in the table dir — the ONE
         constructor for the _REORG_PREFIX naming the sweeper's claim
         check recognizes."""
+        # canonical (realpath) parent so the recorded claim matches the
+        # sweeper's realpath comparison regardless of how either engine
+        # spelled its warehouse path (ADVICE r11)
         return os.path.join(
-            self.catalog.table_dir(db, t), _REORG_PREFIX + uuid.uuid4().hex[:8]
+            os.path.realpath(self.catalog.table_dir(db, t)),
+            _REORG_PREFIX + uuid.uuid4().hex[:8],
         )
 
     def _list_data_files(self, db: str, t: str) -> frozenset:
@@ -514,7 +525,14 @@ class Engine:
         catch up the same way."""
         data = self.catalog.data_dir(db, t)
         out = []
-        for root, _dirs, files in os.walk(data):
+        for root, dirs, files in os.walk(data):
+            # prune Spark committer staging (_temporary/...) and marker
+            # dirs: a concurrent append's in-flight task files live
+            # under _temporary until the job commits, then MOVE into
+            # the data dir — snapshotting them would make the explicit
+            # file-set read fail when they vanish (ADVICE r11). The
+            # committed copies appear as normal delta files later.
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             rel = os.path.relpath(root, data)
             for f in files:
                 if f.startswith("part-") and not f.endswith((".crc", ".tmp")):
@@ -574,7 +592,12 @@ class Engine:
             for j in orphans:
                 if j.get("staging"):
                     shutil.rmtree(j["staging"], ignore_errors=True)
-                self.ddl_log.update(j["id"], pid=os.getpid(), staging=None)
+                self.ddl_log.update(
+                    j["id"],
+                    pid=os.getpid(),
+                    pid_start=_proc_start(os.getpid()),
+                    staging=None,
+                )
             self._cat_stamp = self._catalog_stamp()
         for j in orphans:
             if j["type"] != "create_index":
@@ -1366,15 +1389,13 @@ class Engine:
                 if info.column(c) is None:
                     raise ValueError(f"(errno 1054) no column {c!r} in table {t}")
             self._guard_no_running_job(db, t)
-            info.indexes.append(
-                IndexInfo(
-                    name=idx_name,
-                    columns=col_list,
-                    unique=bool(unique),
-                    state=STATE_DELETE_ONLY,
-                )
-            )
-            self.catalog.update()
+            # job record FIRST, catalog publish second (ADVICE r11;
+            # the reference enqueues the job before mutating schema —
+            # ddl/ddl.go doDDLJob): a crash between the two file
+            # writes then leaves a running job with no index, which
+            # orphan-resume cancels cleanly — the reverse order left
+            # an invisible, job-less delete-only index that blocked
+            # re-creating the name until a manual DROP INDEX.
             job = self.ddl_log.append(
                 type="create_index",
                 target=t,
@@ -1384,6 +1405,15 @@ class Engine:
                 schema_state=STATE_DELETE_ONLY,
                 index=idx_name,
             )
+            info.indexes.append(
+                IndexInfo(
+                    name=idx_name,
+                    columns=col_list,
+                    unique=bool(unique),
+                    state=STATE_DELETE_ONLY,
+                )
+            )
+            self.catalog.update()
         self._ddl_hook(f"create_index:{STATE_DELETE_ONLY}", job)
         try:
             return self._drive_index_job(db, t, idx_name, job)
