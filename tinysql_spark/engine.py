@@ -436,7 +436,7 @@ class Engine:
     # across each short state transition while the long reorganization
     # (index backfill, compaction rewrite) runs unlocked, so concurrent
     # writers never block behind a 100 TB rewrite
-    _ONLINE_KINDS = frozenset({"create_index", "optimize"})
+    _ONLINE_KINDS = frozenset({"create_index", "optimize", "alter_table"})
 
     @contextlib.contextmanager
     def _catalog_write_lock(self):
@@ -650,6 +650,13 @@ class Engine:
                     self._txn_commit()
             # the handler records its own job entry (with the full
             # schema-state history), so no _log_ddl here
+            return handler(stmt)
+        if kind == "delete" and self.txn is None:
+            # COW DELETE is self-locking too: the doomed-row predicate
+            # pass (an O(table) scan) and — above @@cow_online_min_mb —
+            # the survivor rewrite run UNLOCKED; only the assembly and
+            # swap hold the lock. In-txn DELETE stays on the locked
+            # path below (it only stages buffers).
             return handler(stmt)
         lock = (
             self._catalog_write_lock()
@@ -896,7 +903,10 @@ class Engine:
         """Rename logical -> in-file column names just before a write."""
         return df.toDF(ROWID, *[c.file_name for c in info.columns])
 
-    def _prepare_swap(self, db: str, table: str, df: DataFrame, tmp: str | None = None) -> str:
+    def _prepare_swap(
+        self, db: str, table: str, df: DataFrame,
+        tmp: str | None = None, info: TableInfo | None = None,
+    ) -> str:
         """Write df (full schema) to a tmp dir in the table's declared
         layout and return the tmp path — the PREPARE half of the
         write-then-rename commit protocol (the swap itself is a
@@ -904,8 +914,11 @@ class Engine:
         every table before publishing any of them. Online DDL passes
         an explicit ``tmp`` (a `data.reorg-*` path pre-recorded in its
         job entry) so the orphan sweeper can tell a LIVE hours-long
-        reorganization from crash litter."""
-        info = self.catalog.get_table(db, table)
+        reorganization from crash litter; online MODIFY passes an
+        explicit ``info`` (the post-ALTER definition) so the staging
+        is written with the NEW schema while the catalog still serves
+        the old one."""
+        info = info or self.catalog.get_table(db, table)
         if tmp is None:
             tmp = self.catalog.data_dir(db, table) + f".tmp-{uuid.uuid4().hex[:8]}"
         try:
@@ -936,6 +949,161 @@ class Engine:
         tmp = self._prepare_swap(db, table, df)
         self.catalog.swap_data_dir(db, table, tmp)
         self._refresh_table(db, table)
+
+    # ------------------------------------------------------------------
+    # file-granular copy-on-write (DELETE / REPLACE / txn-commit dels)
+    # ------------------------------------------------------------------
+    # The reference's DELETE is O(matched rows) — per-key KV deletes
+    # (table/tables/tables.go:652 RemoveRecord). A parquet warehouse
+    # cannot delete rows in place, but it CAN delete at file
+    # granularity: rewrite only the files that contain doomed rowids,
+    # keep every other file by hard link (a rename, not a copy — the
+    # Iceberg/Delta copy-on-write shape). A one-row DELETE on an
+    # N-file table then rewrites exactly one file instead of the whole
+    # table, and the swap publish stays a metadata rename.
+
+    _COW_FILE = "_cow_file#"  # scan-file attribution column (internal)
+
+    def _raw_with_file(self, db: str, t: str) -> DataFrame:
+        """_raw plus each row's absolute scan-file URI — evaluated at
+        the parquet scan (input_file_name), so doomed-row attribution
+        to files costs nothing beyond the predicate pass itself."""
+        info = self.catalog.get_table(db, t)
+        df = self.spark.read.schema(info.physical_schema()).parquet(
+            self.catalog.data_dir(db, t)
+        )
+        return df.select(
+            df[ROWID],
+            F.input_file_name().alias(self._COW_FILE),
+            *self._logical_columns(df, info),
+        )
+
+    @staticmethod
+    def _rel_from_uri(data_dir: str, uri: str) -> str:
+        """Map an input_file_name URI back to a path relative to the
+        table's data dir (hive partition subdirs preserved)."""
+        from urllib.parse import unquote, urlparse
+
+        path = unquote(urlparse(uri).path) if "://" in uri else uri
+        rel = os.path.relpath(path, data_dir)
+        if rel.startswith(".."):
+            rel = os.path.relpath(os.path.realpath(path), os.path.realpath(data_dir))
+        return rel
+
+    @staticmethod
+    def _link_into(data: str, staging: str, rels) -> None:
+        """Hard-link the untouched files into the staging assembly —
+        O(files) renames, zero data copied; the swap's trash cleanup
+        drops the old names while the staging links keep the inodes."""
+        for rel in sorted(rels):
+            src = os.path.join(data, rel)
+            dst = os.path.join(staging, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device fallback
+
+    def _move_parts(self, tmp: str, dest_dir: str) -> None:
+        """Move a prepared batch's part files into dest_dir (partition
+        subdirs included) — renames only; Spark part-file names carry
+        a task UUID so collisions cannot occur."""
+        for root, _dirs, files in os.walk(tmp):
+            rel = os.path.relpath(root, tmp)
+            dest = dest_dir if rel == "." else os.path.join(dest_dir, rel)
+            for fname in files:
+                if not fname.startswith("part-"):
+                    continue
+                os.makedirs(dest, exist_ok=True)
+                shutil.move(os.path.join(root, fname), os.path.join(dest, fname))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _cow_attribute(
+        self, db: str, t: str, doomed: DataFrame
+    ) -> tuple[DataFrame, int, frozenset]:
+        """Materialize the doomed set ONCE and attribute it to files.
+        Returns (pairs, n_deleted, dirty_rels): count, attribution and
+        the later anti-join must see the same rows even under a
+        nondeterministic WHERE (or an ORDER BY-less LIMIT), so the
+        pairs frame is checkpointed before anything reads it."""
+        data = self.catalog.data_dir(db, t)
+        pairs = doomed.select(
+            F.col(ROWID).cast("long").alias(ROWID), F.col(self._COW_FILE)
+        ).localCheckpoint()
+        n_del = pairs.count()
+        if n_del == 0:
+            return pairs, 0, frozenset()
+        dirty_uris = [r[0] for r in pairs.select(self._COW_FILE).distinct().collect()]
+        dirty = frozenset(self._rel_from_uri(data, u) for u in dirty_uris)
+        return pairs, n_del, dirty
+
+    def _cow_write_survivors(
+        self, db: str, t: str, pairs: DataFrame, dirty: frozenset, staging: str
+    ) -> None:
+        """Rewrite the DIRTY files minus the doomed rowids into
+        ``staging`` — the only data-proportional work of a COW delete,
+        and it is proportional to the MATCHED files, not the table.
+
+        The rewrite is PHYSICAL-faithful: survivors are written back
+        without the initial-default fill, so rows below an ADD
+        COLUMN's rowid watermark keep their physical NULL and the
+        metadata-only fill keeps applying on read — a COW delete must
+        not silently materialize half a backfill."""
+        info = self.catalog.get_table(db, t)
+        data = self.catalog.data_dir(db, t)
+        try:
+            paths = [os.path.join(data, p) for p in sorted(dirty)]
+            src = self.spark.read.option("basePath", data).schema(
+                info.physical_schema()
+            ).parquet(*paths)
+            unfilled = src.select(
+                src[ROWID], *[src[c.file_name].alias(c.name) for c in info.columns]
+            )
+            survivors = unfilled.join(pairs.select(ROWID), ROWID, "left_anti")
+            cols = [F.col(ROWID).cast("long")] + [
+                F.col(c.name).cast(c.spark_type()) for c in info.columns
+            ]
+            out = survivors.select(*cols)
+            if info.bucket:
+                side = staging + ".bparts"
+                self._write_bucket_files(out, info, side)
+                os.makedirs(staging, exist_ok=True)
+                self._move_parts(side, staging)
+            else:
+                w = self._to_physical(self._layout(out, info), info).write.mode(
+                    "overwrite"
+                )
+                if info.partition_by:
+                    phys = {c.name: c.file_name for c in info.columns}
+                    w = w.partitionBy(*[phys.get(c, c) for c in info.partition_by])
+                w.parquet(staging)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+
+    def _cow_prepare(
+        self, db: str, t: str, doomed: DataFrame
+    ) -> tuple[str | None, int, frozenset]:
+        """Assemble a copy-on-write staging dir that removes ``doomed``
+        (a DataFrame of (rowid, scan-file-uri) pairs over the committed
+        table): survivors of the DIRTY files are rewritten, every
+        CLEAN file is hard-linked in. Returns (staging or None,
+        n_deleted, dirty_rels) — None when nothing matched (no write
+        at all). Caller holds the catalog lock (the file listing and
+        the rewrite must see a stable table)."""
+        pairs, n_del, dirty = self._cow_attribute(db, t, doomed)
+        if n_del == 0:
+            return None, 0, frozenset()
+        data = self.catalog.data_dir(db, t)
+        snapshot = self._list_data_files(db, t)
+        staging = data + f".tmp-{uuid.uuid4().hex[:8]}"
+        self._cow_write_survivors(db, t, pairs, dirty, staging)
+        try:
+            self._link_into(data, staging, snapshot - dirty)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        return staging, n_del, dirty
 
     def _append(self, db: str, table: str, df: DataFrame) -> None:
         info = self.catalog.get_table(db, table)
@@ -1783,6 +1951,9 @@ class Engine:
         )
 
     def _cancel_plain_job(self, job: dict) -> None:
+        """A cancelled online OPTIMIZE / DELETE / MODIFY simply never
+        happened: nothing was published, statement atomicity holds
+        (the crash-orphan path cancels these too)."""
         with self._locked_catalog_step():
             self.ddl_log.update(
                 job["id"], status="cancelled", schema_state=STATE_NONE, staging=None
@@ -1809,23 +1980,153 @@ class Engine:
 
         Metadata-only where the parquet-by-name read model allows it
         (ADD, DROP COLUMN — pruning means a dropped column is never
-        even read; defaults; key metadata). Shape-changing specs
-        (MODIFY/CHANGE type, column rename) rewrite the data through
-        the atomic dir swap — the reference's online backfill states
-        (ddl/column.go) collapse to one synchronous rewrite here; a
-        100 TB deployment would avoid the rename rewrite by keying
-        files with column IDs (the reference's row format does this,
-        as do Iceberg/Delta)."""
+        even read; defaults; key metadata; pure RENAME COLUMN — the
+        in-file name freezes into ColumnInfo.physical, so a rename
+        never rewrites a byte). Type changes (MODIFY/CHANGE) must
+        rewrite the data: a single-spec MODIFY/CHANGE on a non-empty
+        table runs ONLINE through the reorg kernel (reference:
+        ddl/column.go:216 column state chain — only write-reorg +
+        publish are needed here, since readers keep the old column
+        until the publish swaps data and type together); multi-spec
+        statements keep the synchronous locked rewrite (rare, and a
+        mixed statement must publish all specs atomically)."""
         m = P.re.match(r"^\s*ALTER\s+TABLE\s+([`\w.]+)\s+(.*)$", stmt, P.re.I | P.re.S)
         if not m:
             raise ValueError(f"cannot parse ALTER TABLE: {stmt[:60]}")
-        db, t = self._qualify(m.group(1))
-        self.catalog.get_table(db, t)  # errno 1146 before the job guard
-        self._guard_no_running_job(db, t)
-        messages = [self._alter_one(db, t, spec.strip()) for spec in P.split_top_level(m.group(2))]
-        self.catalog.update()
-        self._register_table(db, t)
-        return Result(message="; ".join(messages))
+        specs = P.split_top_level(m.group(2))
+        online = self._parse_modify_change(specs[0].strip()) if len(specs) == 1 else None
+        with self._locked_catalog_step():
+            db, t = self._qualify(m.group(1))
+            self.catalog.get_table(db, t)  # errno 1146 before the job guard
+            self._guard_no_running_job(db, t)
+            if online is not None and self._raw_has_rows(db, t):
+                snapshot = self._list_data_files(db, t)
+                sig0 = self._schema_sig(self.catalog.get_table(db, t))
+                reorg = self._new_reorg_path(db, t)
+                job = self.ddl_log.append(
+                    type="modify_column",
+                    target=t,
+                    table=f"{db}.{t}",
+                    query=stmt.strip(),
+                    status="running",
+                    schema_state=STATE_WRITE_REORG,
+                    staging=reorg,
+                )
+            else:
+                messages = [self._alter_one(db, t, spec.strip()) for spec in specs]
+                self.catalog.update()
+                self._register_table(db, t)
+                self._log_ddl("alter_table", t, stmt)
+                return Result(message="; ".join(messages))
+        try:
+            return self._drive_modify_job(
+                db, t, job, reorg, snapshot, sig0, *online
+            )
+        except Exception:
+            self._ensure_job_terminal(job, lambda: self._cancel_plain_job(job))
+            raise
+
+    @staticmethod
+    def _parse_modify_change(spec: str):
+        """(old_name, new_name, new_type, spec_rest) when the spec is a
+        well-formed MODIFY/CHANGE with a type — the online-rewrite
+        shape; None otherwise (the synchronous path handles it, or
+        raises its usual parse error)."""
+        m = P.re.match(r"^MODIFY\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?(.+)$", spec, P.re.I | P.re.S)
+        if m:
+            cm = P._COL_TYPE_RE.match(m.group(1).strip())
+            if cm:
+                return (
+                    P.unquote_ident(cm.group(1)),
+                    None,
+                    cm.group(2).upper() + (cm.group(3) or "").replace(" ", ""),
+                    m.group(1)[cm.end():],
+                )
+            return None
+        m = P.re.match(r"^CHANGE\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?([`\w]+)\s+(.+)$", spec, P.re.I | P.re.S)
+        if m:
+            cm = P._COL_TYPE_RE.match(m.group(2).strip())
+            if cm:
+                return (
+                    P.unquote_ident(m.group(1)),
+                    P.unquote_ident(cm.group(1)),
+                    cm.group(2).upper() + (cm.group(3) or "").replace(" ", ""),
+                    m.group(2)[cm.end():],
+                )
+        return None
+
+    def _drive_modify_job(
+        self, db, t, job, reorg, snapshot, sig0,
+        old_name, new_name, new_type, spec_rest,
+    ) -> Result:
+        """Online MODIFY/CHANGE: validate + rewrite the snapshot with
+        the cast applied while holding NO lock (concurrent writers
+        proceed, inserting OLD-type values), then one short lock
+        validates + cast-adopts the delta files, applies the metadata
+        mutation, and swaps — data and type change land atomically.
+        The catalog is untouched until the publish, so a crashed or
+        cancelled job simply never happened (orphan adoption cancels
+        the record; the sweeper reclaims its staging)."""
+        import copy
+
+        target = new_name or old_name
+        new_info = copy.deepcopy(self.catalog.get_table(db, t))
+        # metadata checks fail FAST (before the hours-long rewrite)
+        self._alter_col_metadata(new_info, t, old_name, new_name, new_type, spec_rest)
+        new_spark_type = ColumnInfo(name=target, type=new_type).spark_type()
+
+        def _stage(relpaths, tmp: str) -> str:
+            """OLD-schema read -> validate -> rename+cast -> staging
+            written with the NEW schema (new_info)."""
+            src = self._read_files(db, t, relpaths)
+            self._validate_cast(src, old_name, new_type, new_spark_type)
+            out = src.withColumnRenamed(old_name, target).withColumn(
+                target, F.col(target).cast(new_spark_type)
+            )
+            return self._prepare_swap(db, t, out, tmp=tmp, info=new_info)
+
+        # ---- rewrite: NO lock held ------------------------------------
+        staging = _stage(snapshot, reorg)
+        self._ddl_hook("modify_column:backfill done", job)
+        # ---- publish: short lock, delta cast-adopt, swap ---------------
+        with self._locked_catalog_step():
+            info = self.catalog.get_table(db, t)
+            if self._schema_sig(info) != sig0:
+                raise ValueError(
+                    f"table {t} changed schema during the online MODIFY — "
+                    "the job was cancelled; retry against the new schema"
+                )
+            current = self._list_data_files(db, t)
+            if not snapshot <= current:
+                # a concurrent rewrite replaced snapshot files: redo
+                # here (writers pay once, correctness never)
+                shutil.rmtree(staging, ignore_errors=True)
+                current = self._list_data_files(db, t)
+                reorg = self._new_reorg_path(db, t)
+                self.ddl_log.update(job["id"], staging=reorg)
+                staging = _stage(current, reorg)
+            else:
+                delta = current - snapshot
+                if delta:
+                    # delta rows carry the OLD type: validate and cast
+                    # them through the same projection, then move their
+                    # part files into the staging assembly
+                    src = self._read_files(db, t, delta)
+                    self._validate_cast(src, old_name, new_type, new_spark_type)
+                    out = src.withColumnRenamed(old_name, target).withColumn(
+                        target, F.col(target).cast(new_spark_type)
+                    )
+                    tmp = self._prepare_append(db, t, out, info=new_info)
+                    self._move_parts(tmp, staging)
+            self._alter_col_metadata(info, t, old_name, new_name, new_type, spec_rest)
+            self.catalog.swap_data_dir(db, t, staging)
+            self.catalog.update()
+            self._register_table(db, t)
+            self.ddl_log.update(
+                job["id"], status="synced", schema_state=STATE_PUBLIC, staging=None
+            )
+        self._ddl_hook("modify_column:published", job)
+        return Result(message=f"column {old_name} altered")
 
     def _alter_one(self, db: str, t: str, spec: str) -> str:
         info = self.catalog.get_table(db, t)
@@ -2012,6 +2313,41 @@ class Engine:
         corrupt, so one aggregation job checks before the swap commits.
         """
         info = self.catalog.get_table(db, t)
+        raw = self._raw(db, t) if new_type else None  # OLD-schema read first
+        target = new_name or old_name
+        if new_type:
+            new_spark_type = ColumnInfo(name=target, type=new_type).spark_type()
+            self._validate_cast(raw, old_name, new_type, new_spark_type)
+        self._alter_col_metadata(info, t, old_name, new_name, new_type, spec_rest)
+        if new_type and self._raw_has_rows(db, t):
+            # raw still carries the OLD logical names; rename then cast
+            out = raw.withColumnRenamed(old_name, target).withColumn(
+                target, F.col(target).cast(new_spark_type)
+            )
+            self._write_swap(db, t, out)
+        return f"column {old_name} altered"
+
+    @staticmethod
+    def _validate_cast(df: DataFrame, col_name: str, new_type: str, new_spark_type) -> None:
+        """A value that casts to NULL would silently corrupt, so one
+        aggregation job checks before any rewrite commits."""
+        casted = F.col(col_name).cast(new_spark_type)
+        bad = df.agg(
+            F.max((F.col(col_name).isNotNull() & casted.isNull()).cast("int")).alias("b")
+        ).collect()[0]["b"]
+        if bad:
+            raise ValueError(
+                f"MODIFY {col_name} to {new_type}: existing values do not fit"
+            )
+
+    @staticmethod
+    def _alter_col_metadata(
+        info: TableInfo, t: str, old_name: str,
+        new_name: str | None, new_type: str | None, spec_rest: str = "",
+    ) -> None:
+        """The metadata half of RENAME/MODIFY/CHANGE, applied to the
+        GIVEN TableInfo (the online path applies it to a copy for the
+        unlocked rewrite, then to the live catalog at publish)."""
         col = info.column(old_name)
         if col is None:
             raise ValueError(f"(errno 1054) no column {old_name!r} in table {t}")
@@ -2035,27 +2371,13 @@ class Engine:
                     new_name if c.lower() == old_name.lower() else c
                     for c in info.bucket.sort_columns
                 ]
-        target = new_name or old_name
         if new_type:
-            raw = self._raw(db, t)  # logical names (post-rename mapping)
-            new_spark_type = ColumnInfo(name=target, type=new_type).spark_type()
-            casted = F.col(target).cast(new_spark_type)
-            bad = raw.agg(
-                F.max((F.col(target).isNotNull() & casted.isNull()).cast("int")).alias("b")
-            ).collect()[0]["b"]
-            if bad:
-                raise ValueError(
-                    f"MODIFY {old_name} to {new_type}: existing values do not fit"
-                )
             col.type = new_type
             if spec_rest:
                 col.nullable = "NOT NULL" not in spec_rest.upper()
                 dm = P.re.search(r"DEFAULT\s+('(?:[^'\\]|\\.)*'|[\w.+-]+)", spec_rest, P.re.I)
                 if dm:
                     col.default = dm.group(1)
-            if self._raw_has_rows(db, t):
-                self._write_swap(db, t, raw.withColumn(target, casted))
-        return f"column {old_name} altered"
 
     def _raw_has_rows(self, db: str, t: str) -> bool:
         data = self.catalog.data_dir(db, t)
@@ -2334,22 +2656,24 @@ class Engine:
                 .drop("_rn")
             )
         n = with_ids.count()
-        keep = raw
-        n_deleted = 0
-        doomed_ids: DataFrame | None = None
-        for key in keys:
-            conflicts = with_ids.select(*key).distinct()
-            cond = [keep[k].eqNullSafe(conflicts[k]) & keep[k].isNotNull() for k in key]
-            matched = keep.join(conflicts, on=cond, how="left_semi")
-            n_deleted += matched.count()
-            if self.txn is not None:
-                ids = matched.select(ROWID)
-                doomed_ids = ids if doomed_ids is None else doomed_ids.unionByName(ids)
-            keep = keep.join(conflicts, on=cond, how="left_anti")
         if self.txn is not None:
             # in-txn REPLACE: conflicting rowids (committed or buffered
             # — the deleted set filters both overlay branches) go to
             # the delete buffer, new tuples to the add buffer
+            keep = raw
+            n_deleted = 0
+            doomed_ids: DataFrame | None = None
+            for key in keys:
+                conflicts = with_ids.select(*key).distinct()
+                cond = [
+                    keep[k].eqNullSafe(conflicts[k]) & keep[k].isNotNull()
+                    for k in key
+                ]
+                matched = keep.join(conflicts, on=cond, how="left_semi")
+                n_deleted += matched.count()
+                ids = matched.select(ROWID)
+                doomed_ids = ids if doomed_ids is None else doomed_ids.unionByName(ids)
+                keep = keep.join(conflicts, on=cond, how="left_anti")
             if n_deleted and doomed_ids is not None:
                 self._txn_stage_del(db, t, doomed_ids)
             self._txn_stage_add(db, t, with_ids)
@@ -2358,23 +2682,48 @@ class Engine:
                 rows_affected=n + n_deleted,
                 message=f"{n_deleted} replaced, {n} inserted",
             )
-        final = keep.unionByName(with_ids.select(*keep.columns))
-        self._write_swap(db, t, final)
+        # copy-on-write (executor/replace.go removeRow is O(matched
+        # rows)): the doomed set is bounded by the batch's keys — each
+        # key hits at most one committed row per unique key — so only
+        # the files holding those rows are rewritten; the new batch's
+        # part files join the same staging assembly and ONE atomic
+        # swap publishes delete+insert together (statement atomicity).
+        rawf = self._raw_with_file(db, t)
+        doomed: DataFrame | None = None
+        for key in keys:
+            conflicts = with_ids.select(*key).distinct()
+            cond = [
+                rawf[k].eqNullSafe(conflicts[k]) & rawf[k].isNotNull() for k in key
+            ]
+            matched = rawf.join(conflicts, on=cond, how="left_semi").select(
+                ROWID, self._COW_FILE
+            )
+            doomed = matched if doomed is None else doomed.unionByName(matched)
+        # a row conflicting on several keys is deleted (and counted) once
+        staging, n_deleted, _dirty = self._cow_prepare(db, t, doomed.distinct())
+        if staging is None:
+            self._append(db, t, with_ids)
+        else:
+            self._move_parts(self._prepare_append(db, t, with_ids), staging)
+            self.catalog.swap_data_dir(db, t, staging)
+            self._refresh_table(db, t)
         self.catalog.update()
         return Result(rows_affected=n + n_deleted, message=f"{n_deleted} replaced, {n} inserted")
 
     def _exec_delete(self, stmt: str) -> Result:
         table, cond, order_by, limit = P.parse_delete(stmt)
         db, t = self._qualify(table)
+        # self-locking statement (non-txn): absorb external commits
+        # before planning, as the dispatcher would for locked kinds
+        if self.txn is None and self._catalog_stamp() != self._cat_stamp:
+            self.reload()
         info = self.catalog.get_table(db, t)
-        # in a transaction the doomed set is computed over the overlay
-        # (committed ∪ buffered adds − already-deleted) and staged to
-        # the delete buffer instead of rewriting the table
-        raw = self._overlay_raw(db, t)
         in_txn = self.txn is not None
-        if order_by or limit:
-            # DELETE ... [ORDER BY ...] LIMIT n (parser.y DeleteFromStmt):
-            # pick doomed rowids with the query engine, anti-join them out
+        if in_txn:
+            # in a transaction the doomed set is computed over the
+            # overlay (committed ∪ buffered adds − already-deleted)
+            # and staged to the delete buffer — no table write here
+            raw = self._overlay_raw(db, t)
             view = f"__dell_{t}_{uuid.uuid4().hex[:6]}"
             raw.createOrReplaceTempView(view)
             q = f"SELECT {ROWID} FROM {view}"
@@ -2384,47 +2733,169 @@ class Engine:
                 q += f" ORDER BY {self._rewrite(order_by)}"
             if limit:
                 q += f" LIMIT {limit}"
-            doomed = self.spark.sql(q)
-            if in_txn:
-                n_del = self._txn_stage_del(db, t, doomed)
-                self.spark.catalog.dropTempView(view)
-                return Result(rows_affected=n_del, message=f"{n_del} rows deleted")
-            n_del = doomed.count()
-            # broadcast only the LIMIT-bounded set; ORDER BY alone can
-            # match the whole table and a forced broadcast would OOM
-            if limit:
-                doomed = F.broadcast(doomed)
-            keep = raw.join(doomed, ROWID, "left_anti")
-            self._write_swap(db, t, keep)
+            n_del = self._txn_stage_del(db, t, self.spark.sql(q))
             self.spark.catalog.dropTempView(view)
             return Result(rows_affected=n_del, message=f"{n_del} rows deleted")
-        if cond is None:
-            if in_txn:
-                n = self._txn_stage_del(db, t, raw.select(ROWID))
-                return Result(rows_affected=n, message=f"{n} rows deleted")
-            n = raw.count()
-            empty = self.spark.createDataFrame([], info.full_schema())
-            self._write_swap(db, t, empty)
+        # ---- non-txn: self-locking COW (dispatcher passes through) ----
+        if cond is None and not order_by and not limit:
+            # full wipe: one empty-dir swap, never a row-level pass
+            with self._locked_catalog_step():
+                n = self._raw(db, t).count()
+                empty = self.spark.createDataFrame([], info.full_schema())
+                self._write_swap(db, t, empty)
             return Result(rows_affected=n, message=f"{n} rows deleted")
-        view = f"__del_{t}_{uuid.uuid4().hex[:6]}"
-        raw.createOrReplaceTempView(view)
-        cond_sql = self._rewrite(cond)
-        if in_txn:
-            doomed = self.spark.sql(
-                f"SELECT {ROWID} FROM {view} WHERE coalesce(({cond_sql}), false)"
+        # copy-on-write (reference: tables.go:652 RemoveRecord is
+        # O(matched rows)): attribute doomed rowids to their scan
+        # files in the same predicate pass — UNLOCKED, the pass is an
+        # O(table) scan — then rewrite ONLY those files, keeping the
+        # rest by hard link. A one-row DELETE on a 100 TB table
+        # rewrites one file, not 100 TB. Small dirty sets assemble and
+        # publish under one short lock hold; a dirty set above
+        # @@cow_online_min_mb routes through the online reorg kernel
+        # (persisted DDL job + unlocked rewrite + short-lock publish),
+        # so concurrent writers never block behind the rewrite.
+        sig0 = self._schema_sig(info)
+        pairs, n_del, dirty = self._delete_doomed(db, t, cond, order_by, limit)
+        if n_del == 0:
+            return Result(rows_affected=0, message="0 rows deleted")
+        data = self.catalog.data_dir(db, t)
+        dirty_bytes = 0
+        for rel in dirty:
+            try:
+                dirty_bytes += os.path.getsize(os.path.join(data, rel))
+            except OSError:
+                break  # file vanished: the locked redo below handles it
+        try:
+            thr = float(self.sys_vars.get("cow_online_min_mb", "256")) * 2**20
+        except (TypeError, ValueError):
+            raise ValueError(
+                "cow_online_min_mb must be a number, got "
+                f"{self.sys_vars.get('cow_online_min_mb')!r}"
             )
-            n_del = self._txn_stage_del(db, t, doomed)
-            self.spark.catalog.dropTempView(view)
+        if dirty_bytes < thr:
+            with self._locked_catalog_step():
+                current = self._list_data_files(db, t)
+                info2 = self.catalog.get_table(db, t)
+                if self._schema_sig(info2) != sig0 or not dirty <= current:
+                    # a concurrent commit rewrote a dirty file (or
+                    # altered the schema) between the unlocked pass
+                    # and the lock — redo the pass here; rare, and
+                    # correctness never depends on the fast path
+                    pairs, n_del, dirty = self._delete_doomed(
+                        db, t, cond, order_by, limit
+                    )
+                if n_del:
+                    staging = self._cow_assemble(db, t, pairs, dirty)
+                    self.catalog.swap_data_dir(db, t, staging)
+                    self._refresh_table(db, t)
             return Result(rows_affected=n_del, message=f"{n_del} rows deleted")
-        n_del = self.spark.sql(
-            f"SELECT count(*) FROM {view} WHERE coalesce(({cond_sql}), false)"
-        ).collect()[0][0]
-        # delete WHERE cond is TRUE; keep FALSE and NULL (3VL)
-        keep = self.spark.sql(
-            f"SELECT * FROM {view} WHERE NOT coalesce(({cond_sql}), false)"
+        return self._exec_delete_online(
+            db, t, stmt, sig0, pairs, n_del, dirty, cond, order_by, limit
         )
-        self._write_swap(db, t, keep)
-        self.spark.catalog.dropTempView(view)
+
+    def _delete_doomed(
+        self, db: str, t: str, cond, order_by, limit
+    ) -> tuple[DataFrame, int, frozenset]:
+        """One doomed-row predicate pass with file attribution,
+        materialized (see _cow_attribute). WHERE TRUE deletes; FALSE
+        and NULL keep the row (3VL)."""
+        view = f"__del_{t}_{uuid.uuid4().hex[:6]}"
+        self._raw_with_file(db, t).createOrReplaceTempView(view)
+        try:
+            q = f"SELECT {ROWID}, `{self._COW_FILE}` FROM {view}"
+            if cond:
+                q += f" WHERE coalesce(({self._rewrite(cond)}), false)"
+            if order_by:
+                q += f" ORDER BY {self._rewrite(order_by)}"
+            if limit:
+                q += f" LIMIT {limit}"
+            return self._cow_attribute(db, t, self.spark.sql(q))
+        finally:
+            self.spark.catalog.dropTempView(view)
+
+    def _cow_assemble(
+        self, db: str, t: str, pairs: DataFrame, dirty: frozenset
+    ) -> str:
+        """Survivor rewrite + clean-file links into a fresh tmp staging
+        (caller holds the lock and publishes the swap)."""
+        data = self.catalog.data_dir(db, t)
+        snapshot = self._list_data_files(db, t)
+        staging = data + f".tmp-{uuid.uuid4().hex[:8]}"
+        self._cow_write_survivors(db, t, pairs, dirty, staging)
+        try:
+            self._link_into(data, staging, snapshot - dirty)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        return staging
+
+    def _exec_delete_online(
+        self, db, t, stmt, sig0, pairs, n_del, dirty, cond, order_by, limit
+    ) -> Result:
+        """A DELETE whose dirty set exceeds @@cow_online_min_mb runs
+        through the online reorg kernel (the CREATE INDEX/OPTIMIZE
+        machinery): a persisted DDL job claims the staging, the
+        survivor rewrite runs with NO lock held (concurrent writers
+        proceed — measured like the index build), and one short lock
+        publishes links + swap. Files appended since the predicate
+        pass are linked verbatim: the DELETE serializes BEFORE the
+        concurrent inserts it never saw, which is the valid order for
+        a statement that started first. A concurrent rewrite of a
+        dirty file invalidates the pass — publish redoes it under the
+        lock (writers pay once, correctness never)."""
+        with self._locked_catalog_step():
+            self._guard_no_running_job(db, t)
+            reorg = self._new_reorg_path(db, t)
+            job = self.ddl_log.append(
+                type="delete",
+                target=t,
+                table=f"{db}.{t}",
+                query=stmt.strip(),
+                status="running",
+                schema_state=STATE_WRITE_REORG,
+                staging=reorg,
+            )
+        self._ddl_hook("delete:reorg start", job)
+        data = self.catalog.data_dir(db, t)
+        try:
+            # ---- survivor rewrite: NO lock held -----------------------
+            self._cow_write_survivors(db, t, pairs, dirty, reorg)
+            self._ddl_hook("delete:backfill done", job)
+            # ---- publish: short lock, link catch-up, swap -------------
+            with self._locked_catalog_step():
+                current = self._list_data_files(db, t)
+                info2 = self.catalog.get_table(db, t)
+                if self._schema_sig(info2) != sig0 or not dirty <= current:
+                    shutil.rmtree(reorg, ignore_errors=True)
+                    pairs, n_del, dirty = self._delete_doomed(
+                        db, t, cond, order_by, limit
+                    )
+                    if n_del:
+                        reorg = self._new_reorg_path(db, t)
+                        self.ddl_log.update(job["id"], staging=reorg)
+                        self._cow_write_survivors(db, t, pairs, dirty, reorg)
+                        self._link_into(
+                            data, reorg, self._list_data_files(db, t) - dirty
+                        )
+                        self.catalog.swap_data_dir(db, t, reorg)
+                        self._refresh_table(db, t)
+                else:
+                    self._link_into(data, reorg, current - dirty)
+                    self.catalog.swap_data_dir(db, t, reorg)
+                    self._refresh_table(db, t)
+                self.ddl_log.update(
+                    job["id"],
+                    status="synced",
+                    schema_state=STATE_PUBLIC,
+                    row_count=n_del,
+                    staging=None,
+                )
+        except BaseException:
+            # terminal-state guarantee (see _exec_create_index): an
+            # in-process failure must never leave the job running
+            self._ensure_job_terminal(job, lambda: self._cancel_plain_job(job))
+            raise
+        self._ddl_hook("delete:published", job)
         return Result(rows_affected=n_del, message=f"{n_del} rows deleted")
 
     def _exec_update(self, stmt: str) -> Result:
@@ -2993,12 +3464,16 @@ class Engine:
         self.spark.sql(f"DROP TABLE IF EXISTS {self._spark_name(db, t + '__txnbase')}")
         self._register_table(db, t)
 
-    def _prepare_append(self, db: str, table: str, df: DataFrame) -> str:
+    def _prepare_append(
+        self, db: str, table: str, df: DataFrame, info: TableInfo | None = None
+    ) -> str:
         """Write an append batch's physical files to a tmp dir in the
         table's declared layout — the PREPARE half for add-only commit
         publishing. Publishing is then per-file renames
-        (_publish_append), so no data write remains in phase 2."""
-        info = self.catalog.get_table(db, table)
+        (_publish_append), so no data write remains in phase 2.
+        ``info`` overrides the catalog definition (online MODIFY's
+        delta cast-adopt writes with the post-ALTER schema)."""
+        info = info or self.catalog.get_table(db, table)
         tmp = self.catalog.data_dir(db, table) + f".append-{uuid.uuid4().hex[:8]}"
         try:
             cols = [F.col(ROWID).cast("long")] + [
@@ -3022,19 +3497,10 @@ class Engine:
 
     def _publish_append(self, db: str, table: str, tmp: str) -> None:
         """Move a prepared append batch's part files into the table's
-        data dir (partition subdirs included) — renames only; Spark
-        part-file names carry a task UUID so collisions cannot occur."""
+        data dir — renames only (see _move_parts)."""
         data = self.catalog.data_dir(db, table)
         os.makedirs(data, exist_ok=True)
-        for root, _dirs, files in os.walk(tmp):
-            rel = os.path.relpath(root, tmp)
-            dest = data if rel == "." else os.path.join(data, rel)
-            for fname in files:
-                if not fname.startswith("part-"):
-                    continue
-                os.makedirs(dest, exist_ok=True)
-                shutil.move(os.path.join(root, fname), os.path.join(dest, fname))
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._move_parts(tmp, data)
         self._refresh_table(db, table)
 
     @staticmethod
@@ -3102,9 +3568,36 @@ class Engine:
         try:
             for (db, t), buf in txn.tables.items():
                 if buf.has_dels:
-                    prepared.append(
-                        (db, t, self._prepare_swap(db, t, self._overlay_raw(db, t)))
+                    # copy-on-write: only the committed files holding
+                    # buffered-doomed rowids are rewritten; the add
+                    # batch's part files join the same staging so ONE
+                    # swap publishes the table (per-table atomicity of
+                    # phase 2 is preserved)
+                    info = self.catalog.get_table(db, t)
+                    dels = self.spark.read.parquet(buf.del_dir).select(ROWID)
+                    rawf = self._raw_with_file(db, t)
+                    doomed = rawf.join(F.broadcast(dels), ROWID, "left_semi").select(
+                        ROWID, self._COW_FILE
                     )
+                    staging, _n, _dirty = self._cow_prepare(db, t, doomed)
+                    if buf.has_adds:
+                        # adds net of same-txn deletes (a row inserted
+                        # then deleted inside the txn never publishes)
+                        add = self._read_physical(buf.add_dir, info).join(
+                            F.broadcast(dels), ROWID, "left_anti"
+                        )
+                        if add.isEmpty():
+                            pass  # every add was deleted in-txn
+                        elif staging is None:
+                            prepared_adds.append(
+                                (db, t, self._prepare_append(db, t, add))
+                            )
+                        else:
+                            self._move_parts(
+                                self._prepare_append(db, t, add), staging
+                            )
+                    if staging is not None:
+                        prepared.append((db, t, staging))
                 elif buf.has_adds:
                     info = self.catalog.get_table(db, t)
                     add = self._read_physical(buf.add_dir, info)
