@@ -156,26 +156,43 @@ def test_rewrite_mysql_casts():
     closed); string literals are untouched; case-insensitive."""
     from tinysql_spark.sqlparse import rewrite_mysql_casts as rw
 
-    U = (
-        "CAST(pmod(CAST(({}) AS DECIMAL(21,0)), "
-        "CAST(18446744073709551616 AS DECIMAL(21,0))) AS DECIMAL(20,0))"
-    )
-    assert rw("SELECT CAST(x AS UNSIGNED) FROM t") == f"SELECT {U.format('x')} FROM t"
-    assert rw("CAST(x AS unsigned integer)") == U.format("x")
+    def U(inner):
+        # the round-12 form: try_cast fast path + StrToUint prefix
+        # parse + ErrOverflow saturation (types/convert.go:235)
+        pre = (
+            f"regexp_extract(trim(CAST(({inner}) AS STRING)), "
+            r"'^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?', 0)"
+        )
+        operand = (
+            f"coalesce(try_cast(({inner}) AS DECIMAL(21,0)), "
+            f"CASE WHEN ({inner}) IS NULL THEN NULL "
+            f"WHEN length({pre}) = 0 THEN CAST(0 AS DECIMAL(21,0)) "
+            f"WHEN try_cast({pre} AS DECIMAL(21,0)) IS NULL THEN "
+            f"CAST(CASE WHEN {pre} LIKE '-%' THEN 0 ELSE 18446744073709551615 END "
+            f"AS DECIMAL(21,0)) "
+            f"ELSE try_cast({pre} AS DECIMAL(21,0)) END)"
+        )
+        return (
+            f"CAST(pmod({operand}, "
+            f"CAST(18446744073709551616 AS DECIMAL(21,0))) AS DECIMAL(20,0))"
+        )
+
+    assert rw("SELECT CAST(x AS UNSIGNED) FROM t") == f"SELECT {U('x')} FROM t"
+    assert rw("CAST(x AS unsigned integer)") == U("x")
     assert rw("CAST(-1 AS SIGNED)") == "CAST(-1 AS BIGINT)"
     assert rw("SELECT 'keep AS UNSIGNED' AS s") == "SELECT 'keep AS UNSIGNED' AS s"
     assert rw("CAST(a AS STRING)") == "CAST(a AS STRING)"
     # nested parens inside the cast argument balance correctly
-    assert rw("CAST(f(a, b) - 1 AS UNSIGNED)") == U.format("f(a, b) - 1")
+    assert rw("CAST(f(a, b) - 1 AS UNSIGNED)") == U("f(a, b) - 1")
     # two casts in one statement, each rewritten independently
     assert (
         rw("SELECT CAST(a AS UNSIGNED), CAST(b AS UNSIGNED) FROM t")
-        == f"SELECT {U.format('a')}, {U.format('b')} FROM t"
+        == f"SELECT {U('a')}, {U('b')} FROM t"
     )
     # mixed: literal protected, cast outside rewritten
     assert (
         rw("SELECT CAST(n AS UNSIGNED), 'AS SIGNED' FROM t")
-        == f"SELECT {U.format('n')}, 'AS SIGNED' FROM t"
+        == f"SELECT {U('n')}, 'AS SIGNED' FROM t"
     )
     import pytest
 
