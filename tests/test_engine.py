@@ -2149,3 +2149,64 @@ def test_optimize_target_mb_validated_before_enqueue(eng):
     assert eng.sql("ADMIN SHOW DDL JOBS").df.count() == jobs_before
     eng.sql("SET optimize_target_mb = 128")
     assert "optimized" in eng.sql("OPTIMIZE TABLE otv").message
+
+
+def test_racing_replace_txns_one_winner_one_9007(spark, eng):
+    """Write-write conflict at COMMIT (reference: store/tikv/2pc.go:67
+    prewrite -> WriteConflict, TiDB errno 9007): two transactions
+    REPLACE the same existing PK; the first commit wins, the second
+    aborts instead of silently merging last-publisher-wins."""
+    from tinysql_spark.engine import Engine
+
+    eng.sql("CREATE TABLE wc (k INT PRIMARY KEY, v INT)")
+    eng.sql("INSERT INTO wc VALUES (1, 0)")
+    other = Engine(spark, eng.catalog.warehouse)
+    eng.sql("BEGIN")
+    eng.sql("REPLACE INTO wc VALUES (1, 111)")
+    other.sql("BEGIN")
+    other.sql("REPLACE INTO wc VALUES (1, 222)")
+    other.sql("COMMIT")  # first committer wins
+    with pytest.raises(ValueError, match="9007"):
+        eng.sql("COMMIT")
+    eng.reload()
+    assert rows(eng.sql("SELECT k, v FROM wc")) == [(1, 222)]
+    # the aborted session is clean and can retry
+    eng.sql("BEGIN")
+    eng.sql("REPLACE INTO wc VALUES (1, 111)")
+    eng.sql("COMMIT")
+    assert rows(eng.sql("SELECT k, v FROM wc")) == [(1, 111)]
+    other.close()
+
+
+def test_racing_delete_txns_second_gets_9007(spark, eng):
+    from tinysql_spark.engine import Engine
+
+    eng.sql("CREATE TABLE wd (k INT)")
+    eng.sql("INSERT INTO wd VALUES (1), (2)")
+    other = Engine(spark, eng.catalog.warehouse)
+    eng.sql("BEGIN")
+    eng.sql("DELETE FROM wd WHERE k = 1")
+    other.sql("DELETE FROM wd WHERE k = 1")  # autocommit, lands first
+    with pytest.raises(ValueError, match="9007"):
+        eng.sql("COMMIT")
+    eng.reload()
+    assert rows(eng.sql("SELECT k FROM wd")) == [(2,)]
+    other.close()
+
+
+def test_txn_delete_of_own_insert_is_not_a_conflict(spark, eng):
+    """Rows inserted then deleted inside the txn never existed on
+    disk; their absence from the committed table must not read as a
+    write conflict even when a concurrent commit moved the stamp."""
+    from tinysql_spark.engine import Engine
+
+    eng.sql("CREATE TABLE wo2 (k INT)")
+    eng.sql("INSERT INTO wo2 VALUES (1)")
+    other = Engine(spark, eng.catalog.warehouse)
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO wo2 VALUES (5)")
+    eng.sql("DELETE FROM wo2 WHERE k = 5")
+    other.sql("INSERT INTO wo2 VALUES (9)")  # moves the stamp
+    eng.sql("COMMIT")
+    assert rows(eng.sql("SELECT k FROM wo2")) == [(1,), (9,)]
+    other.close()

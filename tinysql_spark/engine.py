@@ -3550,6 +3550,48 @@ class Engine:
                 "transaction was rolled back; retry it against the new schema"
             )
 
+    def _txn_data_conflict_check(self, txn: _Txn) -> None:
+        """Commit-time write-write conflict detection — the DATA twin
+        of the 8028 SchemaChecker (reference: store/tikv/2pc.go:67
+        prewrite detects a key written by a concurrently committed
+        txn and aborts this one; TiDB errno 9007 WriteConflict).
+
+        A rowid this transaction buffered for deletion (DELETE, or
+        REPLACE's conflict removal) that a concurrent commit has
+        ALREADY removed means both transactions wrote the same row:
+        merging would silently drop one REPLACE's intent
+        (last-publisher-wins), so the later committer aborts. Rowids
+        are immutable and never reused, so existence-in-committed is
+        an exact overlap test. Plain concurrent INSERTs never remove
+        rowids — the documented data-only merge contract
+        (test_txn_merges_when_concurrency_is_data_only) is untouched.
+
+        No stamp gate: a concurrent COW DELETE swaps data dirs without
+        touching catalog.json, so the catalog stamp cannot prove
+        absence of data-level concurrency — the existence anti-join
+        (bounded by this txn's own doomed set) IS the check."""
+        for (db, t), buf in txn.tables.items():
+            if not buf.has_dels:
+                continue
+            dels = self.spark.read.parquet(buf.del_dir).select(ROWID)
+            if buf.has_adds:
+                # rows this txn inserted then deleted never existed on
+                # disk — their absence is not a conflict
+                own = self.spark.read.parquet(buf.add_dir).select(ROWID)
+                dels = dels.join(own, ROWID, "left_anti")
+            gone = (
+                dels.join(self._raw(db, t).select(ROWID), ROWID, "left_anti")
+                .limit(1)
+                .count()
+            )
+            if gone:
+                self._txn_rollback()
+                raise ValueError(
+                    "(errno 9007) write conflict: a row deleted or replaced "
+                    f"by this transaction was concurrently removed (table {t})"
+                    " — the transaction was rolled back; retry it"
+                )
+
     def _txn_commit(self) -> Result:
         """Publish the transaction: phase 1 PREPARES every touched
         table — delete-touched tables write their final contents to a
@@ -3563,6 +3605,7 @@ class Engine:
         if txn is None:
             return Result(message="commit: no active transaction")
         self._txn_schema_check(txn)
+        self._txn_data_conflict_check(txn)
         prepared: list[tuple[str, str, str]] = []
         prepared_adds: list[tuple[str, str, str]] = []
         try:
