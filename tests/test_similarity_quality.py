@@ -360,3 +360,65 @@ def test_s15_tombstone_probe_and_purge_identity(spark, sf_dir):
         for r in s15_ann_tombstone_delete(spark, sf_dir).collect()
     }
     assert before == after
+
+
+def test_s16_recluster_trips_gate_and_restores_balance(spark, sf_dir):
+    """The executed recluster (VERDICT r11 #4): the skew-injected
+    ingest must actually TRIP the drift gate (imbalance above the 4x
+    max/mean threshold — otherwise the operator tests nothing), and
+    the retrain+rewrite must restore balance back below it. Both
+    facts come from the build manifest, which records them from live
+    list sizes at build time."""
+    import json
+    import os
+
+    from tinysql_spark.operators.similarity import _s16_index_dir
+
+    d = _s16_index_dir(spark, sf_dir)
+    with open(os.path.join(d, "manifest.json")) as fh:
+        m = json.load(fh)
+    assert m["tripped"], f"skew injection must trip the gate: {m}"
+    assert m["imbalance_before"] > 4.0
+    assert m["balanced"], f"recluster must restore balance: {m}"
+    assert m["imbalance_after"] < 4.0
+    # no crash-discipline litter: staging/aside dirs are gone
+    leftovers = [f for f in os.listdir(d) if f.startswith((".reclust", ".aside"))]
+    assert leftovers == []
+
+
+def test_s16_recluster_equals_from_scratch_build(spark, sf_dir):
+    """End state == from-scratch: the reclustered lists must hold
+    exactly the assignment a fresh Lloyd train over the indexed
+    corpus produces (same rows, same cids), and the stored centroids
+    must be the fresh train's centroids — the recluster IS a
+    from-scratch build over the drifted corpus, not an approximation."""
+    import os
+
+    from tinysql_spark.operators.similarity import (
+        _lloyd_centroids,
+        _nearest_cid,
+        _s16_index_dir,
+    )
+
+    d = _s16_index_dir(spark, sf_dir)
+    lists = spark.read.parquet(os.path.join(d, "lists"))
+    cur = lists.select("vec_id", "e")
+    stored = {
+        (int(r["cid"]), int(r["vec_id"]))
+        for r in lists.select("cid", "vec_id").collect()
+    }
+    centn = _lloyd_centroids(cur)
+    scratch = {
+        (int(r["cid"]), int(r["vec_id"]))
+        for r in _nearest_cid(cur, centn, "vec_id", 1).collect()
+    }
+    assert stored == scratch
+    got_cents = {
+        (int(r["cid"]), tuple(round(x, 6) for x in r["ce"]))
+        for r in spark.read.parquet(os.path.join(d, "centroids")).collect()
+    }
+    want_cents = {
+        (int(r["cid"]), tuple(round(x, 6) for x in r["ce"]))
+        for r in centn.collect()
+    }
+    assert got_cents == want_cents

@@ -213,6 +213,15 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # the pipeline-arithmetic family in-window, p14 stays hash-checked
 # in parity and p20 is its tokenizer-faithful twin in the twin
 # suite; streaming grows to 8 slots.
+# Round-12 rotation (window-on-landing): s16_ann_recluster (the
+# drift-gate rewrite s14 only flags, executed: skew-injected ingest
+# trips the gate, retrain on the indexed corpus, crash-safe
+# lists+centroids swap, oracled end-to-end by a two-Lloyd SQL replay)
+# swaps for s14_ann_maintained_ivf, whose entire base-train +
+# frozen-centroid-append build s16 contains by construction (the
+# d16->d19 precedent; s14 stays hash-checked in parity and its
+# dirty-list manifest containment stays asserted in
+# tests/test_similarity_quality.py).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -255,7 +264,7 @@ WINDOW: tuple[str, ...] = (
     "s09_ann_filtered",
     "s11_hybrid_search",
     "s13_knn_graph",
-    "s14_ann_maintained_ivf",
+    "s16_ann_recluster",
     "s15_ann_tombstone_delete",
     # training-pipeline additions (rounds 4-5)
     "p08_training_export",

@@ -2000,3 +2000,275 @@ def s15_purge_tombstones(spark: SparkSession, sf_dir: str) -> dict[int, int]:
     for f in glob.glob(os.path.join(tombs, "*")):
         (shutil.rmtree if os.path.isdir(f) else os.remove)(f)
     return rewritten
+
+
+# --------------------------------------------------------------------------
+# s16 — RECLUSTER of a drifted maintained index: the rewrite the s14
+# drift gate only FLAGS (VERDICT r11 next #4; d18-compaction analog
+# for vectors). A skew-injected ingest trips s14_needs_recluster,
+# then the recluster retrains on the CURRENT indexed corpus and
+# rewrites lists + centroids through the crash-safe swap discipline;
+# the end state is oracle-equal to a from-scratch build.
+# --------------------------------------------------------------------------
+
+_S16_DIR_MEMO: dict[str, str] = {}
+_S16_BASE_MOD = 17  # thin base slice: 'the corpus as of yesterday'
+
+
+def _s16_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build a DRIFTED maintained index, then recluster it.
+
+    Skew injection (deterministic, the real failure mode): the base
+    index trains on a thin slice (vec_id % 17 == 0), and the ingest
+    batch is every remaining vector whose nearest FROZEN base
+    centroid is the single hottest list — i.e. the ingest
+    distribution collapsed onto one region (new documents all about
+    one topic). Frozen-centroid appends pile the whole batch onto one
+    cid, so max/mean trips s14_needs_recluster (asserted by the
+    quality test; the manifest records imbalance before/after).
+
+    Recluster: retrain the deterministic Lloyd pipeline on the
+    CURRENT indexed corpus (read back from the lists — the index owns
+    its rows; the source table is never re-read), re-assign, and
+    rewrite lists + centroids with the same stage/aside/in/delete
+    swap discipline as _compact_index_buckets — both full copies
+    exist on disk between the two renames, so a crash at any point
+    leaves a complete recoverable copy. The reclustered index is
+    definitionally the from-scratch build over the indexed corpus
+    (same training code, same rows), which is exactly what the oracle
+    checks end to end."""
+    import atexit
+    import json
+    import shutil
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    d = _S16_DIR_MEMO.get(key)
+    if d is not None and os.path.isdir(os.path.join(d, "lists")):
+        return d
+    u_corp = _s11_corpus(spark, sf_dir)
+    base = u_corp.filter(F.col("vec_id") % _S16_BASE_MOD == 0)
+    centn = _lloyd_centroids(base)  # frozen 'yesterday' centroids
+    rest = u_corp.filter(F.col("vec_id") % _S16_BASE_MOD != 0)
+    arest = _nearest_cid(rest, centn, "vec_id", 1)
+    hot = (
+        arest.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("cid"))
+        .limit(1)
+        .collect()[0]["cid"]
+    )
+    batch = (
+        arest.filter(F.col("cid") == int(hot))
+        .join(rest, "vec_id")
+        .select("cid", "vec_id", "e")
+    )
+    d = tempfile.mkdtemp(prefix="tinysql_s16_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    lists = os.path.join(d, "lists")
+    (
+        _nearest_cid(base, centn, "vec_id", 1)
+        .join(base, "vec_id")
+        .select("cid", "vec_id", "e")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(lists)
+    )
+    batch.write.mode("append").partitionBy("cid").parquet(lists)
+    centn.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+    sizes = _s16_list_sizes(spark, lists)
+    manifest: dict = {
+        "hot_cid": int(hot),
+        "imbalance_before": _s16_imbalance(sizes),
+        "tripped": s14_needs_recluster(sizes),
+    }
+    manifest.update(s16_recluster(spark, d))
+    with open(os.path.join(d, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    _S16_DIR_MEMO[key] = d
+    return d
+
+
+def _s16_list_sizes(spark: SparkSession, lists: str) -> dict[int, int]:
+    return {
+        int(r["cid"]): int(r["n"])
+        for r in spark.read.parquet(lists)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def _s16_imbalance(sizes: dict[int, int]) -> float:
+    if not sizes:
+        return 0.0
+    return round(max(sizes.values()) / (sum(sizes.values()) / len(sizes)), 4)
+
+
+def s16_recluster(spark: SparkSession, d: str) -> dict:
+    """Retrain + crash-safe rewrite of a drifted IVF dir: Lloyd over
+    the indexed corpus, re-assign, stage the new lists and centroids
+    as dot-prefixed dirs, rename old ASIDE, rename new IN, delete the
+    aside copies last (the _compact_index_buckets discipline at
+    whole-index granularity — a recluster replaces every list, so
+    per-partition swaps would just multiply rename windows). Returns
+    the post-recluster balance facts for the manifest."""
+    import shutil
+
+    lists = os.path.join(d, "lists")
+    cents = os.path.join(d, "centroids")
+    cur = spark.read.parquet(lists).select("vec_id", "e")
+    centn = _lloyd_centroids(cur)
+    new_lists = (
+        _nearest_cid(cur, centn, "vec_id", 1)
+        .join(cur, "vec_id")
+        .select("cid", "vec_id", "e")
+    )
+    stage_l = os.path.join(d, ".reclust-lists")
+    stage_c = os.path.join(d, ".reclust-centroids")
+    new_lists.write.mode("overwrite").partitionBy("cid").parquet(stage_l)
+    centn.write.mode("overwrite").parquet(stage_c)
+    aside_l = os.path.join(d, ".aside-lists")
+    aside_c = os.path.join(d, ".aside-centroids")
+    os.rename(lists, aside_l)
+    os.rename(stage_l, lists)
+    os.rename(cents, aside_c)
+    os.rename(stage_c, cents)
+    shutil.rmtree(aside_l, ignore_errors=True)
+    shutil.rmtree(aside_c, ignore_errors=True)
+    sizes = _s16_list_sizes(spark, lists)
+    return {
+        "imbalance_after": _s16_imbalance(sizes),
+        "balanced": not s14_needs_recluster(sizes),
+    }
+
+
+def _s16_lloyd_sql(train_cte: str, prefix: str) -> str:
+    """The deterministic Lloyd chain as DuckDB CTE text over a
+    (vec_id, e, rn) training CTE named ``train_cte`` — seeds by rank
+    spacing, then two argmax/average refinement rounds (the SQL twin
+    of _lloyd_centroids, shared by s16's base and recluster chains)."""
+    p = prefix
+    return f"""
+    {p}n AS (
+      SELECT count(*) AS n FROM {train_cte}
+    ), {p}c0 AS (
+      SELECT CAST(rn / CAST(ceil(n * 1.0 / {_HS_IVF_K}) AS BIGINT) AS INT) AS cid,
+             e AS ce
+      FROM {train_cte}, {p}n
+      WHERE rn % CAST(ceil(n * 1.0 / {_HS_IVF_K}) AS BIGINT) = 0
+    ), {p}a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT c.vec_id, s.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(c.e, s.ce), 6) DESC, s.cid) AS r
+        FROM {train_cte} c CROSS JOIN {p}c0 s) WHERE r = 1
+    ), {p}c1 AS (
+      SELECT cid, list_transform(ce0, x -> x / sqrt(list_dot_product(ce0, ce0))) AS ce
+      FROM (
+        SELECT cid, list(v ORDER BY i) AS ce0 FROM (
+          SELECT a.cid, i, round(avg(x), 6) AS v FROM {p}a0 a
+            JOIN {train_cte} c USING (vec_id),
+            LATERAL (SELECT unnest(c.e) AS x, generate_subscripts(c.e, 1) AS i) t
+          GROUP BY a.cid, i) GROUP BY cid)
+    ), {p}a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT c.vec_id, s.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(c.e, s.ce), 6) DESC, s.cid) AS r
+        FROM {train_cte} c CROSS JOIN {p}c1 s) WHERE r = 1
+    ), {p}c2 AS (
+      SELECT cid, list_transform(ce0, x -> x / sqrt(list_dot_product(ce0, ce0))) AS ce
+      FROM (
+        SELECT cid, list(v ORDER BY i) AS ce0 FROM (
+          SELECT a.cid, i, round(avg(x), 6) AS v FROM {p}a1 a
+            JOIN {train_cte} c USING (vec_id),
+            LATERAL (SELECT unnest(c.e) AS x, generate_subscripts(c.e, 1) AS i) t
+          GROUP BY a.cid, i) GROUP BY cid)
+    )"""
+
+
+@register(
+    "s16_ann_recluster",
+    late=True,
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) AS e
+      FROM embeddings
+    ), ucorp AS (
+      SELECT vec_id, e FROM u WHERE vec_id >= {_HS_NQ}
+    ), tr AS (
+      SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+      FROM ucorp WHERE vec_id % {_S16_BASE_MOD} = 0
+    ),{_s16_lloyd_sql("tr", "b")}, arest AS (
+      SELECT vec_id, cid FROM (
+        SELECT c.vec_id, s.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(c.e, s.ce), 6) DESC, s.cid) AS r
+        FROM (SELECT vec_id, e FROM ucorp
+              WHERE vec_id % {_S16_BASE_MOD} <> 0) c
+        CROSS JOIN bc2 s) WHERE r = 1
+    ), hot AS (
+      SELECT cid FROM (
+        SELECT cid, count(*) AS n FROM arest GROUP BY cid
+        ORDER BY n DESC, cid LIMIT 1)
+    ), dc AS (
+      SELECT vec_id, e,
+             row_number() OVER (ORDER BY vec_id) - 1 AS rn
+      FROM (
+        SELECT vec_id, e FROM ucorp WHERE vec_id % {_S16_BASE_MOD} = 0
+        UNION ALL
+        SELECT c.vec_id, c.e FROM arest a
+          JOIN ucorp c USING (vec_id), hot
+        WHERE a.cid = hot.cid)
+    ),{_s16_lloyd_sql("dc", "r")}, assign2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT c.vec_id, s.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(c.e, s.ce), 6) DESC, s.cid) AS r
+        FROM dc c CROSS JOIN rc2 s) WHERE r = 1
+    ), probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, s.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.e, s.ce), 6) DESC, s.cid) AS r
+        FROM u q CROSS JOIN rc2 s WHERE q.vec_id < {_HS_NQ}) WHERE r <= {_HS_IVF_P}
+    ), sims AS (
+      SELECT p.query_id, a.vec_id AS doc_id,
+             round(list_dot_product(q.e, c.e), 6) AS sim
+      FROM probes p JOIN assign2 a USING (cid)
+        JOIN u q ON q.vec_id = p.query_id
+        JOIN dc c ON c.vec_id = a.vec_id
+    )
+    SELECT query_id, doc_id, round(sim, 4) AS cos_sim
+    FROM sims
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, doc_id) <= {_TOP_K}
+    """,
+    doc="RECLUSTER of a drifted maintained IVF index — the rewrite "
+    "the s14 drift gate only FLAGS, executed (VERDICT r11 #4; d18's "
+    "compaction analog for vectors). Skew injection is the real "
+    "failure mode: the base trains on a thin slice (vec_id % 17 == "
+    "0, 'yesterday's corpus') and the ingest batch is every "
+    "remaining vector whose nearest FROZEN centroid is the hottest "
+    "list — a drifted stream piling onto one region — so max/mean "
+    "list size trips s14_needs_recluster (manifest-recorded, "
+    "test-asserted). The recluster then retrains the deterministic "
+    "Lloyd pipeline on the CURRENT indexed corpus read back from the "
+    "lists (the index owns its rows; the source table is never "
+    "re-read), and rewrites lists + centroids with the "
+    "stage/aside/in/delete swap discipline shared with "
+    "_compact_index_buckets — both complete copies exist between the "
+    "renames, so any crash leaves a recoverable index. The oracle "
+    "replays base-train -> drift-ingest -> FULL RETRAIN in SQL, so "
+    "the probe checks the reclustered end state equals a "
+    "from-scratch build over the drifted corpus, end to end. "
+    "Balance restored below the gate is asserted separately in "
+    "tests/test_similarity_quality.py. Reference analog: OPTIMIZE "
+    "TABLE's re-layout rewrite driven by a maintenance trigger.",
+)
+def s16_ann_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _probe_ivf_dir(spark, sf_dir, _s16_index_dir(spark, sf_dir))
