@@ -783,3 +783,24 @@ def test_d20_prefix_filter_lossless_and_cheaper(spark, sf_dir):
         (r["a_id"], r["b_id"]) for r in _d20_candidates(spark, sf_dir).collect()
     }
     assert {(a, b) for a, b, _ in d02} <= cands
+
+
+def test_d20_tokhash_variants_identical(spark, sf_dir):
+    """The A/B'd token-hash stages (JVM transform+xxhash64 vs the
+    Arrow pandas_udf batch) must produce the IDENTICAL d20 result —
+    the hash function cancels because d20 only compares hashes from
+    the same stage. Pinned so the in-tree `_D20_TOKHASH` toggle stays
+    honest (BASELINE r12: the HOF variant measured 34% faster and is
+    the committed default)."""
+    import tinysql_spark.operators.dedup as D
+    from tinysql_spark.operators.registry import REGISTRY
+
+    fn = REGISTRY["d20_prefix_filter_jaccard"].fn
+    assert D._D20_TOKHASH == "hof"  # the measured winner is the default
+    try:
+        a = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        D._D20_TOKHASH = "arrow"
+        b = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        D._D20_TOKHASH = "hof"
+    assert a == b and len(a) > 0

@@ -2864,19 +2864,61 @@ def d20_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D20_TOKHASH = "hof"  # token-hash stage: "hof" (transform+xxhash64)
+# vs "arrow" (pandas_udf batch) — A/B'd per VERDICT r11 #6 (the t09
+# lesson) and the HOF variant KEPT: interleaved at sf0.1 the HOF ran
+# 3.59s vs Arrow 5.44s min-of-3 (BASELINE r12 row) — unlike t09's
+# per-row counting, the lambda here is a single JVM xxhash64 call per
+# element inside the scan stage, while the Arrow twin ships the full
+# text column to Python in BOTH d20 call sites. Result identity is
+# pinned in tests/test_dedup_quality.py: the hash values differ
+# between variants (xxhash64 vs pandas hash_array) but d20 only
+# compares hashes to hashes from the SAME stage, so the jaccard pairs
+# are identical modulo ~1e-15 collision odds either way.
+
+
+def _d20_arrow_hashed_toks():
+    """Arrow-batched tokenize+hash twin of the HOF stage: one
+    pandas_udf takes the raw text and returns the sorted-distinct
+    int64 token-hash array (py_tokens keeps the ASCII-\\s JVM
+    tokenizer semantics; pd.util.hash_array is deterministic across
+    workers)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def h(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = sorted(set(py_tokens(t)))
+            hashed = pd.util.hash_array(np.array(toks, dtype=object))
+            out.append(hashed.astype(np.int64))
+        return pd.Series(out)
+
+    return h
+
+
+def _d20_toks_expr() -> Column:
+    """The hashed distinct-token array for one text column, in the
+    stage variant _D20_TOKHASH selects."""
+    from .text import distinct_tokens
+
+    if _D20_TOKHASH == "arrow":
+        return _d20_arrow_hashed_toks()(F.col("text"))
+    return F.array_distinct(
+        F.transform(distinct_tokens(F.col("text")), lambda w: F.xxhash64(w))
+    )
+
+
 def _d20_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, toks sorted-distinct int64 array, n) — the
     verify-side representation (d02's hashed-array trick: 8-byte ints
     instead of strings, ~4x less shuffle)."""
-    from .text import distinct_tokens
-
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         "source",
-        F.array_distinct(
-            F.transform(distinct_tokens(F.col("text")), lambda w: F.xxhash64(w))
-        ).alias("toks"),
+        _d20_toks_expr().alias("toks"),
     ).withColumn("n", F.size("toks"))
 
 
@@ -2887,17 +2929,11 @@ def _d20_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate-volume measurement in tests."""
     from pyspark.sql import Window
 
-    from .text import distinct_tokens
-
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         "source",
-        F.explode(
-            F.array_distinct(
-                F.transform(distinct_tokens(F.col("text")), lambda w: F.xxhash64(w))
-            )
-        ).alias("w"),
+        F.explode(_d20_toks_expr()).alias("w"),
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "w")
