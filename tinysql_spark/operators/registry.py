@@ -222,6 +222,15 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # d16->d19 precedent; s14 stays hash-checked in parity and its
 # dirty-list manifest containment stays asserted in
 # tests/test_similarity_quality.py).
+# q75_cow_delete (the round-12 file-granular COW write path driven
+# through the external gate: multi-file targeted DELETE, REPLACE
+# conflict resolution in one swap, large DELETE through the online
+# reorg kernel with a mid-rewrite delta append from a second session,
+# oracled by replaying the statement algebra over orders) swaps for
+# q69_typed_ctas, whose engine-warehouse CTAS + typed-insert
+# machinery q75 AND q74 both contain by construction (q69 stays
+# hash-checked in parity; its typed-roundtrip assertions remain in
+# the typed fuzz corpora).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -246,7 +255,7 @@ WINDOW: tuple[str, ...] = (
     "q74_online_index_build",
     "q67_ohlc_bars",
     "q68_order_batch_packing",
-    "q69_typed_ctas",
+    "q75_cow_delete",
     "q70_unsigned_wrap",
     "q71_scd2_build",
     "q73_important_stock",
