@@ -2210,3 +2210,87 @@ def test_txn_delete_of_own_insert_is_not_a_conflict(spark, eng):
     eng.sql("COMMIT")
     assert rows(eng.sql("SELECT k FROM wo2")) == [(1,), (9,)]
     other.close()
+
+
+def test_in_txn_insert_does_not_clobber_concurrent_ddl(spark, eng):
+    """An open txn's session catalog is intentionally stale; its
+    statement-time allocator persists must MERGE into the on-disk
+    catalog, never write the stale snapshot back whole — the old
+    whole-catalog update() erased a concurrent session's CREATE TABLE
+    from catalog.json (round-12 probe: t2 vanished)."""
+    from tinysql_spark.engine import Engine
+
+    eng.sql("CREATE TABLE cl1 (k INT)")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO cl1 VALUES (1)")
+    other = Engine(spark, eng.catalog.warehouse)
+    other.sql("CREATE TABLE cl2 (x INT)")
+    other.sql("INSERT INTO cl2 VALUES (9)")
+    eng.sql("INSERT INTO cl1 VALUES (2)")  # in-txn allocator publish
+    eng.sql("ROLLBACK")
+    assert rows(eng.sql("SELECT x FROM cl2")) == [(9,)], "cl2 must survive"
+    assert rows(other.sql("SELECT x FROM cl2")) == [(9,)]
+    other.close()
+
+
+def test_concurrent_txn_inserts_get_disjoint_rowids(spark, eng):
+    """Rowid allocation is GLOBAL and non-transactional (reference:
+    meta/autoid): two open txns inserting concurrently must draw
+    disjoint rowids — snapshot isolation does not extend to the
+    allocator, or the uniqueness invariant behind COW anti-joins and
+    ADMIN CHECK breaks."""
+    from tinysql_spark.engine import Engine
+
+    eng.sql("CREATE TABLE al (k INT)")
+    other = Engine(spark, eng.catalog.warehouse)
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO al VALUES (1)")
+    other.sql("BEGIN")
+    other.sql("INSERT INTO al VALUES (2)")  # must NOT reuse eng's rowid
+    other.sql("COMMIT")
+    eng.sql("COMMIT")
+    assert rows(eng.sql("SELECT k FROM al")) == [(1,), (2,)]
+    ids = [r[0] for r in eng._raw("default", "al").select("_rowid").collect()]
+    assert len(ids) == len(set(ids)), f"duplicate rowids: {ids}"
+    assert eng.sql("ADMIN CHECK TABLE al").df.collect()[0]["STATUS"] == "OK"
+    other.close()
+
+
+def test_racing_fresh_pk_insert_txns_one_winner_one_1062(spark, eng):
+    """Two txns INSERT the same brand-new PK value: both pass the
+    statement-time snapshot check; the commit-time unique revalidation
+    (prewrite ErrKeyExists, surfaced as 1062) aborts the later one."""
+    from tinysql_spark.engine import Engine
+
+    eng.sql("CREATE TABLE fp (k INT PRIMARY KEY, v INT)")
+    other = Engine(spark, eng.catalog.warehouse)
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO fp VALUES (7, 10)")
+    other.sql("BEGIN")
+    other.sql("INSERT INTO fp VALUES (7, 20)")
+    other.sql("COMMIT")
+    with pytest.raises(ValueError, match="1062"):
+        eng.sql("COMMIT")
+    eng.reload()
+    assert rows(eng.sql("SELECT k, v FROM fp")) == [(7, 20)]
+    assert eng.sql("ADMIN CHECK TABLE fp").df.collect()[0]["STATUS"] == "OK"
+    other.close()
+
+
+def test_replace_txn_does_not_self_conflict_at_commit(spark, eng):
+    """A txn that REPLACEs an existing key deletes the old row and
+    adds the new one; the commit-time unique recheck must net out its
+    own deletes (otherwise every in-txn REPLACE would 1062 against
+    the very row it replaces) even when an unrelated concurrent
+    commit moved the stamp."""
+    from tinysql_spark.engine import Engine
+
+    eng.sql("CREATE TABLE rs (k INT PRIMARY KEY, v INT)")
+    eng.sql("INSERT INTO rs VALUES (1, 10)")
+    other = Engine(spark, eng.catalog.warehouse)
+    eng.sql("BEGIN")
+    eng.sql("REPLACE INTO rs VALUES (1, 11)")
+    other.sql("INSERT INTO rs VALUES (2, 20)")  # moves the stamp
+    eng.sql("COMMIT")
+    assert rows(eng.sql("SELECT k, v FROM rs")) == [(1, 11), (2, 20)]
+    other.close()

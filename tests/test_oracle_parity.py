@@ -50,7 +50,12 @@ def test_oracle_backed_entries_fit_driver_window():
                      "q74_online_index_build",
                  "q67_ohlc_bars",
                  "st11_stream_incremental_dedup", "q68_order_batch_packing",
-                 "p12_dedup_weighted_sample", "q69_typed_ctas",
+                 "p12_dedup_weighted_sample",
+                     # q69 rotated OUT in round 12 (its CTAS +
+                     # typed-insert machinery is contained by q74 AND
+                     # the new COW gate entry; q69 stays hash-checked
+                     # below), replaced by the write-path close:
+                     "q75_cow_delete",
                  "d19_ingest_loop_dedup",
                  "p13_temperature_mix",
                  # round-9 rotation: the round-8 closer + every new op
@@ -64,7 +69,12 @@ def test_oracle_backed_entries_fit_driver_window():
                  # round-11 rotation: the CAST(AS UNSIGNED) wrap close
                  # + the maintained-IVF ingest (contains s12's probe
                  # path by construction via the shared _probe_ivf_dir)
-                 "q70_unsigned_wrap", "s14_ann_maintained_ivf",
+                 "q70_unsigned_wrap",
+                     # s14 rotated OUT in round 12 (s16 contains its
+                     # whole base-train + frozen-append build; s14
+                     # stays hash-checked below), replaced by the
+                     # executed drift-gate recluster:
+                     "s16_ann_recluster",
                  "t21_unicode_normalize", "p21_pack_attention_spans",
                  # round-11 second batch: SCD-2 pair + streaming twin,
                  # line dedup, maintained-index deletes

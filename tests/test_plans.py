@@ -291,6 +291,13 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
                 # index build + tombstone-batch writes ARE the operator
                 # (the delete-side mirror of s14's exemption)
                 "s15_ann_tombstone_delete",
+                # drifted build + gate + retrain + crash-safe rewrite
+                # ARE the operator (the executed recluster, round 12)
+                "s16_ann_recluster",
+                # engine-path op: the COW write story (file-granular
+                # DELETE, REPLACE swap, online delete with delta) IS
+                # the operator; the read itself is lazy (q69 discipline)
+                "q75_cow_delete",
             ):
                 continue
             spec.fn(spark, sf_dir)

@@ -673,7 +673,16 @@ class Engine:
                 m = P.re.search(r"(?:TABLE|DATABASE|SCHEMA|INDEX)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?([`\w.]+)", stmt, P.re.I)
                 self._log_ddl(kind, P.unquote_ident(m.group(1)) if m else "", stmt)
             if self.txn is None and kind in self._WRITER_KINDS:
-                self._cat_stamp = self._catalog_stamp()
+                if kind == "txn" and self._catalog_stamp() != self._cat_stamp:
+                    # COMMIT/ROLLBACK end a window in which this
+                    # session deliberately did not reload; external
+                    # commits (DDL, allocator bumps) may have landed
+                    # since BEGIN — absorb them by RELOADING, never by
+                    # blind-stamping over them (that made concurrent
+                    # CREATE TABLEs invisible to this session forever)
+                    self.reload()
+                else:
+                    self._cat_stamp = self._catalog_stamp()
         return result
 
     # ------------------------------------------------------------------
@@ -2546,7 +2555,9 @@ class Engine:
                 # _assign_rowids' sparse path)
                 max_id = out.agg(F.max(F.col(auto.name).cast("long"))).collect()[0][0]
                 info.next_auto = int(max_id) + 1
-            self.catalog.update()
+            # persisted by the caller's _publish_allocators — a direct
+            # whole-catalog update() here would clobber concurrent
+            # sessions' commits when called from an open (stale) txn
         return out, n
 
     # batches up to this size get dense rowids via a single-partition
@@ -2580,10 +2591,49 @@ class Engine:
         info.next_rowid = int(max_id) + 1
         return out, n
 
+    def _txn_alloc_sync(self, db: str, t: str) -> TableInfo:
+        """In-txn allocator discipline (reference: meta/autoid — the
+        allocator is GLOBAL and non-transactional; snapshot isolation
+        does not extend to id allocation): before allocating,
+        fast-forward this session's counters to the on-disk catalog's.
+        An open txn deliberately never reloads, so without this a
+        concurrent session's INSERT leaves both txns allocating the
+        SAME rowids — breaking the rowid-uniqueness invariant the COW
+        anti-joins, the 9007 check and ADMIN CHECK all rely on."""
+        info = self.catalog.get_table(db, t)
+        if self.txn is None:
+            return info
+        d = Catalog(self.catalog.warehouse).dbs.get(db, {}).get(t.lower())
+        if d is not None:
+            info.next_rowid = max(info.next_rowid, d.next_rowid)
+            info.next_auto = max(info.next_auto, d.next_auto)
+        return info
+
+    def _publish_allocators(self, db: str, t: str) -> None:
+        """Persist allocator bumps. Non-txn writers reloaded under the
+        lock, so the whole-catalog write-back is current and safe.
+        An open txn's session catalog is intentionally STALE — writing
+        it back whole would erase concurrent sessions' committed DDL
+        and allocator bumps from catalog.json (the t2-vanishes
+        clobber) — so in-txn bumps MERGE into a fresh read of the
+        on-disk catalog instead (read-modify-write, statement flock
+        held)."""
+        if self.txn is None:
+            self.catalog.update()
+            return
+        info = self.catalog.get_table(db, t)
+        disk = Catalog(self.catalog.warehouse)
+        d = disk.dbs.get(db, {}).get(t.lower())
+        if d is None:
+            return  # dropped externally — COMMIT will abort with 8028
+        d.next_rowid = max(d.next_rowid, info.next_rowid)
+        d.next_auto = max(d.next_auto, info.next_auto)
+        disk.update()
+
     def _exec_insert(self, stmt: str) -> Result:
         ins = P.parse_insert(stmt)
         db, t = self._qualify(ins.table)
-        info = self.catalog.get_table(db, t)
+        info = self._txn_alloc_sync(db, t)
         new_df, n_batch = self._values_df(ins, info)
         if ins.is_replace:
             return self._do_replace(db, t, info, new_df, n_batch)
@@ -2617,7 +2667,7 @@ class Engine:
             self._txn_stage_add(db, t, with_ids)
         else:
             self._append(db, t, with_ids)
-        self.catalog.update()
+        self._publish_allocators(db, t)
         return Result(rows_affected=n, message=f"{n} rows inserted")
 
     def _exec_replace(self, stmt: str) -> Result:
@@ -2636,7 +2686,7 @@ class Engine:
                 self._txn_stage_add(db, t, with_ids)
             else:
                 self._append(db, t, with_ids)
-            self.catalog.update()
+            self._publish_allocators(db, t)
             return Result(rows_affected=n, message=f"{n} rows inserted")
         # dedup the batch itself: REPLACE with two same-key tuples keeps
         # only the LAST one (reference: executor/replace.go — each tuple
@@ -2677,7 +2727,7 @@ class Engine:
             if n_deleted and doomed_ids is not None:
                 self._txn_stage_del(db, t, doomed_ids)
             self._txn_stage_add(db, t, with_ids)
-            self.catalog.update()
+            self._publish_allocators(db, t)
             return Result(
                 rows_affected=n + n_deleted,
                 message=f"{n_deleted} replaced, {n} inserted",
@@ -2707,7 +2757,7 @@ class Engine:
             self._move_parts(self._prepare_append(db, t, with_ids), staging)
             self.catalog.swap_data_dir(db, t, staging)
             self._refresh_table(db, t)
-        self.catalog.update()
+        self._publish_allocators(db, t)
         return Result(rows_affected=n + n_deleted, message=f"{n_deleted} replaced, {n} inserted")
 
     def _exec_delete(self, stmt: str) -> Result:
@@ -3592,6 +3642,57 @@ class Engine:
                     " — the transaction was rolled back; retry it"
                 )
 
+    def _txn_unique_check(self, txn: _Txn) -> None:
+        """Commit-time unique revalidation — the prewrite dup-key half
+        of the conflict check (reference: store/tikv/2pc.go prewrite
+        returns ErrKeyExists for a key a concurrent txn committed;
+        surfaced as errno 1062 at COMMIT in optimistic mode): the
+        statement-time 1062 check ran against the txn's SNAPSHOT, so
+        two transactions inserting the same fresh key both pass it
+        and would merge into a duplicate. Re-check buffered adds
+        against the CURRENT committed table (minus rows this txn
+        itself deletes — a REPLACE's old row must not self-conflict).
+        Gate: dup-creating concurrency is INSERT/REPLACE, which always
+        bumps catalog.json (allocator publish), so an unmoved stamp
+        proves absence."""
+        if self._catalog_stamp() == txn.start_stamp:
+            return
+        for (db, t), buf in txn.tables.items():
+            if not buf.has_adds:
+                continue
+            info = self.catalog.get_table(db, t)
+            keys = info.unique_keys()
+            if not keys:
+                continue
+            add = self._read_physical(buf.add_dir, info)
+            committed = self._raw(db, t)
+            if buf.has_dels:
+                dels = self.spark.read.parquet(buf.del_dir).select(ROWID)
+                add = add.join(F.broadcast(dels), ROWID, "left_anti")
+                committed = committed.join(F.broadcast(dels), ROWID, "left_anti")
+            for key in keys:
+                notnull = functools.reduce(
+                    lambda a, b: a & b, [F.col(k).isNotNull() for k in key]
+                )
+                dup = (
+                    add.select(*key)
+                    .filter(notnull)
+                    .join(
+                        committed.select(*key).filter(notnull).distinct(),
+                        list(key),
+                        "left_semi",
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    self._txn_rollback()
+                    raise ValueError(
+                        f"(errno 1062) duplicate key on {key} in table {t}: "
+                        "a concurrent transaction committed the same key — "
+                        "the transaction was rolled back; retry it"
+                    )
+
     def _txn_commit(self) -> Result:
         """Publish the transaction: phase 1 PREPARES every touched
         table — delete-touched tables write their final contents to a
@@ -3606,6 +3707,7 @@ class Engine:
             return Result(message="commit: no active transaction")
         self._txn_schema_check(txn)
         self._txn_data_conflict_check(txn)
+        self._txn_unique_check(txn)
         prepared: list[tuple[str, str, str]] = []
         prepared_adds: list[tuple[str, str, str]] = []
         try:
@@ -3658,7 +3760,13 @@ class Engine:
         for db, t, tmp in prepared_adds:
             self._publish_append(db, t, tmp)
         shutil.rmtree(txn.dir, ignore_errors=True)
-        self.catalog.update()
+        # the session catalog is intentionally stale after a txn; a
+        # whole-catalog update() here would erase DDL and allocator
+        # bumps concurrent sessions committed since BEGIN. Nothing the
+        # commit publishes lives in catalog.json (dir swaps + part
+        # moves; allocator bumps were merge-published per statement) —
+        # the dispatcher reloads after COMMIT/ROLLBACK when the stamp
+        # moved, absorbing the external state
         return Result(message=f"commit: {len(txn.tables)} table(s) published")
 
     def _txn_rollback(self) -> Result:
