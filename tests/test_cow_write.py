@@ -371,3 +371,27 @@ def test_online_delete_refused_while_index_job_running(spark, eng, wh):
     # the refused DELETE changed nothing
     assert _vals(eng, "SELECT a FROM oq ORDER BY a") == [(1,), (2,)]
     other.close()
+
+
+def test_online_delete_partitioned_links_partition_dirs(spark, eng, wh):
+    """Online DELETE on a hive-partitioned table: the publish links
+    clean files under their partition subdirs and the concurrent
+    insert's partition files land intact."""
+    eng.sql("CREATE TABLE op (a INT, p INT) PARTITIONED BY (p)")
+    eng.sql("INSERT INTO op VALUES (1, 1), (2, 1), (3, 2), (4, 2), (5, 3)")
+    eng.sql("SET @@cow_online_min_mb = 0")
+    other = Engine(spark, wh)
+
+    def hook(phase, job):
+        if phase == "delete:backfill done":
+            other.sql("INSERT INTO op VALUES (9, 9)")
+
+    eng.ddl_phase_hook = hook
+    r = eng.sql("DELETE FROM op WHERE a = 3")
+    assert r.rows_affected == 1
+    assert _vals(eng, "SELECT a, p FROM op ORDER BY a") == [
+        (1, 1), (2, 1), (4, 2), (5, 3), (9, 9),
+    ]
+    after = _manifest(eng, "op")
+    assert any("p=1" in rel for rel in after) and any("p=9" in rel for rel in after)
+    other.close()
