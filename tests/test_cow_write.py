@@ -395,3 +395,77 @@ def test_online_delete_partitioned_links_partition_dirs(spark, eng, wh):
     after = _manifest(eng, "op")
     assert any("p=1" in rel for rel in after) and any("p=9" in rel for rel in after)
     other.close()
+
+
+# ---------------------------------------------------------------------------
+# COW granularity fuzz (round 12): random DML sequences on multi-file
+# tables must keep the FILE-GRANULARITY invariant, not just the data:
+# after every DELETE/REPLACE, files that contained no matched row
+# survive with their inode (linked, never rewritten), and the table
+# content matches an in-python model. Guards the 100x property the
+# directed tests pin on fixed shapes.
+# ---------------------------------------------------------------------------
+
+import random as _random
+
+
+def test_cow_granularity_fuzz(spark, eng):
+    for seed in range(8):
+        rng = _random.Random(seed * 513239 + 3)
+        tbl = f"cg{seed}"
+        eng.sql(f"CREATE TABLE {tbl} (k INT PRIMARY KEY, v INT)")
+        model: dict[int, int] = {}
+        kpool = iter(rng.sample(range(1, 2000), 200))
+        for _ in range(rng.randint(3, 5)):  # multi-file history
+            rows_ = [(next(kpool), rng.randrange(100)) for _ in range(rng.randint(2, 5))]
+            eng.sql(
+                f"INSERT INTO {tbl} VALUES "
+                + ", ".join(f"({k}, {v})" for k, v in rows_)
+            )
+            model.update(dict(rows_))
+        for _ in range(rng.randint(3, 6)):
+            before = _manifest(eng, tbl)
+            op = rng.choice(["del_one", "del_pred", "replace", "insert"])
+            if op == "del_one" and model:
+                k = rng.choice(sorted(model))
+                dirty = _files_containing(eng, tbl, "k", {k})
+                eng.sql(f"DELETE FROM {tbl} WHERE k = {k}")
+                model.pop(k)
+            elif op == "del_pred" and model:
+                cut = rng.choice(sorted(model)) + rng.randint(-50, 50)
+                doomed = {k for k in model if k < cut}
+                dirty = _files_containing(eng, tbl, "k", doomed) if doomed else set()
+                eng.sql(f"DELETE FROM {tbl} WHERE k < {cut}")
+                for k in doomed:
+                    model.pop(k)
+            elif op == "replace":
+                # mix of conflicting and fresh keys
+                ks = rng.sample(sorted(model), min(len(model), rng.randint(1, 2))) + [
+                    next(kpool)
+                ]
+                dirty = _files_containing(eng, tbl, "k", set(ks))
+                vals = [(k, rng.randrange(1000, 2000)) for k in ks]
+                eng.sql(
+                    f"REPLACE INTO {tbl} VALUES "
+                    + ", ".join(f"({k}, {v})" for k, v in vals)
+                )
+                model.update(dict(vals))
+            else:
+                rows_ = [(next(kpool), rng.randrange(100)) for _ in range(rng.randint(1, 3))]
+                dirty = set()
+                eng.sql(
+                    f"INSERT INTO {tbl} VALUES "
+                    + ", ".join(f"({k}, {v})" for k, v in rows_)
+                )
+                model.update(dict(rows_))
+            after = _manifest(eng, tbl)
+            for rel, ino in before.items():
+                if rel not in dirty:
+                    assert after.get(rel) == ino, (
+                        f"seed {seed} {op}: clean file {rel} was rewritten"
+                    )
+            got = dict(
+                (r.k, r.v) for r in eng.sql(f"SELECT k, v FROM {tbl}").df.collect()
+            )
+            assert got == model, f"seed {seed} {op}: content diverged"
+        assert eng.sql(f"ADMIN CHECK TABLE {tbl}").df.collect()[0]["STATUS"] == "OK"
