@@ -469,3 +469,97 @@ def test_cow_granularity_fuzz(spark, eng):
             )
             assert got == model, f"seed {seed} {op}: content diverged"
         assert eng.sql(f"ADMIN CHECK TABLE {tbl}").df.collect()[0]["STATUS"] == "OK"
+
+
+# ---------------------------------------------------------------------------
+# online REPLACE: a bulk upsert whose dirty set exceeds the threshold
+# runs through the reorg kernel like the large DELETE; serialization
+# is REPLACE-LAST — concurrently inserted rows conflicting on a batch
+# key are replaced at publish (no duplicate survives), clean delta
+# files are linked verbatim.
+# ---------------------------------------------------------------------------
+
+
+def test_bulk_replace_runs_online_and_replaces_delta_conflicts(spark, eng, wh):
+    eng.sql("CREATE TABLE orp (k INT PRIMARY KEY, v INT)")
+    eng.sql("INSERT INTO orp VALUES (1, 10), (2, 20)")
+    eng.sql("INSERT INTO orp VALUES (3, 30)")
+    eng.sql("SET @@cow_online_min_mb = 0")
+    other = Engine(spark, wh)
+    seen = []
+
+    def hook(phase, job):
+        seen.append(phase)
+        if phase == "replace:backfill done":
+            # one conflicting key (5 arrives concurrently, the batch
+            # also writes 5) and one clean key (77)
+            other.sql("INSERT INTO orp VALUES (5, 555), (77, 770)")
+
+    eng.ddl_phase_hook = hook
+    r = eng.sql("REPLACE INTO orp VALUES (2, 99), (5, 50)")
+    assert "replace:reorg start" in seen and "replace:published" in seen
+    # 2 inserted; replaced = committed k=2 + the concurrent k=5 row
+    assert r.rows_affected == 4, r.message
+    assert _vals(eng, "SELECT k, v FROM orp ORDER BY k") == [
+        (1, 10), (2, 99), (3, 30), (5, 50), (77, 770),
+    ]
+    jobs = [j for j in eng.ddl_log.load() if j["type"] == "replace"]
+    assert jobs and jobs[-1]["status"] == "synced" and jobs[-1]["staging"] is None
+    assert eng.sql("ADMIN CHECK TABLE orp").df.collect()[0]["STATUS"] == "OK"
+    other.close()
+
+
+def test_online_replace_redoes_when_dirty_file_rewritten(spark, eng, wh):
+    eng.sql("CREATE TABLE orr (k INT PRIMARY KEY, v INT)")
+    eng.sql("INSERT INTO orr VALUES (1, 10), (2, 20)")  # one shared file set
+    eng.sql("INSERT INTO orr VALUES (3, 30)")
+    eng.sql("SET @@cow_online_min_mb = 0")
+    other = Engine(spark, wh)
+
+    def hook(phase, job):
+        if phase == "replace:backfill done":
+            # rewrites the file our conflict pass attributed (k=1
+            # shares its file with k=2, the batch's conflict)
+            other.sql("DELETE FROM orr WHERE k = 1")
+
+    eng.ddl_phase_hook = hook
+    r = eng.sql("REPLACE INTO orr VALUES (2, 99)")
+    assert r.rows_affected == 2
+    assert _vals(eng, "SELECT k, v FROM orr ORDER BY k") == [(2, 99), (3, 30)]
+    assert eng.sql("ADMIN CHECK TABLE orr").df.collect()[0]["STATUS"] == "OK"
+    other.close()
+
+
+def test_crashed_online_replace_never_happened(spark, eng, wh):
+    eng.sql("CREATE TABLE orc (k INT PRIMARY KEY, v INT)")
+    eng.sql("INSERT INTO orc VALUES (1, 10)")
+    tdir = os.path.join(wh, "default", "orc")
+    staging = os.path.join(tdir, "data.reorg-deadREPLACE")
+    os.makedirs(staging)
+    import json as _json
+
+    jobs_path = os.path.join(wh, "ddl_jobs.json")
+    with open(jobs_path) as f:
+        jobs = _json.load(f)
+    jobs.append(
+        {
+            "id": len(jobs) + 1,
+            "type": "replace",
+            "target": "orc",
+            "table": "default.orc",
+            "query": "REPLACE INTO orc VALUES (1, 99)",
+            "status": "running",
+            "schema_state": "write reorganization",
+            "row_count": 0,
+            "pid": 2**22 + 31337,
+            "staging": staging,
+        }
+    )
+    with open(jobs_path, "w") as f:
+        _json.dump(jobs, f)
+    e2 = Engine(spark, wh)
+    states = {j["id"]: j["status"] for j in e2.ddl_log.load()}
+    assert states[jobs[-1]["id"]] == "cancelled"
+    assert not os.path.exists(staging)
+    assert _vals(e2, "SELECT k, v FROM orc") == [(1, 10)], "statement never ran"
+    e2.close()

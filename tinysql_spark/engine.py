@@ -651,12 +651,13 @@ class Engine:
             # the handler records its own job entry (with the full
             # schema-state history), so no _log_ddl here
             return handler(stmt)
-        if kind == "delete" and self.txn is None:
-            # COW DELETE is self-locking too: the doomed-row predicate
-            # pass (an O(table) scan) and — above @@cow_online_min_mb —
+        if kind in ("delete", "replace") and self.txn is None:
+            # COW DELETE/REPLACE are self-locking too: the doomed-row
+            # predicate pass (an O(table) scan for DELETE, conflict
+            # probes for REPLACE) and — above @@cow_online_min_mb —
             # the survivor rewrite run UNLOCKED; only the assembly and
-            # swap hold the lock. In-txn DELETE stays on the locked
-            # path below (it only stages buffers).
+            # swap hold the lock. In-txn forms stay on the locked
+            # path below (they only stage buffers).
             return handler(stmt)
         lock = (
             self._catalog_write_lock()
@@ -2671,27 +2672,18 @@ class Engine:
         return Result(rows_affected=n, message=f"{n} rows inserted")
 
     def _exec_replace(self, stmt: str) -> Result:
-        return self._exec_insert(stmt)
+        if self.txn is None:
+            # self-locking COW REPLACE (dispatcher passes through);
+            # dirty sets above @@cow_online_min_mb rewrite unlocked
+            return self._exec_replace_cow(stmt)
+        return self._exec_insert(stmt)  # buffered under the statement lock
 
-    def _do_replace(
-        self, db: str, t: str, info: TableInfo, new_df: DataFrame, n_batch: int
-    ) -> Result:
-        """REPLACE: delete rows conflicting on any PK/unique key, then
-        insert (reference: executor/replace.go:29)."""
-        with_ids, n = self._assign_rowids(new_df, info, n_batch)
-        raw = self._overlay_raw(db, t)
-        keys = info.unique_keys()
-        if not keys:
-            if self.txn is not None:
-                self._txn_stage_add(db, t, with_ids)
-            else:
-                self._append(db, t, with_ids)
-            self._publish_allocators(db, t)
-            return Result(rows_affected=n, message=f"{n} rows inserted")
-        # dedup the batch itself: REPLACE with two same-key tuples keeps
-        # only the LAST one (reference: executor/replace.go — each tuple
-        # replaces the previous). Keep max rowid per key; rows with a
-        # NULL key column are exempt (NULLs never conflict).
+    @staticmethod
+    def _replace_dedup_batch(with_ids: DataFrame, keys) -> DataFrame:
+        """Dedup the batch itself: REPLACE with two same-key tuples
+        keeps only the LAST one (reference: executor/replace.go — each
+        tuple replaces the previous). Keep max rowid per key; rows
+        with a NULL key column are exempt (NULLs never conflict)."""
         for key in keys:
             notnull = functools.reduce(
                 lambda a, b: a & b, [F.col(k).isNotNull() for k in key]
@@ -2705,40 +2697,14 @@ class Engine:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-        n = with_ids.count()
-        if self.txn is not None:
-            # in-txn REPLACE: conflicting rowids (committed or buffered
-            # — the deleted set filters both overlay branches) go to
-            # the delete buffer, new tuples to the add buffer
-            keep = raw
-            n_deleted = 0
-            doomed_ids: DataFrame | None = None
-            for key in keys:
-                conflicts = with_ids.select(*key).distinct()
-                cond = [
-                    keep[k].eqNullSafe(conflicts[k]) & keep[k].isNotNull()
-                    for k in key
-                ]
-                matched = keep.join(conflicts, on=cond, how="left_semi")
-                n_deleted += matched.count()
-                ids = matched.select(ROWID)
-                doomed_ids = ids if doomed_ids is None else doomed_ids.unionByName(ids)
-                keep = keep.join(conflicts, on=cond, how="left_anti")
-            if n_deleted and doomed_ids is not None:
-                self._txn_stage_del(db, t, doomed_ids)
-            self._txn_stage_add(db, t, with_ids)
-            self._publish_allocators(db, t)
-            return Result(
-                rows_affected=n + n_deleted,
-                message=f"{n_deleted} replaced, {n} inserted",
-            )
-        # copy-on-write (executor/replace.go removeRow is O(matched
-        # rows)): the doomed set is bounded by the batch's keys — each
-        # key hits at most one committed row per unique key — so only
-        # the files holding those rows are rewritten; the new batch's
-        # part files join the same staging assembly and ONE atomic
-        # swap publishes delete+insert together (statement atomicity).
-        rawf = self._raw_with_file(db, t)
+        return with_ids
+
+    def _replace_doomed(
+        self, rawf: DataFrame, with_ids: DataFrame, keys
+    ) -> DataFrame:
+        """(rowid, scan-file) pairs of the rows ``with_ids`` conflicts
+        with on ANY key — a row conflicting on several keys appears
+        once (distinct)."""
         doomed: DataFrame | None = None
         for key in keys:
             conflicts = with_ids.select(*key).distinct()
@@ -2749,16 +2715,216 @@ class Engine:
                 ROWID, self._COW_FILE
             )
             doomed = matched if doomed is None else doomed.unionByName(matched)
-        # a row conflicting on several keys is deleted (and counted) once
-        staging, n_deleted, _dirty = self._cow_prepare(db, t, doomed.distinct())
-        if staging is None:
-            self._append(db, t, with_ids)
+        return doomed.distinct()
+
+    def _files_with_file(self, db: str, t: str, rels) -> DataFrame:
+        """Explicit-file-set read with scan-file attribution — the
+        delta twin of _raw_with_file."""
+        info = self.catalog.get_table(db, t)
+        data = self.catalog.data_dir(db, t)
+        paths = [os.path.join(data, p) for p in sorted(rels)]
+        df = self.spark.read.option("basePath", data).schema(
+            info.physical_schema()
+        ).parquet(*paths)
+        return df.select(
+            df[ROWID],
+            F.input_file_name().alias(self._COW_FILE),
+            *self._logical_columns(df, info),
+        )
+
+    def _cow_threshold(self) -> float:
+        try:
+            return float(self.sys_vars.get("cow_online_min_mb", "256")) * 2**20
+        except (TypeError, ValueError):
+            raise ValueError(
+                "cow_online_min_mb must be a number, got "
+                f"{self.sys_vars.get('cow_online_min_mb')!r}"
+            )
+
+    def _exec_replace_cow(self, stmt: str) -> Result:
+        """Non-txn REPLACE as file-granular copy-on-write (reference:
+        executor/replace.go removeRow is O(matched rows)): only files
+        holding conflicting rows are rewritten, the batch's part files
+        join the same staging, and ONE atomic swap publishes
+        delete+insert together. A small conflict set (a VALUES-list
+        upsert) assembles under one short lock hold; a bulk
+        REPLACE ... SELECT whose dirty set exceeds @@cow_online_min_mb
+        runs through the online reorg kernel like the large DELETE —
+        at 100 TB a bulk upsert must not block writers behind its
+        rewrite."""
+        if self._catalog_stamp() != self._cat_stamp:
+            self.reload()
+        ins = P.parse_insert(stmt)
+        db, t = self._qualify(ins.table)
+        with self._locked_catalog_step():
+            info = self.catalog.get_table(db, t)
+            new_df, n_batch = self._values_df(ins, info)
+            with_ids, n = self._assign_rowids(new_df, info, n_batch)
+            keys = info.unique_keys()
+            if not keys:
+                self._append(db, t, with_ids)
+                self.catalog.update()
+                return Result(rows_affected=n, message=f"{n} rows inserted")
+            # checkpoint: the batch (and its rowid assignment) must be
+            # IDENTICAL across the count, the conflict probes, the
+            # write and a possible publish-time redo
+            with_ids = self._replace_dedup_batch(with_ids, keys).localCheckpoint()
+            n = with_ids.count()
+            self.catalog.update()  # allocator bumps (reloaded + locked)
+            pairs, n_deleted, dirty = self._cow_attribute(
+                db, t, self._replace_doomed(self._raw_with_file(db, t), with_ids, keys)
+            )
+            data = self.catalog.data_dir(db, t)
+            dirty_bytes = 0
+            for rel in dirty:
+                try:
+                    dirty_bytes += os.path.getsize(os.path.join(data, rel))
+                except OSError:
+                    break
+            if dirty_bytes < self._cow_threshold():
+                if n_deleted == 0:
+                    self._append(db, t, with_ids)
+                else:
+                    staging = self._cow_assemble(db, t, pairs, dirty)
+                    self._move_parts(self._prepare_append(db, t, with_ids), staging)
+                    self.catalog.swap_data_dir(db, t, staging)
+                    self._refresh_table(db, t)
+                return Result(
+                    rows_affected=n + n_deleted,
+                    message=f"{n_deleted} replaced, {n} inserted",
+                )
+            sig0 = self._schema_sig(info)
+            snapshot = self._list_data_files(db, t)
+            self._guard_no_running_job(db, t)
+            reorg = self._new_reorg_path(db, t)
+            job = self.ddl_log.append(
+                type="replace",
+                target=t,
+                table=f"{db}.{t}",
+                query=stmt.strip()[:500],
+                status="running",
+                schema_state=STATE_WRITE_REORG,
+                staging=reorg,
+            )
+        try:
+            return self._exec_replace_online(
+                db, t, job, reorg, snapshot, sig0, with_ids, keys,
+                pairs, n, n_deleted, dirty,
+            )
+        except BaseException:
+            self._ensure_job_terminal(job, lambda: self._cancel_plain_job(job))
+            raise
+
+    def _exec_replace_online(
+        self, db, t, job, reorg, snapshot, sig0, with_ids, keys,
+        pairs, n, n_deleted, dirty,
+    ) -> Result:
+        """The reorg-kernel path for a bulk REPLACE: survivor rewrite
+        + batch part files land in the staging with NO lock held; one
+        short lock publishes. Serialization is REPLACE-LAST: files
+        appended since the snapshot whose rows conflict on a batch key
+        are replaced too at publish (otherwise a concurrently inserted
+        row would survive as a duplicate of the batch row); clean
+        delta files are linked verbatim."""
+        self._ddl_hook("replace:reorg start", job)
+        data = self.catalog.data_dir(db, t)
+        # ---- rewrite + batch: NO lock held -----------------------------
+        if n_deleted:
+            self._cow_write_survivors(db, t, pairs, dirty, reorg)
         else:
-            self._move_parts(self._prepare_append(db, t, with_ids), staging)
-            self.catalog.swap_data_dir(db, t, staging)
+            os.makedirs(reorg, exist_ok=True)
+        self._move_parts(self._prepare_append(db, t, with_ids), reorg)
+        self._ddl_hook("replace:backfill done", job)
+        # ---- publish: short lock, delta conflict catch-up, swap --------
+        with self._locked_catalog_step():
+            info2 = self.catalog.get_table(db, t)
+            current = self._list_data_files(db, t)
+            if self._schema_sig(info2) != sig0 or not dirty <= current:
+                # a concurrent rewrite invalidated the pass — redo it
+                # here against the current files (writers pay once)
+                shutil.rmtree(reorg, ignore_errors=True)
+                pairs, n_deleted, dirty = self._cow_attribute(
+                    db, t,
+                    self._replace_doomed(self._raw_with_file(db, t), with_ids, keys),
+                )
+                reorg = self._new_reorg_path(db, t)
+                self.ddl_log.update(job["id"], staging=reorg)
+                if n_deleted:
+                    self._cow_write_survivors(db, t, pairs, dirty, reorg)
+                else:
+                    os.makedirs(reorg, exist_ok=True)
+                self._move_parts(self._prepare_append(db, t, with_ids), reorg)
+                self._link_into(data, reorg, self._list_data_files(db, t) - dirty)
+            else:
+                delta = current - snapshot
+                clean = current - dirty
+                if delta:
+                    dpairs, dn, ddirty = self._cow_attribute(
+                        db, t,
+                        self._replace_doomed(
+                            self._files_with_file(db, t, delta), with_ids, keys
+                        ),
+                    )
+                    if dn:
+                        side = reorg + ".delta"
+                        self._cow_write_survivors(db, t, dpairs, ddirty, side)
+                        self._move_parts(side, reorg)
+                        n_deleted += dn
+                        clean = clean - ddirty
+                self._link_into(data, reorg, clean)
+            self.catalog.swap_data_dir(db, t, reorg)
             self._refresh_table(db, t)
+            self.ddl_log.update(
+                job["id"],
+                status="synced",
+                schema_state=STATE_PUBLIC,
+                row_count=n + n_deleted,
+                staging=None,
+            )
+        self._ddl_hook("replace:published", job)
+        return Result(
+            rows_affected=n + n_deleted,
+            message=f"{n_deleted} replaced, {n} inserted",
+        )
+
+    def _do_replace(
+        self, db: str, t: str, info: TableInfo, new_df: DataFrame, n_batch: int
+    ) -> Result:
+        """In-txn REPLACE (the non-txn path is _exec_replace_cow):
+        conflicting rowids (committed or buffered — the deleted set
+        filters both overlay branches) go to the delete buffer, new
+        tuples to the add buffer (reference: executor/replace.go:29)."""
+        with_ids, n = self._assign_rowids(new_df, info, n_batch)
+        raw = self._overlay_raw(db, t)
+        keys = info.unique_keys()
+        if not keys:
+            self._txn_stage_add(db, t, with_ids)
+            self._publish_allocators(db, t)
+            return Result(rows_affected=n, message=f"{n} rows inserted")
+        with_ids = self._replace_dedup_batch(with_ids, keys)
+        n = with_ids.count()
+        keep = raw
+        n_deleted = 0
+        doomed_ids: DataFrame | None = None
+        for key in keys:
+            conflicts = with_ids.select(*key).distinct()
+            cond = [
+                keep[k].eqNullSafe(conflicts[k]) & keep[k].isNotNull()
+                for k in key
+            ]
+            matched = keep.join(conflicts, on=cond, how="left_semi")
+            n_deleted += matched.count()
+            ids = matched.select(ROWID)
+            doomed_ids = ids if doomed_ids is None else doomed_ids.unionByName(ids)
+            keep = keep.join(conflicts, on=cond, how="left_anti")
+        if n_deleted and doomed_ids is not None:
+            self._txn_stage_del(db, t, doomed_ids)
+        self._txn_stage_add(db, t, with_ids)
         self._publish_allocators(db, t)
-        return Result(rows_affected=n + n_deleted, message=f"{n_deleted} replaced, {n} inserted")
+        return Result(
+            rows_affected=n + n_deleted,
+            message=f"{n_deleted} replaced, {n} inserted",
+        )
 
     def _exec_delete(self, stmt: str) -> Result:
         table, cond, order_by, limit = P.parse_delete(stmt)
@@ -2815,14 +2981,7 @@ class Engine:
                 dirty_bytes += os.path.getsize(os.path.join(data, rel))
             except OSError:
                 break  # file vanished: the locked redo below handles it
-        try:
-            thr = float(self.sys_vars.get("cow_online_min_mb", "256")) * 2**20
-        except (TypeError, ValueError):
-            raise ValueError(
-                "cow_online_min_mb must be a number, got "
-                f"{self.sys_vars.get('cow_online_min_mb')!r}"
-            )
-        if dirty_bytes < thr:
+        if dirty_bytes < self._cow_threshold():
             with self._locked_catalog_step():
                 current = self._list_data_files(db, t)
                 info2 = self.catalog.get_table(db, t)
