@@ -209,3 +209,21 @@ def test_unsigned_cast_numeric_paths_unchanged(ceng):
     assert scalar(ceng, "CAST(18446744073709551615 AS UNSIGNED)") == decimal.Decimal(
         2**64 - 1
     )
+
+
+def test_unsigned_cast_decimal_window_saturates(ceng):
+    """The DECIMAL(21,0) fast path holds up to 10^21-1, so values in
+    [2^64, 10^21) passed it and WRAPPED via pmod where MySQL
+    saturates (review r12 #2) — now every operand >= 2^64 saturates
+    to 2^64-1 and every operand below int64 range saturates to 0
+    (ConvertDecimalToUint); true int64 negatives keep the wrap."""
+    import decimal
+
+    U64MAX = decimal.Decimal(2**64 - 1)
+    assert scalar(ceng, "CAST('18446744073709551616' AS UNSIGNED)") == U64MAX
+    assert scalar(ceng, "CAST('99999999999999999999' AS UNSIGNED)") == U64MAX
+    assert scalar(ceng, "CAST(18446744073709551616 AS UNSIGNED)") == U64MAX
+    assert scalar(ceng, "CAST('-9223372036854775809' AS UNSIGNED)") == 0
+    assert scalar(ceng, "CAST(-9223372036854775808 AS UNSIGNED)") == decimal.Decimal(
+        2**63
+    )

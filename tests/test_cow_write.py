@@ -563,3 +563,44 @@ def test_crashed_online_replace_never_happened(spark, eng, wh):
     assert not os.path.exists(staging)
     assert _vals(e2, "SELECT k, v FROM orc") == [(1, 10)], "statement never ran"
     e2.close()
+
+
+def test_online_delete_survives_file_unlinked_before_rewrite(spark, eng, wh):
+    """A concurrent small COW DELETE unlinks one of OUR dirty files
+    BEFORE the unlocked survivor read even starts: the read failure is
+    an invalidated pass, not a statement error — publish redoes under
+    the lock (review r12 #4)."""
+    eng.sql("CREATE TABLE ouf (a INT)")
+    eng.sql("INSERT INTO ouf VALUES (1), (2)")  # shared file set
+    eng.sql("INSERT INTO ouf VALUES (3)")
+    eng.sql("SET @@cow_online_min_mb = 0")
+    other = Engine(spark, wh)
+
+    def hook(phase, job):
+        if phase == "delete:reorg start":
+            other.sql("DELETE FROM ouf WHERE a = 2")  # rewrites our dirty file
+
+    eng.ddl_phase_hook = hook
+    r = eng.sql("DELETE FROM ouf WHERE a = 1")
+    assert r.rows_affected == 1
+    assert _vals(eng, "SELECT a FROM ouf") == [(3,)]
+    jobs = [j for j in eng.ddl_log.load() if j["type"] == "delete"]
+    assert jobs[-1]["status"] == "synced"
+    other.close()
+
+
+def test_online_replace_survives_file_unlinked_before_rewrite(spark, eng, wh):
+    eng.sql("CREATE TABLE ouf2 (k INT PRIMARY KEY, v INT)")
+    eng.sql("INSERT INTO ouf2 VALUES (1, 10), (2, 20)")
+    eng.sql("SET @@cow_online_min_mb = 0")
+    other = Engine(spark, wh)
+
+    def hook(phase, job):
+        if phase == "replace:reorg start":
+            other.sql("DELETE FROM ouf2 WHERE k = 1")  # unlinks the dirty file
+
+    eng.ddl_phase_hook = hook
+    r = eng.sql("REPLACE INTO ouf2 VALUES (2, 99)")
+    assert r.rows_affected == 2
+    assert _vals(eng, "SELECT k, v FROM ouf2") == [(2, 99)]
+    other.close()

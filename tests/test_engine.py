@@ -2294,3 +2294,24 @@ def test_replace_txn_does_not_self_conflict_at_commit(spark, eng):
     eng.sql("COMMIT")
     assert rows(eng.sql("SELECT k, v FROM rs")) == [(1, 11), (2, 20)]
     other.close()
+
+
+def test_racing_fresh_pk_reverse_commit_order_still_one_winner(spark, eng):
+    """Same fresh-PK race, commits in ALLOCATION order this time: the
+    commit-time gate must key on files COMMITTED since the statement
+    check, not on allocator positions — allocation order and commit
+    order are independent, and a gate confusing them lets the second
+    committer merge a duplicate."""
+    from tinysql_spark.engine import Engine
+
+    eng.sql("CREATE TABLE fp2 (k INT PRIMARY KEY, v INT)")
+    other = Engine(spark, eng.catalog.warehouse)
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO fp2 VALUES (7, 10)")  # allocates first
+    other.sql("BEGIN")
+    other.sql("INSERT INTO fp2 VALUES (7, 20)")  # allocates second
+    eng.sql("COMMIT")  # commits first -> wins
+    with pytest.raises(ValueError, match="1062"):
+        other.sql("COMMIT")
+    assert rows(eng.sql("SELECT k, v FROM fp2")) == [(7, 10)]
+    other.close()

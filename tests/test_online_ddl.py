@@ -826,3 +826,132 @@ def test_crashed_modify_job_never_happened(spark, eng, wh):
     e2.sql("ALTER TABLE omc MODIFY s BIGINT")  # retry works
     assert dict(e2.sql("SELECT s FROM omc").df.dtypes)["s"] == "bigint"
     e2.close()
+
+
+def test_sweeper_spares_claimed_staging_side_dirs(spark, eng, wh):
+    """A live job's claim covers its staging's SIDE dirs too (the
+    bucketed rewrite's `<staging>.bparts`, the REPLACE publish's
+    `<staging>.delta`): equality-only matching let a concurrent
+    engine's sweeper empty a mid-write side dir (review r12 #1)."""
+    from tinysql_spark.ddljobs import proc_start
+
+    eng.sql("CREATE TABLE sd (a INT)")
+    eng.sql("INSERT INTO sd VALUES (1)")
+    tdir = os.path.join(wh, "default", "sd")
+    live = os.path.join(tdir, "data.reorg-livejob2")
+    live_side = live + ".bparts"
+    dead_side = os.path.join(tdir, "data.reorg-unclaimed.delta")
+    os.makedirs(live)
+    os.makedirs(live_side)
+    os.makedirs(dead_side)
+    jobs_path = os.path.join(wh, "ddl_jobs.json")
+    with open(jobs_path) as f:
+        jobs = json.load(f)
+    jobs.append(
+        {
+            "id": len(jobs) + 1,
+            "type": "replace",
+            "target": "sd",
+            "table": "default.sd",
+            "query": "REPLACE INTO sd ...",
+            "status": "running",
+            "schema_state": C.STATE_WRITE_REORG,
+            "row_count": 0,
+            "pid": os.getpid(),
+            "pid_start": proc_start(os.getpid()),
+            "staging": live,
+        }
+    )
+    with open(jobs_path, "w") as f:
+        json.dump(jobs, f)
+    e2 = Engine(spark, wh)  # init runs the sweeper
+    assert os.path.isdir(live), "claimed staging survives"
+    assert os.path.isdir(live_side), "claimed staging's side dir survives"
+    assert not os.path.exists(dead_side), "unclaimed side dir is litter"
+    e2.close()
+
+
+def test_modify_failure_after_swap_rolls_forward(spark, eng, wh):
+    """In-process failure between the data swap and the catalog save
+    (review r12 #3): the data already carries the new type, so the
+    terminal handler must roll the metadata FORWARD — cancelling
+    would leave new-typed files under an old-typed schema and every
+    read would fail."""
+    eng.sql("CREATE TABLE mfp (a INT, s INT)")
+    eng.sql("INSERT INTO mfp VALUES (1, 10), (2, 20)")
+    real_update = eng.catalog.update
+    fired = []
+
+    def boom():
+        if not fired:  # only the publish-time save fails
+            fired.append(1)
+            raise OSError("simulated catalog-save failure")
+        real_update()
+
+    def hook(phase, job):
+        if phase == "modify_column:backfill done":
+            eng.catalog.update = boom  # arm just before the publish
+
+    eng.ddl_phase_hook = hook
+    try:
+        with pytest.raises(Exception):
+            eng.sql("ALTER TABLE mfp MODIFY s BIGINT")
+    finally:
+        eng.catalog.update = real_update
+        eng.ddl_phase_hook = None
+    # rolled FORWARD: type changed, data intact, job synced
+    assert _vals(eng, "SELECT a, s FROM mfp") == [(1, 10), (2, 20)]
+    assert dict(eng.sql("SELECT s FROM mfp").df.dtypes)["s"] == "bigint"
+    jobs = [j for j in eng.ddl_log.load() if j["type"] == "modify_column"]
+    assert jobs[-1]["status"] == "synced", jobs[-1]
+    assert _disk_index_state(wh, "mfp", "nonexistent") == C.STATE_NONE  # sanity
+
+
+def test_modify_crash_after_swap_resumes_forward(spark, eng, wh):
+    """Process DEATH in the same window: the orphaned job is in
+    'publishing' with its staging renamed away — adoption must finish
+    the publish (metadata forward), not cancel into a broken state."""
+
+    class Death(BaseException):
+        pass
+
+    eng.sql("CREATE TABLE mcp (a INT, s INT)")
+    eng.sql("INSERT INTO mcp VALUES (1, 10)")
+    real_update = eng.catalog.update
+    fired = []
+
+    def boom():
+        if not fired:
+            fired.append(1)
+            raise Death()  # BaseException: models process death
+        real_update()
+
+    def hook(phase, job):
+        if phase == "modify_column:backfill done":
+            eng.catalog.update = boom
+
+    eng.ddl_phase_hook = hook
+    try:
+        with pytest.raises(Death):
+            eng.sql("ALTER TABLE mcp MODIFY s BIGINT")
+    finally:
+        eng.catalog.update = real_update
+        eng.ddl_phase_hook = None
+    # forge the owner's death, then adopt
+    import subprocess
+
+    p = subprocess.Popen(["sleep", "0"])
+    p.wait()
+    jobs_path = os.path.join(wh, "ddl_jobs.json")
+    with open(jobs_path) as f:
+        jobs = json.load(f)
+    assert jobs[-1]["status"] == "running" and jobs[-1]["schema_state"] == "publishing"
+    jobs[-1]["pid"] = p.pid
+    with open(jobs_path, "w") as f:
+        json.dump(jobs, f)
+    e2 = Engine(spark, wh)
+    assert _vals(e2, "SELECT a, s FROM mcp") == [(1, 10)]
+    assert dict(e2.sql("SELECT s FROM mcp").df.dtypes)["s"] == "bigint"
+    got = [j for j in e2.ddl_log.load() if j["type"] == "modify_column"][-1]
+    assert got["status"] == "synced", got
+    e2.close()

@@ -173,8 +173,12 @@ def test_rewrite_mysql_casts():
             f"ELSE try_cast({pre} AS DECIMAL(21,0)) END)"
         )
         return (
-            f"CAST(pmod({operand}, "
-            f"CAST(18446744073709551616 AS DECIMAL(21,0))) AS DECIMAL(20,0))"
+            f"CAST(CASE WHEN {operand} >= CAST(18446744073709551616 AS DECIMAL(21,0)) "
+            f"THEN CAST(18446744073709551615 AS DECIMAL(21,0)) "
+            f"WHEN {operand} < CAST(-9223372036854775808 AS DECIMAL(21,0)) "
+            f"THEN CAST(0 AS DECIMAL(21,0)) "
+            f"ELSE pmod({operand}, CAST(18446744073709551616 AS DECIMAL(21,0))) END "
+            f"AS DECIMAL(20,0))"
         )
 
     assert rw("SELECT CAST(x AS UNSIGNED) FROM t") == f"SELECT {U('x')} FROM t"

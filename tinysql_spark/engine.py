@@ -250,12 +250,18 @@ class Engine:
             # opened over the same warehouse via different spellings
             # (relative vs absolute, symlinked) must still recognize
             # each other's claims, or one sweeper deletes the other's
-            # live hours-long reorg staging.
+            # live hours-long reorg staging. PREFIX match, not
+            # equality: a claimed staging's SIDE dirs (the bucketed
+            # rewrite's `<staging>.bparts`, the REPLACE publish's
+            # `<staging>.delta`) carry the reorg prefix too and are
+            # exactly as live as the staging itself — an
+            # equality-only claim let a concurrent engine's sweeper
+            # silently empty a mid-write side dir (review r12 #1).
             canon = os.path.realpath(path)
             return any(
                 j["status"] == "running"
                 and j.get("staging")
-                and os.path.realpath(j["staging"]) == canon
+                and canon.startswith(os.path.realpath(j["staging"]))
                 and _job_pid_alive(j.get("pid", 0), j.get("pid_start"))
                 for j in self.ddl_log.load()
             )
@@ -590,6 +596,12 @@ class Engine:
                 self.reload()
             orphans = self.ddl_log.orphans()  # re-check under the lock
             for j in orphans:
+                # the staging's EXISTENCE is a mid-publish crash
+                # signal (swap renames it away) — capture before the
+                # sweep destroys it
+                j["_staging_existed"] = bool(
+                    j.get("staging") and os.path.exists(j["staging"])
+                )
                 if j.get("staging"):
                     shutil.rmtree(j["staging"], ignore_errors=True)
                 self.ddl_log.update(
@@ -600,6 +612,17 @@ class Engine:
                 )
             self._cat_stamp = self._catalog_stamp()
         for j in orphans:
+            if (
+                j["type"] == "modify_column"
+                and j.get("schema_state") == "publishing"
+                and not j["_staging_existed"]
+            ):
+                # crashed AFTER the swap, BEFORE the catalog save
+                # (review r12 #3): the data already carries the new
+                # type — roll the recorded metadata mutation FORWARD,
+                # or every read of the old-typed catalog schema fails
+                self._finish_modify_publish(j)
+                continue
             if j["type"] != "create_index":
                 with self._locked_catalog_step():
                     self.ddl_log.update(j["id"], status="cancelled")
@@ -623,6 +646,37 @@ class Engine:
                 # starting, and must not re-wedge the table: roll the
                 # half-built index back and move on
                 self._ensure_index_job_terminal(j)
+
+    def _finish_modify_publish(self, j: dict) -> None:
+        """Roll a mid-publish modify_column crash FORWARD: re-apply
+        the job-recorded metadata mutation if the dead owner's
+        catalog save never landed (idempotent: a landed save shows
+        the new name/type already)."""
+        db, t = j["table"].split(".", 1)
+        old_name, new_name, new_type, spec_rest = j["alter"]
+        with self._locked_catalog_step():
+            try:
+                info = self.catalog.get_table(db, t)
+            except ValueError:
+                self.ddl_log.update(j["id"], status="cancelled")
+                return  # table dropped after the crash window
+            target = new_name or old_name
+            col = info.column(target)
+            applied = (
+                col is not None
+                and (new_type is None or col.type == new_type)
+                and (new_name is None or info.column(old_name) is None
+                     or old_name.lower() == new_name.lower())
+            )
+            if not applied:
+                self._alter_col_metadata(
+                    info, t, old_name, new_name, new_type, spec_rest
+                )
+                self.catalog.update()
+            self._register_table(db, t)
+            self.ddl_log.update(
+                j["id"], status="synced", schema_state=STATE_PUBLIC
+            )
 
     def _execute_one(self, stmt: str) -> Result:
         kind = P.statement_kind(stmt)
@@ -1104,16 +1158,7 @@ class Engine:
         pairs, n_del, dirty = self._cow_attribute(db, t, doomed)
         if n_del == 0:
             return None, 0, frozenset()
-        data = self.catalog.data_dir(db, t)
-        snapshot = self._list_data_files(db, t)
-        staging = data + f".tmp-{uuid.uuid4().hex[:8]}"
-        self._cow_write_survivors(db, t, pairs, dirty, staging)
-        try:
-            self._link_into(data, staging, snapshot - dirty)
-        except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
-        return staging, n_del, dirty
+        return self._cow_assemble(db, t, pairs, dirty), n_del, dirty
 
     def _append(self, db: str, table: str, df: DataFrame) -> None:
         info = self.catalog.get_table(db, table)
@@ -2033,8 +2078,29 @@ class Engine:
                 db, t, job, reorg, snapshot, sig0, *online
             )
         except Exception:
-            self._ensure_job_terminal(job, lambda: self._cancel_plain_job(job))
+            self._terminal_modify_job(job)
             raise
+
+    def _terminal_modify_job(self, job: dict) -> None:
+        """Terminal-state guarantee for modify jobs, publish-aware
+        (review r12 #3): before the swap a failure cancels (the
+        statement never ran); AFTER the swap the data already carries
+        the new type, so the only consistent terminal state is
+        FORWARD — re-apply the metadata and sync, or every read of
+        the old-typed catalog schema fails."""
+        current = next(
+            (x for x in self.ddl_log.load() if x["id"] == job["id"]), None
+        )
+        if current is None or current["status"] != "running":
+            return
+        staging = current.get("staging")
+        staged_exists = bool(staging and os.path.exists(staging))
+        if staging:
+            shutil.rmtree(staging, ignore_errors=True)
+        if current.get("schema_state") == "publishing" and not staged_exists:
+            self._finish_modify_publish(current)
+        else:
+            self._cancel_plain_job(job)
 
     @staticmethod
     def _parse_modify_change(spec: str):
@@ -2096,7 +2162,15 @@ class Engine:
             return self._prepare_swap(db, t, out, tmp=tmp, info=new_info)
 
         # ---- rewrite: NO lock held ------------------------------------
-        staging = _stage(snapshot, reorg)
+        try:
+            staging = _stage(snapshot, reorg)
+        except ValueError:
+            raise  # cast validation failure: the statement's real error
+        except Exception:
+            # invalidated pass (concurrent commit unlinked a snapshot
+            # file mid-read) — the publish redoes under the lock
+            shutil.rmtree(reorg, ignore_errors=True)
+            staging = None
         self._ddl_hook("modify_column:backfill done", job)
         # ---- publish: short lock, delta cast-adopt, swap ---------------
         with self._locked_catalog_step():
@@ -2107,10 +2181,11 @@ class Engine:
                     "the job was cancelled; retry against the new schema"
                 )
             current = self._list_data_files(db, t)
-            if not snapshot <= current:
+            if staging is None or not snapshot <= current:
                 # a concurrent rewrite replaced snapshot files: redo
                 # here (writers pay once, correctness never)
-                shutil.rmtree(staging, ignore_errors=True)
+                if staging:
+                    shutil.rmtree(staging, ignore_errors=True)
                 current = self._list_data_files(db, t)
                 reorg = self._new_reorg_path(db, t)
                 self.ddl_log.update(job["id"], staging=reorg)
@@ -2128,8 +2203,21 @@ class Engine:
                     )
                     tmp = self._prepare_append(db, t, out, info=new_info)
                     self._move_parts(tmp, staging)
-            self._alter_col_metadata(info, t, old_name, new_name, new_type, spec_rest)
+            # crash protocol (review r12 #3): the publish is two disk
+            # writes (dir swap + catalog save) that cannot be one
+            # atomic op — record 'publishing' WITH the mutation args
+            # first, so resume can tell which side landed: staging
+            # still on disk = swap never happened = cancel (statement
+            # never ran); staging gone = swap happened = roll the
+            # metadata FORWARD (data is already the new type; leaving
+            # the old declared type would make every read fail)
+            self.ddl_log.update(
+                job["id"],
+                schema_state="publishing",
+                alter=[old_name, new_name, new_type, spec_rest],
+            )
             self.catalog.swap_data_dir(db, t, staging)
+            self._alter_col_metadata(info, t, old_name, new_name, new_type, spec_rest)
             self.catalog.update()
             self._register_table(db, t)
             self.ddl_log.update(
@@ -2756,6 +2844,12 @@ class Engine:
             self.reload()
         ins = P.parse_insert(stmt)
         db, t = self._qualify(ins.table)
+        # ---- batch build + allocation: one SHORT lock hold -------------
+        # only what touches shared counters holds the lock (allocator
+        # sync/bump must be serialized); the batch materialization and
+        # the O(table) conflict probe run UNLOCKED below (review r12
+        # #6 — the probe under the lock blocked every writer for a
+        # full-table scan)
         with self._locked_catalog_step():
             info = self.catalog.get_table(db, t)
             new_df, n_batch = self._values_df(ins, info)
@@ -2765,23 +2859,49 @@ class Engine:
                 self._append(db, t, with_ids)
                 self.catalog.update()
                 return Result(rows_affected=n, message=f"{n} rows inserted")
-            # checkpoint: the batch (and its rowid assignment) must be
-            # IDENTICAL across the count, the conflict probes, the
-            # write and a possible publish-time redo
-            with_ids = self._replace_dedup_batch(with_ids, keys).localCheckpoint()
-            n = with_ids.count()
             self.catalog.update()  # allocator bumps (reloaded + locked)
-            pairs, n_deleted, dirty = self._cow_attribute(
-                db, t, self._replace_doomed(self._raw_with_file(db, t), with_ids, keys)
-            )
-            data = self.catalog.data_dir(db, t)
-            dirty_bytes = 0
-            for rel in dirty:
-                try:
-                    dirty_bytes += os.path.getsize(os.path.join(data, rel))
-                except OSError:
-                    break
-            if dirty_bytes < self._cow_threshold():
+            sig0 = self._schema_sig(info)
+        # ---- probe: NO lock held ---------------------------------------
+        # checkpoint: the batch (and its rowid assignment) must be
+        # IDENTICAL across the count, the conflict probes, the write
+        # and a possible publish-time redo
+        with_ids = self._replace_dedup_batch(with_ids, keys).localCheckpoint()
+        n = with_ids.count()
+        # snapshot BEFORE the probe: every file not in this set is
+        # publish-time DELTA and gets its own conflict check there —
+        # listing after the probe would let a conflicting insert that
+        # landed in between slip into the linked set unchecked
+        snapshot = self._list_data_files(db, t)
+        pairs, n_deleted, dirty = self._cow_attribute(
+            db, t, self._replace_doomed(self._raw_with_file(db, t), with_ids, keys)
+        )
+        data = self.catalog.data_dir(db, t)
+        dirty_bytes = 0
+        for rel in dirty:
+            try:
+                dirty_bytes += os.path.getsize(os.path.join(data, rel))
+            except OSError:
+                break
+        if dirty_bytes < self._cow_threshold():
+            with self._locked_catalog_step():
+                current = self._list_data_files(db, t)
+                info2 = self.catalog.get_table(db, t)
+                if (
+                    self._schema_sig(info2) != sig0
+                    or not dirty <= current
+                    or not current <= snapshot
+                ):
+                    # a concurrent commit invalidated the unlocked
+                    # probe — including a bare APPEND, whose rows the
+                    # probe never saw and might conflict with the
+                    # batch. Redo it here (rare; the fast path never
+                    # carries correctness)
+                    pairs, n_deleted, dirty = self._cow_attribute(
+                        db, t,
+                        self._replace_doomed(
+                            self._raw_with_file(db, t), with_ids, keys
+                        ),
+                    )
                 if n_deleted == 0:
                     self._append(db, t, with_ids)
                 else:
@@ -2789,12 +2909,11 @@ class Engine:
                     self._move_parts(self._prepare_append(db, t, with_ids), staging)
                     self.catalog.swap_data_dir(db, t, staging)
                     self._refresh_table(db, t)
-                return Result(
-                    rows_affected=n + n_deleted,
-                    message=f"{n_deleted} replaced, {n} inserted",
-                )
-            sig0 = self._schema_sig(info)
-            snapshot = self._list_data_files(db, t)
+            return Result(
+                rows_affected=n + n_deleted,
+                message=f"{n_deleted} replaced, {n} inserted",
+            )
+        with self._locked_catalog_step():
             self._guard_no_running_job(db, t)
             reorg = self._new_reorg_path(db, t)
             job = self.ddl_log.append(
@@ -2829,17 +2948,28 @@ class Engine:
         self._ddl_hook("replace:reorg start", job)
         data = self.catalog.data_dir(db, t)
         # ---- rewrite + batch: NO lock held -----------------------------
-        if n_deleted:
-            self._cow_write_survivors(db, t, pairs, dirty, reorg)
-        else:
-            os.makedirs(reorg, exist_ok=True)
-        self._move_parts(self._prepare_append(db, t, with_ids), reorg)
+        try:
+            if n_deleted:
+                self._cow_write_survivors(db, t, pairs, dirty, reorg)
+            else:
+                os.makedirs(reorg, exist_ok=True)
+            self._move_parts(self._prepare_append(db, t, with_ids), reorg)
+            rewrite_ok = True
+        except Exception:
+            # invalidated pass (concurrent commit unlinked a dirty
+            # file mid-read) — the publish redoes under the lock
+            shutil.rmtree(reorg, ignore_errors=True)
+            rewrite_ok = False
         self._ddl_hook("replace:backfill done", job)
         # ---- publish: short lock, delta conflict catch-up, swap --------
         with self._locked_catalog_step():
             info2 = self.catalog.get_table(db, t)
             current = self._list_data_files(db, t)
-            if self._schema_sig(info2) != sig0 or not dirty <= current:
+            if (
+                not rewrite_ok
+                or self._schema_sig(info2) != sig0
+                or not dirty <= current
+            ):
                 # a concurrent rewrite invalidated the pass — redo it
                 # here against the current files (writers pay once)
                 shutil.rmtree(reorg, ignore_errors=True)
@@ -3068,13 +3198,25 @@ class Engine:
         data = self.catalog.data_dir(db, t)
         try:
             # ---- survivor rewrite: NO lock held -----------------------
-            self._cow_write_survivors(db, t, pairs, dirty, reorg)
+            try:
+                self._cow_write_survivors(db, t, pairs, dirty, reorg)
+                rewrite_ok = True
+            except Exception:
+                # a concurrent commit can unlink a dirty file mid-read
+                # — an invalidated pass, not an error (review r12 #4):
+                # fall through to the publish's redo-under-lock
+                shutil.rmtree(reorg, ignore_errors=True)
+                rewrite_ok = False
             self._ddl_hook("delete:backfill done", job)
             # ---- publish: short lock, link catch-up, swap -------------
             with self._locked_catalog_step():
                 current = self._list_data_files(db, t)
                 info2 = self.catalog.get_table(db, t)
-                if self._schema_sig(info2) != sig0 or not dirty <= current:
+                if (
+                    not rewrite_ok
+                    or self._schema_sig(info2) != sig0
+                    or not dirty <= current
+                ):
                     shutil.rmtree(reorg, ignore_errors=True)
                     pairs, n_del, dirty = self._delete_doomed(
                         db, t, cond, order_by, limit
@@ -3649,6 +3791,11 @@ class Engine:
         # it appends to (INSERT INTO t SELECT FROM t inside the txn)
         out.localCheckpoint().write.mode("append").parquet(buf.add_dir)
         buf.has_adds = True
+        # the committed file set this statement's unique checks ran
+        # against (statement lock held) — the commit-time 1062
+        # revalidation skips its scan when nothing was committed past
+        # this point (_txn_unique_check's gate)
+        buf.checked_files = self._list_data_files(db, t)
         self.spark.catalog.refreshByPath(buf.add_dir)
         self._txn_view(db, t)
 
@@ -3811,11 +3958,16 @@ class Engine:
         and would merge into a duplicate. Re-check buffered adds
         against the CURRENT committed table (minus rows this txn
         itself deletes — a REPLACE's old row must not self-conflict).
-        Gate: dup-creating concurrency is INSERT/REPLACE, which always
-        bumps catalog.json (allocator publish), so an unmoved stamp
-        proves absence."""
-        if self._catalog_stamp() == txn.start_stamp:
-            return
+        Gate, PER TABLE (review r12 #5 — a whole-catalog stamp gate
+        was dead code, since this txn's own allocator publishes move
+        the stamp on every in-txn insert): a conflicting key can only
+        arrive in a data file COMMITTED to the table after this txn's
+        last statement-time check — so if the table's current file set
+        adds nothing over the set that check validated against
+        (buf.checked_files, recorded under the statement lock),
+        there is nothing new to conflict with and the commit skips
+        the scan. File-listing diff, no Spark job; removals cannot
+        introduce keys and are ignored."""
         for (db, t), buf in txn.tables.items():
             if not buf.has_adds:
                 continue
@@ -3823,6 +3975,11 @@ class Engine:
             keys = info.unique_keys()
             if not keys:
                 continue
+            checked = getattr(buf, "checked_files", None)
+            if checked is not None and not (
+                self._list_data_files(db, t) - checked
+            ):
+                continue  # no file committed since the last check
             add = self._read_physical(buf.add_dir, info)
             committed = self._raw(db, t)
             if buf.has_dels:

@@ -667,9 +667,21 @@ def _rewrite_unsigned_casts(sql: str) -> str:
             f"AS DECIMAL(21,0)) "
             f"ELSE try_cast({pre} AS DECIMAL(21,0)) END)"
         )
+        # saturation applies to the OPERAND too, not just the regexp
+        # branch (review r12 #2): DECIMAL(21,0) holds up to 10^21-1,
+        # so values in [2^64, 10^21) pass the fast path and would WRAP
+        # via pmod where MySQL saturates — CAST('18446744073709551616'
+        # AS UNSIGNED) is 2^64-1 with a warning, not 0. Negatives
+        # below int64 range cannot be a wrapped KindInt64 and saturate
+        # at 0 (ConvertDecimalToUint); true int64 negatives keep the
+        # mod-2^64 wrap.
         repl = (
-            f"CAST(pmod({operand}, "
-            f"CAST({_U64} AS DECIMAL(21,0))) AS DECIMAL(20,0))"
+            f"CAST(CASE WHEN {operand} >= CAST({_U64} AS DECIMAL(21,0)) "
+            f"THEN CAST({u64max} AS DECIMAL(21,0)) "
+            f"WHEN {operand} < CAST(-9223372036854775808 AS DECIMAL(21,0)) "
+            f"THEN CAST(0 AS DECIMAL(21,0)) "
+            f"ELSE pmod({operand}, CAST({_U64} AS DECIMAL(21,0))) END "
+            f"AS DECIMAL(20,0))"
         )
         sql = sql[: k - 3] + repl + sql[m.end() :]
 
