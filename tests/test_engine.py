@@ -2315,3 +2315,70 @@ def test_racing_fresh_pk_reverse_commit_order_still_one_winner(spark, eng):
         other.sql("COMMIT")
     assert rows(eng.sql("SELECT k, v FROM fp2")) == [(7, 10)]
     other.close()
+
+
+def test_commit_race_fuzz_three_sessions(spark, eng):
+    """Seeded 3-session commit races on one PK table: any mix of
+    txn-INSERT/REPLACE on overlapping fresh and existing keys must
+    end with exactly one row per key (the committed winners), every
+    loser aborted with the conflict family (1062/9007), and a clean
+    ADMIN CHECK — the pairwise commit-time checks compose because the
+    flock serializes every publish."""
+    import random as _random
+
+    from tinysql_spark.engine import Engine
+
+    wh = eng.catalog.warehouse
+    sessions = [eng, Engine(spark, wh), Engine(spark, wh)]
+    try:
+        for seed in range(6):
+            rng = _random.Random(seed * 7349 + 11)
+            tbl = f"rc{seed}"
+            eng.sql(f"CREATE TABLE {tbl} (k INT PRIMARY KEY, v INT)")
+            eng.sql(f"INSERT INTO {tbl} VALUES (1, 0), (2, 0)")
+            for s in sessions:
+                s.reload()
+            keypool = [1, 2, 7, 8]  # existing + fresh, deliberately overlapping
+            stmts = []
+            for s in sessions:
+                k = rng.choice(keypool)
+                v = rng.randrange(100, 999)
+                form = rng.choice(["REPLACE", "INSERT"])
+                stmts.append((s, form, k, v))
+                s.sql("BEGIN")
+                try:
+                    s.sql(f"{form} INTO {tbl} VALUES ({k}, {v})")
+                except ValueError as e:
+                    # INSERT of an existing key fails at statement
+                    # time (snapshot 1062) — roll that session back
+                    assert "1062" in str(e)
+                    s.sql("ROLLBACK")
+                    stmts.pop()
+            outcomes = []
+            order = list(range(len(stmts)))
+            rng.shuffle(order)  # commit order independent of alloc order
+            for i in order:
+                s, form, k, v = stmts[i]
+                try:
+                    s.sql("COMMIT")
+                    outcomes.append(("ok", form, k, v))
+                except ValueError as e:
+                    msg = str(e)
+                    assert "1062" in msg or "9007" in msg, (seed, msg)
+                    outcomes.append(("abort", form, k, v))
+            for s in sessions:
+                s.reload()
+            got = {r.k: r.v for r in eng.sql(f"SELECT k, v FROM {tbl}").df.collect()}
+            assert len(got) == len(
+                set(r.k for r in eng.sql(f"SELECT k FROM {tbl}").df.collect())
+            ), f"seed {seed}: duplicate PK rows: {got}"
+            # every key seen exactly once; each key's value is either 0
+            # (untouched) or some winner's value
+            winner_vals = {v for (st, f, k, v) in outcomes if st == "ok"}
+            for k, v in got.items():
+                assert v == 0 or v in winner_vals, (seed, k, v, outcomes)
+            chk = eng.sql(f"ADMIN CHECK TABLE {tbl}").df.collect()
+            assert chk[0]["STATUS"] == "OK", (seed, chk)
+    finally:
+        for s in sessions[1:]:
+            s.close()
