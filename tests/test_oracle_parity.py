@@ -61,7 +61,12 @@ def test_oracle_backed_entries_fit_driver_window():
                  # round-9 rotation: the round-8 closer + every new op
                  "d14_semdedup", "t16_pii_scrub",
                  "d15_exactsubstr_excision", "s13_knn_graph",
-                 "t17_blocklist_gate", "st12_stream_pii_scrub",
+                 "t17_blocklist_gate",
+                     # st12 rotated OUT in round 12 (t16 keeps the
+                     # scrub logic in-window, st10 the stateless
+                     # streaming map; st12 stays hash-checked below),
+                     # replaced by the drift-gated automatic recluster:
+                     "st16_stream_drift_recluster",
                  "p16_curriculum_order",
                  "d17_indexed_incremental_dedup", "p18_decontaminate",
                  # round-10 rotation: windowed on landing

@@ -422,3 +422,28 @@ def test_s16_recluster_equals_from_scratch_build(spark, sf_dir):
         for r in centn.collect()
     }
     assert got_cents == want_cents
+
+
+def test_st16_gate_polled_and_recluster_ran(spark, sf_dir):
+    """The streaming ingest must actually POLL the gate per batch and
+    RUN the recluster once tripped (not merely produce the right
+    probe): manifest-asserted per-batch readings, the trip, the
+    executed recluster, and restored balance."""
+    import json
+    import os
+
+    from tinysql_spark.operators.streaming_bridge import (
+        _ST16_LAST_DIR,
+        st16_stream_drift_recluster,
+    )
+
+    st16_stream_drift_recluster(spark, sf_dir).collect()
+    d = _ST16_LAST_DIR[os.path.abspath(sf_dir)]
+    with open(os.path.join(d, "manifest.json")) as fh:
+        m = json.load(fh)
+    assert len(m["gate_log"]) == 2, m  # two micro-batches replayed
+    assert m["gate_log"][-1]["tripped"], m
+    assert m["reclustered"] and m["balanced"], m
+    assert m["imbalance_after"] < 4.0
+    leftovers = [f for f in os.listdir(d) if f.startswith((".reclust", ".aside"))]
+    assert leftovers == []

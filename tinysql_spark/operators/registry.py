@@ -222,6 +222,14 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # d16->d19 precedent; s14 stays hash-checked in parity and its
 # dirty-list manifest containment stays asserted in
 # tests/test_similarity_quality.py).
+# st16_stream_drift_recluster (the drift-gated AUTOMATIC recluster:
+# per-micro-batch frozen-centroid appends + gate polling + the s16
+# retrain/swap once the drained stream leaves the gate tripped;
+# oracle = s16's verbatim, the d19/st15 end-state precedent) swaps
+# for st12_stream_pii_scrub — the scrub logic itself is t16's, which
+# stays in-window, and st12's stateless-map streaming shape is kept
+# evidenced by st10's quality gate in-window (st12 stays hash-checked
+# in parity); streaming keeps 8 slots.
 # q75_cow_delete (the round-12 file-granular COW write path driven
 # through the external gate: multi-file targeted DELETE, REPLACE
 # conflict resolution in one swap, large DELETE through the online
@@ -266,7 +274,7 @@ WINDOW: tuple[str, ...] = (
     "st08_stream_left_join",
     "st10_stream_quality_gate",
     "st11_stream_incremental_dedup",
-    "st12_stream_pii_scrub",
+    "st16_stream_drift_recluster",
     "st14_stream_scd2_enrich",
     "st15_stream_tombstone_delete",
     # ANN / hybrid-retrieval additions with oracles

@@ -1177,3 +1177,147 @@ _REG["st15_stream_tombstone_delete"] = _QS(
     "the physical catch-up (pinned by the s15 test).",
     late=True,
 )
+
+
+# --------------------------------------------------------------------------
+# st16 — streaming ingest with the DRIFT-GATED AUTOMATIC RECLUSTER:
+# the maintenance loop s16 executes on demand, closed end to end
+# (SURVEY §7.24 #5; the d19 ingest-loop pattern applied to vectors)
+# --------------------------------------------------------------------------
+
+
+def st16_stream_drift_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A production vector-index ingest: each micro-batch is assigned
+    to the FROZEN trained centroids (map-only, history never re-read)
+    and appended to its dirty lists; after every batch the ingest job
+    polls the drift gate (s14_needs_recluster over live list sizes —
+    an O(K) metadata read), and once the stream drains with the gate
+    tripped it runs the s16 recluster: full retrain over the indexed
+    corpus + crash-safe lists/centroids swap. The ingest here is
+    s16's drifted construction (every vector nearest one hot
+    centroid) split into two micro-batches, so the gate MUST trip and
+    the recluster MUST run — leaving the index equal to a
+    from-scratch build over the drifted corpus, which is exactly what
+    s16's oracle checks (shared verbatim, the d19/st15 end-state
+    precedent). A manifest records the per-batch gate readings and
+    the recluster stats for the quality test."""
+    import glob
+    import json
+
+    from .similarity import (
+        _S16_BASE_MOD,
+        _lloyd_centroids,
+        _nearest_cid,
+        _probe_ivf_dir,
+        _s11_corpus,
+        _s16_imbalance,
+        _s16_list_sizes,
+        s14_needs_recluster,
+        s16_recluster,
+    )
+
+    u_corp = _s11_corpus(spark, sf_dir)
+    base = u_corp.filter(F.col("vec_id") % _S16_BASE_MOD == 0)
+    centn = _lloyd_centroids(base)  # frozen 'yesterday' centroids
+    rest = u_corp.filter(F.col("vec_id") % _S16_BASE_MOD != 0)
+    arest = _nearest_cid(rest, centn, "vec_id", 1)
+    hot = (
+        arest.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("cid"))
+        .limit(1)
+        .collect()[0]["cid"]
+    )
+    drift = (
+        arest.filter(F.col("cid") == int(hot))
+        .join(rest, "vec_id")
+        .select("vec_id", "e")
+    )
+    d = _tmpdir("tinysql_st16_")
+    lists = os.path.join(d, "lists")
+    (
+        _nearest_cid(base, centn, "vec_id", 1)
+        .join(base, "vec_id")
+        .select("cid", "vec_id", "e")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(lists)
+    )
+    centn.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+    # stage the drifted ingest as TWO micro-batch files (vec_id parity
+    # split; coalesce(1) so maxFilesPerTrigger=1 sees one file each)
+    src = os.path.join(d, "ingest")
+    for m in (0, 1):
+        drift.filter(F.col("vec_id") % 2 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    frozen = spark.read.parquet(os.path.join(d, "centroids"))
+    gate_log: list[dict] = []
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        assigned = (
+            _nearest_cid(batch, frozen, "vec_id", 1)
+            .join(batch, "vec_id")
+            .select("cid", "vec_id", "e")
+        )
+        # dirty-list append: mode=append + partitionBy touches only
+        # the cid partitions this batch assigned into (s14 property)
+        assigned.write.mode("append").partitionBy("cid").parquet(lists)
+        sizes = _s16_list_sizes(spark, lists)
+        gate_log.append(
+            {
+                "batch": int(batch_id),
+                "imbalance": _s16_imbalance(sizes),
+                "tripped": s14_needs_recluster(sizes),
+            }
+        )
+
+    stream = (
+        spark.readStream.schema("vec_id long, e array<double>")
+        .options(**stream_trigger_options())
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", _tmpdir("tinysql_st16_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert gate_log, "no ingest micro-batch ran"
+    manifest: dict = {"gate_log": gate_log, "reclustered": False}
+    if gate_log[-1]["tripped"]:
+        # the maintenance action the gate calls for — retrain over the
+        # indexed corpus + crash-safe swap (shared s16 kernel)
+        manifest.update(s16_recluster(spark, d))
+        manifest["reclustered"] = True
+    with open(os.path.join(d, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    assert glob.glob(os.path.join(lists, "cid=*")), "lists vanished"
+    _ST16_LAST_DIR[os.path.abspath(sf_dir)] = d
+    return _probe_ivf_dir(spark, sf_dir, d)
+
+
+_ST16_LAST_DIR: dict[str, str] = {}
+
+
+from .similarity import _S16_DIR_MEMO as _s16_memo  # noqa: E402,F401 (doc link)
+
+_REG["st16_stream_drift_recluster"] = _QS(
+    fn=st16_stream_drift_recluster,
+    oracle=_REG["s16_ann_recluster"].oracle,
+    doc="Streaming ingest with the DRIFT-GATED AUTOMATIC RECLUSTER — "
+    "the maintenance loop s16 runs on demand, closed end to end (the "
+    "d19 ingest-loop pattern on the vector side): each micro-batch "
+    "assigns to the frozen centroids and appends to its dirty lists "
+    "only, the job polls the drift gate after every batch (O(K) "
+    "metadata), and once the drained stream leaves the gate tripped "
+    "it retrains over the indexed corpus and rewrites lists + "
+    "centroids through the crash-safe swap. The oracle is s16's "
+    "VERBATIM: the replayed ingest + automatic recluster must leave "
+    "the index equal to a from-scratch build over the drifted corpus "
+    "(end-state equality through one oracle — the d19/st15 "
+    "precedent). Per-batch gate readings and recluster stats are "
+    "manifest-recorded and asserted in the quality suite.",
+    late=True,
+)
