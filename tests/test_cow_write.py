@@ -480,6 +480,61 @@ def test_cow_granularity_fuzz(spark, eng):
 # ---------------------------------------------------------------------------
 
 
+def test_replace_select_rowid_reservation_outrun_is_reallocated(spark, eng, wh):
+    """REPLACE ... SELECT allocates rowids for the batch as measured
+    under the lock, but the lazy plan re-executes at the unlocked
+    checkpoint (ADVICE r12): a source-table commit in between yields
+    MORE rows, whose ids would spill past the reservation and collide
+    with ids a concurrent session allocated. The guard re-verifies the
+    materialized batch against the reserved range and re-allocates
+    under the lock when outrun — rowids stay globally unique.
+
+    The outrun is SIMULATED at the dedup seam (a real one needs the
+    lazy plan to re-list the source mid-statement — Spark's file-index
+    cache makes that timing nondeterministic): the hook extends the
+    batch with rows whose ids run past the reservation, exactly what
+    a grown re-execution of the row_number assignment would produce,
+    while a concurrent session allocates those very ids in rdst."""
+    from tinysql_spark.catalog import ROWID
+
+    eng.sql("CREATE TABLE rsrc (k INT, v INT)")
+    eng.sql("INSERT INTO rsrc VALUES (1, 10), (2, 20)")
+    eng.sql("CREATE TABLE rdst (k INT PRIMARY KEY, v INT)")
+    other = Engine(spark, wh)
+    real = eng._replace_dedup_batch
+    fired = []
+
+    def hook(df, keys):
+        if not fired:
+            fired.append(1)
+            # concurrent session allocates the ids right past eng's
+            # 2-row reservation — the collision victims
+            other.sql("INSERT INTO rdst VALUES (100, 1), (101, 2)")
+            # the "re-executed, grown" batch: 3 extra rows whose
+            # row_number ids spill past the reserved range
+            start = int(df.agg({ROWID: "min"}).collect()[0][0])
+            rows_ = [
+                {ROWID: start + 2 + i, "k": 3 + i, "v": 30 + 10 * i}
+                for i in range(3)
+            ]
+            extra = spark.createDataFrame(rows_, schema=df.schema)
+            df = df.unionByName(extra)
+        return real(df, keys)
+
+    eng._replace_dedup_batch = hook
+    try:
+        eng.sql("REPLACE INTO rdst SELECT k, v FROM rsrc")
+    finally:
+        eng._replace_dedup_batch = real
+    assert fired, "hook must have interleaved the concurrent commits"
+    got = sorted(_vals(eng, "SELECT k, v FROM rdst"))
+    assert got == [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50), (100, 1), (101, 2)]
+    ids = [r[0] for r in eng._raw("default", "rdst").select("_rowid").collect()]
+    assert len(ids) == len(set(ids)), f"duplicate rowids: {sorted(ids)}"
+    assert eng.sql("ADMIN CHECK TABLE rdst").df.collect()[0]["STATUS"] == "OK"
+    other.close()
+
+
 def test_bulk_replace_runs_online_and_replaces_delta_conflicts(spark, eng, wh):
     eng.sql("CREATE TABLE orp (k INT PRIMARY KEY, v INT)")
     eng.sql("INSERT INTO orp VALUES (1, 10), (2, 20)")

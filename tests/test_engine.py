@@ -2317,6 +2317,29 @@ def test_racing_fresh_pk_reverse_commit_order_still_one_winner(spark, eng):
     other.close()
 
 
+def test_later_txn_statement_does_not_mask_earlier_dup(spark, eng):
+    """The commit-time gate stamp is pinned at the txn's FIRST add
+    (ADVICE r12): advancing it on every statement let this sequence
+    publish a duplicate — txn inserts K; another session commits K;
+    txn inserts L (that statement's check validates only L's batch,
+    but used to advance the stamp PAST the conflicting file); COMMIT
+    saw no new files and skipped the rescan."""
+    from tinysql_spark.engine import Engine
+
+    eng.sql("CREATE TABLE mk (k INT PRIMARY KEY, v INT)")
+    other = Engine(spark, eng.catalog.warehouse)
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO mk VALUES (7, 10)")  # K buffered
+    other.sql("INSERT INTO mk VALUES (7, 99)")  # K committed concurrently
+    eng.sql("INSERT INTO mk VALUES (8, 20)")  # L: own check passes
+    with pytest.raises(ValueError, match="1062"):
+        eng.sql("COMMIT")
+    eng.reload()
+    assert rows(eng.sql("SELECT k, v FROM mk")) == [(7, 99)]
+    assert eng.sql("ADMIN CHECK TABLE mk").df.collect()[0]["STATUS"] == "OK"
+    other.close()
+
+
 def test_commit_race_fuzz_three_sessions(spark, eng):
     """Seeded 3-session commit races on one PK table: any mix of
     txn-INSERT/REPLACE on overlapping fresh and existing keys must

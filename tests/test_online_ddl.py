@@ -592,6 +592,36 @@ def test_snapshot_skips_inflight_committer_files(eng):
     assert eng.sql("ADMIN CHECK TABLE snp").df.collect()[0]["STATUS"] == "OK"
 
 
+def test_snapshot_keeps_underscore_named_partition_dirs(eng):
+    """Hive partition dirs are `<physical_col>=<value>`, and a column
+    name may legally start with '_' (ADVICE r12): the committer-dir
+    pruning must not swallow `_p=1/` — that silently dropped the
+    partition's rows from every snapshot/COW/online-swap file listing
+    while _raw still read them."""
+    eng.sql("CREATE TABLE usp (a INT, _p INT) PARTITIONED BY (_p)")
+    eng.sql("INSERT INTO usp VALUES (1, 1), (2, 2)")
+    data = eng.catalog.data_dir("default", "usp")
+    subdirs = [d for d in os.listdir(data) if os.path.isdir(os.path.join(data, d))]
+    assert any(d.startswith("_p=") for d in subdirs), subdirs
+    snap = eng._list_data_files("default", "usp")
+    parts = {p.split(os.sep)[0] for p in snap if os.sep in p}
+    assert any(d.startswith("_p=") for d in parts), (
+        f"underscore-named partition dirs missing from the snapshot: {snap}"
+    )
+    # committer staging (no '=') still pruned alongside real partitions
+    tmpdir = os.path.join(data, "_temporary", "0")
+    os.makedirs(tmpdir)
+    with open(os.path.join(tmpdir, "part-00000-x.parquet"), "wb") as f:
+        f.write(b"in flight")
+    snap2 = eng._list_data_files("default", "usp")
+    assert not any("_temporary" in p for p in snap2), snap2
+    assert snap <= snap2 and snap2 <= snap
+    # snapshot consumers see every row: online index build + check
+    eng.sql("CREATE INDEX iusp ON usp (a)")
+    assert _vals(eng, "SELECT a FROM usp ORDER BY a") == [(1,), (2,)]
+    assert eng.sql("ADMIN CHECK TABLE usp").df.collect()[0]["STATUS"] == "OK"
+
+
 def test_crash_between_job_record_and_catalog_publish_cancels(spark, eng, wh):
     """The job record lands BEFORE the catalog publishes the
     delete-only index (reference: ddl/ddl.go enqueues the job first).
@@ -868,6 +898,54 @@ def test_sweeper_spares_claimed_staging_side_dirs(spark, eng, wh):
     assert os.path.isdir(live), "claimed staging survives"
     assert os.path.isdir(live_side), "claimed staging's side dir survives"
     assert not os.path.exists(dead_side), "unclaimed side dir is litter"
+    e2.close()
+
+
+def test_sweeper_claim_is_path_bounded(spark, eng, wh):
+    """The claim's prefix match requires a path boundary (ADVICE r12):
+    an unclaimed sibling whose NAME merely string-extends a live
+    staging's (`data.reorg-ab` vs `data.reorg-abcd1234`) is crash
+    litter and must be swept, while the staging itself and its
+    '.'-suffixed side dirs stay shielded."""
+    from tinysql_spark.ddljobs import proc_start
+
+    eng.sql("CREATE TABLE pb (a INT)")
+    eng.sql("INSERT INTO pb VALUES (1)")
+    tdir = os.path.join(wh, "default", "pb")
+    live = os.path.join(tdir, "data.reorg-ab")
+    live_side = live + ".delta"
+    # string-prefix sibling: NOT covered by the claim (no boundary)
+    litter = os.path.join(tdir, "data.reorg-abcd1234")
+    os.makedirs(live)
+    os.makedirs(live_side)
+    os.makedirs(litter)
+    jobs_path = os.path.join(wh, "ddl_jobs.json")
+    with open(jobs_path) as f:
+        jobs = json.load(f)
+    jobs.append(
+        {
+            "id": len(jobs) + 1,
+            "type": "replace",
+            "target": "pb",
+            "table": "default.pb",
+            "query": "REPLACE INTO pb ...",
+            "status": "running",
+            "schema_state": C.STATE_WRITE_REORG,
+            "row_count": 0,
+            "pid": os.getpid(),
+            "pid_start": proc_start(os.getpid()),
+            "staging": live,
+        }
+    )
+    with open(jobs_path, "w") as f:
+        json.dump(jobs, f)
+    e2 = Engine(spark, wh)  # init runs the sweeper
+    assert os.path.isdir(live), "claimed staging survives"
+    assert os.path.isdir(live_side), "side dir survives (boundary '.')"
+    assert not os.path.exists(litter), (
+        "a name that string-extends the claim without a path boundary "
+        "is unclaimed litter and must be swept"
+    )
     e2.close()
 
 

@@ -153,51 +153,61 @@ def test_rewrite_mysql_casts():
     """CAST(... AS SIGNED [INTEGER]) maps to BIGINT; CAST(... AS
     UNSIGNED [INTEGER]) maps to the mod-2^64 pmod/DECIMAL(20,0) wrap
     form (true KindUint64 semantics — the former no-wrap divergence is
-    closed); string literals are untouched; case-insensitive."""
+    closed); string literals are untouched; case-insensitive.
+
+    The round-13 form binds each stage ONCE via single-element-array
+    transform() lambdas (ADVICE r12: the textual expansion embedded
+    the operand ~12 times — inconsistent for rand(), exponential for
+    nested casts) — so the shape assertions here are structural, not
+    byte-exact: the operand appears exactly once, bound to the
+    outermost lambda variable; value semantics stay pinned by
+    tests/test_coercion.py's CAST-AS-UNSIGNED table."""
+    import re
+
     from tinysql_spark.sqlparse import rewrite_mysql_casts as rw
 
-    def U(inner):
-        # the round-12 form: try_cast fast path + StrToUint prefix
-        # parse + ErrOverflow saturation (types/convert.go:235)
-        pre = (
-            f"regexp_extract(trim(CAST(({inner}) AS STRING)), "
-            r"'^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?', 0)"
-        )
-        operand = (
-            f"coalesce(try_cast(({inner}) AS DECIMAL(21,0)), "
-            f"CASE WHEN ({inner}) IS NULL THEN NULL "
-            f"WHEN length({pre}) = 0 THEN CAST(0 AS DECIMAL(21,0)) "
-            f"WHEN try_cast({pre} AS DECIMAL(21,0)) IS NULL THEN "
-            f"CAST(CASE WHEN {pre} LIKE '-%' THEN 0 ELSE 18446744073709551615 END "
-            f"AS DECIMAL(21,0)) "
-            f"ELSE try_cast({pre} AS DECIMAL(21,0)) END)"
-        )
-        return (
-            f"CAST(CASE WHEN {operand} >= CAST(18446744073709551616 AS DECIMAL(21,0)) "
-            f"THEN CAST(18446744073709551615 AS DECIMAL(21,0)) "
-            f"WHEN {operand} < CAST(-9223372036854775808 AS DECIMAL(21,0)) "
-            f"THEN CAST(0 AS DECIMAL(21,0)) "
-            f"ELSE pmod({operand}, CAST(18446744073709551616 AS DECIMAL(21,0))) END "
-            f"AS DECIMAL(20,0))"
-        )
+    def occurs(out, inner):
+        # standalone occurrences of the operand text (word-bounded,
+        # so lambda var names like __uc1x never count as 'x')
+        return len(re.findall(rf"(?<!\w){re.escape(inner)}(?!\w)", out))
 
-    assert rw("SELECT CAST(x AS UNSIGNED) FROM t") == f"SELECT {U('x')} FROM t"
-    assert rw("CAST(x AS unsigned integer)") == U("x")
+    def check_unsigned(out, inner, n_casts=1):
+        # each cast emits exactly one evaluation of its operand, as
+        # the single element of the outer transform()'s array
+        assert out.count(f"transform(array(({inner}))") == n_casts
+        assert occurs(out, inner) == n_casts, out
+        # three nested binding levels per cast: operand / prefix /
+        # wrapped value — each lambda var unique per rewrite
+        assert len(re.findall(r"__uc\d+x ->", out)) >= n_casts
+        assert out.count("pmod(") == n_casts
+        assert out.count("AS DECIMAL(20,0))") == n_casts
+        # balanced parens (the splice is mid-expression)
+        assert out.count("(") == out.count(")")
+
+    check_unsigned(rw("SELECT CAST(x AS UNSIGNED) FROM t"), "x")
+    check_unsigned(rw("CAST(x AS unsigned integer)"), "x")
     assert rw("CAST(-1 AS SIGNED)") == "CAST(-1 AS BIGINT)"
     assert rw("SELECT 'keep AS UNSIGNED' AS s") == "SELECT 'keep AS UNSIGNED' AS s"
     assert rw("CAST(a AS STRING)") == "CAST(a AS STRING)"
     # nested parens inside the cast argument balance correctly
-    assert rw("CAST(f(a, b) - 1 AS UNSIGNED)") == U("f(a, b) - 1")
-    # two casts in one statement, each rewritten independently
-    assert (
-        rw("SELECT CAST(a AS UNSIGNED), CAST(b AS UNSIGNED) FROM t")
-        == f"SELECT {U('a')}, {U('b')} FROM t"
-    )
+    check_unsigned(rw("CAST(f(a, b) - 1 AS UNSIGNED)"), "f(a, b) - 1")
+    # two casts in one statement, each rewritten independently with
+    # DISTINCT lambda variable names (no shadowing between them)
+    out2 = rw("SELECT CAST(a AS UNSIGNED), CAST(b AS UNSIGNED) FROM t")
+    assert out2.count("transform(array((a))") == 1
+    assert out2.count("transform(array((b))") == 1
+    vars2 = set(re.findall(r"__uc(\d+)x ->", out2))
+    assert len(vars2) == 2
+    # nested unsigned casts expand LINEARLY (the operand of the outer
+    # cast is the inner's rewrite, spliced exactly once)
+    nested = rw("CAST(CAST(mycol AS UNSIGNED) AS UNSIGNED)")
+    assert nested.count("mycol") == 1
+    assert nested.count("pmod(") == 2
+    assert nested.count("(") == nested.count(")")
     # mixed: literal protected, cast outside rewritten
-    assert (
-        rw("SELECT CAST(n AS UNSIGNED), 'AS SIGNED' FROM t")
-        == f"SELECT {U('n')}, 'AS SIGNED' FROM t"
-    )
+    out3 = rw("SELECT CAST(n AS UNSIGNED), 'AS SIGNED' FROM t")
+    assert "'AS SIGNED'" in out3
+    check_unsigned(out3, "n")
     import pytest
 
     with pytest.raises(ValueError, match="AS UNSIGNED outside a CAST"):

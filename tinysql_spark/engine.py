@@ -257,11 +257,25 @@ class Engine:
             # exactly as live as the staging itself — an
             # equality-only claim let a concurrent engine's sweeper
             # silently empty a mid-write side dir (review r12 #1).
+            # Path-BOUNDARY check after the prefix match (ADVICE r12):
+            # a bare startswith would let staging `.../reorg-ab` shield
+            # unclaimed sibling `.../reorg-abcd1234` litter (or the
+            # reverse expose a live side dir) if a future staging name
+            # were a string prefix of another — require the remainder
+            # to be empty or begin a new path component / side-dir
+            # suffix ('.delta', '.bparts').
             canon = os.path.realpath(path)
+
+            def _claims(claim: str) -> bool:
+                if not canon.startswith(claim):
+                    return False
+                rest = canon[len(claim):]
+                return rest == "" or rest[0] in (".", os.sep)
+
             return any(
                 j["status"] == "running"
                 and j.get("staging")
-                and canon.startswith(os.path.realpath(j["staging"]))
+                and _claims(os.path.realpath(j["staging"]))
                 and _job_pid_alive(j.get("pid", 0), j.get("pid_start"))
                 for j in self.ddl_log.load()
             )
@@ -538,7 +552,16 @@ class Engine:
             # the data dir — snapshotting them would make the explicit
             # file-set read fail when they vanish (ADVICE r11). The
             # committed copies appear as normal delta files later.
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            # Keep hive PARTITION dirs even when the physical column
+            # name legally starts with '_' (ADVICE r12): partition
+            # dirs are always `<col>=<value>`, committer/marker dirs
+            # never contain '='. Pruning `_score=3` here while _raw
+            # still read it made every snapshot/COW/online-swap file
+            # listing silently drop that partition's rows.
+            dirs[:] = [
+                d for d in dirs
+                if "=" in d or not d.startswith(("_", "."))
+            ]
             rel = os.path.relpath(root, data)
             for f in files:
                 if f.startswith("part-") and not f.endswith((".crc", ".tmp")):
@@ -2861,12 +2884,33 @@ class Engine:
                 return Result(rows_affected=n, message=f"{n} rows inserted")
             self.catalog.update()  # allocator bumps (reloaded + locked)
             sig0 = self._schema_sig(info)
+            reserved_end = info.next_rowid
         # ---- probe: NO lock held ---------------------------------------
         # checkpoint: the batch (and its rowid assignment) must be
         # IDENTICAL across the count, the conflict probes, the write
         # and a possible publish-time redo
         with_ids = self._replace_dedup_batch(with_ids, keys).localCheckpoint()
         n = with_ids.count()
+        # rowid-range guard (ADVICE r12): _assign_rowids reserved ids up
+        # to reserved_end under the lock from a LAZY plan; for
+        # REPLACE ... SELECT this checkpoint re-executes that plan, and
+        # a source-table commit in between can yield MORE rows — ids
+        # past the reservation would collide with a concurrent session's
+        # allocation, breaking the rowid-uniqueness invariant the COW
+        # anti-joins and the 9007 check rely on. Verify the materialized
+        # batch fits; re-allocate from the CURRENT allocator under the
+        # lock if not (rare — requires a mid-statement source commit).
+        max_id = with_ids.agg(F.max(ROWID)).collect()[0][0]
+        if max_id is not None and int(max_id) >= reserved_end:
+            with self._locked_catalog_step():
+                info_r = self.catalog.get_table(db, t)
+                with_ids, _ = self._assign_rowids(
+                    with_ids.drop(ROWID), info_r, n
+                )
+                # input is checkpointed, so the re-assignment is over a
+                # pinned row set; checkpoint again to pin the new ids
+                with_ids = with_ids.localCheckpoint()
+                self.catalog.update()
         # snapshot BEFORE the probe: every file not in this set is
         # publish-time DELTA and gets its own conflict check there —
         # listing after the probe would let a conflicting insert that
@@ -3791,11 +3835,16 @@ class Engine:
         # it appends to (INSERT INTO t SELECT FROM t inside the txn)
         out.localCheckpoint().write.mode("append").parquet(buf.add_dir)
         buf.has_adds = True
-        # the committed file set this statement's unique checks ran
+        # the committed file set the txn's FIRST add's unique check ran
         # against (statement lock held) — the commit-time 1062
         # revalidation skips its scan when nothing was committed past
-        # this point (_txn_unique_check's gate)
-        buf.checked_files = self._list_data_files(db, t)
+        # this point (_txn_unique_check's gate). Pinned at the FIRST
+        # add, never advanced (ADVICE r12): a later statement's check
+        # only validates ITS batch, so advancing the stamp past a
+        # concurrent commit would let COMMIT skip the scan while an
+        # EARLIER buffered key sits duplicated in the newer file.
+        if getattr(buf, "checked_files", None) is None:
+            buf.checked_files = self._list_data_files(db, t)
         self.spark.catalog.refreshByPath(buf.add_dir)
         self._txn_view(db, t)
 

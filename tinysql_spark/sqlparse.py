@@ -597,6 +597,12 @@ def _quote_mask(sql: str) -> str:
     return "".join(out)
 
 
+# monotone id for unsigned-cast lambda variables: nested casts emit
+# nested transform() lambdas, and unique names sidestep any shadowing
+# ambiguity across Spark versions
+_UNSIGNED_CAST_SEQ = 0
+
+
 def _rewrite_unsigned_casts(sql: str) -> str:
     """CAST(x AS UNSIGNED [INTEGER]) -> true MySQL uint64 semantics:
     the value lands in DECIMAL(20,0) (the BIGINT UNSIGNED column
@@ -651,21 +657,36 @@ def _rewrite_unsigned_casts(sql: str) -> str:
         # CAST) everywhere so ANSI-mode sessions NULL-and-fall-through
         # instead of throwing, like MySQL's warn-don't-error. Branch
         # order keeps non-string types on the direct decimal cast —
-        # coalesce short-circuits, so numerics stay single-evaluation;
-        # only strings whose direct cast fails pay the regexp branch.
+        # coalesce short-circuits, so numerics stay single-evaluation.
+        #
+        # SINGLE EVALUATION of each stage (ADVICE r12): the naive
+        # textual expansion embedded `inner` ~12 times — a
+        # nondeterministic operand (rand()) evaluated inconsistently
+        # across the CASE branches, and nested unsigned casts expanded
+        # the SQL string exponentially with depth. Bind each stage
+        # ONCE as a single-element-array transform() lambda variable:
+        # inner, its float prefix, and the wrapped operand each appear
+        # exactly once in the emitted SQL, so nesting is linear and
+        # nondeterministic operands are consistent. Unique var names
+        # per rewrite keep nested lambdas from shadowing each other.
+        global _UNSIGNED_CAST_SEQ
+        _UNSIGNED_CAST_SEQ += 1
+        vx = f"__uc{_UNSIGNED_CAST_SEQ}x"  # the operand, evaluated once
+        vp = f"__uc{_UNSIGNED_CAST_SEQ}p"  # its float prefix (strings)
+        vd = f"__uc{_UNSIGNED_CAST_SEQ}d"  # the DECIMAL(21,0) value
         pre = (
-            f"regexp_extract(trim(CAST(({inner}) AS STRING)), "
+            f"regexp_extract(trim(CAST({vx} AS STRING)), "
             r"'^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?', 0)"
         )
         u64max = "18446744073709551615"
         operand = (
-            f"coalesce(try_cast(({inner}) AS DECIMAL(21,0)), "
-            f"CASE WHEN ({inner}) IS NULL THEN NULL "
-            f"WHEN length({pre}) = 0 THEN CAST(0 AS DECIMAL(21,0)) "
-            f"WHEN try_cast({pre} AS DECIMAL(21,0)) IS NULL THEN "
-            f"CAST(CASE WHEN {pre} LIKE '-%' THEN 0 ELSE {u64max} END "
+            f"coalesce(try_cast({vx} AS DECIMAL(21,0)), "
+            f"CASE WHEN {vx} IS NULL THEN NULL "
+            f"WHEN length({vp}) = 0 THEN CAST(0 AS DECIMAL(21,0)) "
+            f"WHEN try_cast({vp} AS DECIMAL(21,0)) IS NULL THEN "
+            f"CAST(CASE WHEN {vp} LIKE '-%' THEN 0 ELSE {u64max} END "
             f"AS DECIMAL(21,0)) "
-            f"ELSE try_cast({pre} AS DECIMAL(21,0)) END)"
+            f"ELSE try_cast({vp} AS DECIMAL(21,0)) END)"
         )
         # saturation applies to the OPERAND too, not just the regexp
         # branch (review r12 #2): DECIMAL(21,0) holds up to 10^21-1,
@@ -675,13 +696,19 @@ def _rewrite_unsigned_casts(sql: str) -> str:
         # below int64 range cannot be a wrapped KindInt64 and saturate
         # at 0 (ConvertDecimalToUint); true int64 negatives keep the
         # mod-2^64 wrap.
-        repl = (
-            f"CAST(CASE WHEN {operand} >= CAST({_U64} AS DECIMAL(21,0)) "
+        body = (
+            f"CAST(CASE WHEN {vd} >= CAST({_U64} AS DECIMAL(21,0)) "
             f"THEN CAST({u64max} AS DECIMAL(21,0)) "
-            f"WHEN {operand} < CAST(-9223372036854775808 AS DECIMAL(21,0)) "
+            f"WHEN {vd} < CAST(-9223372036854775808 AS DECIMAL(21,0)) "
             f"THEN CAST(0 AS DECIMAL(21,0)) "
-            f"ELSE pmod({operand}, CAST({_U64} AS DECIMAL(21,0))) END "
+            f"ELSE pmod({vd}, CAST({_U64} AS DECIMAL(21,0))) END "
             f"AS DECIMAL(20,0))"
+        )
+        repl = (
+            f"element_at(transform(array(({inner})), {vx} -> "
+            f"element_at(transform(array({pre}), {vp} -> "
+            f"element_at(transform(array({operand}), {vd} -> "
+            f"{body}), 1)), 1)), 1)"
         )
         sql = sql[: k - 3] + repl + sql[m.end() :]
 
