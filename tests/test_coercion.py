@@ -17,13 +17,16 @@ that MATCHES the reference and document the bounded divergences:
    Spark's lenient cast yields NULL for any string that is not fully
    parseable, so the comparison is NULL (never TRUE). Spark is
    STRICTER; rows drop where MySQL would warn-and-match.
-2. String vs INT-typed side: Spark casts the STRING to the int side
-   (legacy coercion), so '12.5' > 12 evaluates cast('12.5' AS
-   INT)=12 > 12 = FALSE where the reference compares as real (12.5 >
-   12 = TRUE), and '1e2' = 100 is NULL. Reference semantics hold
-   whenever the numeric side is REAL ('12.5' > 12.0 is TRUE) — the
-   documented usage bound: compare strings against real-typed
-   values/casts, which is what getBaseCmpType does implicitly.
+2. String vs INT-typed side: CLOSED in round 13 (was: Spark cast the
+   STRING to the int side, truncating). The engine rewrites such
+   comparisons to REAL — numeric literals unconditionally, identifier
+   sides via a conservative schema resolver (sqlparse.py
+   rewrite_string_number_compares + engine.py _int_col_resolver) —
+   so '12.5' > 12 is TRUE and '12.5' = 12 is FALSE, matching
+   getBaseCmpType's ETReal. Where the resolver cannot PROVE the
+   identifier is an int column (subqueries, aliases, mixed types,
+   external tables), the expression keeps Spark's native coercion —
+   pinned below as the remaining bounded corner.
 3. Exact-looking literals: 'x.0' literals are DECIMAL in Spark
    (exact), REAL in the reference's three-type system — so
    2^53+1 = 9007199254740992.0 is FALSE in Spark (exact) and TRUE in
@@ -111,17 +114,60 @@ def test_string_number_numeric_compare(ceng):
     assert truth(ceng, "'1e2' = CAST(100 AS DOUBLE)") is True
 
 
-def test_string_vs_int_side_casts_string_to_int(ceng):
-    """DOCUMENTED DIVERGENCE 2: with an INT-typed numeric side Spark
-    casts the STRING to int (truncating non-ANSI parse), where the
-    reference promotes both to real. Pin the exact behavior so an
-    upgrade cannot move it silently; the usage bound is 'compare
-    strings against real-typed values' (previous test)."""
-    assert truth(ceng, "'12.5' > 12") is False  # reference/MySQL: True
-    # the truncating cast even makes equality hold: cast('12.5' AS
-    # INT) = 12 -> TRUE, where the reference's real compare says FALSE
-    assert truth(ceng, "'12.5' = 12") is True  # reference/MySQL: False
-    assert truth(ceng, "'1e2' = 100") is None  # reference/MySQL: True
+def test_string_vs_int_literal_compares_as_real(ceng):
+    """Former DOCUMENTED DIVERGENCE 2, closed in round 13: a string
+    literal against an INT literal compares as REAL (getBaseCmpType
+    ETReal; types/convert.go StrToFloat), exactly like MySQL — the
+    rewrite wraps the numeric side in CAST(.. AS DOUBLE)."""
+    assert truth(ceng, "'12.5' > 12") is True  # was FALSE pre-r13
+    assert truth(ceng, "'12.5' = 12") is False  # was TRUE pre-r13
+    assert truth(ceng, "'1e2' = 100") is True  # was NULL pre-r13
+    assert truth(ceng, "12 < '12.5'") is True  # mirrored operand order
+    assert truth(ceng, "'0.5' < 1") is True
+    assert truth(ceng, "'-4.5' < -4") is True
+    # strings against REAL sides were already ETReal — unchanged
+    assert truth(ceng, "'12.5' > 12.0") is True
+
+
+def test_string_vs_int_column_compares_as_real(ceng):
+    """The identifier half: an INT COLUMN against a numeric string
+    compares as REAL via the schema resolver; a STRING column keeps
+    the binary string compare (both sides strings -> ETString)."""
+    ceng.sql("CREATE TABLE coerce_ic (ik INT, bk BIGINT, sk VARCHAR(8))")
+    ceng.sql("INSERT INTO coerce_ic VALUES (12, 12, '12')")
+    one = lambda q: ceng.sql(q).df.collect()  # noqa: E731
+    assert len(one("SELECT 1 AS v FROM coerce_ic WHERE ik < '12.5'")) == 1
+    assert len(one("SELECT 1 AS v FROM coerce_ic WHERE ik = '12.5'")) == 0
+    assert len(one("SELECT 1 AS v FROM coerce_ic WHERE '12.5' > bk")) == 1
+    assert len(one("SELECT 1 AS v FROM coerce_ic WHERE bk = '1.2e1'")) == 1
+    # string column vs string literal: BINARY compare, not numeric —
+    # '12' < '12.5' lexicographically AND numerically here, so pin a
+    # case where they differ: '9' vs '10' (lexicographic: '9' > '10')
+    ceng.sql("INSERT INTO coerce_ic VALUES (9, 9, '9')")
+    got = one("SELECT sk FROM coerce_ic WHERE sk > '10'")
+    assert {r[0] for r in got} == {"12", "9"}  # lexicographic, kept
+    ceng.sql("DROP TABLE coerce_ic")
+
+
+def test_string_int_resolver_is_conservative(ceng):
+    """Guards pin the resolver's refusal cases: an AS-alias shadowing
+    an int column, and a subquery, both keep Spark's native coercion
+    (the pre-r13 truncating compare) rather than risk retyping."""
+    ceng.sql("CREATE TABLE coerce_g (ik INT)")
+    ceng.sql("INSERT INTO coerce_g VALUES (12)")
+    # alias shadows ik with a string -> resolver refuses ik; Spark's
+    # native string-vs-string compare applies to the alias reference
+    got = ceng.sql(
+        "SELECT concat(ik, 'x') AS ik FROM coerce_g ORDER BY ik = '12.5'"
+    ).df.collect()
+    assert [r[0] for r in got] == ["12x"]
+    # subquery: resolver disabled; native coercion (truncating int
+    # cast -> TRUE) — the pinned remaining corner
+    v = ceng.sql(
+        "SELECT (ik = '12.5') AS v FROM (SELECT ik FROM coerce_g) t"
+    ).df.collect()[0][0]
+    assert v is True
+    ceng.sql("DROP TABLE coerce_g")
 
 
 def test_string_number_divergence_is_null_not_prefix(ceng):

@@ -792,6 +792,67 @@ def test_differential_scalar_fuzz(fuzz_eng, fuzz_duck, seed):
 
 
 # ---------------------------------------------------------------------------
+# String-vs-number comparison corpus (round 13, VERDICT r12 next #2 —
+# NEW section, existing seeds untouched per house rule): the engine
+# rewrites string-vs-int comparisons to REAL (getBaseCmpType ETReal);
+# DuckDB would ERROR casting '12.5' to INTEGER, so the duck twin gets
+# the EXPLICIT real form (TRY_CAST .. AS DOUBLE) — engine(MySQL form)
+# must equal duck(real form) row for row.
+# ---------------------------------------------------------------------------
+
+_SN_STRS = ["12.5", "0.5", "-4.5", "1e2", "9", "12", " 3.5 ", "0.0", "abc", ""]
+_SN_OPS = ["=", "<>", "<", "<=", ">", ">="]
+
+
+def gen_strnum_pair(seed: int) -> tuple[str, str]:
+    """(engine_sql, duck_sql): same comparisons, MySQL coercion form
+    vs explicit-real form."""
+    rng = random.Random(10_000 + seed)
+    eng_exprs, duck_exprs = [], []
+    for i in range(rng.choice([2, 3, 4])):
+        s, op = rng.choice(_SN_STRS), rng.choice(_SN_OPS)
+        if rng.random() < 0.5:
+            num = rng.choice([-5, 0, 9, 12, 13, 100])
+            if rng.random() < 0.5:
+                e, d = f"('{s}' {op} {num})", f"(TRY_CAST('{s}' AS DOUBLE) {op} {num})"
+            else:
+                e, d = f"({num} {op} '{s}')", f"({num} {op} TRY_CAST('{s}' AS DOUBLE))"
+        else:
+            col = rng.choice(["ik", "bk"])
+            if rng.random() < 0.5:
+                e, d = f"({col} {op} '{s}')", f"({col} {op} TRY_CAST('{s}' AS DOUBLE))"
+            else:
+                e, d = f"('{s}' {op} {col})", f"(TRY_CAST('{s}' AS DOUBLE) {op} {col})"
+        eng_exprs.append(f"{e} AS c{i}")
+        duck_exprs.append(f"{d} AS c{i}")
+    base = "SELECT k, {} FROM strnum_t ORDER BY k"
+    return base.format(", ".join(eng_exprs)), base.format(", ".join(duck_exprs))
+
+
+@pytest.fixture(scope="module")
+def strnum_tables(fuzz_eng, fuzz_duck):
+    ddl = "CREATE TABLE strnum_t (k BIGINT PRIMARY KEY, ik INT, bk BIGINT)"
+    ins = (
+        "INSERT INTO strnum_t VALUES (1, 12, 12), (2, 13, 13), (3, 0, 0), "
+        "(4, -5, -5), (5, 100, 100), (6, NULL, NULL), (7, 9, 9)"
+    )
+    fuzz_eng.sql(ddl)
+    fuzz_eng.sql(ins)
+    fuzz_duck.execute(ddl)
+    fuzz_duck.execute(ins)
+    return fuzz_eng, fuzz_duck
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_differential_strnum_compare_fuzz(strnum_tables, seed):
+    eng, duck = strnum_tables
+    e_sql, d_sql = gen_strnum_pair(seed)
+    a = _canon_rows(eng.sql(e_sql).df.toPandas())
+    b = _canon_rows(duck.execute(d_sql).df())
+    assert a == b, f"seed {seed} diverged:\n{e_sql}\n{d_sql}\n{a[:5]}\n{b[:5]}"
+
+
+# ---------------------------------------------------------------------------
 # Error-path differential checks (SURVEY §7.20 item 3, pulled into
 # round 10): statements that must FAIL must fail in BOTH engines, and
 # — the stronger property — must leave the table state UNCHANGED and

@@ -185,6 +185,15 @@ class Engine:
         # hook can run concurrent statements through another Engine
         # without deadlocking (tests/test_online_ddl.py)
         self.ddl_phase_hook = None
+        # parquet footer (min,max) per (db, table, physical col) ->
+        # {relpath: (mn, mx)} — data files are IMMUTABLE (appends add
+        # files, COW swaps replace them under new names), so an entry
+        # never invalidates; lookups fetch footers only for rels not
+        # yet seen. Backs the INSERT dup probe's file pruning.
+        self._footer_cache: dict[tuple, dict] = {}
+        # manifest trace of INSERT dup-probe passes (file counts given
+        # vs actually read) — test observability for the pruning claim
+        self.probe_log: list[dict] = []
         self.txn: _Txn | None = None
         # stale staging from a CRASHED session: committed data is never
         # under .txn-*, so removal == rollback of the dead transaction.
@@ -728,13 +737,14 @@ class Engine:
             # the handler records its own job entry (with the full
             # schema-state history), so no _log_ddl here
             return handler(stmt)
-        if kind in ("delete", "replace") and self.txn is None:
-            # COW DELETE/REPLACE are self-locking too: the doomed-row
-            # predicate pass (an O(table) scan for DELETE, conflict
-            # probes for REPLACE) and — above @@cow_online_min_mb —
-            # the survivor rewrite run UNLOCKED; only the assembly and
-            # swap hold the lock. In-txn forms stay on the locked
-            # path below (they only stage buffers).
+        if kind in ("insert", "delete", "replace") and self.txn is None:
+            # COW DELETE/REPLACE and plain INSERT are self-locking too:
+            # the doomed-row predicate pass (an O(table) scan for
+            # DELETE, conflict probes for REPLACE), INSERT's dup probe
+            # + batch file write, and — above @@cow_online_min_mb —
+            # the survivor rewrite run UNLOCKED; only allocation,
+            # assembly and publish hold the lock. In-txn forms stay on
+            # the locked path below (they only stage buffers).
             return handler(stmt)
         lock = (
             self._catalog_write_lock()
@@ -1224,12 +1234,65 @@ class Engine:
             return f"'{self.current_db}'" if self.current_db else "CAST(NULL AS STRING)"
 
         sql = P._sub_outside_quotes(sql, self._SESSION_FN_RE, _session_fn)
-        sql = P.rewrite_select(sql, self.user_vars)
+        sql = P.rewrite_select(sql, self.user_vars, self._int_col_resolver(sql))
         # qualified db.table references must land in THIS engine's
         # private Spark namespace (session isolation)
         return P.rewrite_db_qualifiers(
             sql, {db: self._spark_db(db) for db in self.catalog.dbs}
         )
+
+    _INT_TYPES = frozenset(
+        ("tinyint", "smallint", "mediumint", "int", "integer", "bigint")
+    )
+
+    def _int_col_resolver(self, sql: str):
+        """Schema resolver for the string-vs-int comparison rewrite
+        (reference: expression/builtin_compare.go getBaseCmpType —
+        string vs INT compares as REAL): maps an identifier to True
+        iff it unambiguously names an INTEGER-typed column of a table
+        this statement can see. Conservative by construction —
+        anything that could retype a name disables resolution:
+
+        - subqueries/CTEs (a derived column may shadow a base name
+          with a different type): flat single-SELECT statements only;
+        - explicit AS-aliases shadowing a column name;
+        - a name typed integer in one candidate table but anything
+          else in another.
+
+        A skipped rewrite keeps Spark's truncating-cast compare for
+        that expression — the pre-r13, pinned behavior — never a
+        wrong rewrite of a string-string compare."""
+        mask = P._quote_mask(sql).lower()
+        if len(re.findall(r"\bselect\b", mask)) > 1 or re.search(r"\bwith\b", mask):
+            return None
+        # external attaches carry schemas the catalog does not know —
+        # a name collision could mis-type, so their presence disables
+        # resolution for the statement
+        if any(
+            re.search(rf"\b{re.escape(x.lower())}\b", mask)
+            for x in self.external_tables
+        ):
+            return None
+        types: dict[str, set] = {}
+        for db, tables in self.catalog.dbs.items():
+            for tname, info in tables.items():
+                if not re.search(rf"\b{re.escape(tname)}\b", mask):
+                    continue
+                for c in info.columns:
+                    base = c.type.lower().split("(")[0].split()[0]
+                    types.setdefault(c.name.lower(), set()).add(base)
+        if not types:
+            return None
+        aliased = set(re.findall(r"\bas\s+`?(\w+)`?", mask))
+
+        def int_col(ident: str) -> bool:
+            name = ident.split(".")[-1].strip("`").lower()
+            if name in aliased:
+                return False
+            ts = types.get(name)
+            return bool(ts) and ts <= self._INT_TYPES
+
+        return int_col
 
     # ------------------------------------------------------------------
     # SELECT / EXPLAIN
@@ -2598,8 +2661,22 @@ class Engine:
         EXPLICIT auto id and its fill count, so the fill plan gets a
         literal base — no whole-batch max window (the round-6 version
         computed base via an unpartitioned window, serializing large
-        INSERT..SELECT batches through one task)."""
+        INSERT..SELECT batches through one task).
+
+        Split as _values_validate (allocator-free, runs the O(batch)
+        aggregation — callable UNLOCKED) + _values_finish (consumes
+        the allocator; must hold the lock): the unlocked INSERT path
+        keeps only the allocator hand-off under the flock."""
         out = self._values_plan(ins, info)
+        n, max_auto, n_need = self._values_validate(out, info)
+        return self._values_finish(out, info, n, max_auto, n_need), n
+
+    def _values_validate(
+        self, out: DataFrame, info: TableInfo
+    ) -> tuple[int, int | None, int]:
+        """The single validation aggregation over a batch plan: count,
+        NOT NULL (1048), unsigned range (1264), and the auto column's
+        explicit max + fill count. Touches NO allocator state."""
         auto = info.auto_column()
         # the auto column is fill-guaranteed non-null; validating it
         # pre-fill would reject the very NULLs the fill consumes
@@ -2643,12 +2720,31 @@ class Engine:
                     f"(errno 1264) out of range value for unsigned column {c!r}"
                 )
         n = int(flags["__n"])
+        max_auto = (
+            int(flags["__max_auto"])
+            if auto is not None and flags["__max_auto"] is not None
+            else None
+        )
+        n_need = int(flags["__n_need"] or 0) if auto is not None else 0
+        return n, max_auto, n_need
+
+    def _values_finish(
+        self,
+        out: DataFrame,
+        info: TableInfo,
+        n: int,
+        max_auto: int | None,
+        n_need: int,
+    ) -> DataFrame:
+        """AUTO_INCREMENT fill + allocator advance — the only half of
+        batch building that consumes shared counters, so the only half
+        that must run under the statement/allocation lock."""
+        auto = info.auto_column()
         if auto is not None and n:
             base = max(
                 info.next_auto - 1,
-                int(flags["__max_auto"]) if flags["__max_auto"] is not None else 0,
+                max_auto if max_auto is not None else 0,
             )
-            n_need = int(flags["__n_need"] or 0)
             # sparse per-partition ranges run past 2^33 — only a
             # BIGINT auto column can hold them; INT columns keep the
             # dense window (they cap at 2^31 ids regardless)
@@ -2670,7 +2766,7 @@ class Engine:
             # persisted by the caller's _publish_allocators — a direct
             # whole-catalog update() here would clobber concurrent
             # sessions' commits when called from an open (stale) txn
-        return out, n
+        return out
 
     # batches up to this size get dense rowids via a single-partition
     # window; larger batches use sparse per-partition allocation that
@@ -2742,9 +2838,241 @@ class Engine:
         d.next_auto = max(d.next_auto, info.next_auto)
         disk.update()
 
+    # the literal-pruned probe collects at most this many distinct
+    # first-key-column values from the batch; bigger batches keep an
+    # (unlocked) semi-join probe — at that size the scan amortizes
+    _PROBE_LITERAL_MAX = 1024
+
+    def _footer_ranges(self, db: str, t: str, phys_col: str, rels) -> dict:
+        """Per-file (min, max) of ``phys_col`` from parquet footers —
+        the engine's IndexReader replacement applied to its own write
+        path (reference: the dup check is an index seek,
+        tablecodec/tablecodec.go:80 EncodeIndexSeekKey; here the
+        'index' is the sorted/z-ordered layout's footer statistics).
+        Cached per (db, t, col): data files are immutable, so a rel's
+        entry never goes stale; only unseen rels read a footer —
+        amortized O(delta files) per statement, never O(table data).
+        A file with no usable stats maps to (None, None) = never
+        prunable (conservative)."""
+        import pyarrow.parquet as pq
+
+        cache = self._footer_cache.setdefault((db, t, phys_col), {})
+        data = self.catalog.data_dir(db, t)
+        out = {}
+        for rel in rels:
+            if rel not in cache:
+                mn = mx = None
+                try:
+                    md = pq.ParquetFile(os.path.join(data, rel)).metadata
+                    for rg in range(md.num_row_groups):
+                        for ci in range(md.num_columns):
+                            c = md.row_group(rg).column(ci)
+                            if c.path_in_schema != phys_col:
+                                continue
+                            s = c.statistics
+                            if s is None or not s.has_min_max:
+                                mn = mx = None
+                                raise StopIteration  # no stats: keep file
+                            mn = s.min if mn is None else min(mn, s.min)
+                            mx = s.max if mx is None else max(mx, s.max)
+                except (OSError, StopIteration, TypeError):
+                    mn = mx = None
+                cache[rel] = (mn, mx)
+            out[rel] = cache[rel]
+        return out
+
+    @staticmethod
+    def _rels_overlapping(ranges: dict, vals: list) -> list:
+        """Rels whose footer [min,max] covers at least one batch key
+        value — the file set the dup probe must actually read. Files
+        without stats or with non-comparable types are kept."""
+        import bisect
+
+        try:
+            svals = sorted(vals)
+        except TypeError:
+            return list(ranges)
+        out = []
+        for rel, (mn, mx) in ranges.items():
+            if mn is None or mx is None:
+                out.append(rel)
+                continue
+            try:
+                i = bisect.bisect_left(svals, mn)
+                if i < len(svals) and svals[i] <= mx:
+                    out.append(rel)
+            except TypeError:
+                out.append(rel)  # stats type mismatch: keep
+        return out
+
+    def _insert_dup_probe(
+        self, db: str, t: str, info: TableInfo, with_ids: DataFrame, rels, keys
+    ) -> None:
+        """errno-1062 probe of a batch against an EXPLICIT committed
+        file set. Per unique key: (1) batch-internal dup — O(batch)
+        aggregation; (2) batch-vs-committed — for small batches the
+        DISTINCT first-key-column values are collected (bounded by
+        _PROBE_LITERAL_MAX) and pushed BOTH as engine-side footer file
+        pruning and as an IN predicate into the pruned scan (row-group
+        skipping), so a point INSERT into a PK-sorted table reads a
+        handful of files, never scans-and-shuffles the table; larger
+        batches fall back to a semi-join over the explicit file set.
+        NULL-bearing key tuples never conflict (MySQL semantics).
+
+        Each per-key pass appends a row to ``self.probe_log``
+        (table, files_given, files_read, literal) — the manifest
+        evidence tests pin pruned-file counts against an independent
+        pyarrow footer scan."""
+        for key in keys:
+            notnull = functools.reduce(
+                lambda a, b: a & b, [F.col(k).isNotNull() for k in key]
+            )
+            batch_keys = with_ids.select(*key).filter(notnull)
+            dup_in = (
+                batch_keys.groupBy(*key)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup_in:
+                raise ValueError(f"(errno 1062) duplicate key on {key} in table {t}")
+            if not rels:
+                continue
+            vals = [
+                r[0]
+                for r in batch_keys.select(key[0])
+                .distinct()
+                .limit(self._PROBE_LITERAL_MAX + 1)
+                .collect()
+            ]
+            pruned = sorted(rels)
+            literal = 0 < len(vals) <= self._PROBE_LITERAL_MAX
+            if not vals:
+                continue  # every batch tuple has a NULL key column
+            if literal:
+                col = next(c for c in info.columns if c.name == key[0])
+                ranges = self._footer_ranges(db, t, col.file_name, pruned)
+                pruned = self._rels_overlapping(ranges, vals)
+            self.probe_log.append(
+                {
+                    "table": f"{db}.{t}",
+                    "key": tuple(key),
+                    "files_given": len(rels),
+                    "files_read": len(pruned),
+                    "literal": literal,
+                }
+            )
+            if not pruned:
+                continue  # no committed file can hold these keys
+            scan = self._read_files(db, t, pruned).select(*key).filter(notnull)
+            if literal:
+                scan = scan.filter(F.col(key[0]).isin(vals))
+            dup = (
+                scan.join(batch_keys.distinct(), list(key), "left_semi")
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(f"(errno 1062) duplicate key on {key} in table {t}")
+
+    def _exec_insert_unlocked(self, ins: P.InsertStmt, db: str, t: str) -> Result:
+        """Non-txn INSERT with the REPLACE-COW lock discipline
+        (VERDICT r12 #1 — the last per-statement O(table)-under-flock
+        on the hot write path): a SHORT lock hold for validation +
+        allocator reservation, then the dup probe AND the batch's
+        physical file write run UNLOCKED against a file snapshot, and
+        a second short hold revalidates only the DELTA (files
+        committed mid-statement) before publishing by rename.
+        Reference: executor/insert.go's dup check is an index
+        point-get, O(batch), and never blocks other writers."""
+        if self._catalog_stamp() != self._cat_stamp:
+            self.reload()
+        # ---- UNLOCKED: build + validate the batch ---------------------
+        # the O(batch) validation aggregation (1048/1264/auto max) and
+        # — for large batches — the row pinning run before the lock;
+        # only the allocator hand-off below holds it, so a 100M-row
+        # INSERT ... SELECT blocks concurrent writers for an agg over
+        # CACHED partitions, not for the source plan's execution
+        info0 = self.catalog.get_table(db, t)
+        sig0 = self._schema_sig(info0)
+        out = self._values_plan(ins, info0)
+        n, max_auto, n_need = self._values_validate(out, info0)
+        if n > 10_000:
+            out = out.localCheckpoint()
+        # ---- SHORT lock: allocator hand-off ---------------------------
+        with self._locked_catalog_step():
+            info = self.catalog.get_table(db, t)
+            if self._schema_sig(info) != sig0:
+                raise ValueError(
+                    "(errno 8028) information schema changed during "
+                    f"INSERT into {t} — retry the statement"
+                )
+            out = self._values_finish(out, info, n, max_auto, n_need)
+            with_ids, n = self._assign_rowids(out, info, n)
+            keys = info.unique_keys()
+            self.catalog.update()  # allocator bumps persist (locked)
+            reserved_end = info.next_rowid
+        # ---- UNLOCKED: probe + prepare -------------------------------
+        # checkpoint pins batch + rowids across the probe, the write
+        # and the delta revalidation
+        with_ids = with_ids.localCheckpoint()
+        n = with_ids.count()
+        # rowid-range guard (same as REPLACE COW): a re-executed lazy
+        # plan that grew past the reservation re-allocates under the
+        # lock instead of colliding with a concurrent allocation
+        max_id = with_ids.agg(F.max(ROWID)).collect()[0][0]
+        if max_id is not None and int(max_id) >= reserved_end:
+            with self._locked_catalog_step():
+                info_r = self.catalog.get_table(db, t)
+                with_ids = self._assign_rowids(with_ids.drop(ROWID), info_r, n)[0]
+                with_ids = with_ids.localCheckpoint()
+                self.catalog.update()
+                reserved_end = info_r.next_rowid
+        snapshot = self._list_data_files(db, t)
+        if keys:
+            self._insert_dup_probe(db, t, info, with_ids, snapshot, keys)
+        tmp = self._prepare_append(db, t, with_ids)
+        # ---- SHORT lock: delta revalidation + rename publish ---------
+        try:
+            with self._locked_catalog_step():
+                info2 = self.catalog.get_table(db, t)
+                if self._schema_sig(info2) != sig0:
+                    # a DDL published mid-statement; the prepared files
+                    # carry the OLD physical schema (reference:
+                    # domain/schema_checker.go ErrInfoSchemaChanged)
+                    raise ValueError(
+                        "(errno 8028) information schema changed during "
+                        f"INSERT into {t} — retry the statement"
+                    )
+                if info2.next_rowid < reserved_end:
+                    # allocator moved BACKWARD: TRUNCATE/re-CREATE
+                    # landed mid-statement — publishing stale-id rows
+                    # would duplicate rowids once the fresh allocator
+                    # catches up
+                    raise ValueError(
+                        "(errno 8028) table was truncated or recreated "
+                        f"during INSERT into {t} — retry the statement"
+                    )
+                if keys:
+                    delta = self._list_data_files(db, t) - snapshot
+                    if delta:
+                        # only what committed since the snapshot —
+                        # O(delta), the probe never re-runs on the table
+                        self._insert_dup_probe(db, t, info2, with_ids, delta, keys)
+                self._publish_append(db, t, tmp)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        return Result(rows_affected=n, message=f"{n} rows inserted")
+
     def _exec_insert(self, stmt: str) -> Result:
         ins = P.parse_insert(stmt)
         db, t = self._qualify(ins.table)
+        if self.txn is None and not ins.is_replace:
+            # hot path: self-locking (the dispatcher passes `insert`
+            # through unlocked when no txn is open, like delete/replace)
+            return self._exec_insert_unlocked(ins, db, t)
         info = self._txn_alloc_sync(db, t)
         new_df, n_batch = self._values_df(ins, info)
         if ins.is_replace:
@@ -2869,13 +3197,25 @@ class Engine:
         db, t = self._qualify(ins.table)
         # ---- batch build + allocation: one SHORT lock hold -------------
         # only what touches shared counters holds the lock (allocator
-        # sync/bump must be serialized); the batch materialization and
-        # the O(table) conflict probe run UNLOCKED below (review r12
-        # #6 — the probe under the lock blocked every writer for a
-        # full-table scan)
+        # sync/bump must be serialized); the batch VALIDATION (an
+        # O(batch) aggregation), the batch materialization and the
+        # O(table) conflict probe all run UNLOCKED (review r12 #6 —
+        # the probe under the lock blocked every writer for a
+        # full-table scan; round 13 moved validation out too)
+        info0 = self.catalog.get_table(db, t)
+        sig_pre = self._schema_sig(info0)
+        out = self._values_plan(ins, info0)
+        n_batch, max_auto, n_need = self._values_validate(out, info0)
+        if n_batch > 10_000:
+            out = out.localCheckpoint()
         with self._locked_catalog_step():
             info = self.catalog.get_table(db, t)
-            new_df, n_batch = self._values_df(ins, info)
+            if self._schema_sig(info) != sig_pre:
+                raise ValueError(
+                    "(errno 8028) information schema changed during "
+                    f"REPLACE into {t} — retry the statement"
+                )
+            new_df = self._values_finish(out, info, n_batch, max_auto, n_need)
             with_ids, n = self._assign_rowids(new_df, info, n_batch)
             keys = info.unique_keys()
             if not keys:
@@ -3974,7 +4314,15 @@ class Engine:
         No stamp gate: a concurrent COW DELETE swaps data dirs without
         touching catalog.json, so the catalog stamp cannot prove
         absence of data-level concurrency — the existence anti-join
-        (bounded by this txn's own doomed set) IS the check."""
+        (bounded by this txn's own doomed set) IS the check.
+
+        File-pruned (VERDICT r12 #1 tail): rowids are monotone per
+        file, so the anti-join reads only the files whose footer
+        [min,max] of the rowid column overlaps the doomed set's
+        [min,max] — a file outside the range cannot contain any
+        doomed rowid, so excluding it cannot change the result. The
+        former full rowid-column scan was one O(table) job per
+        delete-touched table per COMMIT."""
         for (db, t), buf in txn.tables.items():
             if not buf.has_dels:
                 continue
@@ -3984,11 +4332,32 @@ class Engine:
                 # disk — their absence is not a conflict
                 own = self.spark.read.parquet(buf.add_dir).select(ROWID)
                 dels = dels.join(own, ROWID, "left_anti")
-            gone = (
-                dels.join(self._raw(db, t).select(ROWID), ROWID, "left_anti")
-                .limit(1)
-                .count()
+            bounds = dels.agg(
+                F.min(ROWID).alias("lo"), F.max(ROWID).alias("hi")
+            ).collect()[0]
+            if bounds["lo"] is None:
+                continue  # every staged delete was the txn's own insert
+            lo, hi = int(bounds["lo"]), int(bounds["hi"])
+            ranges = self._footer_ranges(
+                db, t, ROWID, self._list_data_files(db, t)
             )
+            pruned = [
+                rel
+                for rel, (mn, mx) in ranges.items()
+                if mn is None or not (mx < lo or mn > hi)
+            ]
+            if not pruned:
+                gone = 1  # no committed file can hold ANY doomed rowid
+            else:
+                gone = (
+                    dels.join(
+                        self._read_files(db, t, pruned).select(ROWID),
+                        ROWID,
+                        "left_anti",
+                    )
+                    .limit(1)
+                    .count()
+                )
             if gone:
                 self._txn_rollback()
                 raise ValueError(

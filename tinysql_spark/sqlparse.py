@@ -597,6 +597,70 @@ def _quote_mask(sql: str) -> str:
     return "".join(out)
 
 
+# -- string-vs-number comparison coercion (VERDICT r12 next #2) -----------
+#
+# The reference compares a string against ANY numeric side as REAL
+# (expression/builtin_compare.go getBaseCmpType -> ETReal;
+# types/convert.go StrToFloat), while Spark's legacy coercion casts the
+# string to the INT side's type, truncating: '12.5' = 12 was TRUE here,
+# FALSE in MySQL. Rewrite: wrap the NUMERIC side of such comparisons in
+# CAST(... AS DOUBLE), which forces Spark's string-vs-double path — the
+# exact ETReal behavior (the CAST half of this family closed in r12 via
+# the unsigned-cast prefix parse; this closes the comparison half).
+# Non-numeric strings stay NULL-compares (documented divergence 1 —
+# strictly narrower than MySQL's warn-and-parse-prefix).
+_CMP_OP = r"<=>|<=|>=|<>|!=|=|<|>"
+_NUMLIT = r"[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?"
+_STRLIT_M = r"'[ ]*'|\"[ ]*\""  # literal shape in a _quote_mask
+_IDENT_PATH = r"(?:`[^`]+`|[A-Za-z_]\w*)(?:\.(?:`[^`]+`|[A-Za-z_]\w*)){0,2}"
+_STR_NUM_RIGHT = re.compile(
+    rf"(?:{_STRLIT_M})\s*(?:{_CMP_OP})\s*({_NUMLIT})(?![\w.])"
+)
+_STR_NUM_LEFT = re.compile(
+    rf"(?<![\w.])({_NUMLIT})\s*(?:{_CMP_OP})\s*(?:{_STRLIT_M})"
+)
+_STR_ID_RIGHT = re.compile(
+    rf"(?:{_STRLIT_M})\s*(?:{_CMP_OP})\s*({_IDENT_PATH})(?![\w.`(])"
+)
+_STR_ID_LEFT = re.compile(
+    rf"(?<![\w.`])({_IDENT_PATH})\s*(?:{_CMP_OP})\s*(?:{_STRLIT_M})"
+)
+
+
+def rewrite_string_number_compares(sql: str, int_col=None) -> str:
+    """Comparisons with a string literal on one side go REAL:
+
+    - numeric LITERAL on the other side: always wrapped (type known
+      from the token itself) — ``'12.5' > 12`` becomes
+      ``'12.5' > CAST(12 AS DOUBLE)``.
+    - IDENTIFIER on the other side: wrapped only when ``int_col``
+      (a schema resolver the engine builds per statement) confirms it
+      is an integer-typed column — a string column must KEEP the
+      binary string compare (CompareString), so unknown types are
+      never touched.
+
+    Spans are located on the quote mask, so literal interiors can
+    never trigger a rewrite; the wrap widens at most one term of a
+    surrounding arithmetic expression, which only nudges the compare
+    further toward REAL — the target semantics."""
+    mask = _quote_mask(sql)
+    edits = set()
+    for m in _STR_NUM_RIGHT.finditer(mask):
+        edits.add((m.start(1), m.end(1)))
+    for m in _STR_NUM_LEFT.finditer(mask):
+        edits.add((m.start(1), m.end(1)))
+    if int_col is not None:
+        for m in _STR_ID_RIGHT.finditer(mask):
+            if int_col(m.group(1)):
+                edits.add((m.start(1), m.end(1)))
+        for m in _STR_ID_LEFT.finditer(mask):
+            if int_col(m.group(1)):
+                edits.add((m.start(1), m.end(1)))
+    for s, e in sorted(edits, reverse=True):
+        sql = sql[:s] + f"CAST({sql[s:e]} AS DOUBLE)" + sql[e:]
+    return sql
+
+
 # monotone id for unsigned-cast lambda variables: nested casts emit
 # nested transform() lambdas, and unique names sidestep any shadowing
 # ambiguity across Spark versions
@@ -1409,10 +1473,14 @@ def render_literal(v: object) -> str:
     return f"'{s}'"
 
 
-def rewrite_select(sql: str, user_vars: dict[str, object]) -> str:
+def rewrite_select(sql: str, user_vars: dict[str, object], int_col=None) -> str:
     # running-SetVar idioms first: what it rewrites no longer contains
     # ':=', so the loud error below only fires for unsupported forms
     sql = rewrite_running_setvars(sql, user_vars)
-    return rewrite_date_format(
-        rewrite_mysql_casts(rewrite_strcmp(substitute_user_vars(sql, user_vars)))
+    # string-number compare coercion AFTER user-var substitution (a
+    # numeric @var against a string literal must also go REAL) and
+    # BEFORE the cast rewrites (whose emitted SQL must stay untouched)
+    sql = rewrite_string_number_compares(
+        substitute_user_vars(sql, user_vars), int_col
     )
+    return rewrite_date_format(rewrite_mysql_casts(rewrite_strcmp(sql)))
