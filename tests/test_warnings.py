@@ -1,0 +1,108 @@
+"""Statement warnings + SHOW WARNINGS (VERDICT r12 missing #1).
+
+The reference accumulates per-statement warnings in the statement
+context (stmtctx AppendWarning) and renders them via executor/show.go:
+division by zero evaluates to NULL **with warning 1365**
+(builtin_arithmetic.go div family), lossy string casts warn 1292 and
+range saturation 1264 (types/convert.go StrToUint). The engine
+populates the list where it KNOWS it diverged-with-warning — constant
+operands at rewrite time; per-row events arriving from table data do
+not warn (documented bound — detecting them needs an extra scan).
+SHOW ERRORS stays empty for warning-class events.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tinysql_spark.engine import Engine
+
+
+@pytest.fixture()
+def weng(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "wh"))
+    yield e
+    e.close()
+
+
+def _warns(e):
+    return [tuple(r) for r in e.sql("SHOW WARNINGS").df.collect()]
+
+
+def test_division_by_zero_warns_1365(weng):
+    r = weng.sql("SELECT 1 / 0 AS v").df.collect()
+    assert r[0][0] is None  # NULL value semantics (already pinned)
+    got = _warns(weng)
+    assert got == [("Warning", 1365, "Division by 0")]
+
+
+def test_modulo_and_div_by_zero_warn(weng):
+    assert weng.sql("SELECT 7 % 0 AS v").df.collect()[0][0] is None
+    assert _warns(weng) == [("Warning", 1365, "Division by 0")]
+    assert weng.sql("SELECT 7 DIV 0 AS v").df.collect()[0][0] is None
+    assert _warns(weng) == [("Warning", 1365, "Division by 0")]
+
+
+def test_nonzero_divisions_do_not_warn(weng):
+    weng.sql("SELECT 1 / 2 AS a, 7 % 3 AS b, 10 DIV 5 AS c").df.collect()
+    assert _warns(weng) == []
+    # 0 as NUMERATOR or a 0.5-style literal must not trip the scan
+    weng.sql("SELECT 0 / 2 AS a, 1 / 0.5 AS b").df.collect()
+    assert _warns(weng) == []
+
+
+def test_unsigned_cast_truncation_warns_1292(weng):
+    v = weng.sql("SELECT CAST('12.7junk' AS UNSIGNED) AS v").df.collect()[0][0]
+    assert int(v) == 13  # value semantics unchanged (r12 prefix parse)
+    got = _warns(weng)
+    assert len(got) == 1
+    lvl, code, msg = got[0]
+    assert (lvl, code) == ("Warning", 1292)
+    assert "Truncated" in msg and "12.7junk" in msg
+    # clean numeric strings parse without warning (reference:
+    # getValidFloatPrefix only warns when it actually cut something)
+    weng.sql("SELECT CAST('12.5' AS UNSIGNED) AS v").df.collect()
+    assert _warns(weng) == []
+
+
+def test_unsigned_cast_saturation_warns_1264(weng):
+    v = weng.sql(
+        "SELECT CAST('18446744073709551616' AS UNSIGNED) AS v"
+    ).df.collect()[0][0]
+    assert int(v) == 2**64 - 1  # saturation value (pinned in r12)
+    got = _warns(weng)
+    assert len(got) == 1
+    assert (got[0][0], got[0][1]) == ("Warning", 1264)
+    assert "range" in got[0][2]
+
+
+def test_reset_contract_and_show_does_not_clear(weng):
+    weng.sql("SELECT 1 / 0 AS v").df.collect()
+    # SHOW WARNINGS reads WITHOUT clearing — twice gives the same list
+    assert _warns(weng) == [("Warning", 1365, "Division by 0")]
+    assert _warns(weng) == [("Warning", 1365, "Division by 0")]
+    # any other statement resets the diagnostics area
+    weng.sql("SELECT 1 AS v").df.collect()
+    assert _warns(weng) == []
+
+
+def test_show_errors_stays_empty_for_warning_class(weng):
+    weng.sql("SELECT 1 / 0 AS v").df.collect()
+    assert weng.sql("SHOW ERRORS").df.collect() == []
+    assert _warns(weng) == [("Warning", 1365, "Division by 0")]
+
+
+def test_multiple_warnings_accumulate_per_statement(weng):
+    weng.sql(
+        "SELECT 1 / 0 AS a, CAST('x9' AS UNSIGNED) AS b, 2 % 0 AS c"
+    ).df.collect()
+    got = _warns(weng)
+    codes = sorted(c for _, c, _ in got)
+    assert codes == [1292, 1365, 1365]
+
+
+def test_string_literals_never_trip_the_scan(weng):
+    # '/' '%' 'DIV 0' inside string literals are data, not operators
+    r = weng.sql("SELECT 'a/0' AS a, '% 0' AS b, 'DIV 0' AS c").df.collect()
+    assert tuple(r[0]) == ("a/0", "% 0", "DIV 0")
+    assert _warns(weng) == []

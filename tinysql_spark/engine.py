@@ -194,6 +194,17 @@ class Engine:
         # manifest trace of INSERT dup-probe passes (file counts given
         # vs actually read) — test observability for the pruning claim
         self.probe_log: list[dict] = []
+        # per-statement warning diagnostics (reference: stmtctx
+        # AppendWarning rendered by executor/show.go) — (Level, Code,
+        # Message) tuples; reset at the start of every statement
+        # except SHOW so `stmt; SHOW WARNINGS` reads the stmt's list.
+        # Populated where the engine KNOWS it diverged-with-warning:
+        # constant operands at rewrite time (div by literal 0 -> 1365,
+        # CAST(string AS UNSIGNED) truncation -> 1292 / saturation ->
+        # 1264). Runtime per-row events on table columns do not warn —
+        # the documented bound (detecting them would need an extra
+        # scan per statement).
+        self.warnings: list[tuple[str, int, str]] = []
         self.txn: _Txn | None = None
         # stale staging from a CRASHED session: committed data is never
         # under .txn-*, so removal == rollback of the dead transaction.
@@ -715,6 +726,11 @@ class Engine:
         handler = getattr(self, f"_exec_{kind}", None)
         if handler is None:
             raise ValueError(f"unsupported statement kind: {kind}")
+        if kind != "show":
+            # end-of-statement reset contract (MySQL: each statement
+            # that can generate diagnostics clears the previous list;
+            # SHOW WARNINGS/ERRORS reads without clearing)
+            self.warnings = []
         # auto-reload: another session's committed DDL/DML changes
         # catalog.json; pick it up before planning this statement.
         # Never mid-transaction (the txn keeps its snapshot). Stamp
@@ -1234,7 +1250,22 @@ class Engine:
             return f"'{self.current_db}'" if self.current_db else "CAST(NULL AS STRING)"
 
         sql = P._sub_outside_quotes(sql, self._SESSION_FN_RE, _session_fn)
-        sql = P.rewrite_select(sql, self.user_vars, self._int_col_resolver(sql))
+        # constant division/modulo by literal zero: MySQL evaluates to
+        # NULL and warns 1365 (reference: builtin_arithmetic.go div
+        # family ErrDivisionByZero in warning mode). Spark's non-ANSI
+        # `/` already yields the NULL; the rewrite site is where the
+        # engine KNOWS the zero (a literal), so it records the warning
+        # here — zero denominators arriving per-row from table data do
+        # not warn (documented bound in __init__).
+        for _ in P.re.finditer(
+            r"(?:/|%|\bDIV\b|\bMOD\b)\s*0+(?:\.0*)?(?![\w.])",
+            P._quote_mask(sql),
+            P.re.I,
+        ):
+            self.warnings.append(("Warning", 1365, "Division by 0"))
+        sql = P.rewrite_select(
+            sql, self.user_vars, self._int_col_resolver(sql), self.warnings
+        )
         # qualified db.table references must land in THIS engine's
         # private Spark namespace (session isolation)
         return P.rewrite_db_qualifiers(
@@ -3779,7 +3810,19 @@ class Engine:
                 "Variable_name: string, Value: string",
             )
             return Result(df=df)
-        if up.startswith("SHOW WARNINGS") or up.startswith("SHOW ERRORS"):
+        if up.startswith("SHOW WARNINGS"):
+            # the previous statement's diagnostics (reference:
+            # executor/show.go fetchShowWarnings over stmtctx)
+            return Result(
+                df=self.spark.createDataFrame(
+                    list(self.warnings),
+                    "Level: string, Code: int, Message: string",
+                )
+            )
+        if up.startswith("SHOW ERRORS"):
+            # warning-class events never surface here (MySQL: SHOW
+            # ERRORS lists only Error-level diagnostics; the engine
+            # raises its errors as exceptions, so the list is empty)
             return Result(
                 df=self.spark.createDataFrame([], "Level: string, Code: int, Message: string")
             )

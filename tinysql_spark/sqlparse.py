@@ -667,7 +667,41 @@ def rewrite_string_number_compares(sql: str, int_col=None) -> str:
 _UNSIGNED_CAST_SEQ = 0
 
 
-def _rewrite_unsigned_casts(sql: str) -> str:
+_UNSIGNED_PREFIX_RE = re.compile(
+    r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?"
+)
+
+
+def _warn_constant_unsigned_cast(inner: str, warnings: list | None) -> None:
+    """Record the MySQL warning a CONSTANT string operand of
+    CAST(.. AS UNSIGNED) produces (reference: types/convert.go
+    StrToUint — truncation warns 1292, ErrOverflow saturation warns
+    1264). Constant-only: the rewrite site knows a literal's value;
+    per-row column values would need a runtime scan (documented
+    bound)."""
+    if warnings is None:
+        return
+    m = re.match(r"^'([^']*)'$", inner.strip())
+    if m is None:
+        return
+    s = m.group(1).strip()
+    pm = _UNSIGNED_PREFIX_RE.match(s)
+    if pm is None or pm.group(0) != s:
+        warnings.append(
+            ("Warning", 1292, f"Truncated incorrect INTEGER value: '{m.group(1)}'")
+        )
+        return
+    try:
+        v = float(s)
+    except ValueError:
+        return
+    if v >= 2**64:
+        warnings.append(
+            ("Warning", 1264, f"Out of range value: '{m.group(1)}' saturates to {2**64 - 1}")
+        )
+
+
+def _rewrite_unsigned_casts(sql: str, warnings: list | None = None) -> str:
     """CAST(x AS UNSIGNED [INTEGER]) -> true MySQL uint64 semantics:
     the value lands in DECIMAL(20,0) (the BIGINT UNSIGNED column
     mapping) and negatives wrap mod 2^64 (types/datum.go:36
@@ -711,6 +745,7 @@ def _rewrite_unsigned_casts(sql: str) -> str:
                 + sql[max(0, m.start() - 40) : m.end()]
             )
         inner = sql[j + 1 : m.start()].strip()
+        _warn_constant_unsigned_cast(inner, warnings)
         # numeric-prefix fallback (closes VERDICT r11 missing #3;
         # reference: types/convert.go StrToUint -> getValidFloatPrefix
         # + floatStrToIntStr + the ErrOverflow saturation): a
@@ -777,7 +812,7 @@ def _rewrite_unsigned_casts(sql: str) -> str:
         sql = sql[: k - 3] + repl + sql[m.end() :]
 
 
-def rewrite_mysql_casts(sql: str) -> str:
+def rewrite_mysql_casts(sql: str, warnings: list | None = None) -> str:
     """MySQL cast-target grammar Spark rejects outright (reference:
     parser/parser.y CastType, types/field_type.go):
 
@@ -787,8 +822,13 @@ def rewrite_mysql_casts(sql: str) -> str:
 
     Quote-aware: `'cast me AS UNSIGNED'` string literals pass
     through untouched. `UNSIGNED`/`SIGNED` are MySQL reserved words,
-    so a bare `expr AS unsigned` alias cannot appear in valid input."""
-    sql = _rewrite_unsigned_casts(sql)
+    so a bare `expr AS unsigned` alias cannot appear in valid input.
+
+    ``warnings``, when given, collects (Level, Code, Message) rows
+    for CONSTANT string operands whose unsigned cast is lossy —
+    truncated prefix parse (1292) or out-of-range saturation (1264),
+    the classes types/convert.go warns on."""
+    sql = _rewrite_unsigned_casts(sql, warnings)
     return _sub_outside_quotes(sql, _MYSQL_SIGNED_CAST_RE, "AS BIGINT")
 
 
@@ -1473,7 +1513,12 @@ def render_literal(v: object) -> str:
     return f"'{s}'"
 
 
-def rewrite_select(sql: str, user_vars: dict[str, object], int_col=None) -> str:
+def rewrite_select(
+    sql: str,
+    user_vars: dict[str, object],
+    int_col=None,
+    warnings: list | None = None,
+) -> str:
     # running-SetVar idioms first: what it rewrites no longer contains
     # ':=', so the loud error below only fires for unsupported forms
     sql = rewrite_running_setvars(sql, user_vars)
@@ -1483,4 +1528,6 @@ def rewrite_select(sql: str, user_vars: dict[str, object], int_col=None) -> str:
     sql = rewrite_string_number_compares(
         substitute_user_vars(sql, user_vars), int_col
     )
-    return rewrite_date_format(rewrite_mysql_casts(rewrite_strcmp(sql)))
+    return rewrite_date_format(
+        rewrite_mysql_casts(rewrite_strcmp(sql), warnings)
+    )
