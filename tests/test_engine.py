@@ -2405,3 +2405,98 @@ def test_commit_race_fuzz_three_sessions(spark, eng):
     finally:
         for s in sessions[1:]:
             s.close()
+
+
+def test_commit_race_fuzz_mixed_delete_multi_table(spark, eng):
+    """VERDICT r12 next #4 — NEW seeded corpus (existing seeds above
+    untouched, house rule): 3-session commit races where sessions also
+    DELETE the contended keys and touch a SECOND table inside the same
+    transaction (multi-table publish order x conflict family). Pinned
+    invariants: PK uniqueness on the contended table, every losing
+    COMMIT aborts with the conflict family (1062/9007), ADMIN CHECK on
+    both tables, and MULTI-TABLE ATOMICITY — a loser's insert into the
+    second table must vanish with its rollback, a winner's must land."""
+    import random as _random
+
+    from tinysql_spark.engine import Engine
+
+    wh = eng.catalog.warehouse
+    sessions = [eng, Engine(spark, wh), Engine(spark, wh)]
+    try:
+        for seed in range(8):
+            rng = _random.Random(seed * 9173 + 5)
+            t1, t2 = f"md{seed}", f"md{seed}b"
+            eng.sql(f"CREATE TABLE {t1} (k INT PRIMARY KEY, v INT)")
+            eng.sql(f"INSERT INTO {t1} VALUES (1, 0), (2, 0), (3, 0)")
+            eng.sql(f"CREATE TABLE {t2} (k INT PRIMARY KEY, v INT)")
+            for s in sessions:
+                s.reload()
+            plans = []
+            for si, s in enumerate(sessions):
+                s.sql("BEGIN")
+                ops, ok = [], True
+                for _ in range(rng.choice([1, 2])):
+                    k = rng.choice([1, 2, 3, 9])
+                    act = rng.choice(["INSERT", "REPLACE", "DELETE"])
+                    try:
+                        if act == "DELETE":
+                            s.sql(f"DELETE FROM {t1} WHERE k = {k}")
+                            ops.append(("D", k, None))
+                        else:
+                            v = rng.randrange(100, 999)
+                            s.sql(f"{act} INTO {t1} VALUES ({k}, {v})")
+                            ops.append((act[0], k, v))
+                    except ValueError as e:
+                        # statement-time snapshot 1062 (INSERT of an
+                        # existing key) rolls the whole session back
+                        assert "1062" in str(e), (seed, si, str(e))
+                        s.sql("ROLLBACK")
+                        ok = False
+                        break
+                if ok and rng.random() < 0.7:
+                    s.sql(f"INSERT INTO {t2} VALUES ({100 + si}, {si})")
+                    ops.append(("T2", 100 + si, si))
+                if ok:
+                    plans.append((si, s, ops))
+            outcomes = {}
+            order = list(range(len(plans)))
+            rng.shuffle(order)  # commit order independent of alloc order
+            for i in order:
+                si, s, ops = plans[i]
+                try:
+                    s.sql("COMMIT")
+                    outcomes[si] = ("ok", ops)
+                except ValueError as e:
+                    msg = str(e)
+                    assert "1062" in msg or "9007" in msg, (seed, si, msg)
+                    outcomes[si] = ("abort", ops)
+            for s in sessions:
+                s.reload()
+            rows1 = eng.sql(f"SELECT k, v FROM {t1}").df.collect()
+            ks = [r.k for r in rows1]
+            assert len(ks) == len(set(ks)), f"seed {seed}: dup PKs {sorted(ks)}"
+            winner_vals = {
+                v
+                for st, ops in outcomes.values()
+                if st == "ok"
+                for (a, k, v) in ops
+                if a in ("I", "R")
+            }
+            for r in rows1:
+                assert r.v == 0 or r.v in winner_vals, (seed, r, outcomes)
+            # multi-table atomicity: t2 holds EXACTLY the winners' rows
+            want_t2 = {
+                (k, v)
+                for st, ops in outcomes.values()
+                if st == "ok"
+                for (a, k, v) in ops
+                if a == "T2"
+            }
+            got_t2 = {(r.k, r.v) for r in eng.sql(f"SELECT k, v FROM {t2}").df.collect()}
+            assert got_t2 == want_t2, (seed, got_t2, want_t2, outcomes)
+            for t in (t1, t2):
+                chk = eng.sql(f"ADMIN CHECK TABLE {t}").df.collect()
+                assert chk[0]["STATUS"] == "OK", (seed, t, chk)
+    finally:
+        for s in sessions[1:]:
+            s.close()
