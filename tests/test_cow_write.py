@@ -659,3 +659,35 @@ def test_online_replace_survives_file_unlinked_before_rewrite(spark, eng, wh):
     assert r.rows_affected == 2
     assert _vals(eng, "SELECT k, v FROM ouf2") == [(2, 99)]
     other.close()
+
+
+def test_fragmentation_audit_trips_and_optimize_clears(eng):
+    """VERDICT r12 next #5 — the warehouse fragmentation gate: a table
+    accumulating small COW/append files must trip the audit with
+    advice naming the existing online fix; a compact table is a
+    no-op; OPTIMIZE folds the litter and the audit goes quiet."""
+    eng.sql("CREATE TABLE fr (k INT PRIMARY KEY, v INT)")
+    eng.sql("SET @@frag_min_files = 4")  # local-scale threshold
+    for i in range(8):  # 8 single-row appends = 8 tiny files
+        eng.sql(f"INSERT INTO fr VALUES ({i}, {i})")
+    row = eng.sql("ADMIN SHOW FRAGMENTATION fr").df.collect()[0]
+    assert row["FILES"] >= 8
+    assert row["SMALL_FILES"] == row["FILES"]  # all tiny at this SF
+    assert row["SMALL_RATIO"] == 1.0
+    assert row["FRAGMENTED"] is True
+    assert row["ADVICE"] == "OPTIMIZE TABLE fr"
+    eng.sql("OPTIMIZE TABLE fr")
+    row2 = eng.sql("ADMIN SHOW FRAGMENTATION fr").df.collect()[0]
+    assert row2["FILES"] < row["FILES"]
+    assert row2["FRAGMENTED"] is False and row2["ADVICE"] == ""
+    # rows survive the compaction
+    assert eng.sql("SELECT COUNT(*) AS n FROM fr").df.collect()[0][0] == 8
+    # compact table: below the file-count gate, never fragmented
+    eng.sql("CREATE TABLE frc (k INT PRIMARY KEY)")
+    eng.sql("INSERT INTO frc VALUES (1), (2), (3)")
+    rc = eng.sql("ADMIN SHOW FRAGMENTATION frc").df.collect()[0]
+    assert rc["FRAGMENTED"] is False and rc["ADVICE"] == ""
+    # threshold validation is loud, not silent
+    eng.sql("SET @@frag_small_ratio = 'junk'")
+    with pytest.raises(ValueError, match="frag_small_ratio"):
+        eng.sql("ADMIN SHOW FRAGMENTATION fr")

@@ -3871,6 +3871,11 @@ class Engine:
           ErrAdminCheckTable (executor/errors.go:37). Validates, in ONE
           aggregate job per table: rowid-handle uniqueness, NOT NULL
           columns, plus one groupBy job per declared unique key.
+        - ``ADMIN SHOW FRAGMENTATION t`` — small-file audit (engine
+          extension; the maintenance gate for COW/append litter whose
+          fix is the online ``OPTIMIZE TABLE``). File-listing only,
+          no Spark job; thresholds @@frag_small_file_mb /
+          @@frag_min_files / @@frag_small_ratio.
         """
         norm = P.re.sub(r"\s+", " ", stmt.strip())
         m = P.re.match(r"(?i)^ADMIN SHOW DDL( JOBS(?: (\d+))?( WHERE .+)?)?$", norm)
@@ -3909,6 +3914,17 @@ class Engine:
                 rows, "TABLE_NAME: string, ROW_COUNT: bigint, STATUS: string"
             )
             return Result(df=df)
+        m = P.re.match(r"(?i)^ADMIN SHOW FRAGMENTATION ([`\w.]+)$", norm)
+        if m:
+            db, t = self._qualify(m.group(1))
+            row = self._fragmentation_audit(db, t)
+            df = self.spark.createDataFrame(
+                [row],
+                "TABLE_NAME: string, FILES: bigint, BYTES: bigint, "
+                "SMALL_FILES: bigint, SMALL_RATIO: double, "
+                "MEDIAN_FILE_BYTES: bigint, FRAGMENTED: boolean, ADVICE: string",
+            )
+            return Result(df=df)
         m = P.re.match(r"(?i)^ADMIN CHECK INDEX ([`\w.]+) ([`\w]+)$", norm)
         if m:
             db, t = self._qualify(m.group(1))
@@ -3923,6 +3939,47 @@ class Engine:
             )
             return Result(df=df)
         raise ValueError(f"unsupported ADMIN: {stmt[:60]}")
+
+    def _frag_var(self, name: str, default: float) -> float:
+        raw = self.sys_vars.get(name)
+        if raw is None:
+            return default
+        try:
+            return float(raw)
+        except (TypeError, ValueError):
+            raise ValueError(f"{name} must be a number, got {raw!r}")
+
+    def _fragmentation_audit(self, db: str, t: str) -> tuple:
+        """Small-file audit of a table's committed data (VERDICT r12
+        next #5 — the s14 drift-gate pattern applied to the warehouse):
+        repeated COW swaps and O(batch) appends accumulate small part
+        files that OPTIMIZE exists to fold, but nothing watched. A
+        table is FRAGMENTED when it has more than @@frag_min_files
+        (default 16) files AND more than @@frag_small_ratio (default
+        0.5) of them are under @@frag_small_file_mb (default 16 MB) —
+        at that shape the scan pays per-file open/footer cost on most
+        of its reads and the advice names the existing online fix:
+        ``OPTIMIZE TABLE t``. Pure file-listing metadata — no Spark
+        job, O(files) like OPTIMIZE's own planning."""
+        self.catalog.get_table(db, t)  # existence check
+        small_cap = self._frag_var("frag_small_file_mb", 16.0) * 2**20
+        min_files = int(self._frag_var("frag_min_files", 16))
+        max_ratio = self._frag_var("frag_small_ratio", 0.5)
+        data = self.catalog.data_dir(db, t)
+        sizes = []
+        for rel in self._list_data_files(db, t):
+            try:
+                sizes.append(os.path.getsize(os.path.join(data, rel)))
+            except OSError:
+                pass
+        sizes.sort()
+        n = len(sizes)
+        small = sum(1 for b in sizes if b < small_cap)
+        ratio = (small / n) if n else 0.0
+        median = sizes[n // 2] if n else 0
+        fragmented = n > min_files and ratio > max_ratio
+        advice = f"OPTIMIZE TABLE {t}" if fragmented else ""
+        return (f"{db}.{t}", n, sum(sizes), small, ratio, median, fragmented, advice)
 
     def _admin_check_one(
         self, db: str, t: str, only_index: IndexInfo | None = None
