@@ -239,6 +239,15 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # machinery q75 AND q74 both contain by construction (q69 stays
 # hash-checked in parity; its typed-roundtrip assertions remain in
 # the typed fuzz corpora).
+# Round-13 rotation (window-on-landing): q76_insert_probe_gate (the
+# unlocked, footer-pruned unique-key INSERT path driven through the
+# external gate: literal-pruned point probe, 1062 statement atomicity
+# of the prepare/publish split, bulk semi-join probe — the close of
+# VERDICT r12 'what's wrong #1') swaps for q70_unsigned_wrap, whose
+# KindUint64 wrap/saturation family stays evidenced by the pinned
+# value table in tests/test_coercion.py, the unsigned differential +
+# CAST-wrap corpora in tests/test_sql_fuzz.py, and the identical
+# oracle hash in parity (q70 stays hash-checked there).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -264,7 +273,7 @@ WINDOW: tuple[str, ...] = (
     "q67_ohlc_bars",
     "q68_order_batch_packing",
     "q75_cow_delete",
-    "q70_unsigned_wrap",
+    "q76_insert_probe_gate",
     "q71_scd2_build",
     "q73_important_stock",
     "q72_scd2_asof_enrich",
