@@ -71,10 +71,15 @@ def test_oracle_backed_entries_fit_driver_window():
                  "d17_indexed_incremental_dedup", "p18_decontaminate",
                  # round-10 rotation: windowed on landing
                  "d18_index_maintained_dedup", "t19_nb_langid",
-                 # round-11 rotation: the CAST(AS UNSIGNED) wrap close
-                 # + the maintained-IVF ingest (contains s12's probe
-                 # path by construction via the shared _probe_ivf_dir)
-                 "q70_unsigned_wrap",
+                 # round-11 rotation: the maintained-IVF ingest
+                 # (contains s12's probe path by construction via the
+                 # shared _probe_ivf_dir);
+                     # q70 rotated OUT in round 13 (its KindUint64
+                     # wrap/saturation family stays evidenced by the
+                     # coercion value table + unsigned fuzz corpora;
+                     # q70 stays hash-checked below), replaced by the
+                     # unlocked footer-pruned INSERT close:
+                     "q76_insert_probe_gate",
                      # s14 rotated OUT in round 12 (s16 contains its
                      # whole base-train + frozen-append build; s14
                      # stays hash-checked below), replaced by the
@@ -111,7 +116,7 @@ def test_oracle_backed_entries_fit_driver_window():
                 "st03_stream_join", "s05_ann_scalar_quant",
                 "t14_repetition_filters", "q18_sessionization",
                 "q07_five_way_join", "st01_stream_hourly",
-                "p14_epoch_repeat_plan"):
+                "p14_epoch_repeat_plan", "q70_unsigned_wrap"):
         assert out in names[50:] and REGISTRY[out].oracle, out
 
 
