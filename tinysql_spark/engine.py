@@ -2937,7 +2937,15 @@ class Engine:
         return out
 
     def _insert_dup_probe(
-        self, db: str, t: str, info: TableInfo, with_ids: DataFrame, rels, keys
+        self,
+        db: str,
+        t: str,
+        info: TableInfo,
+        with_ids: DataFrame,
+        rels,
+        keys,
+        minus_rowids: DataFrame | None = None,
+        extra: DataFrame | None = None,
     ) -> None:
         """errno-1062 probe of a batch against an EXPLICIT committed
         file set. Per unique key: (1) batch-internal dup — O(batch)
@@ -2949,6 +2957,12 @@ class Engine:
         handful of files, never scans-and-shuffles the table; larger
         batches fall back to a semi-join over the explicit file set.
         NULL-bearing key tuples never conflict (MySQL semantics).
+
+        ``minus_rowids`` excludes committed rows by rowid before the
+        compare (the txn path's read-your-writes: rows this txn
+        buffered for deletion must not conflict — union_scan.go), and
+        ``extra`` adds non-committed rows to the existing side (the
+        txn's own buffered adds, small by construction).
 
         Each per-key pass appends a row to ``self.probe_log``
         (table, files_given, files_read, literal) — the manifest
@@ -2968,7 +2982,7 @@ class Engine:
             )
             if dup_in:
                 raise ValueError(f"(errno 1062) duplicate key on {key} in table {t}")
-            if not rels:
+            if not rels and extra is None:
                 continue
             vals = [
                 r[0]
@@ -2981,7 +2995,7 @@ class Engine:
             literal = 0 < len(vals) <= self._PROBE_LITERAL_MAX
             if not vals:
                 continue  # every batch tuple has a NULL key column
-            if literal:
+            if literal and pruned:
                 col = next(c for c in info.columns if c.name == key[0])
                 ranges = self._footer_ranges(db, t, col.file_name, pruned)
                 pruned = self._rels_overlapping(ranges, vals)
@@ -2994,13 +3008,21 @@ class Engine:
                     "literal": literal,
                 }
             )
-            if not pruned:
+            exist = None
+            if pruned:
+                scan = self._read_files(db, t, pruned)
+                if minus_rowids is not None:
+                    scan = scan.join(F.broadcast(minus_rowids), ROWID, "left_anti")
+                exist = scan.select(*key).filter(notnull)
+                if literal:
+                    exist = exist.filter(F.col(key[0]).isin(vals))
+            if extra is not None:
+                more = extra.select(*key).filter(notnull)
+                exist = more if exist is None else exist.unionByName(more)
+            if exist is None:
                 continue  # no committed file can hold these keys
-            scan = self._read_files(db, t, pruned).select(*key).filter(notnull)
-            if literal:
-                scan = scan.filter(F.col(key[0]).isin(vals))
             dup = (
-                scan.join(batch_keys.distinct(), list(key), "left_semi")
+                exist.join(batch_keys.distinct(), list(key), "left_semi")
                 .limit(1)
                 .count()
             )
@@ -3109,31 +3131,29 @@ class Engine:
         if ins.is_replace:
             return self._do_replace(db, t, info, new_df, n_batch)
         with_ids, n = self._assign_rowids(new_df, info, n_batch)
-        # unique-key conflict check: both against existing data AND
-        # within the inserted batch itself (INSERT VALUES (1),(1) on a
-        # PK must error — reference: executor/insert.go dup-key path).
-        # One job per key: union batch keys with (distinct) existing
-        # keys; any tuple seen more than once is a violation. Rows with
-        # a NULL in any key column never conflict (MySQL semantics).
-        # In a transaction, "existing" includes the txn's own buffered
-        # writes (read-your-writes — union_scan.go).
-        raw = self._overlay_raw(db, t)
-        for key in info.unique_keys():
-            notnull = functools.reduce(
-                lambda a, b: a & b, [F.col(k).isNotNull() for k in key]
+        # unique-key conflict check — the same footer-pruned probe the
+        # non-txn path uses (reference: executor/insert.go dup-key
+        # path is an index seek, never a table scan), with the txn
+        # overlay decomposed into its parts (read-your-writes —
+        # union_scan.go): committed files MINUS the txn's buffered
+        # deletes, PLUS its buffered adds (small by construction).
+        # Pre-r13 this unioned the batch with the WHOLE table's
+        # distinct keys — an O(table) scan+shuffle per statement.
+        keys = info.unique_keys()
+        if keys:
+            buf = self.txn.tables.get((db, t)) if self.txn is not None else None
+            minus = extra = None
+            if buf is not None and buf.has_dels:
+                minus = self.spark.read.parquet(buf.del_dir).select(ROWID)
+            if buf is not None and buf.has_adds:
+                extra = self._read_physical(buf.add_dir, info)
+                if minus is not None:
+                    extra = extra.join(F.broadcast(minus), ROWID, "left_anti")
+            self._insert_dup_probe(
+                db, t, info, with_ids,
+                self._list_data_files(db, t), keys,
+                minus_rowids=minus, extra=extra,
             )
-            batch_keys = with_ids.select(*key).filter(notnull)
-            exist_keys = raw.select(*key).filter(notnull).distinct()
-            dup = (
-                batch_keys.unionAll(exist_keys)
-                .groupBy(*key)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
-            )
-            if dup:
-                raise ValueError(f"(errno 1062) duplicate key on {key} in table {t}")
         if self.txn is not None:
             self._txn_stage_add(db, t, with_ids)
         else:
