@@ -1293,6 +1293,8 @@ class Engine:
         A skipped rewrite keeps Spark's truncating-cast compare for
         that expression — the pre-r13, pinned behavior — never a
         wrong rewrite of a string-string compare."""
+        if "'" not in sql and '"' not in sql:
+            return None  # no string literal: nothing the rewrite fires on
         mask = P._quote_mask(sql).lower()
         if len(re.findall(r"\bselect\b", mask)) > 1 or re.search(r"\bwith\b", mask):
             return None
@@ -2888,6 +2890,13 @@ class Engine:
         import pyarrow.parquet as pq
 
         cache = self._footer_cache.setdefault((db, t, phys_col), {})
+        # evict entries for vanished rels once they dominate the cache
+        # (COW swaps retire file names; without this a long session
+        # with heavy write churn accumulates dead footer entries)
+        if len(cache) > 4 * max(len(rels), 16):
+            live = set(rels)
+            for k in [k for k in cache if k not in live]:
+                del cache[k]
         data = self.catalog.data_dir(db, t)
         out = {}
         for rel in rels:
@@ -3008,6 +3017,7 @@ class Engine:
                     "literal": literal,
                 }
             )
+            del self.probe_log[:-256]  # bounded trace (long sessions)
             exist = None
             if pruned:
                 scan = self._read_files(db, t, pruned)
@@ -3050,9 +3060,15 @@ class Engine:
         info0 = self.catalog.get_table(db, t)
         sig0 = self._schema_sig(info0)
         out = self._values_plan(ins, info0)
-        n, max_auto, n_need = self._values_validate(out, info0)
-        if n > 10_000:
+        if ins.select_sql is not None:
+            # pin SELECT-sourced rows BEFORE validating (self-review
+            # r13): a concurrent commit to the source between the
+            # validation aggregate and a later re-execution could
+            # yield rows the 1048/1264 checks never saw — validate
+            # the exact partitions that will publish. VALUES plans
+            # are literal-determined and need no pin here.
             out = out.localCheckpoint()
+        n, max_auto, n_need = self._values_validate(out, info0)
         # ---- SHORT lock: allocator hand-off ---------------------------
         with self._locked_catalog_step():
             info = self.catalog.get_table(db, t)
@@ -3256,9 +3272,11 @@ class Engine:
         info0 = self.catalog.get_table(db, t)
         sig_pre = self._schema_sig(info0)
         out = self._values_plan(ins, info0)
-        n_batch, max_auto, n_need = self._values_validate(out, info0)
-        if n_batch > 10_000:
+        if ins.select_sql is not None:
+            # pin SELECT-sourced rows before validating (self-review
+            # r13; same reasoning as the INSERT path)
             out = out.localCheckpoint()
+        n_batch, max_auto, n_need = self._values_validate(out, info0)
         with self._locked_catalog_step():
             info = self.catalog.get_table(db, t)
             if self._schema_sig(info) != sig_pre:
