@@ -106,3 +106,26 @@ def test_string_literals_never_trip_the_scan(weng):
     r = weng.sql("SELECT 'a/0' AS a, '% 0' AS b, 'DIV 0' AS c").df.collect()
     assert tuple(r[0]) == ("a/0", "% 0", "DIV 0")
     assert _warns(weng) == []
+
+
+def test_if_exists_noops_leave_note_diagnostics(weng):
+    """MySQL demotes the would-be error to a NOTE under IF [NOT]
+    EXISTS: DROP of a missing table notes 1051, CREATE of an existing
+    one notes 1050 — the statement is a no-op but not silent."""
+    weng.sql("DROP TABLE IF EXISTS nvr")
+    got = _warns(weng)
+    assert len(got) == 1 and got[0][0] == "Note" and got[0][1] == 1051
+    assert "nvr" in got[0][2]
+    weng.sql("CREATE TABLE nt (a INT)")
+    assert _warns(weng) == []  # a real create notes nothing
+    weng.sql("CREATE TABLE IF NOT EXISTS nt (a INT)")
+    got = _warns(weng)
+    assert len(got) == 1 and (got[0][0], got[0][1]) == ("Note", 1050)
+
+
+def test_show_count_warnings(weng):
+    weng.sql("SELECT 1 / 0 AS a, 2 % 0 AS b").df.collect()
+    n = weng.sql("SHOW COUNT(*) WARNINGS").df.collect()[0][0]
+    assert n == 2
+    # counting does not clear (it is a SHOW)
+    assert len(_warns(weng)) == 2

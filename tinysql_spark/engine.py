@@ -1582,6 +1582,12 @@ class Engine:
         db, t = self._qualify(ct.table)
         if self.catalog.has_table(db, t):
             if ct.if_not_exists:
+                # Note-class diagnostic (MySQL 1050; the reference's
+                # ddl.go ErrTableExists demoted to a note under IF NOT
+                # EXISTS) — the statement is a no-op but not silent
+                self.warnings.append(
+                    ("Note", 1050, f"Table '{t}' already exists")
+                )
                 return Result(message=f"table {t} already exists")
             raise ValueError(f"table {db}.{t} already exists")
         info = ct.info
@@ -1659,6 +1665,11 @@ class Engine:
             db, t = self._qualify(name)
             if not self.catalog.has_table(db, t):
                 if if_exists:
+                    # Note-class diagnostic (MySQL 1051 'Unknown
+                    # table' demoted to a note under IF EXISTS)
+                    self.warnings.append(
+                        ("Note", 1051, f"Unknown table '{db}.{t}'")
+                    )
                     continue
                 raise ValueError(f"(errno 1146) table {db}.{t} does not exist")
             self._guard_no_running_job(db, t)
@@ -3848,6 +3859,12 @@ class Engine:
                 "Variable_name: string, Value: string",
             )
             return Result(df=df)
+        if P.re.match(r"^\s*SHOW\s+COUNT\s*\(\s*\*\s*\)\s+WARNINGS\s*$", stmt, P.re.I):
+            return Result(
+                df=self.spark.createDataFrame(
+                    [(len(self.warnings),)], "`@@session.warning_count`: bigint"
+                )
+            )
         if up.startswith("SHOW WARNINGS"):
             # the previous statement's diagnostics (reference:
             # executor/show.go fetchShowWarnings over stmtctx)
