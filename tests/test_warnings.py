@@ -129,3 +129,37 @@ def test_show_count_warnings(weng):
     assert n == 2
     # counting does not clear (it is a SHOW)
     assert len(_warns(weng)) == 2
+
+
+def test_sysvar_reads_and_last_insert_id(weng):
+    """@@sysvar reads substitute session values (SET overrides win
+    over read-side defaults; warning_count is dynamic; unknown vars
+    error 1193), and LAST_INSERT_ID() tracks the first generated auto
+    id of the most recent generating INSERT (0 before any)."""
+    assert weng.sql("SELECT @@autocommit AS v").df.collect()[0][0] == 1
+    assert (
+        weng.sql("SELECT @@cow_online_min_mb AS v").df.collect()[0][0] == 256
+    )
+    weng.sql("SET @@cow_online_min_mb = 64")
+    assert (
+        weng.sql("SELECT @@cow_online_min_mb AS v").df.collect()[0][0] == 64
+    )
+    assert weng.sql("SELECT @@session.sql_mode AS v").df.collect()[0][0] == (
+        "STRICT_TRANS_TABLES"
+    )
+    weng.sql("SELECT 1 / 0 AS v").df.collect()
+    assert weng.sql("SELECT @@warning_count AS n").df.collect()[0][0] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="1193"):
+        weng.sql("SELECT @@no_such_var")
+    # LAST_INSERT_ID: 0 before any generating insert
+    assert weng.sql("SELECT LAST_INSERT_ID() AS v").df.collect()[0][0] == 0
+    weng.sql("CREATE TABLE lii (id INT AUTO_INCREMENT PRIMARY KEY, v INT)")
+    weng.sql("INSERT INTO lii (v) VALUES (10), (11)")
+    assert weng.sql("SELECT LAST_INSERT_ID() AS v").df.collect()[0][0] == 1
+    weng.sql("INSERT INTO lii (v) VALUES (12)")
+    assert weng.sql("SELECT LAST_INSERT_ID() AS v").df.collect()[0][0] == 3
+    # an explicit-id insert generates nothing -> value unchanged
+    weng.sql("INSERT INTO lii VALUES (100, 13)")
+    assert weng.sql("SELECT LAST_INSERT_ID() AS v").df.collect()[0][0] == 3

@@ -205,6 +205,9 @@ class Engine:
         # the documented bound (detecting them would need an extra
         # scan per statement).
         self.warnings: list[tuple[str, int, str]] = []
+        # LAST_INSERT_ID() session value: the first auto id the most
+        # recent generating INSERT handed out; 0 before any (MySQL)
+        self.last_insert_id: int = 0
         self.txn: _Txn | None = None
         # stale staging from a CRASHED session: committed data is never
         # under .txn-*, so removal == rollback of the dead transaction.
@@ -729,7 +732,11 @@ class Engine:
         if kind != "show":
             # end-of-statement reset contract (MySQL: each statement
             # that can generate diagnostics clears the previous list;
-            # SHOW WARNINGS/ERRORS reads without clearing)
+            # SHOW WARNINGS/ERRORS reads without clearing).
+            # @@warning_count refers to the PREVIOUS statement's count
+            # (MySQL: `SELECT 1/0; SELECT @@warning_count` -> 1), so
+            # capture it before clearing.
+            self._prev_warning_count = len(self.warnings)
             self.warnings = []
         # auto-reload: another session's committed DDL/DML changes
         # catalog.json; pick it up before planning this statement.
@@ -1236,8 +1243,24 @@ class Engine:
         self._refresh_table(db, table)
 
     _SESSION_FN_RE = P.re.compile(
-        r"\b(DATABASE|SCHEMA|CONNECTION_ID)\s*\(\s*\)", P.re.I
+        r"\b(DATABASE|SCHEMA|CONNECTION_ID|LAST_INSERT_ID)\s*\(\s*\)", P.re.I
     )
+    _SYSVAR_READ_RE = P.re.compile(r"@@(?:SESSION\.|GLOBAL\.)?(\w+)", P.re.I)
+    # read-side defaults for variables a client commonly probes and the
+    # engine's own documented knobs (SET overrides land in sys_vars)
+    _SYSVAR_DEFAULTS = {
+        "autocommit": "1",
+        "sql_mode": "STRICT_TRANS_TABLES",
+        "version": "8.0-tinysql-spark",
+        "tx_isolation": "REPEATABLE-READ",
+        "transaction_isolation": "REPEATABLE-READ",
+        "max_allowed_packet": "67108864",
+        "cow_online_min_mb": "256",
+        "optimize_target_mb": "128",
+        "frag_small_file_mb": "16",
+        "frag_min_files": "16",
+        "frag_small_ratio": "0.5",
+    }
 
     def _rewrite(self, sql: str) -> str:
         # session info functions (extension — the reference registry
@@ -1245,11 +1268,39 @@ class Engine:
         # SCHEMA() -> current db literal, CONNECTION_ID() -> 1 (one
         # session per engine, matching SHOW PROCESSLIST's Id)
         def _session_fn(m: "P.re.Match[str]") -> str:
-            if m.group(1).upper() == "CONNECTION_ID":
+            up_fn = m.group(1).upper()
+            if up_fn == "CONNECTION_ID":
                 return "1"
+            if up_fn == "LAST_INSERT_ID":
+                # session value: the FIRST auto id the most recent
+                # generating INSERT handed out (MySQL semantics —
+                # set in _values_finish, survives ROLLBACK)
+                return str(self.last_insert_id)
             return f"'{self.current_db}'" if self.current_db else "CAST(NULL AS STRING)"
 
         sql = P._sub_outside_quotes(sql, self._SESSION_FN_RE, _session_fn)
+
+        def _sysvar(m: "P.re.Match[str]") -> str:
+            # @@sysvar reads as literals (reference: parser
+            # ast.VariableExpr resolved through the session context;
+            # SET statements never reach _rewrite, so this only fires
+            # in expressions). warning_count/error_count are dynamic.
+            name = m.group(1).lower()
+            if name == "warning_count":
+                # the PREVIOUS statement's count: this SELECT already
+                # reset the live list (MySQL semantics for the var)
+                return str(getattr(self, "_prev_warning_count", 0))
+            if name == "error_count":
+                return "0"
+            v = self.sys_vars.get(name, self._SYSVAR_DEFAULTS.get(name))
+            if v is None:
+                raise ValueError(f"(errno 1193) Unknown system variable '{name}'")
+            s = str(v)
+            if P.re.fullmatch(r"-?\d+(\.\d+)?", s):
+                return s
+            return "'" + s.replace("'", "''") + "'"
+
+        sql = P._sub_outside_quotes(sql, self._SYSVAR_READ_RE, _sysvar)
         # constant division/modulo by literal zero: MySQL evaluates to
         # NULL and warns 1365 (reference: builtin_arithmetic.go div
         # family ErrDivisionByZero in warning mode). Spark's non-ANSI
@@ -2798,6 +2849,10 @@ class Engine:
                 auto.spark_type(), LongType
             )
             out = self._fill_auto(out, info, base, dense)
+            if n_need:
+                # MySQL LAST_INSERT_ID(): the FIRST generated value of
+                # the most recent generating insert
+                self.last_insert_id = base + 1
             if dense or not n_need:
                 # fills occupy base+1 .. base+n_need exactly
                 info.next_auto = base + n_need + 1
