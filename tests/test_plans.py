@@ -298,6 +298,10 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
                 # DELETE, REPLACE swap, online delete with delta) IS
                 # the operator; the read itself is lazy (q69 discipline)
                 "q75_cow_delete",
+                # engine-path op: the unlocked INSERT story (pruned
+                # point probe, 1062 atomicity, bulk semi-join probe)
+                # IS the operator; the read itself is lazy (round 13)
+                "q76_insert_probe_gate",
             ):
                 continue
             spec.fn(spark, sf_dir)
