@@ -163,3 +163,32 @@ def test_sysvar_reads_and_last_insert_id(weng):
     # an explicit-id insert generates nothing -> value unchanged
     weng.sql("INSERT INTO lii VALUES (100, 13)")
     assert weng.sql("SELECT LAST_INSERT_ID() AS v").df.collect()[0][0] == 3
+
+
+def test_insert_lossy_cast_warns_1366(weng):
+    """Runtime write-path warnings: a value the declared type cannot
+    represent stores NULL here (strictly narrower than MySQL's
+    warn-and-truncate — pinned) and now warns 1366 with a per-column
+    row count, riding the existing validation aggregate (no extra
+    job). Clean batches stay silent; string->string never warns."""
+    weng.sql("CREATE TABLE lw (k INT PRIMARY KEY, v INT, s VARCHAR(16))")
+    weng.sql("INSERT INTO lw VALUES (1, '12abc', 'x'), (2, 'junk', '12abc')")
+    got = _warns(weng)
+    assert len(got) == 1, got
+    lvl, code, msg = got[0]
+    assert (lvl, code) == ("Warning", 1366)
+    assert "'v'" in msg and "2 row(s)" in msg
+    rows = sorted(
+        tuple(r) for r in weng.sql("SELECT k, v, s FROM lw").df.collect()
+    )
+    assert rows == [(1, None, "x"), (2, None, "12abc")]
+    # clean insert: no warning
+    weng.sql("INSERT INTO lw VALUES (3, '42', 'ok')")
+    assert _warns(weng) == []
+    assert weng.sql("SELECT v FROM lw WHERE k = 3").df.collect()[0][0] == 42
+    # SELECT-sourced inserts count too
+    weng.sql("CREATE TABLE lw_src (k INT PRIMARY KEY, txt VARCHAR(16))")
+    weng.sql("INSERT INTO lw_src VALUES (10, 'zzz'), (11, '7')")
+    weng.sql("INSERT INTO lw SELECT k, txt, txt FROM lw_src")
+    got = _warns(weng)
+    assert len(got) == 1 and got[0][1] == 1366 and "1 row(s)" in got[0][2]
