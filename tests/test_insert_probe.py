@@ -296,3 +296,35 @@ def test_big_batch_falls_back_to_semi_join_probe(eng):
     with pytest.raises(ValueError, match="1062"):
         eng.sql(f"INSERT INTO bb VALUES {vals2}, (1, 9)")
     assert _vals(eng, "SELECT COUNT(*) AS n FROM bb")[0][0] == 1 + n
+
+
+def test_point_replace_probe_reads_only_overlapping_files(eng):
+    """The REPLACE conflict attribution uses the same footer pruning
+    (round 13): a point upsert into a range-laid-out table attributes
+    against only the files whose footer covers its key — two-source
+    check against the independent pyarrow footer scan."""
+    _ranged_table(eng, "rp")
+    expect = _footer_overlaps(eng, "rp", "k", 150)
+    eng.probe_log.clear()
+    r = eng.sql("REPLACE INTO rp VALUES (150, 9)")
+    assert r.rows_affected == 2  # 1 replaced + 1 inserted (MySQL count)
+    probes = [
+        p
+        for p in eng.probe_log
+        if p["table"] == "default.rp" and p["key"] == ("replace",)
+    ]
+    assert probes and probes[0]["literal"]
+    assert probes[0]["files_read"] == expect, (probes, expect)
+    assert probes[0]["files_read"] < probes[0]["files_given"]
+    assert _vals(eng, "SELECT v FROM rp WHERE k = 150") == [(9,)]
+    # fresh-key REPLACE prunes everything with stats: pure append
+    expect2 = _footer_overlaps(eng, "rp", "k", 99999)
+    eng.probe_log.clear()
+    eng.sql("REPLACE INTO rp VALUES (99999, 1)")
+    probes = [
+        p
+        for p in eng.probe_log
+        if p["table"] == "default.rp" and p["key"] == ("replace",)
+    ]
+    assert probes[0]["files_read"] == expect2 <= 1
+    assert eng.sql("ADMIN CHECK TABLE rp").df.collect()[0]["STATUS"] == "OK"

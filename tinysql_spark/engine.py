@@ -3356,6 +3356,67 @@ class Engine:
                 f"{self.sys_vars.get('cow_online_min_mb')!r}"
             )
 
+    def _replace_attribution(
+        self, db: str, t: str, info: TableInfo, with_ids: DataFrame, keys, rels
+    ) -> tuple[DataFrame, int, frozenset]:
+        """(pairs, n_deleted, dirty) for a REPLACE batch's conflicts,
+        probing a FOOTER-PRUNED explicit file set instead of the whole
+        table (the INSERT probe's discipline applied to the upsert hot
+        path — reference: executor/replace.go removeRow works off
+        index seeks, O(matched), never a table scan): a conflict on
+        key K can only live in a file whose footer [min,max] of K's
+        first column covers one of the batch's values, so a point
+        REPLACE into a range-laid-out table attributes against a
+        handful of files. Batches past the literal bound keep the
+        full explicit-set scan (amortized); a fully-pruned-away set
+        short-circuits to zero conflicts without any Spark read."""
+        rels = sorted(rels)
+        rawf = None
+        if rels:
+            keep: set = set()
+            literal = True
+            for key in keys:
+                vals = [
+                    r[0]
+                    for r in with_ids.select(key[0])
+                    .filter(F.col(key[0]).isNotNull())
+                    .distinct()
+                    .limit(self._PROBE_LITERAL_MAX + 1)
+                    .collect()
+                ]
+                if not vals:
+                    continue  # NULL keys never conflict on this key
+                if len(vals) > self._PROBE_LITERAL_MAX:
+                    literal = False
+                    break
+                col = next(c for c in info.columns if c.name == key[0])
+                keep |= set(
+                    self._rels_overlapping(
+                        self._footer_ranges(db, t, col.file_name, rels), vals
+                    )
+                )
+            pruned = rels if not literal else [r for r in rels if r in keep]
+            self.probe_log.append(
+                {
+                    "table": f"{db}.{t}",
+                    "key": ("replace",),
+                    "files_given": len(rels),
+                    "files_read": len(pruned),
+                    "literal": literal,
+                }
+            )
+            del self.probe_log[:-256]
+            if pruned:
+                rawf = self._files_with_file(db, t, pruned)
+        if rawf is None:
+            empty = self.spark.createDataFrame(
+                [], f"`{ROWID}` long, `{self._COW_FILE}` string"
+            )
+            return self._cow_attribute(db, t, empty)
+        return self._cow_attribute(
+            db, t, self._replace_doomed(rawf, with_ids, keys)
+        )
+
     def _exec_replace_cow(self, stmt: str) -> Result:
         """Non-txn REPLACE as file-granular copy-on-write (reference:
         executor/replace.go removeRow is O(matched rows)): only files
@@ -3435,8 +3496,8 @@ class Engine:
         # listing after the probe would let a conflicting insert that
         # landed in between slip into the linked set unchecked
         snapshot = self._list_data_files(db, t)
-        pairs, n_deleted, dirty = self._cow_attribute(
-            db, t, self._replace_doomed(self._raw_with_file(db, t), with_ids, keys)
+        pairs, n_deleted, dirty = self._replace_attribution(
+            db, t, info, with_ids, keys, snapshot
         )
         data = self.catalog.data_dir(db, t)
         dirty_bytes = 0
@@ -3459,11 +3520,8 @@ class Engine:
                     # probe never saw and might conflict with the
                     # batch. Redo it here (rare; the fast path never
                     # carries correctness)
-                    pairs, n_deleted, dirty = self._cow_attribute(
-                        db, t,
-                        self._replace_doomed(
-                            self._raw_with_file(db, t), with_ids, keys
-                        ),
+                    pairs, n_deleted, dirty = self._replace_attribution(
+                        db, t, info2, with_ids, keys, current
                     )
                 if n_deleted == 0:
                     self._append(db, t, with_ids)
@@ -3536,9 +3594,8 @@ class Engine:
                 # a concurrent rewrite invalidated the pass — redo it
                 # here against the current files (writers pay once)
                 shutil.rmtree(reorg, ignore_errors=True)
-                pairs, n_deleted, dirty = self._cow_attribute(
-                    db, t,
-                    self._replace_doomed(self._raw_with_file(db, t), with_ids, keys),
+                pairs, n_deleted, dirty = self._replace_attribution(
+                    db, t, info2, with_ids, keys, current
                 )
                 reorg = self._new_reorg_path(db, t)
                 self.ddl_log.update(job["id"], staging=reorg)
@@ -4648,12 +4705,19 @@ class Engine:
             if not keys:
                 continue
             checked = getattr(buf, "checked_files", None)
-            if checked is not None and not (
-                self._list_data_files(db, t) - checked
-            ):
-                continue  # no file committed since the last check
+            current = self._list_data_files(db, t)
+            delta = current - checked if checked is not None else current
+            if not delta:
+                continue  # no file committed since the first-add check
             add = self._read_physical(buf.add_dir, info)
-            committed = self._raw(db, t)
+            # scan ONLY the delta (round 13): a conflicting key can
+            # only arrive in a file committed after the first add's
+            # statement-time check — every statement-time probe ran
+            # against its own then-current listing ⊇ checked_files, so
+            # (current - checked) is a superset of every batch's
+            # unchecked files and the recheck is exact without the
+            # former O(table) scan.
+            committed = self._read_files(db, t, delta)
             if buf.has_dels:
                 dels = self.spark.read.parquet(buf.del_dir).select(ROWID)
                 add = add.join(F.broadcast(dels), ROWID, "left_anti")
