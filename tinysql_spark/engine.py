@@ -4772,7 +4772,34 @@ class Engine:
                     # phase 2 is preserved)
                     info = self.catalog.get_table(db, t)
                     dels = self.spark.read.parquet(buf.del_dir).select(ROWID)
-                    rawf = self._raw_with_file(db, t)
+                    # rowid-range prune the attribution scan (round 13,
+                    # same machinery as the 9007 check): rowids are
+                    # monotone per file, so only files whose footer
+                    # [min,max] of the rowid column overlaps the
+                    # doomed set's bounds can hold a doomed row — the
+                    # former full file-attributed scan was O(table)
+                    # per delete-touched COMMIT. A doomed rowid the
+                    # txn buffered for a row it also INSERTED lives in
+                    # the add buffer, not in committed files — the
+                    # anti-joins downstream already net those out.
+                    bounds = dels.agg(
+                        F.min(ROWID).alias("lo"), F.max(ROWID).alias("hi")
+                    ).collect()[0]
+                    rels = self._list_data_files(db, t)
+                    if bounds["lo"] is not None:
+                        lo, hi = int(bounds["lo"]), int(bounds["hi"])
+                        ranges = self._footer_ranges(db, t, ROWID, rels)
+                        rels = [
+                            rel
+                            for rel, (mn, mx) in ranges.items()
+                            if mn is None or not (mx < lo or mn > hi)
+                        ]
+                    if rels:
+                        rawf = self._files_with_file(db, t, sorted(rels))
+                    else:
+                        rawf = self.spark.createDataFrame(
+                            [], f"`{ROWID}` long, `{self._COW_FILE}` string"
+                        )
                     doomed = rawf.join(F.broadcast(dels), ROWID, "left_semi").select(
                         ROWID, self._COW_FILE
                     )
