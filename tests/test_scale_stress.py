@@ -414,3 +414,41 @@ def test_d20_prefix_excludes_hot_tokens(spark):
     assert hot_prefix == 0, hot_prefix
     # and the prefix relation still covers every doc (no doc starved)
     assert prefix.select("doc_id").distinct().count() == n_docs
+
+
+def test_insert_probe_stays_point_sized_at_60_files(spark, tmp_path):
+    """The write-side 100x claim at a bigger file fan-out (round 13):
+    a 60-file range-laid-out PK table takes a point INSERT whose dup
+    probe reads only the footer-overlapping files — the probe's
+    files_read must stay O(overlap), two orders below files_given,
+    and must NOT grow when the table doubles again."""
+    from tinysql_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    try:
+        eng.sql("CREATE TABLE big60 (k BIGINT PRIMARY KEY, v BIGINT)")
+        for i in range(60):  # 60 disjoint-range single-statement files
+            lo = i * 1000 + 1
+            vals = ", ".join(f"({k}, {k})" for k in range(lo, lo + 50))
+            eng.sql(f"INSERT INTO big60 VALUES {vals}")
+        eng.probe_log.clear()
+        with pytest.raises(ValueError, match="1062"):
+            eng.sql("INSERT INTO big60 VALUES (30005, 0)")  # mid-range dup
+        p = [q for q in eng.probe_log if q["table"].endswith("big60")][0]
+        assert p["files_given"] >= 60
+        assert p["literal"] and p["files_read"] <= 3, p
+        # REPLACE attribution prunes identically
+        eng.probe_log.clear()
+        eng.sql("REPLACE INTO big60 VALUES (30005, 9)")
+        rp = [
+            q
+            for q in eng.probe_log
+            if q["table"].endswith("big60") and q["key"] == ("replace",)
+        ][0]
+        assert rp["literal"] and rp["files_read"] <= 3, rp
+        assert (
+            eng.sql("SELECT v FROM big60 WHERE k = 30005").df.collect()[0][0]
+            == 9
+        )
+    finally:
+        eng.close()
