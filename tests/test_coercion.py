@@ -23,10 +23,12 @@ that MATCHES the reference and document the bounded divergences:
    sides via a conservative schema resolver (sqlparse.py
    rewrite_string_number_compares + engine.py _int_col_resolver) —
    so '12.5' > 12 is TRUE and '12.5' = 12 is FALSE, matching
-   getBaseCmpType's ETReal. Where the resolver cannot PROVE the
-   identifier is an int column (subqueries, aliases, mixed types,
-   external tables), the expression keeps Spark's native coercion —
-   pinned below as the remaining bounded corner.
+   getBaseCmpType's ETReal. Round 14 extends the resolver through
+   single-level derived schemas (subquery/CTE pass-through, simple
+   AS-aliases). Where it still cannot PROVE the identifier is an int
+   column (retyping aliases, CTE column lists, set operations, mixed
+   types, external tables), the expression keeps Spark's native
+   coercion — pinned below as the remaining bounded corner.
 3. Exact-looking literals: 'x.0' literals are DECIMAL in Spark
    (exact), REAL in the reference's three-type system — so
    2^53+1 = 9007199254740992.0 is FALSE in Spark (exact) and TRUE in
@@ -149,25 +151,72 @@ def test_string_vs_int_column_compares_as_real(ceng):
     ceng.sql("DROP TABLE coerce_ic")
 
 
-def test_string_int_resolver_is_conservative(ceng):
-    """Guards pin the resolver's refusal cases: an AS-alias shadowing
-    an int column, and a subquery, both keep Spark's native coercion
-    (the pre-r13 truncating compare) rather than risk retyping."""
+def test_string_int_resolver_through_derived_schemas(ceng):
+    """Round 14 (VERDICT r13 next #3): resolution propagates through
+    single-level subqueries, CTEs, and simple aliases — the r13
+    pinned corner rows flip to REAL-compare parity — while anything
+    that RETYPES a name still refuses."""
     ceng.sql("CREATE TABLE coerce_g (ik INT)")
     ceng.sql("INSERT INTO coerce_g VALUES (12)")
-    # alias shadows ik with a string -> resolver refuses ik; Spark's
-    # native string-vs-string compare applies to the alias reference
+    # alias shadows ik with a string expression -> resolver refuses
+    # ik; Spark's native string-vs-string compare applies
     got = ceng.sql(
         "SELECT concat(ik, 'x') AS ik FROM coerce_g ORDER BY ik = '12.5'"
     ).df.collect()
     assert [r[0] for r in got] == ["12x"]
-    # subquery: resolver disabled; native coercion (truncating int
-    # cast -> TRUE) — the pinned remaining corner
+    # subquery pass-through: WAS the pinned truncating corner (TRUE);
+    # now resolves through the derived schema -> REAL -> FALSE
     v = ceng.sql(
         "SELECT (ik = '12.5') AS v FROM (SELECT ik FROM coerce_g) t"
     ).df.collect()[0][0]
-    assert v is True
+    assert v is False
+    assert ceng.sql(
+        "SELECT (ik > '11.5') AS v FROM (SELECT ik FROM coerce_g) t"
+    ).df.collect()[0][0] is True
+    # CTE pass-through resolves the same way
+    v = ceng.sql(
+        "WITH c AS (SELECT ik FROM coerce_g) SELECT (ik = '12.5') AS v FROM c"
+    ).df.collect()[0][0]
+    assert v is False
+    # simple AS-alias of an int column: the alias inherits resolution
+    v = ceng.sql(
+        "SELECT (k2 = '12.5') AS v FROM (SELECT ik AS k2 FROM coerce_g) t"
+    ).df.collect()[0][0]
+    assert v is False
     ceng.sql("DROP TABLE coerce_g")
+
+
+def test_string_int_resolver_refusal_corners(ceng):
+    """What still refuses (conservative direction — a skipped rewrite
+    keeps Spark's native coercion, never a wrong retype):
+    - complex-expression aliases (CAST to CHAR shadows the type),
+    - implicit trailing-identifier aliases,
+    - CTE column lists (positional rename),
+    - set operations (UNION renames positionally across branches)."""
+    ceng.sql("CREATE TABLE coerce_r (ik INT, sk VARCHAR(8))")
+    ceng.sql("INSERT INTO coerce_r VALUES (12, 'x')")
+    # string-typed alias via explicit AS: ik poisoned -> the outer
+    # compare is string-vs-string (binary); pin the shape that
+    # differs from REAL: lexicographic GT ('12' > '110' as strings,
+    # 12 < 110 as numbers)
+    v = ceng.sql(
+        "SELECT (ik > '110') AS v FROM "
+        "(SELECT concat(ik, '') AS ik FROM coerce_r) t"
+    ).df.collect()[0][0]
+    assert v is True  # lexicographic; a wrong retype would be False
+    # implicit alias (no AS): same refusal
+    v = ceng.sql(
+        "SELECT (ik > '110') AS v FROM "
+        "(SELECT concat(ik, '') ik FROM coerce_r) t"
+    ).df.collect()[0][0]
+    assert v is True
+    # CTE column list renames sk's values to ik -> poisoned -> binary
+    v = ceng.sql(
+        "WITH c (ik) AS (SELECT sk FROM coerce_r) "
+        "SELECT (ik = '12.5') AS v FROM c"
+    ).df.collect()[0][0]
+    assert v is False  # 'x' = '12.5' binary; a wrong retype would be NULL
+    ceng.sql("DROP TABLE coerce_r")
 
 
 def test_string_number_divergence_is_null_not_prefix(ceng):

