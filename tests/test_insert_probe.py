@@ -44,8 +44,11 @@ def _vals(e, sql):
 def _footer_overlaps(eng, t, col, value, db="default"):
     """Independent source: pyarrow-scan every committed file's footer
     and count the files a probe for ``value`` must read — [min,max] of
-    ``col`` covers it, or the file has no usable stats (a stats-less
-    file can never be pruned; the engine keeps it, so must we)."""
+    ``col`` covers it, or the file has row groups but no usable stats
+    (a stats-less file can never be pruned; the engine keeps it, so
+    must we). A ZERO-row-group file has no rows at all — prunable for
+    any value (round 14: the engine prunes the empty part CREATE
+    TABLE writes the same way)."""
     data = eng.catalog.data_dir(db, t)
     hits = 0
     for root, dirs, files in os.walk(data):
@@ -54,6 +57,8 @@ def _footer_overlaps(eng, t, col, value, db="default"):
             if not f.startswith("part-") or f.endswith((".crc", ".tmp")):
                 continue
             md = pq.ParquetFile(os.path.join(root, f)).metadata
+            if md.num_row_groups == 0:
+                continue
             mn = mx = None
             for rg in range(md.num_row_groups):
                 for ci in range(md.num_columns):

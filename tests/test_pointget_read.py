@@ -1,0 +1,240 @@
+"""Manifest-backed point-get on the READ path (round 14).
+
+The reference turns an equality predicate on a unique key into a key
+SEEK instead of a scan (planner/core/physical_plans.go:319
+IsPointGetByUniqueKey; util/ranger/points.go builds the ranges). The
+parquet analog: a flat single-table SELECT whose WHERE carries a
+depth-0 conjunct ``col = literal`` / ``col IN (literals)`` executes
+over the EXPLICIT file set whose durable-manifest min/max overlaps the
+literals — on a sorted/z-ordered 100k-file table a point SELECT
+schedules O(overlapping files) read tasks instead of one per file.
+
+Two-source discipline (house rule): the engine's probe_log
+kind="read" rows are pinned against the independent pyarrow footer
+overlap count, and results are pinned against the UNPRUNED answer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from tinysql_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "warehouse"))
+    yield e
+    e.close()
+
+
+def _ranged(eng, name, n_files=6, per=100):
+    eng.sql(f"CREATE TABLE {name} (k INT PRIMARY KEY, v INT, s VARCHAR(16))")
+    for i in range(n_files):
+        lo = i * per + 1
+        vals = ", ".join(f"({k}, {k % 7}, 's{k}')" for k in range(lo, lo + per))
+        eng.sql(f"INSERT INTO {name} VALUES {vals}")
+
+
+def _overlap(eng, t, col, values, db="default"):
+    """Independent witness: files whose footer [min,max] of ``col``
+    covers ANY value (no-stats files count; zero-row-group files are
+    rowless and never count)."""
+    data = eng.catalog.data_dir(db, t)
+    hits = 0
+    for rel in eng._list_data_files(db, t):
+        md = pq.ParquetFile(os.path.join(data, rel)).metadata
+        if md.num_row_groups == 0:
+            continue
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    mn = s.min if mn is None else min(mn, s.min)
+                    mx = s.max if mx is None else max(mx, s.max)
+        if mn is None or any(mn <= v <= mx for v in values):
+            hits += 1
+    return hits
+
+
+def _reads(eng, t):
+    return [
+        p for p in eng.probe_log
+        if p.get("kind") == "read" and p["table"].endswith(t)
+    ]
+
+
+def test_point_select_reads_only_overlapping_files(eng):
+    _ranged(eng, "pr", n_files=6)
+    expect = _overlap(eng, "pr", "k", [250])
+    assert expect < 6  # the layout really ranges k
+    eng.probe_log.clear()
+    rows = eng.sql("SELECT k, v, s FROM pr WHERE k = 250").df.collect()
+    assert [(r.k, r.s) for r in rows] == [(250, "s250")]
+    reads = _reads(eng, "pr")
+    assert reads and reads[0]["files_read"] == expect, (reads, expect)
+    assert reads[0]["files_given"] > expect
+
+
+def test_in_list_and_string_col_prune(eng):
+    _ranged(eng, "pi", n_files=6)
+    eng.probe_log.clear()
+    got = eng.sql("SELECT count(*) AS c FROM pi WHERE k IN (1, 250, 599)")
+    assert got.df.collect()[0]["c"] == 3
+    reads = _reads(eng, "pi")
+    assert reads and reads[0]["files_read"] == _overlap(
+        eng, "pi", "k", [1, 250, 599]
+    )
+    # string column: parquet string stats prune the same way
+    eng.probe_log.clear()
+    rows = eng.sql("SELECT k FROM pi WHERE s = 's123'").df.collect()
+    assert [r.k for r in rows] == [123]
+    reads = _reads(eng, "pi")
+    assert reads and reads[0]["files_read"] <= reads[0]["files_given"]
+
+
+def test_pruned_result_matches_unpruned(eng):
+    """Every supported statement shape answers identically with and
+    without the prune (the unpruned twin rephrases the predicate so
+    the conjunct matcher cannot fire)."""
+    _ranged(eng, "pm", n_files=5)
+    shapes = [
+        (
+            "SELECT v, count(*) AS c FROM pm WHERE k IN (3, 103, 203) "
+            "GROUP BY v ORDER BY v",
+            "SELECT v, count(*) AS c FROM pm WHERE k + 0 IN (3, 103, 203) "
+            "GROUP BY v ORDER BY v",
+        ),
+        (
+            "SELECT t.s FROM pm t WHERE t.k = 77 AND t.v >= 0",
+            "SELECT t.s FROM pm t WHERE t.k + 0 = 77 AND t.v >= 0",
+        ),
+        (
+            "SELECT k FROM pm WHERE 250 = k ORDER BY k LIMIT 3",
+            "SELECT k FROM pm WHERE 250 = k + 0 ORDER BY k LIMIT 3",
+        ),
+    ]
+    for pruned_sql, plain_sql in shapes:
+        eng.probe_log.clear()
+        a = [tuple(r) for r in eng.sql(pruned_sql).df.collect()]
+        assert _reads(eng, "pm"), pruned_sql  # the prune really fired
+        eng.probe_log.clear()
+        b = [tuple(r) for r in eng.sql(plain_sql).df.collect()]
+        assert not _reads(eng, "pm"), plain_sql
+        assert a == b, pruned_sql
+
+
+def test_or_and_unmatched_conjuncts_never_misprune(eng):
+    _ranged(eng, "po", n_files=6)
+    # OR at depth 0: the conjunct is the whole disjunction — no match,
+    # no prune, full answer
+    eng.probe_log.clear()
+    n = eng.sql(
+        "SELECT count(*) AS c FROM po WHERE k = 5 OR v = 3"
+    ).df.collect()[0]["c"]
+    assert not _reads(eng, "po")
+    plain = eng.sql(
+        "SELECT count(*) AS c FROM po WHERE k + 0 = 5 OR v = 3"
+    ).df.collect()[0]["c"]
+    assert n == plain
+    # a second non-point conjunct rides along inside the pruned scan
+    rows = eng.sql(
+        "SELECT k FROM po WHERE k IN (250, 251, 252) AND v <> 250 % 7"
+    ).df.collect()
+    assert sorted(r.k for r in rows) == [251, 252]
+
+
+def test_no_prune_in_txn_read_your_writes(eng):
+    _ranged(eng, "pt", n_files=4)
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO pt VALUES (9999, 1, 'x')")
+    eng.probe_log.clear()
+    rows = eng.sql("SELECT k FROM pt WHERE k = 9999").df.collect()
+    assert [r.k for r in rows] == [9999]  # overlay visible
+    assert not _reads(eng, "pt")  # pruning never bypasses the overlay
+    eng.sql("ROLLBACK")
+    rows = eng.sql("SELECT k FROM pt WHERE k = 9999").df.collect()
+    assert rows == []
+
+
+def test_initial_default_column_never_prunes(eng):
+    """An ALTER-added column with a DEFAULT stores NULL physically for
+    pre-ALTER rows while reading the default LOGICALLY — min/max
+    pruning on it would wrongly exclude those rows, so the column is
+    ineligible; other columns in the same statement still prune."""
+    _ranged(eng, "pd", n_files=4)
+    eng.sql("ALTER TABLE pd ADD COLUMN tag INT DEFAULT 5")
+    eng.sql("INSERT INTO pd VALUES (9001, 0, 'n', 7)")
+    eng.probe_log.clear()
+    n = eng.sql("SELECT count(*) AS c FROM pd WHERE tag = 5").df.collect()[0]["c"]
+    assert n == 400  # every pre-ALTER row reads the default
+    assert not _reads(eng, "pd")
+    # combined: k prunes, tag rides as a plain filter
+    rows = eng.sql("SELECT k FROM pd WHERE k = 250 AND tag = 5").df.collect()
+    assert [r.k for r in rows] == [250]
+    reads = _reads(eng, "pd")
+    assert reads and reads[0]["key"] == ("k",)
+
+
+def test_strnum_semantics_survive_the_prune(eng):
+    """The spliced statement's FROM names a temp view the int-column
+    resolver cannot type — the resolver must run on the ORIGINAL text
+    so string-vs-int compares keep the REAL-compare rewrite."""
+    _ranged(eng, "ps", n_files=4)
+    eng.probe_log.clear()
+    row = eng.sql(
+        "SELECT (v = '3.5') AS a, (v > '2.5') AS b FROM ps WHERE k = 250"
+    ).df.collect()[0]
+    assert _reads(eng, "ps")
+    assert row["a"] is False  # REAL compare: 3 = 3.5 is FALSE
+    assert row["b"] is True   # 3 > 2.5 TRUE (truncating compare would differ)
+
+
+def test_admin_show_probes_lists_read_rows(eng):
+    _ranged(eng, "pa", n_files=4)
+    eng.sql("SELECT k FROM pa WHERE k = 17").df.collect()
+    rows = eng.sql("ADMIN SHOW PROBES pa").df.collect()
+    kinds = {r["KIND"] for r in rows}
+    assert "read" in kinds and "write" in kinds
+    rd = [r for r in rows if r["KIND"] == "read"][-1]
+    assert rd["KEY"] == "k" and rd["LITERAL"]
+    assert rd["FILES_READ"] <= rd["FILES_GIVEN"]
+
+
+def test_cold_session_point_select_prunes_from_manifest(spark, tmp_path):
+    """The read path inherits the durable manifest: a FRESH session's
+    first point SELECT prunes without opening data-file footers."""
+    wh = str(tmp_path / "warehouse")
+    e1 = Engine(spark, wh)
+    try:
+        _ranged(e1, "pc", n_files=5)
+    finally:
+        e1.close()
+    e2 = Engine(spark, wh)
+    try:
+        spy_paths = []
+        real = pq.ParquetFile
+
+        class Spy:
+            def __new__(cls, path, *a, **kw):
+                spy_paths.append(str(path))
+                return real(path, *a, **kw)
+
+        import pyarrow.parquet as _pq
+
+        _pq.ParquetFile, orig = Spy, _pq.ParquetFile
+        try:
+            rows = e2.sql("SELECT k FROM pc WHERE k = 250").df.collect()
+        finally:
+            _pq.ParquetFile = orig
+        assert [r.k for r in rows] == [250]
+        reads = _reads(e2, "pc")
+        assert reads and reads[0]["files_read"] < reads[0]["files_given"]
+        assert not [p for p in spy_paths if "part-" in p]  # zero footer opens
+    finally:
+        e2.close()

@@ -2275,3 +2275,87 @@ def test_differential_derived_strnum_fuzz(dstrnum_tables, seed):
     a = _canon_rows(eng.sql(e_sql).df.toPandas())
     b = _canon_rows(duck.execute(d_sql).df())
     assert a == b, f"seed {seed} diverged:\n{e_sql}\n{d_sql}\n{a[:5]}\n{b[:5]}"
+
+
+# ---------------------------------------------------------------------------
+# Point-get read-prune corpus (round 14 — NEW section, existing seeds
+# untouched per house rule): the manifest-backed point-get path
+# executes flat point SELECTs over an explicit pruned file set
+# (engine._pointget_prune). The corpus drives random =/IN conjuncts on
+# the key, a string column, and non-point rider predicates over a
+# MULTI-FILE engine table, and compares against a DuckDB twin holding
+# identical rows — plus a per-seed assertion that the answer equals
+# the engine's own UNPRUNED twin (predicate rephrased so the conjunct
+# matcher cannot fire), catching any wrong file exclusion directly.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ptget_tables(fuzz_eng, fuzz_duck):
+    ddl = "CREATE TABLE ptf (k BIGINT PRIMARY KEY, grp INT, s VARCHAR(16))"
+    fuzz_eng.sql(ddl)
+    fuzz_duck.execute(ddl)
+    for i in range(6):  # six INSERT batches -> six+ data files
+        lo = i * 120 + 1
+        vals = ", ".join(
+            f"({k}, {k % 5}, 'v{k:04d}')" for k in range(lo, lo + 120)
+        )
+        fuzz_eng.sql(f"INSERT INTO ptf VALUES {vals}")
+        fuzz_duck.execute(f"INSERT INTO ptf VALUES {vals}")
+    return fuzz_eng, fuzz_duck
+
+
+def gen_ptget_query(seed: int) -> tuple[str, str]:
+    """(pruned_sql, unpruned_twin) — same semantics, the twin's point
+    conjunct is wrapped so the matcher cannot fire."""
+    rng = random.Random(40_000 + seed)
+    conjs, twins = [], []
+    col = rng.choice(["k", "s"])
+    if col == "k":
+        if rng.random() < 0.5:
+            v = rng.randrange(1, 760)
+            conjs.append(f"k = {v}")
+            twins.append(f"k + 0 = {v}")
+        else:
+            vs = sorted(rng.sample(range(1, 760), rng.choice([2, 3, 5])))
+            inl = ", ".join(str(v) for v in vs)
+            conjs.append(f"k IN ({inl})")
+            twins.append(f"k + 0 IN ({inl})")
+    else:
+        v = rng.randrange(1, 760)
+        conjs.append(f"s = 'v{v:04d}'")
+        twins.append(f"concat(s, '') = 'v{v:04d}'")
+    if rng.random() < 0.5:  # non-point rider stays inside the scan
+        g = rng.randrange(5)
+        op = rng.choice(["<>", ">=", "<"])
+        conjs.append(f"grp {op} {g}")
+        twins.append(f"grp {op} {g}")
+    if rng.random() < 0.3:  # miss probe: value beyond every file range
+        conjs.append("k = 99999" if rng.random() < 0.5 else "s = 'zzzz'")
+        twins.append(conjs[-1].replace("k =", "k + 0 =").replace("s =", "concat(s, '') ="))
+    where = " AND ".join(conjs)
+    where_t = " AND ".join(twins)
+    if rng.random() < 0.4:
+        sel = "SELECT grp, CAST(count(*) AS BIGINT) AS c, CAST(sum(k) AS BIGINT) AS sk"
+        tail = " GROUP BY grp"
+    else:
+        sel = "SELECT k, grp, s"
+        tail = ""
+    return (
+        f"{sel} FROM ptf WHERE {where}{tail}",
+        f"{sel} FROM ptf WHERE {where_t}{tail}",
+    )
+
+
+@pytest.mark.parametrize("seed", range(14))
+def test_differential_ptget_fuzz(ptget_tables, seed):
+    eng, duck = ptget_tables
+    pruned_sql, twin_sql = gen_ptget_query(seed)
+    eng.probe_log.clear()
+    a = _canon_rows(eng.sql(pruned_sql).df.toPandas())
+    fired = [p for p in eng.probe_log if p.get("kind") == "read"]
+    b = _canon_rows(eng.sql(twin_sql).df.toPandas())
+    d = _canon_rows(duck.execute(pruned_sql).df())
+    assert a == b, f"seed {seed} pruned != unpruned:\n{pruned_sql}\n{twin_sql}"
+    assert a == d, f"seed {seed} engine != duck:\n{pruned_sql}"
+    assert fired, f"seed {seed}: the point path never fired\n{pruned_sql}"

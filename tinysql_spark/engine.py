@@ -1274,7 +1274,12 @@ class Engine:
         "frag_small_ratio": "0.5",
     }
 
-    def _rewrite(self, sql: str) -> str:
+    def _rewrite(self, sql: str, resolver_sql: str | None = None) -> str:
+        # ``resolver_sql``: run the int-column schema resolver on THIS
+        # text instead of ``sql`` — the point-get read path executes a
+        # spliced statement whose FROM names a temp view the resolver
+        # cannot type, but the string-vs-int REAL-compare semantics
+        # must follow the ORIGINAL statement's base table.
         # session info functions (extension — the reference registry
         # has no info builtins, expression/builtin_*.go): DATABASE()/
         # SCHEMA() -> current db literal, CONNECTION_ID() -> 1 (one
@@ -1327,7 +1332,10 @@ class Engine:
         ):
             self.warnings.append(("Warning", 1365, "Division by 0"))
         sql = P.rewrite_select(
-            sql, self.user_vars, self._int_col_resolver(sql), self.warnings
+            sql,
+            self.user_vars,
+            self._int_col_resolver(resolver_sql or sql),
+            self.warnings,
         )
         # qualified db.table references must land in THIS engine's
         # private Spark namespace (session isolation)
@@ -1500,10 +1508,248 @@ class Engine:
     # ------------------------------------------------------------------
 
     def _exec_select(self, stmt: str) -> Result:
+        pt = None
+        try:
+            pt = self._pointget_prune(stmt)
+        except Exception:
+            pt = None  # pruning is an optimization, never a failure
+        if pt is not None:
+            new_stmt, view = pt
+            keep = len(self.warnings)
+            try:
+                df = self.spark.sql(self._rewrite(new_stmt, resolver_sql=stmt))
+            except Exception:
+                # unexpected shape (e.g. a db-qualified column ref the
+                # alias splice broke): drop the duplicate rewrite-time
+                # warnings and fall back to the unpruned path
+                del self.warnings[keep:]
+                df = None
+            finally:
+                try:
+                    self.spark.catalog.dropTempView(view)
+                except Exception:
+                    pass
+            if df is not None:
+                self._capture_setvars(stmt, df)
+                self._read_lossy_warnings(stmt)
+                return Result(df=df)
         df = self.spark.sql(self._rewrite(stmt))
         self._capture_setvars(stmt, df)
         self._read_lossy_warnings(stmt)
         return Result(df=df)
+
+    _PTGET_LIT = r"[+-]?\d+|'[^']*'|\"[^\"]*\""  # mask-shape literals
+
+    def _pointget_prune(self, stmt: str) -> tuple[str, str] | None:
+        """Manifest-backed point-get on the READ path (reference:
+        planner/core/physical_plans.go:319 IsPointGetByUniqueKey +
+        util/ranger/points.go BuildFromPatternLike — an equality/IN
+        predicate on an indexed column turns the scan into a key
+        seek). The parquet analog: for a flat single-table SELECT
+        whose WHERE carries a top-level conjunct ``col = literal`` or
+        ``col IN (literals)``, intersect the durable manifest's
+        per-file min/max against the literal set (the same
+        _footer_ranges/_rels_overlapping machinery the write probes
+        use) and execute the statement over an EXPLICIT pruned file
+        set — a point SELECT on a sorted/z-ordered 100k-file table
+        schedules O(overlapping files) read tasks instead of one task
+        per file. Returns (spliced statement, temp view name), or
+        None to run the normal path.
+
+        Sound-by-construction gates — anything uncertain skips:
+        - never inside a transaction (the overlay view carries the
+          txn's buffered rows; a file-set read would bypass them);
+        - flat single SELECT, single base table, no JOIN/set ops;
+        - only conjuncts at paren depth 0 of WHERE prune (an OR-ed
+          or nested predicate never matches the conjunct shape);
+        - literal kind must MATCH the column's type family (int
+          literal + integer column, plain string literal + string
+          column) — a string-vs-int compare is the REAL-compare
+          rewrite's business, not pruning's;
+        - columns carrying an initial-default fill never prune (old
+          rows hold the default LOGICALLY while the file stores NULL,
+          so physical min/max would wrongly exclude them);
+        - files without usable stats are always kept (the manifest is
+          a pruning hint, never a correctness input)."""
+        if self.txn is not None:
+            return None
+        mask = P._quote_mask(stmt)
+        low = mask.lower()
+        if len(P.re.findall(r"\bselect\b", low)) != 1:
+            return None
+        if P.re.search(
+            r"\b(join|union|intersect|except|tablesample|lateral|values)\b", low
+        ):
+            return None
+
+        def depth_at(pos: int) -> int:
+            seg = mask[:pos]
+            return seg.count("(") - seg.count(")")
+
+        fm = next(
+            (m for m in P.re.finditer(r"\bfrom\b", low) if depth_at(m.start()) == 0),
+            None,
+        )
+        if fm is None:
+            return None
+        stops = [
+            m
+            for m in P.re.finditer(
+                r"\b(where|group\s+by|having|order\s+by|limit|window)\b", low
+            )
+            if m.start() > fm.end() and depth_at(m.start()) == 0
+        ]
+        if not stops or not stops[0].group(1).startswith("where"):
+            return None  # no WHERE: nothing to prune on
+        seg = stmt[fm.end() : stops[0].start()].strip()
+        m = P.re.fullmatch(
+            r"(`\w+`|\w+)(?:\.(`\w+`|\w+))?(?:\s+(?:as\s+)?(`\w+`|\w+))?",
+            seg,
+            P.re.I | P.re.S,
+        )
+        if m is None:
+            return None  # comma-join, subquery, hints — not a base ref
+        tref = m.group(1) + ("." + m.group(2) if m.group(2) else "")
+        alias = m.group(3)
+        try:
+            db, t = self._qualify(P.unquote_ident(tref))
+            info = self.catalog.get_table(db, t)
+        except Exception:
+            return None  # external attach / unknown name
+        if t in self.external_tables:
+            # a temp-view attach SHADOWS a same-named catalog table in
+            # Spark's resolution — the normal path reads the view, so
+            # pruning against catalog files would diverge
+            return None
+        names_ok = {t.lower()}
+        if alias:
+            names_ok = {P.unquote_ident(alias).lower()}
+        cols = {c.name.lower(): c for c in info.columns}
+        w_start = stops[0].end()
+        w_end = stops[1].start() if len(stops) > 1 else len(stmt)
+        # split the WHERE segment into depth-0 conjuncts
+        conjs, cur = [], w_start
+        for am in P.re.finditer(r"\band\b", low):
+            if w_start <= am.start() < w_end and depth_at(am.start()) == 0:
+                conjs.append((cur, am.start()))
+                cur = am.end()
+        conjs.append((cur, w_end))
+        _ID = r"(?:`\w+`|[A-Za-z_]\w*)(?:\.(?:`\w+`|[A-Za-z_]\w*))?"
+        eq_re = P.re.compile(
+            rf"({_ID})\s*=\s*({self._PTGET_LIT})$|"
+            rf"({self._PTGET_LIT})\s*=\s*({_ID})$|"
+            rf"({_ID})\s+in\s*\(([^()]*)\)$",
+            P.re.I,
+        )
+
+        def lit_val(span_lo: int, span_hi: int, col) -> object | None:
+            """Typed literal value, or None when kind/type mismatch."""
+            raw = stmt[span_lo:span_hi]
+            st = col.spark_type().simpleString()
+            if raw[0] in "'\"":
+                inner = raw[1:-1]
+                if "\\" in inner or raw[0] * 2 in raw[1:-1] or not (
+                    st == "string" or st.startswith(("varchar", "char"))
+                ):
+                    return None  # escapes, or not a string column
+                return inner
+            if st in ("tinyint", "smallint", "int", "bigint"):
+                return int(raw)
+            return None  # int literal on a non-integer column
+
+        def strip_parens(lo: int, hi: int) -> tuple[int, int]:
+            """Trim whitespace and BALANCED outer paren pairs, by
+            index into the mask (positions stay valid into stmt)."""
+            while True:
+                while lo < hi and mask[lo].isspace():
+                    lo += 1
+                while hi > lo and mask[hi - 1].isspace():
+                    hi -= 1
+                if lo >= hi or mask[lo] != "(" or mask[hi - 1] != ")":
+                    return lo, hi
+                d = 0
+                for i in range(lo, hi):
+                    d += (mask[i] == "(") - (mask[i] == ")")
+                    if d == 0 and i < hi - 1:
+                        return lo, hi  # '(a) = (b)' shape: not outer
+                lo, hi = lo + 1, hi - 1
+
+        conj_cols: list[tuple[object, list]] = []
+        for lo, hi in conjs:
+            lo, hi = strip_parens(lo, hi)
+            s, off = mask[lo:hi], lo
+            em = eq_re.fullmatch(s)
+            if em is None:
+                continue
+            if em.group(1) or em.group(4):
+                ident = em.group(1) or em.group(4)
+                lit_rel = em.span(2) if em.group(2) else em.span(3)
+                lits_rel = [lit_rel]
+            else:
+                ident = em.group(5)
+                lits_rel = [
+                    (em.start(6) + lm.start(), em.start(6) + lm.end())
+                    for lm in P.re.finditer(self._PTGET_LIT, em.group(6))
+                ]
+                # the IN list must be ONLY literals and commas
+                rest = P.re.sub(self._PTGET_LIT, "", em.group(6))
+                if P.re.sub(r"[\s,]", "", rest):
+                    continue
+                if not lits_rel:
+                    continue
+            parts = [P.unquote_ident(p) for p in ident.split(".")]
+            if len(parts) == 2 and parts[0].lower() not in names_ok:
+                continue  # qualified with something else (shouldn't happen)
+            col = cols.get(parts[-1].lower())
+            if col is None or (
+                col.initial_default is not None and col.initial_default_below
+            ):
+                continue
+            vals = []
+            for rlo, rhi in lits_rel:
+                v = lit_val(off + rlo, off + rhi, col)
+                if v is None:
+                    vals = None
+                    break
+                vals.append(v)
+            if not vals or len(vals) > self._PROBE_LITERAL_MAX:
+                continue
+            conj_cols.append((col, vals))
+        if not conj_cols:
+            return None
+        rels = sorted(self._list_data_files(db, t))
+        if len(rels) <= 1:
+            return None
+        pruned = rels
+        for col, vals in conj_cols:
+            ranges = self._footer_ranges(db, t, col.file_name, pruned)
+            pruned = self._rels_overlapping(ranges, vals)
+            if not pruned:
+                break
+        self.probe_log.append(
+            {
+                "table": f"{db}.{t}",
+                "key": tuple(c.name for c, _ in conj_cols),
+                "files_given": len(rels),
+                "files_read": len(pruned),
+                "literal": True,
+                "kind": "read",
+            }
+        )
+        del self.probe_log[:-256]
+        if len(pruned) >= len(rels):
+            return None  # nothing pruned: the normal scan is identical
+        if pruned:
+            df = self._read_files(db, t, pruned).select(
+                *[F.col(c.name) for c in info.columns]
+            )
+        else:
+            df = self.spark.createDataFrame([], info.user_schema())
+        view = f"__ptget_{uuid.uuid4().hex[:8]}"
+        df.createOrReplaceTempView(view)
+        al = alias if alias else f"`{t}`"
+        new_stmt = f"{stmt[: fm.end()]} {view} AS {al} {stmt[stops[0].start():]}"
+        return new_stmt, view
 
     def _read_lossy_warnings(self, stmt: str) -> None:
         """Opt-in read-path lossy-cast diagnostics (VERDICT r13
@@ -3409,7 +3655,16 @@ class Engine:
         no usable stats maps to (None, None) = never prunable
         (conservative)."""
         files = self._manifest_add(db, t, rels)
-        return {rel: files.get(rel, {}).get(phys_col) or (None, None) for rel in rels}
+        out = {}
+        for rel in rels:
+            rec = files.get(rel)
+            if rec == {}:
+                # a {} record is EXACTLY a zero-row-group file (the
+                # empty part CREATE TABLE writes): no rows, so it can
+                # never hold a match — prunable for ANY value set
+                continue
+            out[rel] = (rec or {}).get(phys_col) or (None, None)
+        return out
 
     @staticmethod
     def _rels_overlapping(ranges: dict, vals: list) -> list:
@@ -4505,9 +4760,11 @@ class Engine:
           fix is the online ``OPTIMIZE TABLE``). File-listing only,
           no Spark job; thresholds @@frag_small_file_mb /
           @@frag_min_files / @@frag_small_ratio.
-        - ``ADMIN SHOW PROBES [t] [n]`` — the write-side probe trace
-          (VERDICT r13 wrong #2): last-n probe_log rows (key,
-          files_given, files_read, literal) with per-row ADVICE, so
+        - ``ADMIN SHOW PROBES [t] [n]`` — the probe trace (VERDICT
+          r13 wrong #2): last-n probe_log rows (key, kind
+          write/read, files_given, files_read, literal) with
+          per-row ADVICE — write rows are the INSERT/REPLACE dup
+          probes, read rows the point-get file prunes — so
           an operator can SEE when a table's layout stops supporting
           point probes (bulk fallback rows, literal probes that no
           longer prune) — the fragmentation-gate pattern applied to
@@ -4590,6 +4847,7 @@ class Engine:
                     (
                         p["table"],
                         ",".join(p["key"]),
+                        p.get("kind", "write"),
                         p["files_given"],
                         p["files_read"],
                         p["literal"],
@@ -4598,8 +4856,9 @@ class Engine:
                 )
             df = self.spark.createDataFrame(
                 out or [],
-                "TABLE_NAME: string, KEY: string, FILES_GIVEN: bigint, "
-                "FILES_READ: bigint, LITERAL: boolean, ADVICE: string",
+                "TABLE_NAME: string, KEY: string, KIND: string, "
+                "FILES_GIVEN: bigint, FILES_READ: bigint, LITERAL: boolean, "
+                "ADVICE: string",
             )
             return Result(df=df)
         m = P.re.match(r"(?i)^ADMIN CHECK INDEX ([`\w.]+) ([`\w]+)$", norm)
