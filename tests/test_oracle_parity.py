@@ -48,7 +48,13 @@ def test_oracle_backed_entries_fit_driver_window():
                      # q64 stays hash-checked below), replaced by the
                      # online-DDL close driven through the gate:
                      "q74_online_index_build",
-                 "q67_ohlc_bars",
+                     # q67 rotated OUT in round 14 (its time-bucket
+                     # windowed-agg family stays evidenced by the
+                     # in-window st06/st07 windowed aggs and the
+                     # RANGE-frame directed tests below; q67 stays
+                     # hash-checked below), replaced by the read-side
+                     # close of the durable manifest:
+                     "q77_pointget_read",
                  "st11_stream_incremental_dedup", "q68_order_batch_packing",
                  "p12_dedup_weighted_sample",
                      # q69 rotated OUT in round 12 (its CTAS +
@@ -98,6 +104,7 @@ def test_oracle_backed_entries_fit_driver_window():
     # rotated-out keepers remain oracle-backed (hash-checked by
     # test_oracle_parity below, just outside the driver prefix)
     for out in ("q36_first_row", "q39_notin_nullaware", "q41_gap_fill",
+                "q67_ohlc_bars",
                 "q43_unpivot", "q46_locf_fill", "q47_string_agg",
                 "q50_small_qty_revenue", "q53_funnel_depth",
                 "st05_stream_static_join", "d08_fuzzy_pairs",

@@ -302,6 +302,11 @@ def test_no_eager_job_building_any_batch_query(spark, sf_dir):
                 # point probe, 1062 atomicity, bulk semi-join probe)
                 # IS the operator; the read itself is lazy (round 13)
                 "q76_insert_probe_gate",
+                # engine-path op: the warehouse load + the point-get
+                # probe (a bounded min/max collect feeds the literal)
+                # ARE the operator; the pruned read is one explicit
+                # file-set scan (round 14)
+                "q77_pointget_read",
             ):
                 continue
             spec.fn(spark, sf_dir)

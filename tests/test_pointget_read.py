@@ -112,7 +112,7 @@ def test_pruned_result_matches_unpruned(eng):
         ),
         (
             "SELECT t.s FROM pm t WHERE t.k = 77 AND t.v >= 0",
-            "SELECT t.s FROM pm t WHERE t.k + 0 = 77 AND t.v >= 0",
+            "SELECT t.s FROM pm t WHERE t.k + 0 = 77 AND t.v + 0 >= 0",
         ),
         (
             "SELECT k FROM pm WHERE 250 = k ORDER BY k LIMIT 3",
@@ -238,3 +238,67 @@ def test_cold_session_point_select_prunes_from_manifest(spark, tmp_path):
         assert not [p for p in spy_paths if "part-" in p]  # zero footer opens
     finally:
         e2.close()
+
+
+def _overlap_iv(eng, t, col, lo, hi, db="default"):
+    """Independent witness for interval probes: files whose footer
+    [min,max] intersects [lo, hi] inclusively (None = unbounded)."""
+    data = eng.catalog.data_dir(db, t)
+    hits = 0
+    for rel in eng._list_data_files(db, t):
+        md = pq.ParquetFile(os.path.join(data, rel)).metadata
+        if md.num_row_groups == 0:
+            continue
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    mn = s.min if mn is None else min(mn, s.min)
+                    mx = s.max if mx is None else max(mx, s.max)
+        if mn is None or ((lo is None or mx >= lo) and (hi is None or mn <= hi)):
+            hits += 1
+    return hits
+
+
+def test_range_predicates_prune(eng):
+    """</<=/>/>=/BETWEEN prune via inclusive interval overlap — the
+    ranger analog (util/ranger/points.go builds the same ranges for
+    the reference's index scan)."""
+    _ranged(eng, "rr", n_files=6)
+    cases = [
+        ("k >= 550", "k + 0 >= 550", _overlap_iv(eng, "rr", "k", 550, None)),
+        ("k < 99", "k + 0 < 99", _overlap_iv(eng, "rr", "k", None, 99)),
+        ("250 <= k", "250 <= k + 0", _overlap_iv(eng, "rr", "k", 250, None)),
+        (
+            "k BETWEEN 150 AND 250",
+            "k + 0 BETWEEN 150 AND 250",
+            _overlap_iv(eng, "rr", "k", 150, 250),
+        ),
+    ]
+    for cond, twin, expect in cases:
+        eng.probe_log.clear()
+        a = eng.sql(f"SELECT count(*) AS c FROM rr WHERE {cond}").df.collect()
+        reads = _reads(eng, "rr")
+        assert reads and reads[0]["files_read"] == expect, (cond, reads, expect)
+        b = eng.sql(f"SELECT count(*) AS c FROM rr WHERE {twin}").df.collect()
+        assert a == b, cond
+
+
+def test_between_and_never_breaks_conjunct_split(eng):
+    """The AND inside BETWEEN belongs to the BETWEEN: a following
+    point conjunct still prunes, and the answer matches the
+    unpruned twin."""
+    _ranged(eng, "rb", n_files=5)
+    eng.probe_log.clear()
+    a = eng.sql(
+        "SELECT k FROM rb WHERE v BETWEEN 0 AND 6 AND k = 250"
+    ).df.collect()
+    reads = _reads(eng, "rb")
+    assert reads and reads[0]["files_read"] < reads[0]["files_given"]
+    assert set(reads[0]["key"]) == {"v", "k"}
+    b = eng.sql(
+        "SELECT k FROM rb WHERE v BETWEEN 0 AND 6 AND k + 0 = 250"
+    ).df.collect()
+    assert a == b and [r.k for r in a] == [250]

@@ -2325,11 +2325,11 @@ def gen_ptget_query(seed: int) -> tuple[str, str]:
         v = rng.randrange(1, 760)
         conjs.append(f"s = 'v{v:04d}'")
         twins.append(f"concat(s, '') = 'v{v:04d}'")
-    if rng.random() < 0.5:  # non-point rider stays inside the scan
+    if rng.random() < 0.5:  # rider conjunct stays inside the scan
         g = rng.randrange(5)
         op = rng.choice(["<>", ">=", "<"])
         conjs.append(f"grp {op} {g}")
-        twins.append(f"grp {op} {g}")
+        twins.append(f"grp + 0 {op} {g}")  # defused: twin never prunes
     if rng.random() < 0.3:  # miss probe: value beyond every file range
         conjs.append("k = 99999" if rng.random() < 0.5 else "s = 'zzzz'")
         twins.append(conjs[-1].replace("k =", "k + 0 =").replace("s =", "concat(s, '') ="))

@@ -1538,7 +1538,7 @@ class Engine:
         self._read_lossy_warnings(stmt)
         return Result(df=df)
 
-    _PTGET_LIT = r"[+-]?\d+|'[^']*'|\"[^\"]*\""  # mask-shape literals
+    _PTGET_LIT = r"[+-]?\d+(?:\.\d+)?|'[^']*'|\"[^\"]*\""  # mask literals
 
     def _pointget_prune(self, stmt: str) -> tuple[str, str] | None:
         """Manifest-backed point-get on the READ path (reference:
@@ -1627,18 +1627,33 @@ class Engine:
         cols = {c.name.lower(): c for c in info.columns}
         w_start = stops[0].end()
         w_end = stops[1].start() if len(stops) > 1 else len(stmt)
-        # split the WHERE segment into depth-0 conjuncts
-        conjs, cur = [], w_start
-        for am in P.re.finditer(r"\band\b", low):
-            if w_start <= am.start() < w_end and depth_at(am.start()) == 0:
+        # split the WHERE segment into depth-0 conjuncts — an AND that
+        # closes a pending depth-0 BETWEEN belongs to the BETWEEN, not
+        # the conjunction
+        conjs, cur, pending_between = [], w_start, 0
+        for am in P.re.finditer(r"\b(between|and)\b", low):
+            if not (w_start <= am.start() < w_end) or depth_at(am.start()) != 0:
+                continue
+            if am.group(1) == "between":
+                pending_between += 1
+            elif pending_between:
+                pending_between -= 1
+            else:
                 conjs.append((cur, am.start()))
                 cur = am.end()
         conjs.append((cur, w_end))
         _ID = r"(?:`\w+`|[A-Za-z_]\w*)(?:\.(?:`\w+`|[A-Za-z_]\w*))?"
+        _LIT = self._PTGET_LIT
         eq_re = P.re.compile(
-            rf"({_ID})\s*=\s*({self._PTGET_LIT})$|"
-            rf"({self._PTGET_LIT})\s*=\s*({_ID})$|"
+            rf"({_ID})\s*=\s*({_LIT})$|"
+            rf"({_LIT})\s*=\s*({_ID})$|"
             rf"({_ID})\s+in\s*\(([^()]*)\)$",
+            P.re.I,
+        )
+        rng_re = P.re.compile(
+            rf"({_ID})\s*(<=|>=|<|>)\s*({_LIT})$|"
+            rf"({_LIT})\s*(<=|>=|<|>)\s*({_ID})$|"
+            rf"({_ID})\s+between\s+({_LIT})\s+and\s+({_LIT})$",
             P.re.I,
         )
 
@@ -1654,8 +1669,12 @@ class Engine:
                     return None  # escapes, or not a string column
                 return inner
             if st in ("tinyint", "smallint", "int", "bigint"):
+                if "." in raw or "e" in raw.lower():
+                    return None  # fractional literal on an int column
                 return int(raw)
-            return None  # int literal on a non-integer column
+            if st in ("double", "float"):
+                return float(raw)
+            return None  # numeric literal on a non-numeric column
 
         def strip_parens(lo: int, hi: int) -> tuple[int, int]:
             """Trim whitespace and BALANCED outer paren pairs, by
@@ -1674,56 +1693,97 @@ class Engine:
                         return lo, hi  # '(a) = (b)' shape: not outer
                 lo, hi = lo + 1, hi - 1
 
-        conj_cols: list[tuple[object, list]] = []
-        for lo, hi in conjs:
-            lo, hi = strip_parens(lo, hi)
-            s, off = mask[lo:hi], lo
-            em = eq_re.fullmatch(s)
-            if em is None:
-                continue
-            if em.group(1) or em.group(4):
-                ident = em.group(1) or em.group(4)
-                lit_rel = em.span(2) if em.group(2) else em.span(3)
-                lits_rel = [lit_rel]
-            else:
-                ident = em.group(5)
-                lits_rel = [
-                    (em.start(6) + lm.start(), em.start(6) + lm.end())
-                    for lm in P.re.finditer(self._PTGET_LIT, em.group(6))
-                ]
-                # the IN list must be ONLY literals and commas
-                rest = P.re.sub(self._PTGET_LIT, "", em.group(6))
-                if P.re.sub(r"[\s,]", "", rest):
-                    continue
-                if not lits_rel:
-                    continue
+        def resolve_col(ident: str):
+            """ColumnInfo for a (possibly alias-qualified) reference,
+            or None when it cannot prune."""
             parts = [P.unquote_ident(p) for p in ident.split(".")]
             if len(parts) == 2 and parts[0].lower() not in names_ok:
-                continue  # qualified with something else (shouldn't happen)
+                return None  # qualified with something else
             col = cols.get(parts[-1].lower())
             if col is None or (
                 col.initial_default is not None and col.initial_default_below
             ):
+                return None
+            return col
+
+        # each prunable conjunct: (col, ("vals", [v..])) for =/IN, or
+        # (col, ("iv", lo|None, hi|None)) for </<=/>/>=/BETWEEN —
+        # interval bounds are applied INCLUSIVELY against file
+        # [min,max] (a strict bound kept inclusively is a superset:
+        # always sound)
+        conj_cols: list[tuple[object, tuple]] = []
+        for lo, hi in conjs:
+            lo, hi = strip_parens(lo, hi)
+            s, off = mask[lo:hi], lo
+            em = eq_re.fullmatch(s)
+            if em is not None:
+                if em.group(1) or em.group(4):
+                    ident = em.group(1) or em.group(4)
+                    lits_rel = [em.span(2) if em.group(2) else em.span(3)]
+                else:
+                    ident = em.group(5)
+                    lits_rel = [
+                        (em.start(6) + lm.start(), em.start(6) + lm.end())
+                        for lm in P.re.finditer(self._PTGET_LIT, em.group(6))
+                    ]
+                    # the IN list must be ONLY literals and commas
+                    rest = P.re.sub(self._PTGET_LIT, "", em.group(6))
+                    if P.re.sub(r"[\s,]", "", rest) or not lits_rel:
+                        continue
+                col = resolve_col(ident)
+                if col is None:
+                    continue
+                vals = []
+                for rlo, rhi in lits_rel:
+                    v = lit_val(off + rlo, off + rhi, col)
+                    if v is None:
+                        vals = None
+                        break
+                    vals.append(v)
+                if not vals or len(vals) > self._PROBE_LITERAL_MAX:
+                    continue
+                conj_cols.append((col, ("vals", vals)))
                 continue
-            vals = []
-            for rlo, rhi in lits_rel:
-                v = lit_val(off + rlo, off + rhi, col)
-                if v is None:
-                    vals = None
-                    break
-                vals.append(v)
-            if not vals or len(vals) > self._PROBE_LITERAL_MAX:
+            rm = rng_re.fullmatch(s)
+            if rm is None:
                 continue
-            conj_cols.append((col, vals))
+            if rm.group(7):  # BETWEEN lo AND hi
+                col = resolve_col(rm.group(7))
+                if col is None:
+                    continue
+                b_lo = lit_val(off + rm.start(8), off + rm.end(8), col)
+                b_hi = lit_val(off + rm.start(9), off + rm.end(9), col)
+                if b_lo is None or b_hi is None:
+                    continue
+                conj_cols.append((col, ("iv", b_lo, b_hi)))
+                continue
+            if rm.group(1):  # col OP lit
+                ident, op, lit_span = rm.group(1), rm.group(2), rm.span(3)
+            else:  # lit OP col — flip the operator around the column
+                ident, lit_span = rm.group(6), rm.span(4)
+                op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}[rm.group(5)]
+            col = resolve_col(ident)
+            if col is None:
+                continue
+            v = lit_val(off + lit_span[0], off + lit_span[1], col)
+            if v is None:
+                continue
+            if op in ("<", "<="):
+                conj_cols.append((col, ("iv", None, v)))
+            else:
+                conj_cols.append((col, ("iv", v, None)))
         if not conj_cols:
             return None
         rels = sorted(self._list_data_files(db, t))
         if len(rels) <= 1:
             return None
         pruned = rels
-        for col, vals in conj_cols:
+        for col, spec in conj_cols:
             ranges = self._footer_ranges(db, t, col.file_name, pruned)
-            pruned = self._rels_overlapping(ranges, vals)
+            if spec[0] == "vals":
+                pruned = self._rels_overlapping(ranges, spec[1])
+            else:
+                pruned = self._rels_overlapping_interval(ranges, spec[1], spec[2])
             if not pruned:
                 break
         self.probe_log.append(
@@ -3520,12 +3580,20 @@ class Engine:
                 if prev is None:
                     continue  # already marked unusable
                 s = c.statistics
-                if (
-                    s is None
-                    or not s.has_min_max
-                    or not isinstance(s.min, (int, float, str))
-                    or not isinstance(s.max, (int, float, str))
-                ):
+                try:
+                    # pyarrow raises ArrowNotImplementedError from the
+                    # .min/.max GETTERS for types it cannot extract
+                    # (e.g. INT96 timestamps) even when has_min_max is
+                    # true — any failure marks the column unusable
+                    usable = (
+                        s is not None
+                        and s.has_min_max
+                        and isinstance(s.min, (int, float, str))
+                        and isinstance(s.max, (int, float, str))
+                    )
+                except Exception:
+                    usable = False
+                if not usable:
                     out[col] = None
                     continue
                 out[col] = (
@@ -3685,6 +3753,27 @@ class Engine:
             try:
                 i = bisect.bisect_left(svals, mn)
                 if i < len(svals) and svals[i] <= mx:
+                    out.append(rel)
+            except TypeError:
+                out.append(rel)  # stats type mismatch: keep
+        return out
+
+    @staticmethod
+    def _rels_overlapping_interval(ranges: dict, lo, hi) -> list:
+        """Rels whose footer [min,max] intersects [lo, hi] (either
+        bound None = unbounded; both bounds INCLUSIVE — a strict
+        predicate bound applied inclusively keeps a superset, always
+        sound). Files without stats or with non-comparable types are
+        kept — the read-path ranger analog of _rels_overlapping
+        (reference: util/ranger/points.go turns </<=/>/>=/BETWEEN
+        into key ranges the index scan seeks)."""
+        out = []
+        for rel, (mn, mx) in ranges.items():
+            if mn is None or mx is None:
+                out.append(rel)
+                continue
+            try:
+                if (lo is None or mx >= lo) and (hi is None or mn <= hi):
                     out.append(rel)
             except TypeError:
                 out.append(rel)  # stats type mismatch: keep

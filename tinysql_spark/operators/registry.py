@@ -248,6 +248,15 @@ def register(name: str, oracle: str | None, doc: str = "", late: bool = False):
 # value table in tests/test_coercion.py, the unsigned differential +
 # CAST-wrap corpora in tests/test_sql_fuzz.py, and the identical
 # oracle hash in parity (q70 stays hash-checked there).
+# Round-14 rotation (window-on-landing): q77_pointget_read (the
+# manifest-backed point-get READ path driven through the external
+# gate: a point SELECT over the explicit manifest-pruned file set,
+# self-gated on the probe trace actually pruning — the read-side
+# close of the durable-manifest work) swaps for q67_ohlc_bars, whose
+# time-bucket windowed-aggregate family stays evidenced by the
+# in-window streaming twins (st06/st07 windowed aggs) and the
+# RANGE-frame directed tests in tests/test_oracle_parity.py (q67
+# stays hash-checked there).
 # Everything rotated out keeps the IDENTICAL spark-vs-DuckDB hash
 # comparison in tests/test_oracle_parity.py, which covers EVERY
 # oracle-backed entry regardless of window position.
@@ -270,7 +279,7 @@ WINDOW: tuple[str, ...] = (
     # relational additions (rounds 5-6)
     "q63_product_type_profit",
     "q74_online_index_build",
-    "q67_ohlc_bars",
+    "q77_pointget_read",
     "q68_order_batch_packing",
     "q75_cow_delete",
     "q76_insert_probe_gate",

@@ -2872,3 +2872,90 @@ def q76_insert_probe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       CAST(MAX(k) AS BIGINT) AS mx "
         "FROM ins GROUP BY tag"
     ).df
+
+
+_Q77_WAREHOUSE_MEMO: dict[str, str] = {}
+
+
+def _q77_pointget_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Build the q77 warehouse ONCE per corpus (the q74-q76 memo
+    discipline): orders loads into a PK table in FOUR disjoint
+    key-range batches (quartile bounds from one 1-row aggregate), so
+    the data dir holds range-clustered files whose manifest min/max a
+    point SELECT can prune on — the read-side layout the reference
+    gets from its key-ordered KV regions."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    key = os.path.abspath(sf_dir)
+    d = _Q77_WAREHOUSE_MEMO.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    d = tempfile.mkdtemp(prefix="tinysql_q77_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    eng = Engine(spark, d)
+    eng.attach_testdata(sf_dir)
+    eng.sql("CREATE TABLE pget (k BIGINT PRIMARY KEY, c BIGINT, p DOUBLE)")
+    b = eng.sql(
+        "SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders"
+    ).df.collect()[0]
+    step = max((int(b.mx) - int(b.mn)) // 4 + 1, 1)
+    for i in range(4):
+        lo, hi = int(b.mn) + i * step, int(b.mn) + (i + 1) * step
+        eng.sql(
+            "INSERT INTO pget SELECT o_orderkey, o_custkey, o_totalprice "
+            f"FROM orders WHERE o_orderkey >= {lo} AND o_orderkey < {hi}"
+        )
+    _Q77_WAREHOUSE_MEMO[key] = d
+    return d
+
+
+@register(
+    "q77_pointget_read",
+    late=True,
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(o_custkey AS BIGINT) AS c,
+           CAST(o_totalprice AS DOUBLE) AS p
+    FROM orders, b
+    WHERE o_orderkey IN (b.mn, b.mx)
+    """,
+    doc="The round-14 manifest-backed point-get READ path driven "
+    "through the driver's external gate (reference: planner/core/"
+    "physical_plans.go:319 IsPointGetByUniqueKey — an equality "
+    "predicate on a unique key becomes a key seek, never a scan; "
+    "util/ranger/points.go builds the ranges): orders loads into a "
+    "PK table in four disjoint key-range batches, then a point "
+    "SELECT 'k IN (min, max, miss)' executes over the EXPLICIT file "
+    "set whose durable-manifest min/max overlaps the literals — the "
+    "callable asserts the probe trace pruned (files_read < "
+    "files_given) before returning, so a silently-degraded prune "
+    "fails the entry rather than passing as a full scan. The oracle "
+    "replays the same point lookup over orders; equality proves the "
+    "pruned file set lost no qualifying row. Pruning granularity and "
+    "the cold-session zero-footer-open path are manifest-asserted in "
+    "tests/test_pointget_read.py.",
+)
+def q77_pointget_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..engine import Engine
+
+    eng = Engine(spark, _q77_pointget_warehouse(spark, sf_dir))
+    b = eng.sql(
+        "SELECT CAST(MIN(k) AS BIGINT) AS mn, CAST(MAX(k) AS BIGINT) AS mx "
+        "FROM pget"
+    ).df.collect()[0]
+    eng.probe_log.clear()
+    res = eng.sql(
+        f"SELECT k, c, p FROM pget WHERE k IN ({b.mn}, {b.mx}, {b.mx + 99991})"
+    ).df
+    reads = [p for p in eng.probe_log if p.get("kind") == "read"]
+    assert reads and reads[0]["files_read"] < reads[0]["files_given"], (
+        "q77: the point-get prune must fire and reduce the file set"
+    )
+    return res
