@@ -302,3 +302,85 @@ def test_between_and_never_breaks_conjunct_split(eng):
         "SELECT k FROM rb WHERE v BETWEEN 0 AND 6 AND k + 0 = 250"
     ).df.collect()
     assert a == b and [r.k for r in a] == [250]
+
+
+def test_topk_order_by_pk_limit_prunes(eng):
+    """WHERE-less ORDER BY pk LIMIT n takes the top-k file prune —
+    files by ascending min until cumulative rows cover the LIMIT
+    bound the k-th value (the file-level analog of coprocessor TopN
+    pushdown). Two-source: files_read pinned against an independent
+    footer computation; result pinned against the defused twin."""
+    _ranged(eng, "tka", n_files=6)
+
+    def independent_topk(n, desc=False):
+        data = eng.catalog.data_dir("default", "tka")
+        cand = []
+        for rel in eng._list_data_files("default", "tka"):
+            md = pq.ParquetFile(os.path.join(data, rel)).metadata
+            if md.num_row_groups == 0:
+                continue
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == "k" and c.statistics is not None:
+                        s = c.statistics
+                        mn = s.min if mn is None else min(mn, s.min)
+                        mx = s.max if mx is None else max(mx, s.max)
+            cand.append((mn, mx, md.num_rows))
+        cand.sort(key=(lambda c: c[1]) if desc else (lambda c: c[0]),
+                  reverse=desc)
+        cum, cut = 0, None
+        for mn, mx, rows in cand:
+            b = mn if desc else mx
+            cut = b if cut is None else (min(cut, b) if desc else max(cut, b))
+            cum += rows
+            if cum >= n:
+                break
+        if desc:
+            return sum(1 for mn, mx, _ in cand if mx >= cut)
+        return sum(1 for mn, mx, _ in cand if mn <= cut)
+
+    for sql, twin, n, desc in [
+        ("SELECT k FROM tka ORDER BY k LIMIT 5",
+         "SELECT k FROM tka ORDER BY k + 0 LIMIT 5", 5, False),
+        ("SELECT k, v FROM tka ORDER BY k DESC LIMIT 3",
+         "SELECT k, v FROM tka ORDER BY k + 0 DESC LIMIT 3", 3, True),
+        ("SELECT k FROM tka ORDER BY k LIMIT 4 OFFSET 120",
+         "SELECT k FROM tka ORDER BY k + 0 LIMIT 4 OFFSET 120", 124, False),
+    ]:
+        eng.probe_log.clear()
+        a = [tuple(r) for r in eng.sql(sql).df.collect()]
+        reads = _reads(eng, "tka")
+        expect = independent_topk(n, desc)
+        assert reads and reads[0]["files_read"] == expect, (sql, reads, expect)
+        assert reads[0]["files_read"] < reads[0]["files_given"], sql
+        b = [tuple(r) for r in eng.sql(twin).df.collect()]
+        assert a == b, sql
+
+
+def test_topk_refusal_corners(eng):
+    """No prune when the bound cannot be trusted: non-PK sort column
+    (could hold NULLs the stats cannot see — Spark sorts them
+    FIRST), DISTINCT/aggregate select lists (LIMIT counts
+    post-reduction rows), LIMIT exceeding the table, GROUP BY."""
+    _ranged(eng, "tkr", n_files=4)
+    for sql in [
+        "SELECT k FROM tkr ORDER BY v LIMIT 2",
+        "SELECT DISTINCT v FROM tkr ORDER BY v LIMIT 2",
+        "SELECT max(k) AS m FROM tkr",
+        "SELECT k FROM tkr ORDER BY k LIMIT 99999",
+        "SELECT v, count(*) AS c FROM tkr GROUP BY v ORDER BY v LIMIT 2",
+    ]:
+        eng.probe_log.clear()
+        eng.sql(sql).df.collect()
+        assert not _reads(eng, "tkr"), sql
+
+
+def test_topk_sees_fresh_writes(eng):
+    """A committed write lands in the manifest at publish; the next
+    top-k answers with the new row — no staleness window."""
+    _ranged(eng, "tkf", n_files=3)
+    eng.sql("INSERT INTO tkf VALUES (-7, 0, 'neg')")
+    rows = eng.sql("SELECT k FROM tkf ORDER BY k LIMIT 2").df.collect()
+    assert [r.k for r in rows] == [-7, 1]

@@ -1553,8 +1553,14 @@ class Engine:
         use) and execute the statement over an EXPLICIT pruned file
         set — a point SELECT on a sorted/z-ordered 100k-file table
         schedules O(overlapping files) read tasks instead of one task
-        per file. Returns (spliced statement, temp view name), or
-        None to run the normal path.
+        per file. Range conjuncts (</<=/>/>=/BETWEEN) prune by
+        inclusive interval overlap (the ranger analog), and a
+        WHERE-less ``SELECT <plain cols> FROM t ORDER BY <pk col>
+        LIMIT n`` takes a TOP-K file prune — files by ascending min
+        until their row counts cover the LIMIT bound the k-th value
+        (the file-level analog of the reference pushing TopN into the
+        coprocessor, SURVEY §2.2). Returns (spliced statement, temp
+        view name), or None to run the normal path.
 
         Sound-by-construction gates — anything uncertain skips:
         - never inside a transaction (the overlay view carries the
@@ -1599,9 +1605,46 @@ class Engine:
             )
             if m.start() > fm.end() and depth_at(m.start()) == 0
         ]
-        if not stops or not stops[0].group(1).startswith("where"):
-            return None  # no WHERE: nothing to prune on
-        seg = stmt[fm.end() : stops[0].start()].strip()
+        where_mode = bool(stops) and stops[0].group(1).startswith("where")
+        # top-k mode (no WHERE): `SELECT <plain cols> FROM t ORDER BY
+        # <pk col> [ASC|DESC] LIMIT n` — the file-level analog of the
+        # reference pushing TopN into the coprocessor (SURVEY §2.2;
+        # executor TopNExec + distsql range split): files sorted by
+        # min (max for DESC) are taken until their cumulative row
+        # count covers the LIMIT, bounding the k-th value by C; files
+        # whose range lies strictly beyond C cannot contribute
+        topk = None
+        if not where_mode:
+            if (
+                len(stops) != 2
+                or not stops[0].group(1).startswith("order")
+                or not stops[1].group(1).startswith("limit")
+            ):
+                return None
+            sel_seg = low[P.re.search(r"\bselect\b", low).end() : fm.start()]
+            if "(" in sel_seg or P.re.search(r"\bdistinct\b", sel_seg):
+                return None  # aggregates/windows/DISTINCT: LIMIT ≠ rows
+            om = P.re.fullmatch(
+                r"((?:`\w+`|[A-Za-z_]\w*)(?:\.(?:`\w+`|[A-Za-z_]\w*))?)"
+                r"(\s+asc|\s+desc)?",
+                stmt[stops[0].end() : stops[1].start()].strip(),
+                P.re.I,
+            )
+            lm = P.re.fullmatch(
+                r"(\d+)(?:\s+offset\s+(\d+))?|(\d+)\s*,\s*(\d+)",
+                stmt[stops[1].end() :].strip().rstrip(";").strip(),
+                P.re.I,
+            )
+            if om is None or lm is None:
+                return None
+            need = (
+                int(lm.group(1)) + int(lm.group(2) or 0)
+                if lm.group(1)
+                else int(lm.group(3)) + int(lm.group(4))
+            )
+            desc = bool(om.group(2)) and om.group(2).strip().lower() == "desc"
+            topk = (om.group(1), need, desc)
+        seg = stmt[fm.end() : (stops[0].start() if stops else len(stmt))].strip()
         m = P.re.fullmatch(
             r"(`\w+`|\w+)(?:\.(`\w+`|\w+))?(?:\s+(?:as\s+)?(`\w+`|\w+))?",
             seg,
@@ -1625,23 +1668,28 @@ class Engine:
         if alias:
             names_ok = {P.unquote_ident(alias).lower()}
         cols = {c.name.lower(): c for c in info.columns}
-        w_start = stops[0].end()
-        w_end = stops[1].start() if len(stops) > 1 else len(stmt)
-        # split the WHERE segment into depth-0 conjuncts — an AND that
-        # closes a pending depth-0 BETWEEN belongs to the BETWEEN, not
-        # the conjunction
-        conjs, cur, pending_between = [], w_start, 0
-        for am in P.re.finditer(r"\b(between|and)\b", low):
-            if not (w_start <= am.start() < w_end) or depth_at(am.start()) != 0:
-                continue
-            if am.group(1) == "between":
-                pending_between += 1
-            elif pending_between:
-                pending_between -= 1
-            else:
-                conjs.append((cur, am.start()))
-                cur = am.end()
-        conjs.append((cur, w_end))
+        conjs: list[tuple[int, int]] = []
+        if where_mode:
+            w_start = stops[0].end()
+            w_end = stops[1].start() if len(stops) > 1 else len(stmt)
+            # split the WHERE segment into depth-0 conjuncts — an AND
+            # that closes a pending depth-0 BETWEEN belongs to the
+            # BETWEEN, not the conjunction
+            cur, pending_between = w_start, 0
+            for am in P.re.finditer(r"\b(between|and)\b", low):
+                if (
+                    not (w_start <= am.start() < w_end)
+                    or depth_at(am.start()) != 0
+                ):
+                    continue
+                if am.group(1) == "between":
+                    pending_between += 1
+                elif pending_between:
+                    pending_between -= 1
+                else:
+                    conjs.append((cur, am.start()))
+                    cur = am.end()
+            conjs.append((cur, w_end))
         _ID = r"(?:`\w+`|[A-Za-z_]\w*)(?:\.(?:`\w+`|[A-Za-z_]\w*))?"
         _LIT = self._PTGET_LIT
         eq_re = P.re.compile(
@@ -1772,24 +1820,72 @@ class Engine:
                 conj_cols.append((col, ("iv", None, v)))
             else:
                 conj_cols.append((col, ("iv", v, None)))
-        if not conj_cols:
+        if not conj_cols and topk is None:
             return None
         rels = sorted(self._list_data_files(db, t))
         if len(rels) <= 1:
             return None
-        pruned = rels
-        for col, spec in conj_cols:
-            ranges = self._footer_ranges(db, t, col.file_name, pruned)
-            if spec[0] == "vals":
-                pruned = self._rels_overlapping(ranges, spec[1])
+        if conj_cols:
+            pruned = rels
+            for col, spec in conj_cols:
+                ranges = self._footer_ranges(db, t, col.file_name, pruned)
+                if spec[0] == "vals":
+                    pruned = self._rels_overlapping(ranges, spec[1])
+                else:
+                    pruned = self._rels_overlapping_interval(
+                        ranges, spec[1], spec[2]
+                    )
+                if not pruned:
+                    break
+            key_cols = tuple(c.name for c, _ in conj_cols)
+        else:
+            # top-k: take files by ascending min (descending max for
+            # DESC) until their cumulative row count covers LIMIT(+
+            # OFFSET); the k-th value is then bounded by the worst
+            # bound C among the taken files, and any file strictly
+            # beyond C cannot contribute. Sound only because the sort
+            # column is a PRIMARY KEY column (implicitly NOT NULL —
+            # Spark's default NULLS FIRST would otherwise put rows the
+            # stats cannot see ahead of the top-k).
+            ident, need, desc = topk
+            col = resolve_col(ident)
+            if (
+                col is None
+                or col.name not in info.primary_key
+                or col.nullable
+                or need <= 0
+            ):
+                return None
+            ranges = self._footer_ranges(db, t, col.file_name, rels)
+            files = self._manifest_add(db, t, rels)
+            cand = []
+            for rel, (mn, mx) in ranges.items():  # empty files dropped
+                rows = (files.get(rel) or {}).get("#rows", (None,))[0]
+                if mn is None or mx is None or rows is None:
+                    return None  # a stats-less file breaks the bound
+                cand.append((mn, mx, rows, rel))
+            cand.sort(key=(lambda c: c[1]) if desc else (lambda c: c[0]),
+                      reverse=desc)
+            cum, cut = 0, None
+            for mn, mx, rows, _rel in cand:
+                b = mn if desc else mx
+                cut = b if cut is None else (
+                    min(cut, b) if desc else max(cut, b)
+                )
+                cum += rows
+                if cum >= need:
+                    break
+            if cum < need:
+                return None  # LIMIT exceeds the table: every file needed
+            if desc:
+                pruned = [rel for mn, mx, _r, rel in cand if mx >= cut]
             else:
-                pruned = self._rels_overlapping_interval(ranges, spec[1], spec[2])
-            if not pruned:
-                break
+                pruned = [rel for mn, mx, _r, rel in cand if mn <= cut]
+            key_cols = (col.name,)
         self.probe_log.append(
             {
                 "table": f"{db}.{t}",
-                "key": tuple(c.name for c, _ in conj_cols),
+                "key": key_cols,
                 "files_given": len(rels),
                 "files_read": len(pruned),
                 "literal": True,
@@ -3155,7 +3251,14 @@ class Engine:
         if new_type:
             col.type = new_type
             if spec_rest:
-                col.nullable = "NOT NULL" not in spec_rest.upper()
+                # PRIMARY KEY columns are implicitly NOT NULL and stay
+                # that way through MODIFY (MySQL forces it; the
+                # reference's PK IS the row handle, which cannot be
+                # NULL — tablecodec row keys encode the int64 handle)
+                col.nullable = (
+                    "NOT NULL" not in spec_rest.upper()
+                    and col.name not in info.primary_key
+                )
                 dm = P.re.search(r"DEFAULT\s+('(?:[^'\\]|\\.)*'|[\w.+-]+)", spec_rest, P.re.I)
                 if dm:
                     col.default = dm.group(1)
@@ -3559,8 +3662,9 @@ class Engine:
         when ANY row group lacks min/max stats or the values are not
         JSON-round-trippable scalars (bytes, dates) — conservative:
         unusable columns never prune. A zero-row-group file (the empty
-        part CREATE TABLE writes) returns {} — a real record meaning
-        'no usable stats on any column'. Returns None when the footer
+        part CREATE TABLE writes) returns only a zero "#rows" entry —
+        a real record meaning 'no rows, no per-column stats', which
+        every probe treats as always-prunable. Returns None when the footer
         cannot be read at all (the caller must NOT record the file:
         a transient read failure would otherwise pin it unprunable
         forever)."""
@@ -3570,7 +3674,10 @@ class Engine:
             md = pq.ParquetFile(path).metadata
         except (OSError, ValueError):
             return None
-        out: dict = {}
+        # "#rows" pseudo-column (round 14): the file's row count, for
+        # the top-k file prune's cumulative bound. '#' cannot appear
+        # in a physical column name, so the key never collides.
+        out: dict = {"#rows": (md.num_rows, md.num_rows)}
         miss = Engine._STATS_MISSING
         for rg in range(md.num_row_groups):
             for ci in range(md.num_columns):
@@ -3726,10 +3833,13 @@ class Engine:
         out = {}
         for rel in rels:
             rec = files.get(rel)
-            if rec == {}:
-                # a {} record is EXACTLY a zero-row-group file (the
-                # empty part CREATE TABLE writes): no rows, so it can
-                # never hold a match — prunable for ANY value set
+            if rec is not None and (
+                rec == {} or rec.get("#rows") == (0, 0)
+            ):
+                # a {} record (pre-#rows manifests) or #rows == 0 is
+                # EXACTLY a zero-row-group file (the empty part CREATE
+                # TABLE writes): no rows, so it can never hold a match
+                # — prunable for ANY value set
                 continue
             out[rel] = (rec or {}).get(phys_col) or (None, None)
         return out
