@@ -384,3 +384,48 @@ def test_topk_sees_fresh_writes(eng):
     eng.sql("INSERT INTO tkf VALUES (-7, 0, 'neg')")
     rows = eng.sql("SELECT k FROM tkf ORDER BY k LIMIT 2").df.collect()
     assert [r.k for r in rows] == [-7, 1]
+
+
+def test_delete_doomed_scan_prunes(eng):
+    """The DELETE doomed-row pass file-prunes on the condition's
+    point/range conjuncts (kind="delete" probe rows): a point DELETE
+    scans O(overlap) files, a miss DELETE scans ZERO files, and the
+    survivors are byte-identical to an unpruned twin table driven
+    through the same statements."""
+    _ranged(eng, "dp", n_files=6)
+    eng.sql(
+        "CREATE TABLE dp2 (k INT PRIMARY KEY, v INT, s VARCHAR(16))"
+    )
+    eng.sql("INSERT INTO dp2 SELECT k, v, s FROM dp")
+
+    def dels(t):
+        out = [
+            p for p in eng.probe_log
+            if p.get("kind") == "delete" and p["table"].endswith(t)
+        ]
+        eng.probe_log.clear()
+        return out
+
+    eng.probe_log.clear()
+    r = eng.sql("DELETE FROM dp WHERE k = 250")
+    p = dels("dp")
+    assert r.rows_affected == 1
+    assert p and p[0]["files_read"] == _overlap(eng, "dp", "k", [250])
+    # twin table: defused condition scans everything, same survivors
+    r2 = eng.sql("DELETE FROM dp2 WHERE k + 0 = 250")
+    assert not dels("dp2") and r2.rows_affected == 1
+    # miss: zero files scanned, no write
+    r = eng.sql("DELETE FROM dp WHERE k = 987654")
+    p = dels("dp")
+    assert r.rows_affected == 0 and p and p[0]["files_read"] == 0
+    # range + rider
+    r = eng.sql("DELETE FROM dp WHERE k BETWEEN 100 AND 130 AND v <> 999")
+    p = dels("dp")
+    assert p and p[0]["files_read"] < p[0]["files_given"]
+    eng.sql("DELETE FROM dp2 WHERE k + 0 BETWEEN 100 AND 130 AND v <> 999")
+    a = [tuple(r) for r in
+         eng.sql("SELECT k, v, s FROM dp ORDER BY k").df.collect()]
+    b = [tuple(r) for r in
+         eng.sql("SELECT k, v, s FROM dp2 ORDER BY k").df.collect()]
+    assert a == b and len(a) == 600 - 1 - 31
+    assert eng.sql("ADMIN CHECK TABLE dp").df.collect()[0]["STATUS"] == "OK"

@@ -1096,14 +1096,22 @@ class Engine:
 
     _COW_FILE = "_cow_file#"  # scan-file attribution column (internal)
 
-    def _raw_with_file(self, db: str, t: str) -> DataFrame:
+    def _raw_with_file(self, db: str, t: str, rels=None) -> DataFrame:
         """_raw plus each row's absolute scan-file URI — evaluated at
         the parquet scan (input_file_name), so doomed-row attribution
-        to files costs nothing beyond the predicate pass itself."""
+        to files costs nothing beyond the predicate pass itself.
+        ``rels``: optional EXPLICIT file set (the DELETE doomed-scan
+        prune) — files outside it are clean by construction."""
         info = self.catalog.get_table(db, t)
-        df = self.spark.read.schema(info.physical_schema()).parquet(
-            self.catalog.data_dir(db, t)
-        )
+        data = self.catalog.data_dir(db, t)
+        if rels is None:
+            df = self.spark.read.schema(info.physical_schema()).parquet(data)
+        else:
+            df = (
+                self.spark.read.option("basePath", data)
+                .schema(info.physical_schema())
+                .parquet(*[os.path.join(data, p) for p in sorted(rels)])
+            )
         return df.select(
             df[ROWID],
             F.input_file_name().alias(self._COW_FILE),
@@ -1540,6 +1548,165 @@ class Engine:
 
     _PTGET_LIT = r"[+-]?\d+(?:\.\d+)?|'[^']*'|\"[^\"]*\""  # mask literals
 
+    def _prunable_conjuncts(self, text: str, info, names_ok) -> list:
+        """Parse a predicate TEXT (a WHERE body or a DELETE
+        condition) into file-prune specs: each depth-0 AND-conjunct
+        that matches ``col = lit`` / ``col IN (lits)`` yields
+        (col, ("vals", [..])); ``</<=/>/>=/BETWEEN`` yields
+        (col, ("iv", lo|None, hi|None)) applied INCLUSIVELY (a strict
+        bound kept inclusively is a superset — always sound).
+        Everything else is ignored (it rides inside the pruned scan).
+        The AND that closes a depth-0 BETWEEN belongs to the BETWEEN.
+        ``names_ok`` is the set of legal qualifier names (the table's
+        alias, or its bare name). Shared by the point-get SELECT path
+        and the DELETE doomed-scan prune."""
+        mask = P._quote_mask(text)
+        low = mask.lower()
+
+        def depth_at(pos: int) -> int:
+            seg = mask[:pos]
+            return seg.count("(") - seg.count(")")
+
+        conjs, cur, pending_between = [], 0, 0
+        for am in P.re.finditer(r"\b(between|and)\b", low):
+            if depth_at(am.start()) != 0:
+                continue
+            if am.group(1) == "between":
+                pending_between += 1
+            elif pending_between:
+                pending_between -= 1
+            else:
+                conjs.append((cur, am.start()))
+                cur = am.end()
+        conjs.append((cur, len(text)))
+        cols = {c.name.lower(): c for c in info.columns}
+        _ID = r"(?:`\w+`|[A-Za-z_]\w*)(?:\.(?:`\w+`|[A-Za-z_]\w*))?"
+        _LIT = self._PTGET_LIT
+        eq_re = P.re.compile(
+            rf"({_ID})\s*=\s*({_LIT})$|"
+            rf"({_LIT})\s*=\s*({_ID})$|"
+            rf"({_ID})\s+in\s*\(([^()]*)\)$",
+            P.re.I,
+        )
+        rng_re = P.re.compile(
+            rf"({_ID})\s*(<=|>=|<|>)\s*({_LIT})$|"
+            rf"({_LIT})\s*(<=|>=|<|>)\s*({_ID})$|"
+            rf"({_ID})\s+between\s+({_LIT})\s+and\s+({_LIT})$",
+            P.re.I,
+        )
+
+        def lit_val(span_lo: int, span_hi: int, col):
+            """Typed literal value, or None when kind/type mismatch."""
+            raw = text[span_lo:span_hi]
+            st = col.spark_type().simpleString()
+            if raw[0] in "'\"":
+                inner = raw[1:-1]
+                if "\\" in inner or raw[0] * 2 in raw[1:-1] or not (
+                    st == "string" or st.startswith(("varchar", "char"))
+                ):
+                    return None  # escapes, or not a string column
+                return inner
+            if st in ("tinyint", "smallint", "int", "bigint"):
+                if "." in raw or "e" in raw.lower():
+                    return None  # fractional literal on an int column
+                return int(raw)
+            if st in ("double", "float"):
+                return float(raw)
+            return None  # numeric literal on a non-numeric column
+
+        def strip_parens(lo: int, hi: int) -> tuple[int, int]:
+            """Trim whitespace and BALANCED outer paren pairs, by
+            index into the mask (positions stay valid into text)."""
+            while True:
+                while lo < hi and mask[lo].isspace():
+                    lo += 1
+                while hi > lo and mask[hi - 1].isspace():
+                    hi -= 1
+                if lo >= hi or mask[lo] != "(" or mask[hi - 1] != ")":
+                    return lo, hi
+                d = 0
+                for i in range(lo, hi):
+                    d += (mask[i] == "(") - (mask[i] == ")")
+                    if d == 0 and i < hi - 1:
+                        return lo, hi  # '(a) = (b)' shape: not outer
+                lo, hi = lo + 1, hi - 1
+
+        def resolve_col(ident: str):
+            parts = [P.unquote_ident(p) for p in ident.split(".")]
+            if len(parts) == 2 and parts[0].lower() not in names_ok:
+                return None  # qualified with something else
+            col = cols.get(parts[-1].lower())
+            if col is None or (
+                col.initial_default is not None and col.initial_default_below
+            ):
+                # initial-default columns: physical NULLs read as the
+                # logical default — min/max pruning would drop them
+                return None
+            return col
+
+        conj_cols: list = []
+        for lo, hi in conjs:
+            lo, hi = strip_parens(lo, hi)
+            s, off = mask[lo:hi], lo
+            em = eq_re.fullmatch(s)
+            if em is not None:
+                if em.group(1) or em.group(4):
+                    ident = em.group(1) or em.group(4)
+                    lits_rel = [em.span(2) if em.group(2) else em.span(3)]
+                else:
+                    ident = em.group(5)
+                    lits_rel = [
+                        (em.start(6) + lm.start(), em.start(6) + lm.end())
+                        for lm in P.re.finditer(self._PTGET_LIT, em.group(6))
+                    ]
+                    # the IN list must be ONLY literals and commas
+                    rest = P.re.sub(self._PTGET_LIT, "", em.group(6))
+                    if P.re.sub(r"[\s,]", "", rest) or not lits_rel:
+                        continue
+                col = resolve_col(ident)
+                if col is None:
+                    continue
+                vals = []
+                for rlo, rhi in lits_rel:
+                    v = lit_val(off + rlo, off + rhi, col)
+                    if v is None:
+                        vals = None
+                        break
+                    vals.append(v)
+                if not vals or len(vals) > self._PROBE_LITERAL_MAX:
+                    continue
+                conj_cols.append((col, ("vals", vals)))
+                continue
+            rm = rng_re.fullmatch(s)
+            if rm is None:
+                continue
+            if rm.group(7):  # BETWEEN lo AND hi
+                col = resolve_col(rm.group(7))
+                if col is None:
+                    continue
+                b_lo = lit_val(off + rm.start(8), off + rm.end(8), col)
+                b_hi = lit_val(off + rm.start(9), off + rm.end(9), col)
+                if b_lo is None or b_hi is None:
+                    continue
+                conj_cols.append((col, ("iv", b_lo, b_hi)))
+                continue
+            if rm.group(1):  # col OP lit
+                ident, op, lit_span = rm.group(1), rm.group(2), rm.span(3)
+            else:  # lit OP col — flip the operator around the column
+                ident, lit_span = rm.group(6), rm.span(4)
+                op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}[rm.group(5)]
+            col = resolve_col(ident)
+            if col is None:
+                continue
+            v = lit_val(off + lit_span[0], off + lit_span[1], col)
+            if v is None:
+                continue
+            if op in ("<", "<="):
+                conj_cols.append((col, ("iv", None, v)))
+            else:
+                conj_cols.append((col, ("iv", v, None)))
+        return conj_cols
+
     def _pointget_prune(self, stmt: str) -> tuple[str, str] | None:
         """Manifest-backed point-get on the READ path (reference:
         planner/core/physical_plans.go:319 IsPointGetByUniqueKey +
@@ -1668,82 +1835,17 @@ class Engine:
         if alias:
             names_ok = {P.unquote_ident(alias).lower()}
         cols = {c.name.lower(): c for c in info.columns}
-        conjs: list[tuple[int, int]] = []
+        conj_cols: list[tuple[object, tuple]] = []
         if where_mode:
             w_start = stops[0].end()
             w_end = stops[1].start() if len(stops) > 1 else len(stmt)
-            # split the WHERE segment into depth-0 conjuncts — an AND
-            # that closes a pending depth-0 BETWEEN belongs to the
-            # BETWEEN, not the conjunction
-            cur, pending_between = w_start, 0
-            for am in P.re.finditer(r"\b(between|and)\b", low):
-                if (
-                    not (w_start <= am.start() < w_end)
-                    or depth_at(am.start()) != 0
-                ):
-                    continue
-                if am.group(1) == "between":
-                    pending_between += 1
-                elif pending_between:
-                    pending_between -= 1
-                else:
-                    conjs.append((cur, am.start()))
-                    cur = am.end()
-            conjs.append((cur, w_end))
-        _ID = r"(?:`\w+`|[A-Za-z_]\w*)(?:\.(?:`\w+`|[A-Za-z_]\w*))?"
-        _LIT = self._PTGET_LIT
-        eq_re = P.re.compile(
-            rf"({_ID})\s*=\s*({_LIT})$|"
-            rf"({_LIT})\s*=\s*({_ID})$|"
-            rf"({_ID})\s+in\s*\(([^()]*)\)$",
-            P.re.I,
-        )
-        rng_re = P.re.compile(
-            rf"({_ID})\s*(<=|>=|<|>)\s*({_LIT})$|"
-            rf"({_LIT})\s*(<=|>=|<|>)\s*({_ID})$|"
-            rf"({_ID})\s+between\s+({_LIT})\s+and\s+({_LIT})$",
-            P.re.I,
-        )
-
-        def lit_val(span_lo: int, span_hi: int, col) -> object | None:
-            """Typed literal value, or None when kind/type mismatch."""
-            raw = stmt[span_lo:span_hi]
-            st = col.spark_type().simpleString()
-            if raw[0] in "'\"":
-                inner = raw[1:-1]
-                if "\\" in inner or raw[0] * 2 in raw[1:-1] or not (
-                    st == "string" or st.startswith(("varchar", "char"))
-                ):
-                    return None  # escapes, or not a string column
-                return inner
-            if st in ("tinyint", "smallint", "int", "bigint"):
-                if "." in raw or "e" in raw.lower():
-                    return None  # fractional literal on an int column
-                return int(raw)
-            if st in ("double", "float"):
-                return float(raw)
-            return None  # numeric literal on a non-numeric column
-
-        def strip_parens(lo: int, hi: int) -> tuple[int, int]:
-            """Trim whitespace and BALANCED outer paren pairs, by
-            index into the mask (positions stay valid into stmt)."""
-            while True:
-                while lo < hi and mask[lo].isspace():
-                    lo += 1
-                while hi > lo and mask[hi - 1].isspace():
-                    hi -= 1
-                if lo >= hi or mask[lo] != "(" or mask[hi - 1] != ")":
-                    return lo, hi
-                d = 0
-                for i in range(lo, hi):
-                    d += (mask[i] == "(") - (mask[i] == ")")
-                    if d == 0 and i < hi - 1:
-                        return lo, hi  # '(a) = (b)' shape: not outer
-                lo, hi = lo + 1, hi - 1
-
+            conj_cols = self._prunable_conjuncts(
+                stmt[w_start:w_end], info, names_ok
+            )
         def resolve_col(ident: str):
             """ColumnInfo for a (possibly alias-qualified) reference,
-            or None when it cannot prune."""
+            or None when it cannot prune (same rules as the conjunct
+            helper's internal resolver)."""
             parts = [P.unquote_ident(p) for p in ident.split(".")]
             if len(parts) == 2 and parts[0].lower() not in names_ok:
                 return None  # qualified with something else
@@ -1754,72 +1856,6 @@ class Engine:
                 return None
             return col
 
-        # each prunable conjunct: (col, ("vals", [v..])) for =/IN, or
-        # (col, ("iv", lo|None, hi|None)) for </<=/>/>=/BETWEEN —
-        # interval bounds are applied INCLUSIVELY against file
-        # [min,max] (a strict bound kept inclusively is a superset:
-        # always sound)
-        conj_cols: list[tuple[object, tuple]] = []
-        for lo, hi in conjs:
-            lo, hi = strip_parens(lo, hi)
-            s, off = mask[lo:hi], lo
-            em = eq_re.fullmatch(s)
-            if em is not None:
-                if em.group(1) or em.group(4):
-                    ident = em.group(1) or em.group(4)
-                    lits_rel = [em.span(2) if em.group(2) else em.span(3)]
-                else:
-                    ident = em.group(5)
-                    lits_rel = [
-                        (em.start(6) + lm.start(), em.start(6) + lm.end())
-                        for lm in P.re.finditer(self._PTGET_LIT, em.group(6))
-                    ]
-                    # the IN list must be ONLY literals and commas
-                    rest = P.re.sub(self._PTGET_LIT, "", em.group(6))
-                    if P.re.sub(r"[\s,]", "", rest) or not lits_rel:
-                        continue
-                col = resolve_col(ident)
-                if col is None:
-                    continue
-                vals = []
-                for rlo, rhi in lits_rel:
-                    v = lit_val(off + rlo, off + rhi, col)
-                    if v is None:
-                        vals = None
-                        break
-                    vals.append(v)
-                if not vals or len(vals) > self._PROBE_LITERAL_MAX:
-                    continue
-                conj_cols.append((col, ("vals", vals)))
-                continue
-            rm = rng_re.fullmatch(s)
-            if rm is None:
-                continue
-            if rm.group(7):  # BETWEEN lo AND hi
-                col = resolve_col(rm.group(7))
-                if col is None:
-                    continue
-                b_lo = lit_val(off + rm.start(8), off + rm.end(8), col)
-                b_hi = lit_val(off + rm.start(9), off + rm.end(9), col)
-                if b_lo is None or b_hi is None:
-                    continue
-                conj_cols.append((col, ("iv", b_lo, b_hi)))
-                continue
-            if rm.group(1):  # col OP lit
-                ident, op, lit_span = rm.group(1), rm.group(2), rm.span(3)
-            else:  # lit OP col — flip the operator around the column
-                ident, lit_span = rm.group(6), rm.span(4)
-                op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}[rm.group(5)]
-            col = resolve_col(ident)
-            if col is None:
-                continue
-            v = lit_val(off + lit_span[0], off + lit_span[1], col)
-            if v is None:
-                continue
-            if op in ("<", "<="):
-                conj_cols.append((col, ("iv", None, v)))
-            else:
-                conj_cols.append((col, ("iv", v, None)))
         if not conj_cols and topk is None:
             return None
         rels = sorted(self._list_data_files(db, t))
@@ -4629,9 +4665,23 @@ class Engine:
     ) -> tuple[DataFrame, int, frozenset]:
         """One doomed-row predicate pass with file attribution,
         materialized (see _cow_attribute). WHERE TRUE deletes; FALSE
-        and NULL keep the row (3VL)."""
+        and NULL keep the row (3VL). The scan is file-pruned by the
+        condition's point/range conjuncts when the manifest supports
+        it (the point-get discipline applied to the write family):
+        files whose stats cannot overlap the conjuncts hold no doomed
+        rows, so they are clean by construction and skip both the
+        scan AND the COW attribution."""
+        pruned = None
+        try:
+            pruned = self._cond_prune_rels(db, t, cond)
+        except Exception:
+            pruned = None  # pruning is an optimization, never a failure
+        if pruned is not None and not pruned:
+            # zero files can hold a matching row: nothing to delete,
+            # no scan at all (callers never touch pairs when n_del==0)
+            return None, 0, frozenset()
         view = f"__del_{t}_{uuid.uuid4().hex[:6]}"
-        self._raw_with_file(db, t).createOrReplaceTempView(view)
+        self._raw_with_file(db, t, rels=pruned).createOrReplaceTempView(view)
         try:
             q = f"SELECT {ROWID}, `{self._COW_FILE}` FROM {view}"
             if cond:
@@ -4643,6 +4693,46 @@ class Engine:
             return self._cow_attribute(db, t, self.spark.sql(q))
         finally:
             self.spark.catalog.dropTempView(view)
+
+    def _cond_prune_rels(self, db: str, t: str, cond) -> list | None:
+        """File prune for a DELETE condition: the committed files
+        whose manifest min/max overlaps the condition's point/range
+        conjuncts (``None`` = cannot prune, scan everything). Files
+        outside the returned set cannot contain a matching row —
+        sound for the doomed-scan because pruning only ever keeps a
+        SUPERSET of the files holding matches."""
+        if not cond:
+            return None
+        info = self.catalog.get_table(db, t)
+        specs = self._prunable_conjuncts(cond, info, {t.lower()})
+        if not specs:
+            return None
+        rels = sorted(self._list_data_files(db, t))
+        if len(rels) <= 1:
+            return None
+        pruned = rels
+        for col, spec in specs:
+            ranges = self._footer_ranges(db, t, col.file_name, pruned)
+            if spec[0] == "vals":
+                pruned = self._rels_overlapping(ranges, spec[1])
+            else:
+                pruned = self._rels_overlapping_interval(
+                    ranges, spec[1], spec[2]
+                )
+            if not pruned:
+                break
+        self.probe_log.append(
+            {
+                "table": f"{db}.{t}",
+                "key": tuple(c.name for c, _ in specs),
+                "files_given": len(rels),
+                "files_read": len(pruned),
+                "literal": True,
+                "kind": "delete",
+            }
+        )
+        del self.probe_log[:-256]
+        return pruned if len(pruned) < len(rels) else None
 
     def _cow_assemble(
         self, db: str, t: str, pairs: DataFrame, dirty: frozenset
