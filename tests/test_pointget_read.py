@@ -429,3 +429,29 @@ def test_delete_doomed_scan_prunes(eng):
          eng.sql("SELECT k, v, s FROM dp2 ORDER BY k").df.collect()]
     assert a == b and len(a) == 600 - 1 - 31
     assert eng.sql("ADMIN CHECK TABLE dp").df.collect()[0]["STATUS"] == "OK"
+
+
+def test_explain_renders_point_get_header(eng):
+    """EXPLAIN on a qualifying SELECT leads with a Point_Get /
+    TopN_FileSkip header reporting the file prune the execution would
+    take (reference: a qualifying plan renders as Point_Get_N,
+    executor/explain.go) — with zero side effects: no probe_log rows,
+    no temp views."""
+    _ranged(eng, "eh", n_files=4)
+    eng.probe_log.clear()
+    txt = eng.sql("EXPLAIN SELECT k FROM eh WHERE k = 250").df.collect()[0][0]
+    assert txt.splitlines()[0].startswith("Point_Get (key: k, files: ")
+    assert "== Physical Plan ==" in txt  # the Spark plan follows
+    txt = eng.sql(
+        "EXPLAIN SELECT k FROM eh ORDER BY k DESC LIMIT 3"
+    ).df.collect()[0][0]
+    assert txt.splitlines()[0].startswith("TopN_FileSkip (key: k, files: ")
+    # non-qualifying statements keep the plain plan
+    txt = eng.sql("EXPLAIN SELECT k FROM eh WHERE v + 0 = 1").df.collect()[0][0]
+    assert txt.splitlines()[0].startswith("== ")
+    assert not [p for p in eng.probe_log if p.get("kind")]
+    leaked = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith("__ptget")
+    ]
+    assert not leaked

@@ -1707,7 +1707,7 @@ class Engine:
                 conj_cols.append((col, ("iv", v, None)))
         return conj_cols
 
-    def _pointget_prune(self, stmt: str) -> tuple[str, str] | None:
+    def _pointget_prune(self, stmt: str, dry: bool = False):
         """Manifest-backed point-get on the READ path (reference:
         planner/core/physical_plans.go:319 IsPointGetByUniqueKey +
         util/ranger/points.go BuildFromPatternLike — an equality/IN
@@ -1727,7 +1727,10 @@ class Engine:
         until their row counts cover the LIMIT bound the k-th value
         (the file-level analog of the reference pushing TopN into the
         coprocessor, SURVEY §2.2). Returns (spliced statement, temp
-        view name), or None to run the normal path.
+        view name), or None to run the normal path. With ``dry=True``
+        (the EXPLAIN surface) no view is created and nothing is
+        logged — returns (key cols, files_given, files_read, kind)
+        for the Point_Get plan header, even when nothing pruned.
 
         Sound-by-construction gates — anything uncertain skips:
         - never inside a transaction (the overlay view carries the
@@ -1918,6 +1921,13 @@ class Engine:
             else:
                 pruned = [rel for mn, mx, _r, rel in cand if mn <= cut]
             key_cols = (col.name,)
+        if dry:
+            return (
+                key_cols,
+                len(rels),
+                len(pruned),
+                "point" if conj_cols else "topk",
+            )
         self.probe_log.append(
             {
                 "table": f"{db}.{t}",
@@ -2081,7 +2091,25 @@ class Engine:
             return self._explain_write(body, mode)
         if kind == "delete":
             return self._explain_delete(body, mode)
-        return Result(df=self.spark.sql(f"EXPLAIN {mode} {self._rewrite(body)}"))
+        df = self.spark.sql(f"EXPLAIN {mode} {self._rewrite(body)}")
+        # point-get surface (reference: a qualifying plan renders as
+        # Point_Get_N in explain.go — here the header reports the
+        # manifest file prune the execution would take, 'files n/m'
+        # making a layout that no longer prunes visible at a glance)
+        try:
+            pg = self._pointget_prune(body, dry=True)
+        except Exception:
+            pg = None
+        if pg is not None:
+            key_cols, given, read, pkind = pg
+            hdr = (
+                f"Point_Get (key: {', '.join(key_cols)}, "
+                if pkind == "point"
+                else f"TopN_FileSkip (key: {key_cols[0]}, "
+            ) + f"files: {read}/{given})"
+            txt = "\n".join(str(r[0]) for r in df.collect())
+            df = self.spark.createDataFrame([(hdr + "\n" + txt,)], df.schema)
+        return Result(df=df)
 
     def _explain_analyze(self, body: str) -> Result:
         """EXPLAIN ANALYZE <select>: execute the plan and render one
