@@ -149,17 +149,45 @@ def test_or_and_unmatched_conjuncts_never_misprune(eng):
     assert sorted(r.k for r in rows) == [251, 252]
 
 
-def test_no_prune_in_txn_read_your_writes(eng):
+def test_txn_prune_rebuilds_the_overlay(eng):
+    """In a transaction the prune rebuilds the UnionScan overlay over
+    the pruned committed branch: buffered adds stay visible, buffered
+    deletes stay invisible (read-your-writes), and ROLLBACK erases
+    both — while the committed branch still reads O(overlap) files.
+    Top-k refuses buffered tables (deleted rows would break the
+    cumulative row-count bound)."""
     _ranged(eng, "pt", n_files=4)
     eng.sql("BEGIN")
     eng.sql("INSERT INTO pt VALUES (9999, 1, 'x')")
+    eng.sql("DELETE FROM pt WHERE k = 250")
     eng.probe_log.clear()
     rows = eng.sql("SELECT k FROM pt WHERE k = 9999").df.collect()
-    assert [r.k for r in rows] == [9999]  # overlay visible
-    assert not _reads(eng, "pt")  # pruning never bypasses the overlay
+    assert [r.k for r in rows] == [9999]  # buffered add visible
+    reads = _reads(eng, "pt")
+    assert reads and reads[0]["files_read"] < reads[0]["files_given"]
+    eng.probe_log.clear()
+    assert eng.sql("SELECT k FROM pt WHERE k = 250").df.collect() == []
+    assert _reads(eng, "pt")  # pruned AND the buffered delete held
+    # the committed row k=17 still reads through the pruned overlay
+    assert [
+        r.k for r in eng.sql("SELECT k FROM pt WHERE k = 17").df.collect()
+    ] == [17]
+    # top-k refuses the buffered table
+    eng.probe_log.clear()
+    eng.sql("SELECT k FROM pt ORDER BY k LIMIT 2").df.collect()
+    assert not _reads(eng, "pt")
     eng.sql("ROLLBACK")
     rows = eng.sql("SELECT k FROM pt WHERE k = 9999").df.collect()
     assert rows == []
+    assert [
+        r.k for r in eng.sql("SELECT k FROM pt WHERE k = 250").df.collect()
+    ] == [250]
+    # un-buffered tables in a txn still prune top-k
+    eng.sql("BEGIN")
+    eng.probe_log.clear()
+    rows = eng.sql("SELECT k FROM pt ORDER BY k LIMIT 2").df.collect()
+    assert [r.k for r in rows] == [1, 2] and _reads(eng, "pt")
+    eng.sql("ROLLBACK")
 
 
 def test_initial_default_column_never_prunes(eng):

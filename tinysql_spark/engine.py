@@ -1733,8 +1733,11 @@ class Engine:
         for the Point_Get plan header, even when nothing pruned.
 
         Sound-by-construction gates — anything uncertain skips:
-        - never inside a transaction (the overlay view carries the
-          txn's buffered rows; a file-set read would bypass them);
+        - inside a transaction the pruned committed branch rebuilds
+          the UnionScan overlay (mem_reader.go: pruned files ∪
+          buffered adds − buffered deletes) so read-your-writes
+          holds; top-k refuses any buffered table (buffered deletes
+          would invalidate the cumulative row-count bound);
         - flat single SELECT, single base table, no JOIN/set ops;
         - only conjuncts at paren depth 0 of WHERE prune (an OR-ed
           or nested predicate never matches the conjunct shape);
@@ -1747,8 +1750,6 @@ class Engine:
           so physical min/max would wrongly exclude them);
         - files without usable stats are always kept (the manifest is
           a pruning hint, never a correctness input)."""
-        if self.txn is not None:
-            return None
         mask = P._quote_mask(stmt)
         low = mask.lower()
         if len(P.re.findall(r"\bselect\b", low)) != 1:
@@ -1893,6 +1894,10 @@ class Engine:
                 or col.name not in info.primary_key
                 or col.nullable
                 or need <= 0
+                or (
+                    self.txn is not None
+                    and self.txn.tables.get((db, t)) is not None
+                )  # buffered deletes would break the row-count bound
             ):
                 return None
             ranges = self._footer_ranges(db, t, col.file_name, rels)
@@ -1942,11 +1947,21 @@ class Engine:
         if len(pruned) >= len(rels):
             return None  # nothing pruned: the normal scan is identical
         if pruned:
-            df = self._read_files(db, t, pruned).select(
-                *[F.col(c.name) for c in info.columns]
-            )
+            df = self._read_files(db, t, pruned)  # rowid kept: overlay
         else:
-            df = self.spark.createDataFrame([], info.user_schema())
+            df = self.spark.createDataFrame([], info.full_schema())
+        buf = self.txn.tables.get((db, t)) if self.txn is not None else None
+        if buf is not None:
+            # rebuild the UnionScan overlay over the PRUNED committed
+            # branch (mem_reader.go): buffered adds union in whole
+            # (small by construction), buffered deletes anti-join out
+            # — read-your-writes holds under the prune
+            if buf.has_adds:
+                df = df.unionByName(self._read_physical(buf.add_dir, info))
+            if buf.has_dels:
+                dels = self.spark.read.parquet(buf.del_dir).select(ROWID)
+                df = df.join(F.broadcast(dels), ROWID, "left_anti")
+        df = df.select(*[F.col(c.name) for c in info.columns])
         view = f"__ptget_{uuid.uuid4().hex[:8]}"
         df.createOrReplaceTempView(view)
         al = alias if alias else f"`{t}`"
