@@ -21,7 +21,60 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import register
-from .text import fingerprint, lang_pred, tokens
+from .text import fingerprint, lang_pred, py_tokens, tokens
+
+
+def _py_gram8(t: str | None) -> list[str]:
+    """Distinct 8-token grams of a doc (py_tokens' faithful token
+    stream); docs under 8 tokens contribute none — the Python twin of
+    the p04/p18 JVM filter + sequence/slice/join construction."""
+    ws = py_tokens(t)
+    n = len(ws)
+    if n < 8:
+        return []
+    return list({" ".join(ws[i : i + 8]) for i in range(n - 7)})
+
+
+def _gram8_hash_batch(texts):
+    """text -> array<int64> of distinct 8-gram hashes in one Arrow
+    batch (pandas hash_array — C-vectorized siphash, fixed key). The
+    d09 _shingle_hash_batch discipline applied to p04: the old
+    transform(sequence, slice+array_join+xxhash64) Column pipeline is
+    interpreted per element (the t09 lesson) and measured ~2.5 s per
+    pass at sf0.1 vs ~0.5 s for this stage. The hash is only a join
+    key — the oracle joins on the gram STRINGS."""
+    import numpy as np
+    import pandas as pd
+
+    grams = [_py_gram8(t) for t in texts]
+    flat = np.asarray([g for gs in grams for g in gs], dtype=object)
+    if len(flat) == 0:
+        return pd.Series([[] for _ in grams])
+    # ONE hash_array call over the whole batch (per-doc calls pay a
+    # ~0.2 ms setup each — measured 1.46 s vs 0.5 s at sf0.1)
+    h = pd.util.hash_array(flat).astype("int64")
+    out, pos = [], 0
+    for gs in grams:
+        out.append(h[pos : pos + len(gs)])
+        pos += len(gs)
+    return pd.Series(out)
+
+
+def _gram8_md5_batch(texts):
+    """text -> array<string> of md5 digests of the distinct 8-grams —
+    p18's collision-safe key (a 64-bit join-key collision would
+    inflate n_shared and silently diverge from the oracle's gram-text
+    join, the committed p18 decision), computed in the Arrow batch
+    instead of the interpreted HOF pipeline."""
+    import hashlib
+    import pandas as pd
+
+    return pd.Series(
+        [
+            [hashlib.md5(g.encode()).hexdigest() for g in _py_gram8(t)]
+            for t in texts
+        ]
+    )
 
 
 @register(
@@ -234,16 +287,25 @@ def p03_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all grams) an unconditional broadcast would OOM executors.",
 )
 def p04_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from .dedup import _keyed_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    ws = tokens(F.col("text"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - F.lit(7)),
-        lambda i: F.xxhash64(F.array_join(F.slice(ws, i, 8), " ")),
+    # Round-14 (guide §1.2/§4.2): the gram construction moves from the
+    # interpreted HOF pipeline (transform/sequence/slice/array_join/
+    # xxhash64 — ~2.5 s per pass at sf0.1, and it ran once per join
+    # side) into one Arrow batch stage (~0.5 s), persisted PRE-explode
+    # so both join sides split one cached (doc_id, gram-array) frame —
+    # corpus-linear cache, the d09.sh discipline. Under-8-token docs
+    # yield empty arrays, which explode() drops (the old >= 8 filter).
+    g_udf = F.pandas_udf(
+        _gram8_hash_batch, T.ArrayType(T.LongType())
+    ).asNondeterministic()
+    ga = _keyed_persist(
+        "p04.ga", docs.select("doc_id", g_udf(F.col("text")).alias("ga"))
     )
-    g = (
-        docs.filter(F.size(ws) >= 8)
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gh"))
-    )
+    g = ga.select("doc_id", F.explode("ga").alias("gh"))
     ev = g.filter(F.col("doc_id") % 19 == 0).select(
         F.col("doc_id").alias("eval_id"), "gh"
     )
@@ -1364,20 +1426,25 @@ def p17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "this flag).",
 )
 def p18_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from .dedup import _keyed_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    ws = tokens(F.col("text"))
-    # md5 of the gram text, not xxhash64: an engine-specific 64-bit
-    # hash collision between distinct grams would inflate n_shared
-    # and silently diverge from the oracle's gram-text join (the d10/
-    # d13/d15 digest discipline; p17's docstring names the same risk).
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - F.lit(7)),
-        lambda i: F.md5(F.array_join(F.slice(ws, i, 8), " ")),
+    # md5 of the gram text, not a 64-bit hash: an engine-specific
+    # 64-bit join-key collision between distinct grams would inflate
+    # n_shared and silently diverge from the oracle's gram-text join
+    # (the d10/d13/d15 digest discipline; p17's docstring names the
+    # same risk). Round-14: the digests come out of one Arrow batch
+    # stage persisted PRE-explode (p04's discipline — the interpreted
+    # HOF construction ran ~2.5 s per pass and once per join side).
+    g_udf = F.pandas_udf(
+        _gram8_md5_batch, T.ArrayType(T.StringType())
+    ).asNondeterministic()
+    ga = _keyed_persist(
+        "p18.ga", docs.select("doc_id", g_udf(F.col("text")).alias("ga"))
     )
-    g = (
-        docs.filter(F.size(ws) >= 8)
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gh"))
-    )
+    g = ga.select("doc_id", F.explode("ga").alias("gh"))
     ev = g.filter(F.col("doc_id") % 19 == 0).select(
         F.col("doc_id").alias("eval_id"), "gh"
     )

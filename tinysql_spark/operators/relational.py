@@ -2304,52 +2304,26 @@ GROUP BY c, batch
 """
 
 
-@register(
-    "q68_order_batch_packing",
-    late=True,
-    oracle=_Q68_SQL.format(numbered=_Q68_NUMBERED.format(orders="orders")),
-    doc="RECURSIVE CTE (WITH RECURSIVE, Spark 4's recursive-CTE "
-    "support — the capability TinySQL's parser lacks entirely and "
-    "Spark gained natively): split each customer's order history, in "
-    "date order, into consecutive batches whose cumulative value "
-    f"stays <= {_Q68_CAP} — a running sum that RESETS at the "
-    "threshold. The reset makes the state genuinely iterative: no "
-    "window frame expresses it (each row's batch depends on the "
-    "post-reset accumulator of the previous row), which is exactly "
-    "the shape recursion exists for — the same per-group sequential "
-    "dependence p05's packing solves with applyInPandas, here kept "
-    "entirely relational. Recursion is ACYCLIC and bounded by "
-    "max-orders-per-customer (25 at bench sf, << Spark's depth limit "
-    "of 100); each recursion level is one hash join on (c, rn) — at "
-    "100 TB the per-level work is a co-partitioned self-join, linear "
-    "in rows, not a graph blowup. Spark supports UNION ALL recursion "
-    "only (the UNION-dedup form raises UNION_NOT_SUPPORTED_IN_"
-    "RECURSIVE_CTE), so the rn-chain join keeps each level "
-    "duplicate-free by construction. Accumulator arithmetic runs in "
-    "recursion order — the SAME addition order on both engines — so "
-    "the double accumulator and the > threshold compare are "
-    "bit-identical; only the final batch sum is rounded.",
-)
-def q68_order_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q68_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recursive-CTE formulation (WITH RECURSIVE via Spark 4's
+    native UnionLoop), kept in-tree as the A/B twin of the default
+    single-exchange kernel below (the d20 HOF/Arrow-twin precedent:
+    identity pinned by test, selectable via SPARK_GRAFT_Q68_RECURSIVE).
+    Each recursion level is one hash join on (c, rn); the numbered
+    sequence is persisted once so the ~25 levels re-read the cache
+    instead of re-scanning orders (measured 11.6 -> ~6 s at sf0.1)."""
     from .dedup import _keyed_persist
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_q68_orders")
-    # materialize the numbered sequence ONCE: the recursion references
-    # `o` at every level, and without the cache each of the ~25 levels
-    # re-scans orders and re-runs the row_number shuffle (measured
-    # 11.6 -> ~4 s at sf0.1)
     numbered = _keyed_persist(
         f"q68.numbered.{sf_dir}",
         spark.sql(_Q68_NUMBERED.format(orders="v_q68_orders")),
     )
     numbered.createOrReplaceTempView("v_q68_numbered")
     # depth guard (VERDICT r6 item 4-minor): recursion depth = the
-    # largest order count of any single customer. TPC-H-style growth
-    # keeps it ~constant (~25 — more customers, not deeper histories),
-    # but a pathological group would hit Spark's recursion level limit
-    # with a generic error mid-query; pre-check against the session
-    # limit and fail with the designed message instead. The 1-row agg
-    # rides the persisted frame (and warms it for the recursion).
+    # largest order count of any single customer; pre-check against
+    # the session limit and fail with the designed message instead of
+    # Spark's generic recursion error.
     limit = int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100"))
     max_depth = numbered.agg(F.max("rn")).collect()[0][0] or 0
     if max_depth >= limit:
@@ -2361,11 +2335,87 @@ def q68_order_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "formulation — the same per-group sequential reset without "
             "bounded recursion."
         )
-    # remaining cost is per-level scheduling (~25 sequential joins),
-    # not shuffle width — an 8-partition A/B measured flat (6.3 vs
-    # 6.1 s), so no conf fiddling; the iterative-class fixed cost
-    # amortizes at scale like d07's
     return spark.sql(_Q68_SQL.format(numbered="SELECT * FROM v_q68_numbered"))
+
+
+@register(
+    "q68_order_batch_packing",
+    late=True,
+    oracle=_Q68_SQL.format(numbered=_Q68_NUMBERED.format(orders="orders")),
+    doc="Per-customer order-batch packing: split each customer's "
+    "order history, in date order, into consecutive batches whose "
+    f"cumulative value stays <= {_Q68_CAP} — a running sum that "
+    "RESETS at the threshold, so no window frame expresses it (each "
+    "row's batch depends on the post-reset accumulator of the "
+    "previous row). Round-14 optimization (guide §1.2 — fix the "
+    "distributed algorithm first): the recursive-CTE execution ran "
+    "one hash join PER LEVEL (~25 sequential shuffle jobs of the "
+    "full orders relation, the iterative-class fixed cost), but the "
+    "sequential dependence is PER CUSTOMER, so one exchange on "
+    "o_custkey + an in-partition sort + a single Arrow pass that "
+    "carries the accumulator down each customer's run computes the "
+    "identical assignment — at 100 TB that is 1 shuffle of orders "
+    "instead of depth-many. Accumulator arithmetic runs in the same "
+    "per-customer date order with the same double adds/compares as "
+    "the recursion (and as the oracle's WITH RECURSIVE), so batch "
+    "boundaries are bit-identical; only the final batch sum is "
+    "rounded, and that aggregation stays in Spark (map-side partial "
+    "agg on the (c, batch) keys). The recursive-CTE twin "
+    "(_q68_recursive — Spark 4's native UnionLoop, the capability "
+    "TinySQL's parser lacks) stays in-tree behind "
+    "SPARK_GRAFT_Q68_RECURSIVE with a result-identity test pin, the "
+    "d20 twin discipline.",
+)
+def q68_order_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if os.environ.get("SPARK_GRAFT_Q68_RECURSIVE"):
+        return _q68_recursive(spark, sf_dir)
+    import numpy as np
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderdate").alias("dt"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+    )
+
+    def pack(batches):
+        # accumulator state carries across Arrow batches WITHIN a
+        # partition: rows arrive sorted by (c, dt, k), so a customer
+        # split across batch boundaries continues its run
+        cur_c, acc, b = None, 0.0, 0
+        for pdf in batches:
+            cs = pdf["c"].to_numpy()
+            ps = pdf["p"].to_numpy()
+            out = np.empty(len(cs), dtype=np.int32)
+            for i in range(len(cs)):
+                x = float(ps[i])
+                if cs[i] != cur_c:
+                    cur_c, acc, b = cs[i], x, 1
+                else:
+                    t = acc + x
+                    if t > _Q68_CAP:
+                        b += 1
+                        acc = x
+                    else:
+                        acc = t
+                out[i] = b
+            yield pd.DataFrame({"c": cs, "batch": out, "p": ps})
+
+    packed = (
+        orders.repartition("c")
+        .sortWithinPartitions("c", "dt", "k")
+        # explicit projection into the Arrow stage (guide §4.1): the
+        # pass reads only (c, p); dt/k exist only to order the sort
+        .select("c", "p")
+        .mapInPandas(pack, "c long, batch int, p double")
+    )
+    return packed.groupBy(
+        F.col("c").alias("o_custkey"), F.col("batch")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("p"), 2).alias("batch_value"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -870,9 +870,10 @@ _ST11_BUCKETS = 64
     "horizon; the finite replay needs neither.",
 )
 def st11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
     from ..sources.tables import load_table
     from ..streaming.pipeline import shingle_first_owner
-    from .dedup import shingles
 
     src = _stage_documents_split(sf_dir)
     schema = spark.read.parquet(src).schema
@@ -881,11 +882,40 @@ def st11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         .options(**stream_trigger_options())
         .parquet(src)
     )
-    blk = (
-        stream.select(
-            "doc_id", F.explode(shingles(F.col("text"), _ST11_W)).alias("sh")
+
+    # Round-14 (guide §4.2, the p04/d09 discipline applied to the
+    # stream): the per-batch span construction moved from the
+    # interpreted HOF pipeline (shingles() transform/slice/concat per
+    # element + JVM md5 filter — measured 2.8 s over the corpus at
+    # sf0.1, ~40% of the replay) into one Arrow batch stage producing
+    # the IDENTICAL sampled span strings (_py_shingles is the pinned
+    # tokenizer twin; hashlib md5 hex == JVM md5 hex), so state keys
+    # and results are unchanged. The bkt column stays JVM-side —
+    # xxhash64 has no Python twin and it's a cheap codegen'd per-row
+    # hash, not a HOF.
+    def _span_batch(texts):
+        import hashlib
+
+        import pandas as pd
+
+        from .dedup import _py_shingles
+
+        return pd.Series(
+            [
+                [
+                    s
+                    for s in _py_shingles(t, _ST11_W)
+                    if hashlib.md5(s.encode()).hexdigest()[0] in "01234567"
+                ]
+                for t in texts
+            ]
         )
-        .filter(F.substring(F.md5(F.col("sh")), 1, 1).isin(*_ST11_HEX))
+
+    span_udf = F.pandas_udf(
+        _span_batch, T.ArrayType(T.StringType())
+    ).asNondeterministic()
+    blk = (
+        stream.select("doc_id", F.explode(span_udf(F.col("text"))).alias("sh"))
         .withColumn(
             "bkt", F.pmod(F.xxhash64("sh"), F.lit(_ST11_BUCKETS)).cast("int")
         )
