@@ -804,3 +804,41 @@ def test_d20_tokhash_variants_identical(spark, sf_dir):
     finally:
         D._D20_TOKHASH = "hof"
     assert a == b and len(a) > 0
+
+
+def test_pair_sims_arrow_matches_jvm_fold_bitexact(spark, sf_dir):
+    """The r14 Arrow pair scorer must return the SAME pair set with
+    BIT-IDENTICAL sim doubles as the JVM zip_with+aggregate fold twin
+    (SPARK_GRAFT_PAIRDOT_JVM): the scorer's per-dimension accumulation
+    replays the fold's exact multiply-then-add rounding sequence, so
+    equality is ==, not approx — the guarantee that lets d05/d07/d14/
+    s13 keep their oracle hashes after the kernel swap."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import tinysql_spark.operators.dedup as D
+    from tinysql_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", D.unit_vec(F.col("embedding")).alias("e")
+    )
+    assert "SPARK_GRAFT_PAIRDOT_JVM" not in os.environ  # arrow is default
+    arrow = {
+        (r["lo"], r["hi"]): r["sim"] for r in D._block_pair_sims(emb).collect()
+    }
+    os.environ["SPARK_GRAFT_PAIRDOT_JVM"] = "1"
+    try:
+        jvm = {
+            (r["lo"], r["hi"]): r["sim"] for r in D._block_pair_sims(emb).collect()
+        }
+    finally:
+        del os.environ["SPARK_GRAFT_PAIRDOT_JVM"]
+    assert set(arrow) == set(jvm) and len(arrow) > 1000
+    diffs = [k for k in jvm if jvm[k] != arrow[k]]
+    assert not diffs, f"{len(diffs)} sims differ (of {len(jvm)}): {diffs[:3]}"
+    # thresholded form too: the in-batch filter must equal JVM >=
+    got = {
+        (r["lo"], r["hi"]) for r in D._block_pair_sims(emb, min_sim=0.3).collect()
+    }
+    assert got == {k for k, v in jvm.items() if v >= 0.3}

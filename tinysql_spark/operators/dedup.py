@@ -335,19 +335,17 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rep")
         .distinct()
     )
-    edges = _keyed_persist(
-        "d03.edges",
-        star.select(F.col("doc_id").alias("s"), F.col("rep").alias("d")).union(
-            star.select(F.col("rep").alias("s"), F.col("doc_id").alias("d"))
-        ),
-    )
+    # symmetrize via explode-of-2-structs: ONE pass over star — the
+    # union-of-two-selects form physically re-computed the upstream
+    # subtree per branch (r14; see _cc_converge's round for the A/B)
+    edges = _keyed_persist("d03.edges", _sym_edges(star, "doc_id", "rep"))
     # same iteration discipline as d07: materialize the expensive part
     # under normal AQE, then run the loop AQE-off with edge-sized
     # shuffle partitions (re-planning tiny edge shuffles costs more
     # than the loop itself at bench scale)
     spark = docs.sparkSession
     n_edges = edges.count()
-    iter_parts = str(min(2000, max(8, n_edges // 1_000_000 + 8)))
+    iter_parts = str(min(2000, max(4, n_edges // 1_000_000 + 4)))
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -528,24 +526,33 @@ def cosine(a: Column, b: Column) -> Column:
 _BLOCK_CAP_ROWS = 50_000
 
 
-def _chunked_block_pairs(emb: DataFrame, cap: int = _BLOCK_CAP_ROWS) -> DataFrame:
-    """All (a, b) rows with a.label = b.label, a.vec_id < b.vec_id —
-    emitted as aliases `a`/`b` for the caller to project/filter.
-    `emb` must carry vec_id + label."""
+def _chunk_rows(emb: DataFrame, cap: int = _BLOCK_CAP_ROWS) -> DataFrame:
+    """The shared chunk-assigned replica source (label, vec_id, e, k,
+    c): every pair path (JVM join twin AND the Arrow scorer) replays
+    from this one persisted frame — persist the shared branch once
+    instead of normalizing + chunk-assigning the corpus per use. Keyed
+    on the input lineage so a re-invocation releases the previous
+    cache (and different callers — d05/d07/d14/s13 — each own an
+    entry). Measured at sf0.1: d05 2.72->1.61, d14 2.72->1.67,
+    s13 2.53->1.30 warm."""
     sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("bn"))
-    # rows feeds BOTH join sides (left/right chunk replicas) — persist
-    # the shared branch once instead of normalizing + chunk-assigning
-    # the corpus twice per pair join. Keyed on the input lineage so a
-    # re-invocation releases the previous cache (and different callers
-    # — d05/d07/d14/s13 — each own an entry). Measured at sf0.1:
-    # d05 2.72->1.61, d14 2.72->1.67, s13 2.53->1.30 warm.
-    rows = _keyed_persist(
+    return _keyed_persist(
         f"cbp.rows.{emb.semanticHash()}",
         emb.join(F.broadcast(sizes), "label")
         .withColumn("k", F.ceil(F.col("bn") / F.lit(cap)).cast("int"))
         .withColumn("c", F.pmod(F.xxhash64("vec_id"), F.col("k")).cast("int"))
         .drop("bn"),
     )
+
+
+def _chunked_block_pairs(emb: DataFrame, cap: int = _BLOCK_CAP_ROWS) -> DataFrame:
+    """All (a, b) rows with a.label = b.label, a.vec_id < b.vec_id —
+    emitted as aliases `a`/`b` for the caller to project/filter.
+    `emb` must carry vec_id + label. Since round 14 this is the JVM
+    TWIN of _block_pair_sims (kept for the bit-exactness pin and the
+    cap-forcing plan test); production pair scoring goes through the
+    Arrow scorer."""
+    rows = _chunk_rows(emb, cap)
     # left plays chunk role i (replicas (c, j) for j >= c); right plays
     # chunk role j (replicas (i, c) for i <= c)
     left = rows.withColumn(
@@ -569,6 +576,139 @@ def _chunked_block_pairs(emb: DataFrame, cap: int = _BLOCK_CAP_ROWS) -> DataFram
     )
 
 
+# Left-index slab for the Arrow pair scorer: bounds per-group memory at
+# SLAB x |right| accumulator doubles (~800 MB worst case at the 50k
+# chunk cap) while keeping batches large enough to vectorize.
+_PAIR_SLAB = 2048
+
+
+def _pair_dot_score(min_sim: float | None):
+    """Grouped Arrow scorer for one (label, bi, bj) chunk bucket:
+    enumerates the bucket's qualifying pairs and computes each pair's
+    dot product with a PER-DIMENSION accumulation loop —
+    ``acc += A[:, k] * B[:, k]`` over k — which performs, per pair,
+    exactly the multiply-then-add rounding sequence of the JVM
+    zip_with+aggregate fold (and of DuckDB's list_dot_product), so the
+    returned doubles are BIT-IDENTICAL to the fold's (asserted on the
+    real corpus at sf0.01 + sf0.1: 12,344 / 199,666 pairs, zero
+    differing bits — tests/test_dedup_quality.py). min_sim (when set)
+    filters inside the batch with the same IEEE >= the JVM would run,
+    so below-threshold pairs never cross back over the boundary."""
+    import numpy as np
+    import pandas as pd
+
+    def score(key, pdf):
+        _, bi, bj = key
+        out_lo, out_hi, out_sim = [], [], []
+
+        def emit(As, ias, B, idb, same):
+            acc = np.zeros((len(ias), len(idb)))
+            for k in range(As.shape[1]):
+                acc += As[:, k : k + 1] * B[:, k][None, :]
+            mask = (ias[:, None] < idb[None, :]) if same else (ias[:, None] != idb[None, :])
+            if min_sim is not None:
+                mask &= acc >= min_sim
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                out_lo.append(np.minimum(ias[ii], idb[jj]))
+                out_hi.append(np.maximum(ias[ii], idb[jj]))
+                out_sim.append(acc[ii, jj])
+
+        if bi == bj:
+            # diagonal bucket: ONE copy per row, upper-triangle order
+            A = np.stack(pdf["e"].to_numpy())
+            ida = pdf["vec_id"].to_numpy()
+            for s in range(0, len(ida), _PAIR_SLAB):
+                emit(A[s : s + _PAIR_SLAB], ida[s : s + _PAIR_SLAB], A, ida, True)
+        else:
+            lmask = pdf["side"].to_numpy() == 0
+            lpdf, rpdf = pdf[lmask], pdf[~lmask]
+            if len(lpdf) and len(rpdf):
+                A = np.stack(lpdf["e"].to_numpy())
+                B = np.stack(rpdf["e"].to_numpy())
+                ida = lpdf["vec_id"].to_numpy()
+                idb = rpdf["vec_id"].to_numpy()
+                for s in range(0, len(ida), _PAIR_SLAB):
+                    emit(A[s : s + _PAIR_SLAB], ida[s : s + _PAIR_SLAB], B, idb, False)
+        if not out_lo:
+            return pd.DataFrame(
+                {
+                    "lo": pd.Series(dtype="int64"),
+                    "hi": pd.Series(dtype="int64"),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "lo": np.concatenate(out_lo),
+                "hi": np.concatenate(out_hi),
+                "sim": np.concatenate(out_sim),
+            }
+        )
+
+    return score
+
+
+def _block_pair_sims(
+    emb: DataFrame, min_sim: float | None = None, cap: int = _BLOCK_CAP_ROWS
+) -> DataFrame:
+    """(lo, hi, sim) for every same-label pair (lo < hi), sim = the
+    unit-vector dot product in JVM-fold order — the shared pair-scoring
+    kernel behind d05/d07/d14/s13.
+
+    Round-14 shape (guide §4.2 — hand whole batches to vectorized
+    native code): the zip_with+aggregate fold is interpreted HOF
+    machinery costing ~8.5 us/pair (measured: 199,666 pairs = ~1.7 s of
+    d05's 2.83 s at sf0.1 — the same floor the p04 gram stage hit), so
+    pair scoring moves into ONE grouped Arrow stage. Each chunk-replica
+    row ships ONCE per (bi, bj) bucket it participates in — k copies
+    per row vs the join's k+1 (role-l buckets (c, j>=c); role-r buckets
+    (i<c, c); diagonal buckets carry a single copy and Python
+    enumerates the upper triangle) — and the single union frame takes
+    ONE exchange on (label, bi, bj) where the SMJ twin exchanged both
+    sides. Per-pair work is a numpy per-dimension accumulation with the
+    fold's exact rounding order (see _pair_dot_score: BIT-IDENTICAL
+    sims, asserted on the real corpus at two SFs). Measured at sf0.1:
+    d05 2.83 -> 1.23 s warm (−56%), at the pair-enumeration floor
+    (the sim-free JVM join alone times 1.05-1.13 s). At 100 TB the
+    same blocking/chunk bounds hold (bucket sides <= cap; slab bounds
+    the accumulator), and bytes crossing the boundary SHRINK vs the
+    join's shuffle (k vs k+1 replicas, pairs return pre-filtered).
+
+    SPARK_GRAFT_PAIRDOT_JVM=1 selects the original JVM fold join — the
+    twin kept for the bit-exactness pin (d20/q68 discipline)."""
+    if os.environ.get("SPARK_GRAFT_PAIRDOT_JVM"):
+        sim = dot(F.col("a.e"), F.col("b.e"))
+        out = _chunked_block_pairs(emb, cap).select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("lo"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("hi"),
+            sim.alias("sim"),
+        )
+        return out.filter(F.col("sim") >= min_sim) if min_sim is not None else out
+    rows = _chunk_rows(emb, cap)
+    left = rows.select(
+        "label",
+        F.col("c").alias("bi"),
+        F.explode(F.sequence(F.col("c"), F.col("k") - 1)).alias("bj"),
+        F.lit(0).alias("side"),
+        "vec_id",
+        "e",
+    )
+    right = rows.filter(F.col("c") > 0).select(
+        "label",
+        F.explode(F.sequence(F.lit(0), F.col("c") - 1)).alias("bi"),
+        F.col("c").alias("bj"),
+        F.lit(1).alias("side"),
+        "vec_id",
+        "e",
+    )
+    return (
+        left.unionByName(right)
+        .groupby("label", "bi", "bj")
+        .applyInPandas(_pair_dot_score(min_sim), schema="lo long, hi long, sim double")
+    )
+
+
 @register(
     "d05_embedding_neardup",
     oracle="""
@@ -588,24 +728,20 @@ def _chunked_block_pairs(emb: DataFrame, cap: int = _BLOCK_CAP_ROWS) -> DataFram
     doc="Embedding-cosine near-dup pairs, blocked by label (IVF-style "
     "coarse partition): candidates only within a block, never global "
     "quadratic. Vectors unit-normalized once per row before the pair "
-    "join; per-pair work is one JVM-side dot fold. Hot blocks spread "
-    "over chunked self-join buckets (_chunked_block_pairs) so one "
-    "skewed label cannot serialize into a single near-cartesian task.",
+    "stage; per-pair work runs in the grouped Arrow scorer "
+    "(_block_pair_sims — bit-identical to the JVM dot fold, r14 "
+    "measurement in its docstring). Hot blocks spread over chunk "
+    "buckets so one skewed label cannot serialize into a single "
+    "near-cartesian task.",
 )
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", unit_vec(F.col("embedding")).alias("e")
     )
-    sim = dot(F.col("a.e"), F.col("b.e"))
-    return (
-        _chunked_block_pairs(emb)
-        .select(
-            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("a_id"),
-            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("b_id"),
-            sim.alias("cos_sim_raw"),
-        )
-        .filter(F.col("cos_sim_raw") >= 0.3)
-        .select("a_id", "b_id", F.round("cos_sim_raw", 4).alias("cos_sim"))
+    return _block_pair_sims(emb, min_sim=0.3).select(
+        F.col("lo").alias("a_id"),
+        F.col("hi").alias("b_id"),
+        F.round("sim", 4).alias("cos_sim"),
     )
 
 
@@ -675,18 +811,14 @@ _EMB_MAX_ROUNDS = 20  # safety cap; propagation exits on convergence
 
 def _d05_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(a_id, b_id) near-dup edges: label-blocked cosine >= 0.3 —
-    the candidate join d05 emits (chunked-block guarded), without the
-    per-pair score column."""
+    the candidate set d05 emits (chunk-bucket guarded), without the
+    per-pair score column; the threshold applies INSIDE the Arrow
+    scorer so non-edges never cross back over the boundary."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", unit_vec(F.col("embedding")).alias("e")
     )
-    return (
-        _chunked_block_pairs(emb)
-        .filter(dot(F.col("a.e"), F.col("b.e")) >= 0.3)
-        .select(
-            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("a_id"),
-            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("b_id"),
-        )
+    return _block_pair_sims(emb, min_sim=0.3).select(
+        F.col("lo").alias("a_id"), F.col("hi").alias("b_id")
     )
 
 
@@ -752,14 +884,11 @@ def d07_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _d05_pairs(spark, sf_dir)
     # Persist the symmetric edge list: the kernel's first round (and
     # its canonicalizing distinct) references it; the cache keeps the
-    # expensive cosine join out of re-execution. Keyed so the next
-    # invocation releases it.
-    edges = _keyed_persist(
-        "d07.edges",
-        pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d")).union(
-            pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d"))
-        ),
-    )
+    # expensive cosine stage out of re-execution. Keyed so the next
+    # invocation releases it. Explode-of-2-structs symmetrization:
+    # the union form ran the Arrow pair scorer TWICE (once per
+    # branch) at materialization (r14).
+    edges = _keyed_persist("d07.edges", _sym_edges(pairs, "a_id", "b_id"))
     # Materialize the expensive part (the chunked cosine join behind
     # `edges`) under the session's normal AQE config, and size the
     # iteration's shuffles from the measured edge count (~1M rows per
@@ -772,7 +901,7 @@ def d07_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (small) component subgraph, not the whole corpus; isolated
     # vertices keep their own id via the final left join.
     n_edges = edges.count()
-    iter_parts = str(min(2000, max(8, n_edges // 1_000_000 + 8)))
+    iter_parts = str(min(2000, max(4, n_edges // 1_000_000 + 4)))
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -796,6 +925,25 @@ def d07_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.join(labels, "vec_id", "left").select(
         "vec_id", F.coalesce("lbl", F.col("vec_id")).cast("long").alias("cluster_id")
     )
+
+
+def _sym_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Symmetric (s, d) edge list from an (a, b) pair frame in ONE
+    pass: explode of a 2-struct array emits both directions per input
+    row. The `select.union(select-swapped)` form it replaces is NOT
+    one pass — each union branch re-executes the upstream subtree
+    (exchange/pipeline reuse does not apply across union children), so
+    an expensive pair stage (d07/d11's candidate generation) ran twice
+    per materialization (r14 finding; the same fix is applied inside
+    _cc_converge's round and s13's direction expansion)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("s"), F.col(b).alias("d")),
+                F.struct(F.col(b).alias("s"), F.col(a).alias("d")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.d")
 
 
 def _cc_converge(edges: DataFrame) -> DataFrame:
@@ -822,61 +970,116 @@ def _cc_converge(edges: DataFrame) -> DataFrame:
     graphs), where propagation re-joined the full edge list every
     hop.
 
-    Stop rule: one (count, sum(u+v)) signature aggregate per round;
-    on signature equality, an EXACT confirmation (equal counts +
-    empty exceptAll => equal edge multisets) guards against a
-    signature collision, so stopping is exact — the collision path
-    costs one extra exceptAll only at convergence. Lazy
-    localCheckpoint per round resets the logical plan (the analyzer
-    walks the full tree before cache substitution; same discipline
-    as the previous kernel, cf. GraphX's periodic checkpoint)."""
+    Round-14 shape (measured A/B ladder on d07's real sf0.1 edge set,
+    min-warm, labels asserted equal at sf0.01 AND sf0.1 each step):
+    the loop's cost at bench scale is per-round fixed overhead —
+    stages, tiny tasks, driver round trips — so the round went from
+    ~7 exchanges to 2 and the probe from every round to every second:
+    - WINDOW-MIN instead of groupBy+join (guide §2.4 — two operations
+      keyed the same way share one exchange): each star step's
+      per-neighborhood min now rides `min(v) over (partition by u)` in
+      the SAME exchange+sort that the join needed anyway; groupBy's
+      extra exchange and the SMJ disappear. 4.41 -> 3.28 s.
+    - The intermediate large-star distinct dropped: lg's duplicates
+      ((v, m) copies from several u's sharing a min) are bounded by
+      the round's OWN input (<= 2|E| rows — never amplifying), the
+      small-star window min absorbs them in its one sort pass, and
+      newE's distinct still canonicalizes the round's output. (The r14
+      A/B on the OLD join kernel read flat; with the window shape it
+      is −14%.) 3.28 -> 2.82 s.
+    - TWO rounds per probe: both rounds' lazy checkpoints materialize
+      under ONE signature action (a grouped agg over round-1 UNION
+      round-2), comparing CONSECUTIVE rounds exactly as before — if
+      round k is the fixed point, round k+1 is the identity on it, so
+      the probe can never miss convergence (no 2-cycle exists to
+      alias); worst case is one identity round over the converged
+      (contracted) edge set. Driver actions halve. (Timed inside the
+      ladder above.)
+    - Partition floor 4 (was 8), still data-derived at ~1M edge rows
+      (~16 MB) per task — guide §2.2's fewer-larger-partitions bound,
+      not a core-count constant. 2.82 -> 1.99 s.
+    - Explode-of-2-structs for symmetrization and the small-star
+      double emit (one pass; the union form physically duplicated the
+      second window's whole subtree — exchange reuse does not fire in
+      the AQE-off loop): 2.21 -> 1.94 s in a second-session A/B.
+    Net: 4.41 -> ~1.9 s (−56%) on the kernel alone; per-round plan
+    7 Exchanges -> 3 (plans/r14/cc_round_{before,after}.txt).
+
+    Stop rule (unchanged semantics): (count, sum(u+v)) signature
+    equality between consecutive rounds, then an EXACT confirmation
+    (equal counts + empty exceptAll => equal edge multisets) guards
+    against a signature collision. Lazy localCheckpoint per round
+    resets the logical plan (the analyzer walks the full tree before
+    cache substitution; cf. GraphX's periodic checkpoint)."""
     E = (
         edges.filter(F.col("s") > F.col("d"))
         .select(F.col("s").alias("u"), F.col("d").alias("v"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    prev_sig: tuple[int, int] | None = None
-    rnd = 0
-    while rnd < _EMB_MAX_ROUNDS:
+    from pyspark.sql import Window
+
+    W = Window.partitionBy("u")
+
+    def one_round(E: DataFrame) -> DataFrame:
         # large-star: attach each strictly-larger neighbor to the min
-        # of the closed neighborhood
-        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("u", "mn").alias("m"))
-        )
+        # of the closed neighborhood (window-min = one exchange).
+        # Symmetrization and the small-star double-emit run as explode
+        # of a 2-struct array — ONE pass each; the union form
+        # duplicated the whole window subtree in the physical plan
+        # (exchange reuse does not fire inside the AQE-off loop), and
+        # the explode A/B'd a further −12% on top of the union shape.
+        sym = E.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
         lg = (
-            sym.join(mins, "u")
+            sym.withColumn("mn", F.min("v").over(W))
             .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .select(F.col("v").alias("u"), F.least(F.col("u"), F.col("mn")).alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: lg's edges point big->small; attach every
         # smaller neighbor (and u itself) to their min
-        mins2 = lg.groupBy("u").agg(F.min("v").alias("m"))
-        newE = (
-            lg.join(mins2, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins2.select("u", F.col("m").alias("v")))
+        w2 = lg.withColumn("m", F.min("v").over(W))
+        return (
+            w2.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint(eager=False)
         )
-        # the signature agg is also the action that materializes the
-        # round's checkpoint — one job per round
-        sig_row = newE.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.col("u") + F.col("v")).alias("t")
-        ).collect()[0]
-        sig = (int(sig_row["n"]), int(sig_row["t"] or 0))
-        if sig == prev_sig and newE.exceptAll(E).limit(1).count() == 0:
-            E = newE
+
+    rnd = 0
+    while rnd < _EMB_MAX_ROUNDS:
+        E1 = one_round(E)
+        E2 = one_round(E1)
+        # ONE action probes both rounds: materializes both checkpoints
+        # and returns each round's signature
+        sig_rows = (
+            E1.select(F.lit(0).alias("g"), "u", "v")
+            .unionByName(E2.select(F.lit(1).alias("g"), "u", "v"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("u") + F.col("v")).alias("t"))
+            .collect()
+        )
+        sigs = {int(r["g"]): (int(r["n"]), int(r["t"] or 0)) for r in sig_rows}
+        s1, s2 = sigs.get(0, (0, 0)), sigs.get(1, (0, 0))
+        E = E2
+        if s1 == s2 and E2.exceptAll(E1).limit(1).count() == 0:
             break
-        prev_sig = sig
-        E = newE
-        rnd += 1
+        rnd += 2
     # at the fixed point E is a set of stars: u -> component root;
     # roots appear only as v and label themselves
     lbl = E.select(F.col("u").alias("vec_id"), F.col("v").alias("lbl"))
@@ -1253,15 +1456,12 @@ def _oracle_d11() -> str:
 def d11_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = d09_fuzzy_dedup_scaled(spark, sf_dir).select("a_id", "b_id")
-    edges = _keyed_persist(
-        "d11.edges",
-        pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d")).union(
-            pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d"))
-        ),
-    )
+    # explode symmetrization: the union form re-ran d09's candidate
+    # join+agg once per branch at materialization (r14)
+    edges = _keyed_persist("d11.edges", _sym_edges(pairs, "a_id", "b_id"))
     spark_ = docs.sparkSession
     n_edges = edges.count()
-    iter_parts = str(min(2000, max(8, n_edges // 1_000_000 + 8)))
+    iter_parts = str(min(2000, max(4, n_edges // 1_000_000 + 4)))
     prev_aqe = spark_.conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = spark_.conf.get("spark.sql.shuffle.partitions")
     spark_.conf.set("spark.sql.adaptive.enabled", "false")
@@ -1642,16 +1842,7 @@ def d14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", unit_vec(F.col("embedding")).alias("e")
     )
-    sim = dot(F.col("a.e"), F.col("b.e"))
-    pairs = (
-        _chunked_block_pairs(emb)
-        .select(
-            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("lo"),
-            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("hi"),
-            sim.alias("s"),
-        )
-        .filter(F.col("s") >= _D14_TAU)
-    )
+    pairs = _block_pair_sims(emb, min_sim=_D14_TAU).withColumnRenamed("sim", "s")
     return pairs.groupBy(F.col("hi").alias("vec_id")).agg(
         F.min("lo").alias("owner_id"),
         F.count(F.lit(1)).alias("n_near"),

@@ -1512,8 +1512,8 @@ _S13_K = 4  # neighbors per vector
     "style pruning, and kNN label backfills are built from. Unlike "
     "s01/s09 (a few queries vs the corpus) this is all-vectors x "
     "in-block, so the pair space is the real cost: candidate "
-    "generation reuses the chunked hot-block kernel "
-    "(_chunked_block_pairs) and SYMMETRIZES each unordered pair into "
+    "generation reuses the chunked hot-block Arrow scorer "
+    "(_block_pair_sims) and SYMMETRIZES each unordered pair into "
     "both directions — at 100 TB one skewed block spreads over "
     "k(k+1)/2 bounded shuffle buckets, never one near-cartesian "
     "task. Ranking is a per-vector row_number window whose group "
@@ -1527,25 +1527,32 @@ _S13_K = 4  # neighbors per vector
     "recall for the shared blocking.",
 )
 def s13_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import _chunked_block_pairs
+    from .dedup import _block_pair_sims
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", unit_vec(F.col("embedding")).alias("e")
     )
-    pairs = _chunked_block_pairs(emb).select(
-        F.col("a.vec_id").alias("va"),
-        F.col("b.vec_id").alias("vb"),
-        dot(F.col("a.e"), F.col("b.e")).alias("sim"),
-    )
-    # each unordered pair arrives once (mixed id order) -> emit both
-    # directions so every vector sees its full in-block candidate set
+    pairs = _block_pair_sims(emb)
+    # each unordered pair arrives once (lo < hi) -> emit both
+    # directions so every vector sees its full in-block candidate set.
+    # Explode-of-2-structs, not union-of-selects: the union form ran
+    # the Arrow pair scorer once PER BRANCH (r14 — see _sym_edges)
     sym = pairs.select(
-        F.col("va").alias("vec_id"), F.col("vb").alias("nbr_id"), "sim"
-    ).unionByName(
-        pairs.select(
-            F.col("vb").alias("vec_id"), F.col("va").alias("nbr_id"), "sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("lo").alias("vec_id"),
+                    F.col("hi").alias("nbr_id"),
+                    F.col("sim").alias("sim"),
+                ),
+                F.struct(
+                    F.col("hi").alias("vec_id"),
+                    F.col("lo").alias("nbr_id"),
+                    F.col("sim").alias("sim"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.vec_id", "e.nbr_id", "e.sim")
     w = Window.partitionBy("vec_id").orderBy(
         F.round("sim", 6).desc(), F.col("nbr_id")
     )
