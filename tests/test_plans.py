@@ -568,19 +568,28 @@ def test_d09_verify_stays_above_candidate_agg(spark, sf_dir):
     """Regression: with heads as GROUP KEYS Catalyst pushed the
     Levenshtein verify below the pair aggregation — running the DP
     once per raw shared-shingle pair (~20x the candidates, 2.5x query
-    wall time). Heads now ride as first() aggregates, so the verify
-    must appear in a Filter above the final HashAggregate and never
-    inside the join condition."""
+    wall time). Since r14 heads attach AFTER a count-only pair
+    aggregation (two equi-joins on doc id), so head strings cannot
+    exist below the agg at all: the raw shingle pair join (the
+    SortMergeJoin) must not evaluate the DP, the aggregation must be
+    hash-based (first(head) forced a SortAggregate over the raw pair
+    stream), and the verify must still exist — it may ride the
+    heads-attach broadcast join's condition, which fires once per
+    deduped candidate."""
+    import re
+
     from tinysql_spark.operators import REGISTRY
     from tinysql_spark.plans import plan_string
 
     plan = plan_string(REGISTRY["d09_fuzzy_dedup_scaled"].fn(spark, sf_dir))
-    join_lines = [
-        line for line in plan.splitlines()
-        if "Join" in line and "levenshtein" in line.lower()
-    ]
-    assert not join_lines, join_lines
-    assert "levenshtein" in plan.lower()  # the verify exists, post-agg
+    assert "levenshtein" in plan.lower()  # the verify exists
+    assert "SortAggregate" not in plan  # count-only agg stays hash-based
+    # split the formatted detail section into per-node blocks; the DP
+    # must not appear in any SortMergeJoin (raw pair join) block
+    blocks = re.split(r"\n\(\d+\) ", "\n" + plan)
+    smj = [b for b in blocks if b.startswith("SortMergeJoin")]
+    assert smj, plan
+    assert not any("levenshtein" in b.lower() for b in smj), smj
 
 
 def test_q45_lateral_decorrelates_to_group_limit(q):

@@ -1271,14 +1271,21 @@ def d09_fuzzy_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache barrier the rare-shingle aggregation (its own exchange)
     # executes once per side
     kept = _keyed_persist("d09.kept", sh.join(rare, "sh"))
-    # Heads ride as first() AGGREGATES, not group keys: a filter on
-    # group-by columns is pushable below the aggregation, and Catalyst
-    # would push the Levenshtein verify down into the pair join —
-    # running the O(len^2) DP once per RAW shared-shingle pair (~20x
-    # the candidate count) instead of once per deduped candidate.
-    # first() over a group is exact here (head is functionally
-    # dependent on doc_id), and an aggregate output is unpushable, so
-    # the verify stays above the agg where it belongs.
+    # The pair aggregation carries the COUNT ONLY: a first(head)
+    # string aggregate has an immutable agg buffer, which forces the
+    # whole raw shared-shingle pair stream through a SortAggregate
+    # (two sorts of the widest intermediate in the plan — r14
+    # finding); count-only grouping keeps the HashAggregate with
+    # map-side partial agg over narrow (a_id, b_id) rows (guide §2.3
+    # — aggregate before you shuffle, and shuffle keys not payloads).
+    # Heads attach AFTER the agg via two joins against the
+    # corpus-linear (doc_id, head) projection — once per surviving
+    # candidate, so the Levenshtein verify still runs once per
+    # deduped candidate, never per raw pair (head is functionally
+    # dependent on doc_id, so the join is exactly first()'s value).
+    # Measured: isolated stage 0.72 -> 0.62 s at sf0.1; at 100 TB the
+    # raw pair stream >> candidates, so dropping heads from it is the
+    # dominant byte reduction.
     cand = (
         kept.alias("x")
         .join(kept.alias("y"), "sh")
@@ -1287,18 +1294,24 @@ def d09_fuzzy_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.doc_id").alias("a_id"),
             F.col("y.doc_id").alias("b_id"),
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_shared"),
-            F.first(F.col("x.head")).alias("a_head"),
-            F.first(F.col("y.head")).alias("b_head"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _D09_MIN_SHARED)
+    )
+    heads = docs.select(
+        "doc_id", F.substring(F.trim(F.col("text")), 1, _D08_HEAD).alias("head")
+    )
+    withheads = cand.join(
+        heads.select(F.col("doc_id").alias("a_id"), F.col("head").alias("a_head")),
+        "a_id",
+    ).join(
+        heads.select(F.col("doc_id").alias("b_id"), F.col("head").alias("b_head")),
+        "b_id",
     )
     # verify kernel (d08): cheap length lower bound ahead of the DP,
     # once per deduped candidate pair
     dist = F.levenshtein(F.col("a_head"), F.col("b_head"))
     return (
-        cand.filter(
+        withheads.filter(
             (F.abs(F.length(F.col("a_head")) - F.length(F.col("b_head"))) <= _D08_K)
             & (dist <= _D08_K)
         )
