@@ -3194,31 +3194,31 @@ def _d20_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     # explode from the persisted token-array frame (round-14) — the
-    # construction stage runs once for candidates AND verify sides
+    # construction stage runs once for candidates AND verify sides.
+    # n rides ALONG from the frame (it is size(toks), already
+    # computed): recomputing it as count().over(doc_id) forced a
+    # second Window pass over the whole exploded token relation
+    # (round-14 A/B: candidate stage 2.41 -> 1.72 s without it).
     tok = _d20_token_arrays(spark, sf_dir).select(
         "doc_id",
         "source",
+        "n",
         F.explode("toks").alias("w"),
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "w")
-    ranked = (
-        tok.join(freq, "w")
-        .withColumn("rn", F.row_number().over(w_doc))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    )
+    ranked = tok.join(freq, "w").withColumn("rn", F.row_number().over(w_doc))
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(_D20_T) * F.col("n")) + 1
     ).select("doc_id", "source", "w")
-    a = prefix.select(
-        F.col("doc_id").alias("a_id"), F.col("source").alias("a_src"), "w"
-    )
-    b = prefix.select(
-        F.col("doc_id").alias("b_id"), F.col("source").alias("b_src"), "w"
-    )
+    a = prefix.select(F.col("doc_id").alias("a_id"), F.col("source").alias("src"), "w")
+    b = prefix.select(F.col("doc_id").alias("b_id"), F.col("source").alias("src"), "w")
+    # source is part of the JOIN KEY (not a post-join filter): same
+    # pairs, but cross-source collisions on hot tokens never join,
+    # and the shuffle key is finer-grained (PPJoin blocks per source)
     return (
-        a.join(b, ["w"])
-        .filter((F.col("a_src") == F.col("b_src")) & (F.col("a_id") < F.col("b_id")))
+        a.join(b, ["w", "src"])
+        .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
     )
