@@ -584,12 +584,21 @@ def test_d09_verify_stays_above_candidate_agg(spark, sf_dir):
     plan = plan_string(REGISTRY["d09_fuzzy_dedup_scaled"].fn(spark, sf_dir))
     assert "levenshtein" in plan.lower()  # the verify exists
     assert "SortAggregate" not in plan  # count-only agg stays hash-based
-    # split the formatted detail section into per-node blocks; the DP
-    # must not appear in any SortMergeJoin (raw pair join) block
+    # split the formatted detail section into per-node blocks. The
+    # pin is strategy-agnostic (r14: the persisted window-df kept is
+    # small enough at bench scale that the raw pair join plans as a
+    # BroadcastHashJoin; at 100 TB size stats push it back to SMJ —
+    # either way the invariant is the same): the raw pair join (the
+    # doc_id < doc_id join below the agg) must not evaluate the DP,
+    # and every block that does mention levenshtein must be the
+    # heads-attach side (it references the post-agg a_head/b_head
+    # aliases, which cannot exist below the aggregation).
     blocks = re.split(r"\n\(\d+\) ", "\n" + plan)
-    smj = [b for b in blocks if b.startswith("SortMergeJoin")]
-    assert smj, plan
-    assert not any("levenshtein" in b.lower() for b in smj), smj
+    joins = [b for b in blocks if b.split("\n", 1)[0].endswith("Join")]
+    assert joins, plan
+    for b in joins:
+        if "levenshtein" in b.lower():
+            assert "a_head" in b and "b_head" in b, b
 
 
 def test_q45_lateral_decorrelates_to_group_limit(q):

@@ -328,9 +328,20 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # representative: two docs sharing a bucket are both adjacent to
     # its rep, so connected components (and their min labels) are
     # unchanged, and edge count stays <= band rows (linear)
-    reps = bands.groupBy("band_idx", "band_hash").agg(F.min("doc_id").alias("rep"))
+    # rep via WINDOW min over the bucket key instead of groupBy+
+    # join-back (guide §2.4; the CC-kernel window-min finding applied
+    # to the bucket-rep step): the min rides the one exchange of
+    # bands, where the join form degrades to a second full shuffle of
+    # bands at scale once reps outgrow broadcast. A/B at sf0.1:
+    # 0.383 vs 0.365 min-warm (flat locally, steadier), star edges
+    # identical (246).
+    from pyspark.sql import Window
+
     star = (
-        bands.join(reps, ["band_idx", "band_hash"])
+        bands.withColumn(
+            "rep",
+            F.min("doc_id").over(Window.partitionBy("band_idx", "band_hash")),
+        )
         .filter(F.col("doc_id") != F.col("rep"))
         .select("doc_id", "rep")
         .distinct()
@@ -783,14 +794,24 @@ def d06_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = F.greatest(
         F.lit(25), (F.lit(_STOP_FP_FRAC) * F.col("n_docs")).cast("long")
     )
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
+    # stop-fp filter as a WINDOW count over fp instead of groupBy+
+    # join-back (guide §2.4 — same-keyed ops share one exchange, the
+    # CC-kernel window-min finding applied to the df-cap family): the
+    # df rides the same exchange the self-join needs, so the separate
+    # count aggregation and its join disappear, and the self-join's
+    # two sides reuse ONE exchange of the already-filtered relation.
+    # At 100 TB the join form degrades to an SMJ that shuffles fps
+    # twice (rare outgrows broadcast); the window form shuffles fps
+    # once, period. A/B at sf0.1: pairs 1.53 -> 1.27 s min-warm,
+    # result identical (84 pairs).
+    from pyspark.sql import Window
+
+    kept = (
+        fps.crossJoin(F.broadcast(n_docs))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .filter(F.col("df") <= cap)
-        .select("fp")
+        .select("doc_id", "fp")
     )
-    kept = fps.join(rare, "fp")
     pairs = (
         kept.alias("x")
         .join(kept.alias("y"), "fp")
@@ -1248,29 +1269,38 @@ def d09_fuzzy_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     sh_udf = F.pandas_udf(_shingle_hash_batch, T.ArrayType(T.LongType())).asNondeterministic()
+    # lean persist: since the pair agg went count-only (heads attach
+    # post-agg from the corpus-linear docs projection), the cached
+    # exploded relation no longer needs `head` — the column was
+    # computed and stored per SHINGLE row but never read again (r14
+    # follow-up; cache build 0.79 -> 0.70 s at sf0.1, and at 100 TB
+    # the cache stops storing a ~40-char string per shingle row).
     sh = _keyed_persist(
         "d09.sh",
-        docs.select(
-            "doc_id",
-            F.substring(F.trim(F.col("text")), 1, _D08_HEAD).alias("head"),
-            F.explode(sh_udf(F.col("text"))).alias("sh"),
-        ),
+        docs.select("doc_id", F.explode(sh_udf(F.col("text"))).alias("sh")),
     )
     # stop-shingle cap, computed distributively (broadcast 1-row agg,
     # no driver-side count at plan-build — the d06 discipline)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     cap = F.greatest(F.lit(25), (F.lit(_D09_STOP_FRAC) * F.col("n_docs")).cast("long"))
-    rare = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") <= cap)
-        .select("sh")
-    )
+    # stop-shingle filter as a WINDOW count over sh instead of
+    # groupBy+join-back (guide §2.4; the CC-kernel window-min finding
+    # applied to the df-cap family): one exchange of sh instead of the
+    # count agg + join, which at 100 TB degrades to an SMJ shuffling
+    # sh a second time once the rare set outgrows broadcast. A/B at
+    # sf0.1 (kept persisted in both shapes): candidate stage
+    # 0.85 -> 0.72 s min-warm, candidate sets identical (112,009).
     # persisted: `kept` feeds BOTH sides of the pair join — without a
-    # cache barrier the rare-shingle aggregation (its own exchange)
-    # executes once per side
-    kept = _keyed_persist("d09.kept", sh.join(rare, "sh"))
+    # cache barrier the window stage executes once per side
+    from pyspark.sql import Window
+
+    kept = _keyed_persist(
+        "d09.kept",
+        sh.crossJoin(F.broadcast(n_docs))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .filter(F.col("df") <= cap)
+        .select("doc_id", "sh"),
+    )
     # The pair aggregation carries the COUNT ONLY: a first(head)
     # string aggregate has an immutable agg buffer, which forces the
     # whole raw shared-shingle pair stream through a SortAggregate
@@ -1610,14 +1640,17 @@ def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     cap = F.greatest(F.lit(25), (F.lit(_D09_STOP_FRAC) * F.col("n_docs")).cast("long"))
-    rare = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
+    # window-df stop-shingle filter — the d09 shape (guide §2.4): one
+    # exchange of sh instead of count-agg + join-back
+    from pyspark.sql import Window
+
+    kept = _keyed_persist(
+        "d12.kept",
+        sh.crossJoin(F.broadcast(n_docs))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .filter(F.col("df") <= cap)
-        .select("sh")
+        .select("doc_id", "sh"),
     )
-    kept = _keyed_persist("d12.kept", sh.join(rare, "sh"))
     cand = (
         kept.filter(F.col("doc_id") >= _D12_BOUNDARY)
         .alias("i")
