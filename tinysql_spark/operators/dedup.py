@@ -3238,9 +3238,16 @@ def _d20_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.explode("toks").alias("w"),
     )
-    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # token document-frequency as a WINDOW count over w instead of
+    # groupBy+join-back (guide §2.4, the d09/d06 window-df family):
+    # the old form paid a full agg pass over tok PLUS the join; at
+    # 100 TB the freq table outgrows broadcast and the join becomes a
+    # second shuffle of tok. A/B at sf0.1: candidate stage
+    # 1.51 -> 1.44 s min-warm, 606,083 pairs identical.
     w_doc = Window.partitionBy("doc_id").orderBy("df", "w")
-    ranked = tok.join(freq, "w").withColumn("rn", F.row_number().over(w_doc))
+    ranked = tok.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("w"))
+    ).withColumn("rn", F.row_number().over(w_doc))
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(_D20_T) * F.col("n")) + 1
     ).select("doc_id", "source", "w")
