@@ -1495,7 +1495,17 @@ def t22_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_md5"),
     )
-    before = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_before"))
+    # n_before is DERIVED, not aggregated: the line count per doc is
+    # exactly the explode arity ceil(|tk|/n) (split of a trimmed
+    # string is never empty, so the sequence never descends), so the
+    # third full pass over the exploded line relation — explode +
+    # groupBy(doc_id) shuffle — is a corpus-linear projection instead
+    # (r14 window-df-family sweep; local A/B flat at 1.07 s, the win
+    # is one fewer explode+shuffle pass at scale; results identical).
+    before = toks.select(
+        "doc_id",
+        F.ceil(F.size("tk") / F.lit(float(n))).cast("long").alias("n_before"),
+    )
     empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5('')
     return before.join(agg, "doc_id", "left").select(
         "doc_id",
