@@ -842,3 +842,25 @@ def test_pair_sims_arrow_matches_jvm_fold_bitexact(spark, sf_dir):
         (r["lo"], r["hi"]) for r in D._block_pair_sims(emb, min_sim=0.3).collect()
     }
     assert got == {k for k, v in jvm.items() if v >= 0.3}
+
+
+def test_d02_chunk_guard_pairs_identical(spark, sf_dir, monkeypatch):
+    """The r14 chunk-bucket guard (per-source rows hashed into
+    ceil(bn/cap) chunks so a giant source never lands in one join
+    task — guide §2.5's unsplittable hot key): forcing the cap small
+    enough to engage at test scale (k >= 4 chunks per source) must
+    yield the exact pair set and jaccard values of the degenerate
+    k = 1 plan the bench corpus takes."""
+    import tinysql_spark.operators.dedup as D
+
+    base = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.d02_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert base, "corpus must produce pairs"
+    monkeypatch.setattr(D, "_D02_CHUNK_CAP", 8)
+    forced = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.d02_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert forced == base

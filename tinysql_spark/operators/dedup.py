@@ -89,6 +89,12 @@ def _token_table(docs: DataFrame) -> DataFrame:
     )
 
 
+_D02_CHUNK_CAP = 1024  # per-(source) chunk row cap for the pair join:
+# bounds per-task work to ~cap^2/2 intersections (~0.5M — seconds per
+# task at ~15 us/pair) regardless of source size. Corpus-independent;
+# sources below the cap plan exactly as the unchunked blocked join.
+
+
 @register(
     "d02_ngram_jaccard",
     oracle="""
@@ -118,6 +124,7 @@ def _token_table(docs: DataFrame) -> DataFrame:
 )
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    cap = _D02_CHUNK_CAP
     # hash tokens to int64 before pairing: set semantics survive
     # (xxhash64 collisions at ~30 tokens/doc are ~1e-15), and the pair
     # join ships 8-byte ints instead of strings (~4x less shuffle)
@@ -129,10 +136,44 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("toks"),
     )
     toks = toks.withColumn("n", F.size("toks"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    # one equi-join on the blocking key; intersection/union are
-    # JVM-side array ops per pair — no token-explode shuffle blow-up.
+    # chunk-bucket the per-source block (r14; the _chunked_block_pairs
+    # upper-triangle scheme, guide §2.5): blocking on source ALONE
+    # puts a whole source in ONE join task — the single-giant-key
+    # straggler AQE cannot split. Rows in a source of bn docs get a
+    # deterministic chunk c = pmod(xxhash64(doc_id), ceil(bn/cap));
+    # each unordered pair meets in exactly one (bi, bj) bucket, so
+    # the pair set (and the DuckDB oracle) are unchanged. For
+    # unskewed sources k = 1 and the plan degenerates to the plain
+    # blocked join — at bench scale (250 docs/source) the shape and
+    # timing are IDENTICAL; the cap only engages on sources past
+    # ~1k docs, bounding per-task intersect work to ~cap^2/2 pairs
+    # (~0.5M at 1024 — seconds, not hours, per task at any scale).
+    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("bn"))
+    # persisted (the _chunk_rows discipline): the a/b sides explode in
+    # OPPOSITE directions, so they are no longer identical subtrees
+    # and exchange reuse cannot dedup the tokenize stage — without the
+    # cache the hash-tokenize map runs once per side (measured: the
+    # unpersisted chunked shape was ~1 s slower than the plain join)
+    rows = _keyed_persist(
+        "d02.rows",
+        toks.join(F.broadcast(sizes), "source")
+        .withColumn("k", F.ceil(F.col("bn") / F.lit(cap)).cast("int"))
+        .withColumn("c", F.pmod(F.xxhash64("doc_id"), F.col("k")).cast("int"))
+        .drop("bn"),
+    )
+    a = rows.withColumn(
+        "bj", F.explode(F.sequence(F.col("c"), F.col("k") - 1))
+    ).withColumnRenamed("c", "bi").alias("a")
+    b = rows.withColumn(
+        "bi", F.explode(F.sequence(F.lit(0), F.col("c")))
+    ).withColumnRenamed("c", "bj").alias("b")
+    # one equi-join on the blocking key (source + chunk bucket);
+    # intersection/union are JVM-side array ops per pair — no
+    # token-explode shuffle blow-up. Same-chunk buckets order by id
+    # (dedups the two role combinations); cross-chunk buckets meet
+    # exactly once (role assignment is by chunk, so a may hold the
+    # LARGER doc_id — the projection uses least/greatest; jaccard is
+    # symmetric).
     # Size-ratio prefilter: J >= 0.8 requires min(|A|,|B|)/max >= 0.8,
     # so 4x-cheaper length checks prune pairs before any intersection.
     # The threshold goes INTO the join condition, last: a standalone
@@ -146,13 +187,20 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(
         b,
         (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.bi") == F.col("b.bi"))
+        & (F.col("a.bj") == F.col("b.bj"))
+        & (
+            F.when(
+                F.col("a.bi") == F.col("b.bj"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ).otherwise(F.col("a.doc_id") != F.col("b.doc_id"))
+        )
         & (F.col("a.n") * 5 >= F.col("b.n") * 4)
         & (F.col("b.n") * 5 >= F.col("a.n") * 4)
         & (j >= 0.8),
     ).select(
-        F.col("a.doc_id").alias("a_id"),
-        F.col("b.doc_id").alias("b_id"),
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
         j.alias("jaccard"),
     )
 
