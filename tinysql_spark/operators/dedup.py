@@ -2076,22 +2076,40 @@ def d15_exactsubstr_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    tk = base.select("doc_id", F.posexplode("ws").alias("tpos0", "tok")).select(
-        "doc_id", (F.col("tpos0") + 1).alias("tpos"), "tok"
+    # Reconstruction WITHOUT re-exploding the corpus (r14; guide §8 —
+    # decide with small rows, never move the payload twice): the old
+    # shape posexploded EVERY token, anti-joined by (doc_id, tpos)
+    # (a full shuffle of the token relation) and rebuilt bodies with
+    # a collect_list+array_sort aggregation. The excised positions
+    # are the SMALL side — aggregate them to one array per doc, join
+    # corpus-linearly to base, and excise in JVM array ops:
+    # array_except(sequence(1, n_tok), drop_pos) keeps order and the
+    # per-element lookup is element_at on the already-held ws array.
+    # A/B at sf0.1 (warm caches, interleaved): 2.02 -> 1.66 s, new
+    # wins every rep pair, all 5,000 output rows identical. The
+    # when(n_kept0 > 0) guard reproduces the old semantics exactly:
+    # a fully-excised doc produced NO body row (null body/n_kept).
+    exc_arr = exc.groupBy("doc_id").agg(F.collect_set("tpos").alias("drop_pos"))
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.col("n_tok")),
+        F.coalesce(F.col("drop_pos"), F.array()),
     )
-    body = (
-        tk.join(exc, ["doc_id", "tpos"], "anti")
-        .groupBy("doc_id")
-        .agg(
+    kept = (
+        base.join(exc_arr, "doc_id", "left")
+        .withColumn("kp", kept_pos)
+        .select(
+            "doc_id",
             F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
-                    lambda s: s["tok"],
-                ),
+                F.transform(F.col("kp"), lambda p: F.element_at(F.col("ws"), p)),
                 " ",
-            ).alias("body"),
-            F.count(F.lit(1)).alias("n_kept"),
+            ).alias("body0"),
+            F.size("kp").alias("n_kept0"),
         )
+    )
+    body = kept.select(
+        "doc_id",
+        F.when(F.col("n_kept0") > 0, F.col("body0")).alias("body"),
+        F.when(F.col("n_kept0") > 0, F.col("n_kept0")).alias("n_kept"),
     )
     return base.join(body, "doc_id", "left").select(
         "doc_id",
