@@ -265,18 +265,26 @@ def test_zorder_prunes_on_both_columns(spark, tmp_path):
     import glob
 
     assert len(glob.glob(zed + "/*.parquet")) == n_files
-    lo, hi = 400, 462  # ~1/16 of the b range
+    # zorder_parquet's repartitionByRange samples with a seed derived
+    # from the RDD id, so the exact file boundaries depend on session
+    # history (how many RDDs earlier tests created) — a SINGLE query
+    # range's overlap count jitters by a few files across runs (the
+    # round-14 driver read 9 where a fresh session reads 5). Average
+    # over all 16 disjoint 1/16-ranges instead: the mean is the
+    # layout's actual pruning factor and is stable (probed 6.3-6.9 for
+    # the trailing dim across 12 session histories and 8/32/48 cores).
+    ranges = [(r * 1000 // 16, (r + 1) * 1000 // 16 - 1) for r in range(16)]
     lex_files = len(glob.glob(lex + "/*.parquet"))
-    lex_read = files_overlapping(lex, "b", lo, hi)
-    z_read = files_overlapping(zed, "b", lo, hi)
+    avg_lex_b = sum(files_overlapping(lex, "b", lo, hi) for lo, hi in ranges) / 16
+    avg_z_b = sum(files_overlapping(zed, "b", lo, hi) for lo, hi in ranges) / 16
+    avg_z_a = sum(files_overlapping(zed, "a", lo, hi) for lo, hi in ranges) / 16
     # lexicographic: b spans its full range in every a-sorted file
-    assert lex_read >= lex_files - 1, (lex_read, lex_files)
+    assert avg_lex_b >= lex_files - 1, (avg_lex_b, lex_files)
     # z-order: each file covers ~a quarter of each dimension (16 files
     # across 2 dims -> 4x4 grid), so a 1/16-range predicate touches
-    # at most half the files
-    assert z_read <= n_files // 2, (z_read, n_files)
-    # and the leading column still prunes on BOTH layouts
-    assert files_overlapping(zed, "a", lo, hi) <= n_files // 2
+    # on average at most half the files — on BOTH dimensions
+    assert avg_z_b <= n_files / 2, (avg_z_b, n_files)
+    assert avg_z_a <= n_files / 2, (avg_z_a, n_files)
     # correctness: same rows either way
     assert (
         spark.read.parquet(zed).orderBy("a", "b").collect()
