@@ -132,6 +132,12 @@ def main() -> None:
         "startup_sec": round(startup, 3),
         "n_queries": len(times),
         "classes": classes,
+        # scaling contract (VERDICT r14 item 2): echo the requested
+        # core count AND the parallelism the session actually runs
+        # with, so a flat 8-vs-32-core ratio is attributable to
+        # fixed-overhead-bound queries rather than an ignored knob.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
     }
     if multifile:
         out["files_per_table"] = multifile
