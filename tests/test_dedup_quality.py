@@ -783,6 +783,24 @@ def test_d20_prefix_filter_lossless_and_cheaper(spark, sf_dir):
         (r["a_id"], r["b_id"]) for r in _d20_candidates(spark, sf_dir).collect()
     }
     assert {(a, b) for a, b, _ in d02} <= cands
+    # r15: the PPJoin length+positional filters prune candidates
+    # BEFORE the distinct — cands must be a (strict, on this corpus)
+    # subset of the filter-free prefix join's pairs, never more
+    unfiltered = {
+        (r["a_id"], r["b_id"])
+        for r in (
+            prefix.select(F.col("doc_id").alias("a_id"), F.col("source").alias("s"), "w")
+            .join(
+                prefix.select(F.col("doc_id").alias("b_id"), F.col("source").alias("s"), "w"),
+                ["w", "s"],
+            )
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+            .collect()
+        )
+    }
+    assert cands < unfiltered, (len(cands), len(unfiltered))
 
 
 def test_d20_tokhash_variants_identical(spark, sf_dir):

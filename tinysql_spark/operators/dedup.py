@@ -3314,15 +3314,51 @@ def _d20_candidates(
     ).withColumn("rn", F.row_number().over(w_doc))
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(_D20_T) * F.col("n")) + 1
-    ).select("doc_id", "source", "w")
-    a = prefix.select(F.col("doc_id").alias("a_id"), F.col("source").alias("src"), "w")
-    b = prefix.select(F.col("doc_id").alias("b_id"), F.col("source").alias("src"), "w")
+    ).select("doc_id", "source", "w", "rn", "n")
+    a = prefix.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("source").alias("src"),
+        "w",
+        F.col("rn").alias("a_rn"),
+        F.col("n").alias("a_n"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("source").alias("src"),
+        "w",
+        F.col("rn").alias("b_rn"),
+        F.col("n").alias("b_n"),
+    )
     # source is part of the JOIN KEY (not a post-join filter): same
     # pairs, but cross-source collisions on hot tokens never join,
-    # and the shuffle key is finer-grained (PPJoin blocks per source)
+    # and the shuffle key is finer-grained (PPJoin blocks per source).
+    # The length and POSITIONAL filters (PPJoin, Xiao et al. 2011)
+    # prune meetings BEFORE the distinct, both lossless for J >= t:
+    # - length: J >= t forces min(|a|,|b|) >= t*max(|a|,|b|)
+    #   (t = 4/5, so 5*min >= 4*max in exact integers);
+    # - positional: rn is the token's 1-based rank in the doc's FULL
+    #   (df, w)-ordered list — a global total order shared by all
+    #   docs — so at a truly-similar pair's FIRST common token every
+    #   common token sits at rank >= rn on both sides and
+    #   overlap <= 1 + min(a_n - a_rn, b_n - b_rn). Requiring that
+    #   bound to reach alpha = ceil(t/(1+t)*(a_n+b_n)) (t = 4/5:
+    #   9*bound >= 4*(a_n+b_n), exact integers) can only drop
+    #   meetings that cannot certify the pair; the first-common-token
+    #   meeting of every true pair passes (prefix theorem puts it
+    #   inside both prefixes). Candidates shrink; the verify stage's
+    #   exact-Jaccard result set is unchanged.
     return (
         a.join(b, ["w", "src"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("a_n") * 5 >= F.col("b_n") * 4)
+            & (F.col("b_n") * 5 >= F.col("a_n") * 4)
+            & (
+                (F.lit(1) + F.least(F.col("a_n") - F.col("a_rn"), F.col("b_n") - F.col("b_rn")))
+                * 9
+                >= (F.col("a_n") + F.col("b_n")) * 4
+            )
+        )
         .select("a_id", "b_id")
         .distinct()
     )
