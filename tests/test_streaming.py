@@ -498,3 +498,27 @@ def test_st13_replay_equals_batch_t20(spark, sf_dir):
         for r in t20_compression_gate(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_boundary_invariant_entries_match_files1_replay(spark, sf_dir, monkeypatch):
+    """r15: st04/st12/st13 default to the volume-sized trigger
+    (bytes-mode — one micro-batch instead of one per staged file)
+    because their OUTPUT does not depend on micro-batch boundaries:
+    st12/st13 are stateless maps, and st04's append emission rides
+    the sentinels' event times (watermark progress + the engine's
+    no-data batch), not file count. Pin exactly that claim: the
+    default replay must equal the forced files:1 replay row for row."""
+    from tinysql_spark.operators.registry import REGISTRY
+
+    for name in (
+        "st04_stream_parquet_sink",
+        "st12_stream_pii_scrub",
+        "st13_stream_compression_gate",
+    ):
+        fn = REGISTRY[name].fn
+        monkeypatch.delenv("SPARK_GRAFT_STREAM_TRIGGER", raising=False)
+        got_default = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_TRIGGER", "files:1")
+        got_files1 = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        monkeypatch.delenv("SPARK_GRAFT_STREAM_TRIGGER")
+        assert got_default == got_files1 and len(got_default) > 0, name

@@ -299,7 +299,13 @@ def _stage_events_with_sentinels(sf_dir: str, n_sentinels: int = 2) -> str:
     "(restart resumes from the checkpoint, no reprocessing).",
 )
 def st04_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = read_event_stream(spark, _stage_events_with_sentinels(sf_dir))
+    # boundary_invariant (r15): append-mode emission is driven by the
+    # sentinels' EVENT TIMES (watermark progress) plus the engine's
+    # no-data batch, not by which file lands in which micro-batch —
+    # output pinned identical under files:1 and bytes triggers.
+    stream = read_event_stream(
+        spark, _stage_events_with_sentinels(sf_dir), boundary_invariant=True
+    )
     out_dir = _tmpdir("tinysql_st04_out_")
     ck_dir = _tmpdir("tinysql_st04_ck_")
     agg = hourly_counts(stream)
@@ -968,9 +974,12 @@ def st12_stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage_documents_split(sf_dir)
     schema = spark.read.parquet(src).schema
+    # boundary_invariant (r15): a stateless map's output cannot depend
+    # on micro-batch boundaries; the 4-file split exists for st11's
+    # incremental-state semantics, not this entry's.
     stream = (
         spark.readStream.schema(schema)
-        .options(**stream_trigger_options())
+        .options(**stream_trigger_options(boundary_invariant=True))
         .parquet(src)
     )
     out = pii_scrub(_pii_augment(stream)).select(
@@ -1010,9 +1019,10 @@ def st13_stream_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage_documents_split(sf_dir)
     schema = spark.read.parquet(src).schema
+    # boundary_invariant (r15): same stateless-map argument as st12.
     stream = (
         spark.readStream.schema(schema)
-        .options(**stream_trigger_options())
+        .options(**stream_trigger_options(boundary_invariant=True))
         .parquet(src)
     )
     out = compression_gate(stream)

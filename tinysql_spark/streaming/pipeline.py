@@ -43,7 +43,7 @@ EVENT_SCHEMA = T.StructType(
 _TS_LAYOUT_CACHE: dict[str, str] = {}
 
 
-def stream_trigger_options() -> dict[str, str]:
+def stream_trigger_options(boundary_invariant: bool = False) -> dict[str, str]:
     """File-source rate-limit options for every readStream in the
     suite. Default is one file per micro-batch (deterministic replay —
     the staged-split fixtures define batch boundaries by file).
@@ -52,10 +52,22 @@ def stream_trigger_options() -> dict[str, str]:
     maxPartitionBytes-style sizing a production ingest uses so batch
     size tracks data volume, not file count); files[:N] sets a file
     count. Bench staging only (SURVEY §7.18 item 5): correctness runs
-    never set the env var, so replay semantics are unchanged there."""
+    never set the env var, so replay semantics are unchanged there.
+
+    ``boundary_invariant=True`` (r15, guide §6 / VERDICT r14 item 4):
+    entries whose OUTPUT does not depend on micro-batch boundaries —
+    stateless maps (st12/st13) and the sentinel-flushed append sink
+    (st04, where emission rides event-time watermark progress plus
+    the engine's no-data batch, not file count) — default to the
+    volume-sized trigger, the production ingest sizing. Their staged
+    multi-file sources exist for the STATEFUL entries' semantics;
+    paying one micro-batch of fixed cost per file there is pure
+    overhead (result identity under both triggers is pinned in
+    tests/test_streaming.py). The env var still overrides both ways."""
     import os
 
-    spec = os.environ.get("SPARK_GRAFT_STREAM_TRIGGER", "files:1")
+    default = "bytes" if boundary_invariant else "files:1"
+    spec = os.environ.get("SPARK_GRAFT_STREAM_TRIGGER", default)
     kind, _, val = spec.partition(":")
     if kind == "bytes":
         return {"maxBytesPerTrigger": val or str(128 * 1024 * 1024)}
@@ -88,13 +100,17 @@ def ts_layout(events_path: str) -> str:
 
 
 def read_event_stream(
-    spark: SparkSession, events_dir: str, ts_is_nanos: bool | None = None
+    spark: SparkSession,
+    events_dir: str,
+    ts_is_nanos: bool | None = None,
+    boundary_invariant: bool = False,
 ) -> DataFrame:
     """File-source stream over a directory of event parquet files.
 
     The streaming file source requires a directory (new files arriving
     = new micro-batches). The ts physical layout is auto-detected from
     the parquet footer (see ts_layout); ``ts_is_nanos`` forces it.
+    ``boundary_invariant`` is forwarded to stream_trigger_options.
     """
     if ts_is_nanos is None:
         nanos = ts_layout(events_dir) in ("nanos", "long")
@@ -114,7 +130,7 @@ def read_event_stream(
         )
     raw = (
         spark.readStream.schema(schema)
-        .options(**stream_trigger_options())
+        .options(**stream_trigger_options(boundary_invariant))
         .parquet(events_dir)
     )
     if nanos:
@@ -323,26 +339,52 @@ def shingle_first_owner(
             mins, state.getCurrentWatermarkMs() if horizon_ms is not None else 0
         )
         pdf = pd.concat(list(batches), ignore_index=True)
+        ms_max = None
         if horizon_ms is not None:
             pdf["_ms"] = (
                 pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
             )
+            ms_max = pdf.groupby("sh")["_ms"].max()
+        # Vectorized group scan (r15): `for sh, grp in pdf.groupby("sh")`
+        # materializes a sub-DataFrame per group — ~30 us x |distinct
+        # spans|, the dominant per-batch cost of the whole operator
+        # (3.8 s over the sf0.1 replay). Sort the deduped (sh, doc_id)
+        # pairs once and walk group boundaries over plain numpy
+        # arrays instead; per-group logic (min-merge with the state
+        # entry, candidate emission) is unchanged and emission order
+        # — sh-sorted groups, id-sorted within — is identical.
+        import numpy as np
+
+        sub = pdf[["sh", "doc_id"]].drop_duplicates()
+        sub = sub.sort_values(["sh", "doc_id"], kind="mergesort")
+        shv = sub["sh"].to_numpy()
+        idv = sub["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, shv[1:] != shv[:-1]])
+        ends = np.r_[starts[1:], len(shv)]
         out_doc: list[int] = []
         out_cand: list[int] = []
-        for sh, grp in pdf.groupby("sh"):
-            ids = sorted({int(x) for x in grp["doc_id"]})
-            last_ms = int(grp["_ms"].max()) if horizon_ms is not None else 0
-            entry = mins.get(sh)
-            prior = entry[0] if entry is not None else None
-            d0 = ids[0]
-            if prior is not None and prior < d0:
-                out_doc.append(d0)
-                out_cand.append(prior)
-            base = d0 if prior is None else min(prior, d0)
-            for d in ids[1:]:
-                out_doc.append(d)
+        get = mins.get
+        for s, e in zip(starts, ends):
+            sh = shv[s]
+            d0 = int(idv[s])
+            entry = get(sh)
+            if entry is None:
+                base = d0
+                prev_ms = 0
+            else:
+                prior = entry[0]
+                if prior < d0:
+                    out_doc.append(d0)
+                    out_cand.append(prior)
+                    base = prior
+                else:
+                    base = d0
+                prev_ms = entry[1]
+            for d in idv[s + 1 : e]:
+                out_doc.append(int(d))
                 out_cand.append(base)
-            mins[sh] = (base, max(last_ms, entry[1] if entry else 0))
+            last_ms = int(ms_max[sh]) if ms_max is not None else 0
+            mins[sh] = (base, max(last_ms, prev_ms))
         state.update((pickle.dumps(mins, protocol=4),))
         arm_timeout(state, mins)
         if out_doc:
