@@ -404,7 +404,10 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than the loop itself at bench scale)
     spark = docs.sparkSession
     n_edges = edges.count()
-    iter_parts = str(min(2000, max(4, n_edges // 1_000_000 + 4)))
+    # floor 1 (r15; was 4): a contracted late-round edge set fits one
+    # ~16 MB task — extra tiny tasks were pure per-round overhead; at
+    # scale the ~1M-rows-per-task sizing term still dominates
+    iter_parts = str(min(2000, max(1, n_edges // 1_000_000 + 1)))
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -970,7 +973,10 @@ def d07_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (small) component subgraph, not the whole corpus; isolated
     # vertices keep their own id via the final left join.
     n_edges = edges.count()
-    iter_parts = str(min(2000, max(4, n_edges // 1_000_000 + 4)))
+    # floor 1 (r15; was 4): a contracted late-round edge set fits one
+    # ~16 MB task — extra tiny tasks were pure per-round overhead; at
+    # scale the ~1M-rows-per-task sizing term still dominates
+    iter_parts = str(min(2000, max(1, n_edges // 1_000_000 + 1)))
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -1130,25 +1136,45 @@ def _cc_converge(edges: DataFrame) -> DataFrame:
             .localCheckpoint(eager=False)
         )
 
+    # Rounds per signature action. The 2-round argument generalizes to
+    # any cadence (consecutive-round comparison inside the window can
+    # never miss convergence — a fixed point makes the next round the
+    # identity; no 2-cycle exists to alias), but cadence 3 measured a
+    # NET NEGATIVE once the partition floor dropped to 1 (r15
+    # interleaved A/B at floor 1, min-warm seconds, labels identical):
+    # d03 1.07 vs 1.29, d07 2.12 vs 1.98, d11 1.31 vs 1.90 — d03/d11
+    # converge in 2-4 rounds, so the third round per window is pure
+    # waste, and floor-1 probes are too cheap for the saved action to
+    # pay for it. Recorded so the next round doesn't re-try it.
+    cadence = 2
     rnd = 0
     while rnd < _EMB_MAX_ROUNDS:
-        E1 = one_round(E)
-        E2 = one_round(E1)
-        # ONE action probes both rounds: materializes both checkpoints
-        # and returns each round's signature
+        rounds = [E]
+        for _ in range(cadence):
+            rounds.append(one_round(rounds[-1]))
+        u = None
+        for g in range(1, cadence + 1):
+            sel = rounds[g].select(F.lit(g).alias("g"), "u", "v")
+            u = sel if u is None else u.unionByName(sel)
         sig_rows = (
-            E1.select(F.lit(0).alias("g"), "u", "v")
-            .unionByName(E2.select(F.lit(1).alias("g"), "u", "v"))
-            .groupBy("g")
+            u.groupBy("g")
             .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("u") + F.col("v")).alias("t"))
             .collect()
         )
         sigs = {int(r["g"]): (int(r["n"]), int(r["t"] or 0)) for r in sig_rows}
-        s1, s2 = sigs.get(0, (0, 0)), sigs.get(1, (0, 0))
-        E = E2
-        if s1 == s2 and E2.exceptAll(E1).limit(1).count() == 0:
+        E = rounds[-1]
+        hit = next(
+            (
+                g
+                for g in range(2, cadence + 1)
+                if sigs.get(g - 1, (0, 0)) == sigs.get(g, (0, 0))
+            ),
+            None,
+        )
+        if hit is not None and rounds[hit].exceptAll(rounds[hit - 1]).limit(1).count() == 0:
+            E = rounds[hit]
             break
-        rnd += 2
+        rnd += cadence
     # at the fixed point E is a set of stars: u -> component root;
     # roots appear only as v and label themselves
     lbl = E.select(F.col("u").alias("vec_id"), F.col("v").alias("lbl"))
@@ -1552,7 +1578,10 @@ def d11_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _keyed_persist("d11.edges", _sym_edges(pairs, "a_id", "b_id"))
     spark_ = docs.sparkSession
     n_edges = edges.count()
-    iter_parts = str(min(2000, max(4, n_edges // 1_000_000 + 4)))
+    # floor 1 (r15; was 4): a contracted late-round edge set fits one
+    # ~16 MB task — extra tiny tasks were pure per-round overhead; at
+    # scale the ~1M-rows-per-task sizing term still dominates
+    iter_parts = str(min(2000, max(1, n_edges // 1_000_000 + 1)))
     prev_aqe = spark_.conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = spark_.conf.get("spark.sql.shuffle.partitions")
     spark_.conf.set("spark.sql.adaptive.enabled", "false")
