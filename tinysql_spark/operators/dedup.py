@@ -136,18 +136,51 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("toks"),
     )
     toks = toks.withColumn("n", F.size("toks"))
+    common = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    j = common * 1.0 / (F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - common)
+    # Plan the chunk guard only when a source actually exceeds the cap
+    # (r15, VERDICT r14 item 8): the guard's replica explodes break the
+    # two sides' subtree identity, which forces a persist (cache build
+    # + two cache scans) and a broadcast join — ~+0.4 s of pure
+    # degenerate-path cost when every source fits one task anyway.
+    # One column-pruned count per source decides the plan (driver-side
+    # stats probe, the d07 n_edges discipline); both plans produce the
+    # identical pair set (the forced-cap pin exercises the chunked
+    # path regardless of corpus shape).
+    max_bn = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .agg(F.max("bn"))
+        .first()[0]
+        or 0
+    )
+    if max_bn <= cap:
+        # every source fits one join task: the plain blocked self-join
+        # — both sides are the SAME subtree, so exchange reuse dedups
+        # the tokenize stage without any persist
+        a = toks.alias("a")
+        b = toks.alias("b")
+        return a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") * 5 >= F.col("b.n") * 4)
+            & (F.col("b.n") * 5 >= F.col("a.n") * 4)
+            & (j >= 0.8),
+        ).select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            j.alias("jaccard"),
+        )
     # chunk-bucket the per-source block (r14; the _chunked_block_pairs
     # upper-triangle scheme, guide §2.5): blocking on source ALONE
     # puts a whole source in ONE join task — the single-giant-key
     # straggler AQE cannot split. Rows in a source of bn docs get a
     # deterministic chunk c = pmod(xxhash64(doc_id), ceil(bn/cap));
     # each unordered pair meets in exactly one (bi, bj) bucket, so
-    # the pair set (and the DuckDB oracle) are unchanged. For
-    # unskewed sources k = 1 and the plan degenerates to the plain
-    # blocked join — at bench scale (250 docs/source) the shape and
-    # timing are IDENTICAL; the cap only engages on sources past
-    # ~1k docs, bounding per-task intersect work to ~cap^2/2 pairs
-    # (~0.5M at 1024 — seconds, not hours, per task at any scale).
+    # the pair set (and the DuckDB oracle) are unchanged — the cap
+    # bounds per-task intersect work to ~cap^2/2 pairs (~0.5M at
+    # 1024 — seconds, not hours, per task at any scale).
     sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("bn"))
     # persisted (the _chunk_rows discipline): the a/b sides explode in
     # OPPOSITE directions, so they are no longer identical subtrees
