@@ -862,6 +862,42 @@ def test_pair_sims_arrow_matches_jvm_fold_bitexact(spark, sf_dir):
     assert got == {k for k, v in jvm.items() if v >= 0.3}
 
 
+def test_pair_sims_zero_norm_vectors_match_jvm(spark):
+    """ADVICE r14: a zero-norm embedding makes unit_vec emit NULL
+    components (Spark non-ANSI 0.0/0.0 is NULL, not NaN), the JVM
+    fold then yields a NULL sim which any `sim >= t` drops; on the
+    Arrow side those NULLs arrive as NaN, the IEEE `acc >= t` mask
+    drops the same pairs, and an unthresholded NaN sim rides back
+    through Arrow as NULL — so BOTH paths agree exactly. Pinned on a
+    synthetic block holding two zero vectors, thresholded and not."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import tinysql_spark.operators.dedup as D
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], 7),
+            (2, [1.0, 0.0], 7),
+            (3, [0.0, 0.0], 7),
+            (4, [0.6, 0.8], 7),
+        ],
+        "vec_id long, e array<float>, label int",
+    )
+    emb = df.select("vec_id", "label", D.unit_vec(F.col("e")).alias("e"))
+    for ms in (0.5, None):
+        arrow = sorted(tuple(r) for r in D._block_pair_sims(emb, min_sim=ms).collect())
+        os.environ["SPARK_GRAFT_PAIRDOT_JVM"] = "1"
+        try:
+            jvm = sorted(tuple(r) for r in D._block_pair_sims(emb, min_sim=ms).collect())
+        finally:
+            del os.environ["SPARK_GRAFT_PAIRDOT_JVM"]
+        assert arrow == jvm, (ms, arrow, jvm)
+    # the thresholded form keeps exactly the one real pair
+    assert [(r[0], r[1]) for r in arrow if r[2] is not None] == [(2, 4)]
+
+
 def test_d02_chunk_guard_pairs_identical(spark, sf_dir, monkeypatch):
     """The r14 chunk-bucket guard (per-source rows hashed into
     ceil(bn/cap) chunks so a giant source never lands in one join

@@ -641,12 +641,15 @@ def _chunk_rows(emb: DataFrame, cap: int = _BLOCK_CAP_ROWS) -> DataFrame:
 
 
 def _chunked_block_pairs(emb: DataFrame, cap: int = _BLOCK_CAP_ROWS) -> DataFrame:
-    """All (a, b) rows with a.label = b.label, a.vec_id < b.vec_id —
-    emitted as aliases `a`/`b` for the caller to project/filter.
-    `emb` must carry vec_id + label. Since round 14 this is the JVM
-    TWIN of _block_pair_sims (kept for the bit-exactness pin and the
-    cap-forcing plan test); production pair scoring goes through the
-    Arrow scorer."""
+    """Every unordered same-label row pair exactly once — emitted as
+    aliases `a`/`b` for the caller to project/filter. NOTE (ADVICE
+    r14): pairs are UNORDERED across chunks — same-chunk buckets join
+    on a.vec_id < b.vec_id, but cross-chunk buckets join on `!=` and
+    may emit a.vec_id > b.vec_id, so callers must canonicalize with
+    least/greatest (all current callers do). `emb` must carry vec_id +
+    label. Since round 14 this is the JVM TWIN of _block_pair_sims
+    (kept for the bit-exactness pin and the cap-forcing plan test);
+    production pair scoring goes through the Arrow scorer."""
     rows = _chunk_rows(emb, cap)
     # left plays chunk role i (replicas (c, j) for j >= c); right plays
     # chunk role j (replicas (i, c) for i <= c)
@@ -662,8 +665,10 @@ def _chunked_block_pairs(emb: DataFrame, cap: int = _BLOCK_CAP_ROWS) -> DataFram
         (F.col("a.label") == F.col("b.label"))
         & (F.col("a.bi") == F.col("b.bi"))
         & (F.col("a.bj") == F.col("b.bj"))
-        # same-chunk bucket orders by id; cross-chunk buckets already
-        # meet once, but keep ordered output (a_id < b_id) everywhere
+        # same-chunk bucket orders by id (dedups the two role
+        # combinations); cross-chunk buckets meet exactly once but in
+        # EITHER role order — output pairs are unordered there (see
+        # the docstring: callers canonicalize with least/greatest)
         & (
             F.when(F.col("a.bi") == F.col("b.bj"), F.col("a.vec_id") < F.col("b.vec_id"))
             .otherwise(F.col("a.vec_id") != F.col("b.vec_id"))
@@ -671,10 +676,19 @@ def _chunked_block_pairs(emb: DataFrame, cap: int = _BLOCK_CAP_ROWS) -> DataFram
     )
 
 
-# Left-index slab for the Arrow pair scorer: bounds per-group memory at
-# SLAB x |right| accumulator doubles (~800 MB worst case at the 50k
-# chunk cap) while keeping batches large enough to vectorize.
-_PAIR_SLAB = 2048
+# Left-index slab for the Arrow pair scorer: bounds per-group memory.
+# The slab is derived per group from a byte budget (ADVICE r14: a
+# fixed 2048 x 50k-row chunk cap meant an ~820 MB float64 accumulator
+# per concurrent Python worker) — slab = budget // (8 * |right|),
+# capped at _PAIR_SLAB_MAX and floored so tiny groups still vectorize.
+# Sims are unaffected: each pair's per-dimension accumulation is
+# independent of how left rows are batched (bit-exactness pin holds).
+_PAIR_SLAB_MAX = 2048
+_PAIR_SLAB_BUDGET = 128 * 1024 * 1024  # accumulator bytes per group
+
+
+def _pair_slab(n_right: int) -> int:
+    return max(64, min(_PAIR_SLAB_MAX, _PAIR_SLAB_BUDGET // (8 * max(1, n_right))))
 
 
 def _pair_dot_score(min_sim: float | None):
@@ -713,8 +727,9 @@ def _pair_dot_score(min_sim: float | None):
             # diagonal bucket: ONE copy per row, upper-triangle order
             A = np.stack(pdf["e"].to_numpy())
             ida = pdf["vec_id"].to_numpy()
-            for s in range(0, len(ida), _PAIR_SLAB):
-                emit(A[s : s + _PAIR_SLAB], ida[s : s + _PAIR_SLAB], A, ida, True)
+            slab = _pair_slab(len(ida))
+            for s in range(0, len(ida), slab):
+                emit(A[s : s + slab], ida[s : s + slab], A, ida, True)
         else:
             lmask = pdf["side"].to_numpy() == 0
             lpdf, rpdf = pdf[lmask], pdf[~lmask]
@@ -723,8 +738,9 @@ def _pair_dot_score(min_sim: float | None):
                 B = np.stack(rpdf["e"].to_numpy())
                 ida = lpdf["vec_id"].to_numpy()
                 idb = rpdf["vec_id"].to_numpy()
-                for s in range(0, len(ida), _PAIR_SLAB):
-                    emit(A[s : s + _PAIR_SLAB], ida[s : s + _PAIR_SLAB], B, idb, False)
+                slab = _pair_slab(len(idb))
+                for s in range(0, len(ida), slab):
+                    emit(A[s : s + slab], ida[s : s + slab], B, idb, False)
         if not out_lo:
             return pd.DataFrame(
                 {

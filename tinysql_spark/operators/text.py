@@ -1502,7 +1502,11 @@ def t22_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy(doc_id) shuffle — is a corpus-linear projection instead
     # (r14 window-df-family sweep; local A/B flat at 1.07 s, the win
     # is one fewer explode+shuffle pass at scale; results identical).
-    before = toks.select(
+    # NULL-text guard (ADVICE r14): split(trim(NULL)) is NULL, so the
+    # old explode+groupBy form OMITTED such docs — the derived
+    # projection must too, or it would emit a null-n_before row the
+    # aggregated form never produced.
+    before = toks.filter(F.col("tk").isNotNull()).select(
         "doc_id",
         F.ceil(F.size("tk") / F.lit(float(n))).cast("long").alias("n_before"),
     )
