@@ -512,6 +512,8 @@ def test_boundary_invariant_entries_match_files1_replay(spark, sf_dir, monkeypat
 
     for name in (
         "st04_stream_parquet_sink",
+        "st07_stream_sessions",
+        "st08_stream_left_join",
         "st12_stream_pii_scrub",
         "st13_stream_compression_gate",
     ):

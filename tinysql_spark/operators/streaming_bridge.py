@@ -560,7 +560,14 @@ def st06_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st07_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import session_stats
 
-    stream = read_event_stream(spark, _stage_events_with_sentinels(sf_dir))
+    # boundary_invariant (r15): session emission is watermark-driven —
+    # the sentinels' EVENT TIMES plus the engine's no-data batch flush
+    # every closed session regardless of which file lands in which
+    # micro-batch (st04's argument; identity under both triggers is
+    # pinned in tests/test_streaming.py).
+    stream = read_event_stream(
+        spark, _stage_events_with_sentinels(sf_dir), boundary_invariant=True
+    )
     sess = session_stats(stream, gap="30 minutes", watermark="2 hours")
     name = "st07_sessions_" + uuid.uuid4().hex[:8]
     run_to_memory(sess, name, output_mode="append")
@@ -612,8 +619,11 @@ def st08_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # forever. The sentinels therefore PASS both side filters (they
     # carry user_id -1 and event_id < 0, so they never join real
     # rows) and are stripped from the drained batch result below.
+    # boundary_invariant (r15): null-row emission is watermark-driven
+    # (sentinel event times + the no-data batch), not file-count-driven
+    # — st04's argument; identity under both triggers pinned in tests.
     views = (
-        read_event_stream(spark, src)
+        read_event_stream(spark, src, boundary_invariant=True)
         .filter(F.col("event_type").isin("view", "__wm__"))
         .select(
             F.col("event_id").alias("view_id"),
@@ -623,7 +633,7 @@ def st08_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("view_ts", "1 hour")
     )
     purchases = (
-        read_event_stream(spark, src)
+        read_event_stream(spark, src, boundary_invariant=True)
         .filter(F.col("event_type").isin("purchase", "__wm__"))
         .select(
             F.col("event_id").alias("purchase_id"),
