@@ -2097,13 +2097,25 @@ def _s16_index_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _s16_list_sizes(spark: SparkSession, lists: str) -> dict[int, int]:
-    return {
-        int(r["cid"]): int(r["n"])
-        for r in spark.read.parquet(lists)
-        .groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    """Per-cid row counts of a partitioned inverted-list dir, read
+    from PARQUET FOOTERS (exact num_rows per file) instead of a full
+    Spark scan+groupBy — the gate poll runs once per ingest
+    micro-batch (st16) and after every maintenance rewrite (s14/s16),
+    so metadata-only counting removes a whole-index Spark job per
+    poll (guide §6; the sources/layout.py footer discipline). Counts
+    are identical: parquet footers carry exact row counts."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out: dict[int, int] = {}
+    for cdir in _glob.glob(os.path.join(lists, "cid=*")):
+        n = 0
+        for f in _glob.glob(os.path.join(cdir, "*.parquet")):
+            n += pq.ParquetFile(f).metadata.num_rows
+        if n:
+            out[int(os.path.basename(cdir).split("=", 1)[1])] = n
+    return out
 
 
 def _s16_imbalance(sizes: dict[int, int]) -> float:
